@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver testdata plus the attribution-domain mapping
+  * (SURVEY.md §7.4, FIXTURES.md §1).
+  *
+  * The reference engine's domain tables (SURVEY.md §1.2 — reconstructed from
+  * reference cj_builder.py:36–72, channel_reporter.py:33–93,
+  * api_client.py:139–149) map onto the `events` fixture: purchase events are
+  * conversions, every other event is a session touchpoint. Engagement flags
+  * and the cost table are derived with plain integer arithmetic on
+  * `event_id` so the DuckDB oracle reproduces them exactly (no
+  * engine-specific hash functions).
+  */
+object Tables {
+
+  def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** epoch-nanos LongType → TimestampType(µs). Integer division only —
+    * double division loses µs precision above 2^53 ns (≈ 1970+104 days). */
+  def tsMicros(c: String): Column = timestamp_micros(expr(s"$c div 1000"))
+
+  /** Conversions ≈ purchase events: conv_id, user_id, conv_ts (ns long), revenue. */
+  def conversions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("conv_id"),
+        col("user_id"),
+        col("ts").as("conv_ts"),
+        col("value").as("revenue"))
+
+  /** Sessions ≈ non-purchase events, with deterministically derived
+    * engagement flags (reference session_sources, cj_builder.py:62–72). */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(
+        col("event_id").as("session_id"),
+        col("user_id"),
+        col("ts"),
+        col("event_type").as("channel_name"),
+        (col("event_id") % 2).as("holder_engagement"),
+        when(col("event_id") % 3 === 0, 1L).otherwise(0L).as("closer_engagement"),
+        when(col("event_id") % 5 === 0, 1L).otherwise(0L).as("impression_interaction"))
+
+  /** Session costs ≈ event value for 3 of 4 sessions; the missing quarter
+    * exercises the left-join + COALESCE(cost, 0) path (reference
+    * channel_reporter.py:40–44). */
+  def sessionCosts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") =!= "purchase" && col("event_id") % 4 =!= 0)
+      .select(col("event_id").as("session_id"), col("value").as("cost"))
+}
+
+/** DuckDB-dialect oracle CTEs mirroring [[Tables]] and the attribution ops.
+  * Every oracle query is `CTES + "SELECT …"`; DuckDB binds CTEs lazily so
+  * unused ones cost nothing. Numeric discipline for hash parity:
+  * integer raw scores (exact window sums → bit-identical ihc ratios),
+  * BIGINT flags on both sides, and rounding only on order-dependent
+  * double aggregates (money sums to 2dp, ihc sums to 4dp).
+  */
+object Sql {
+  val CTES: String =
+    """WITH conversions AS (
+      |  SELECT event_id AS conv_id, user_id, ts AS conv_ts, value AS revenue
+      |  FROM events WHERE event_type = 'purchase'
+      |), sessions AS (
+      |  SELECT event_id AS session_id, user_id, ts, event_type AS channel_name,
+      |         event_id % 2 AS holder_engagement,
+      |         CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS closer_engagement,
+      |         CAST(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS impression_interaction
+      |  FROM events WHERE event_type <> 'purchase'
+      |), session_costs AS (
+      |  SELECT event_id AS session_id, value AS cost
+      |  FROM events WHERE event_type <> 'purchase' AND event_id % 4 <> 0
+      |), journeys AS (
+      |  SELECT c.conv_id AS conversion_id, s.session_id, s.ts,
+      |         s.channel_name AS channel_label,
+      |         s.holder_engagement, s.closer_engagement,
+      |         CAST(0 AS BIGINT) AS conversion, s.impression_interaction,
+      |         c.conv_ts, c.revenue
+      |  FROM conversions c JOIN sessions s
+      |    ON c.user_id = s.user_id AND s.ts <= c.conv_ts
+      |), journey_raw AS (
+      |  SELECT *, 4 + (CASE WHEN rn = 1 THEN 6 ELSE 0 END)
+      |              + (CASE WHEN rn = n THEN 8 ELSE 0 END)
+      |              + 2 * holder_engagement
+      |              + impression_interaction
+      |              + (CASE WHEN rn = n THEN 3 ELSE 0 END) * closer_engagement AS raw
+      |  FROM (
+      |    SELECT *,
+      |           ROW_NUMBER() OVER (PARTITION BY conversion_id ORDER BY ts, session_id) AS rn,
+      |           COUNT(*) OVER (PARTITION BY conversion_id) AS n
+      |    FROM journeys) jp
+      |), scored AS (
+      |  SELECT conversion_id, session_id,
+      |         CAST(raw AS DOUBLE) / CAST(SUM(raw) OVER (PARTITION BY conversion_id) AS DOUBLE) AS ihc
+      |  FROM journey_raw
+      |), session_data AS (
+      |  SELECT s.session_id, s.user_id, s.ts, s.channel_name,
+      |         strftime(s.ts, '%Y-%m-%d') AS date,
+      |         COALESCE(c.cost, CAST(0 AS DOUBLE)) AS cost
+      |  FROM sessions s LEFT JOIN session_costs c ON s.session_id = c.session_id
+      |)
+      |""".stripMargin
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.{QueryDef, Sql, Tables}
+import graft.ops.{ChannelReport, IhcScorer, JourneyBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The attribution pipeline's operators as oracle-checked queries:
+  * J1 journey build, native IHC scoring, W1 normalization, the invariant
+  * check, and the full channel report (SURVEY.md §7.2 flagship slice). */
+object AttributionQueries {
+
+  private def journeys(spark: SparkSession, dir: String): DataFrame =
+    JourneyBuilder.journeys(Tables.conversions(spark, dir), Tables.sessions(spark, dir))
+
+  /** Flagship: attributed revenue per channel per day with CPO/ROAS. */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val conv = Tables.conversions(spark, dir)
+    val sess = Tables.sessions(spark, dir)
+    val attr = IhcScorer.normalize(IhcScorer.score(journeys(spark, dir)))
+    val sd = ChannelReport.sessionData(sess, Tables.sessionCosts(spark, dir))
+    ChannelReport.withKpis(ChannelReport.report(sd, attr, conv, roundForOracle = true))
+  }
+
+  val flagshipSql: String = Sql.CTES +
+    """SELECT channel_name, date, cost, ihc, ihc_revenue,
+      |       COALESCE(cost / NULLIF(ihc, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)) AS CPO,
+      |       COALESCE(ihc_revenue / NULLIF(cost, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)) AS ROAS
+      |FROM (
+      |  SELECT sd.channel_name, sd.date,
+      |         ROUND(SUM(sd.cost), 2) AS cost,
+      |         ROUND(SUM(a.ihc), 4) AS ihc,
+      |         ROUND(SUM(a.ihc * cv.revenue), 2) AS ihc_revenue
+      |  FROM session_data sd
+      |  JOIN scored a ON sd.session_id = a.session_id
+      |  JOIN conversions cv ON a.conversion_id = cv.conv_id
+      |  GROUP BY 1, 2
+      |) r""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("flagship_report", flagship, Some(flagshipSql), bench = true),
+
+    // J1 — journey build join, reference output projection (cj_builder.py:103-116).
+    QueryDef(
+      "j1_journeys",
+      (s, d) => JourneyBuilder.journeyOutput(journeys(s, d)),
+      Some(Sql.CTES +
+        """SELECT conversion_id, session_id,
+          |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS "timestamp",
+          |       channel_label, holder_engagement, closer_engagement,
+          |       conversion, impression_interaction
+          |FROM journeys""".stripMargin),
+      bench = true),
+
+    // Native IHC scorer (SURVEY.md §7.3).
+    QueryDef(
+      "ihc_score",
+      (s, d) => IhcScorer.score(journeys(s, d)),
+      Some(Sql.CTES + "SELECT conversion_id, session_id, ihc FROM scored"),
+      bench = true),
+
+    // W1 — Σ=1 normalization, fed deliberately denormalized integer scores
+    // so the rescale branch fires; result must equal the scorer output.
+    QueryDef(
+      "w1_normalize",
+      (s, d) =>
+        IhcScorer.normalize(
+          IhcScorer
+            .scoreFull(journeys(s, d))
+            .select(col("conversion_id"), col("session_id"), col("raw").cast("double").as("ihc"))),
+      Some(Sql.CTES + "SELECT conversion_id, session_id, ihc FROM scored")),
+
+    // A2/A9/P11 — the reference's post-write invariant readback
+    // (api_client.py:254-268).
+    QueryDef(
+      "a2_ihc_invariant",
+      (s, d) => IhcScorer.invariantReport(IhcScorer.score(journeys(s, d))),
+      Some(Sql.CTES +
+        """SELECT COUNT(*) AS n_conversions,
+          |       CAST(SUM(CASE WHEN ABS(ihc_sum - 1.0) < 0.0001 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+          |FROM (SELECT conversion_id, SUM(ihc) AS ihc_sum FROM scored GROUP BY 1) g""".stripMargin)),
+
+    // J2 + F4 — sessions ⟕ costs with COALESCE (channel_reporter.py:36-45).
+    QueryDef(
+      "j2_session_costs",
+      (s, d) =>
+        ChannelReport
+          .sessionData(Tables.sessions(s, d), Tables.sessionCosts(s, d))
+          .select("session_id", "channel_name", "date", "cost"),
+      Some(Sql.CTES + "SELECT session_id, channel_name, date, cost FROM session_data")),
+
+    // A1 — the channel/date rollup alone (channel_reporter.py:79-91).
+    QueryDef(
+      "a1_channel_daily",
+      (s, d) => {
+        val attr = IhcScorer.score(journeys(s, d))
+        val sd = ChannelReport.sessionData(Tables.sessions(s, d), Tables.sessionCosts(s, d))
+        ChannelReport.report(sd, attr, Tables.conversions(s, d), roundForOracle = true)
+      },
+      Some(Sql.CTES +
+        """SELECT sd.channel_name, sd.date,
+          |       ROUND(SUM(sd.cost), 2) AS cost,
+          |       ROUND(SUM(a.ihc), 4) AS ihc,
+          |       ROUND(SUM(a.ihc * cv.revenue), 2) AS ihc_revenue
+          |FROM session_data sd
+          |JOIN scored a ON sd.session_id = a.session_id
+          |JOIN conversions cv ON a.conversion_id = cv.conv_id
+          |GROUP BY 1, 2""".stripMargin))
+  )
+}
