@@ -65,6 +65,18 @@ object Tables {
       .select(col("event_id").as("session_id"), col("value").as("cost"))
 }
 
+/** Spark-side mirror of [[Sql.rnd]]: half-up rounding as pure IEEE
+  * arithmetic, bit-identical to the DuckDB oracle (see Sql.rnd scaladoc).
+  * `floor` yields LongType, so the product must stay within ±2⁶³ — fine for
+  * money/ihc magnitudes at any realistic scale (≤ ~9e14 at n=4). */
+object Num {
+  import org.apache.spark.sql.functions.{floor, lit}
+  def rnd(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+}
+
 /** DuckDB-dialect oracle CTEs mirroring [[Tables]] and the attribution ops.
   * Every oracle query is `CTES + "SELECT …"`; DuckDB binds CTEs lazily so
   * unused ones cost nothing. Numeric discipline for hash parity:
@@ -73,6 +85,15 @@ object Tables {
   * double aggregates (money sums to 2dp, ihc sums to 4dp).
   */
 object Sql {
+
+  /** Half-up rounding via pure IEEE arithmetic — `FLOOR(x·10ⁿ + 0.5)/10ⁿ`.
+    * Spark's `round` (BigDecimal HALF_UP over the double's shortest decimal
+    * representation) and DuckDB's `ROUND` (float multiply) disagree on
+    * ~0.05% of arbitrary doubles (decimal-boundary values like 2.06125);
+    * multiply/add/floor/divide is bit-identical in both engines. Mirror of
+    * [[Num.rnd]]. Non-negative values only (half-up == half-away). */
+  def rnd(e: String, n: Int): String = s"FLOOR(($e) * 1e$n + 0.5) / 1e$n"
+
   val CTES: String =
     """WITH conversions AS (
       |  SELECT event_id AS conv_id, user_id, ts AS conv_ts, value AS revenue

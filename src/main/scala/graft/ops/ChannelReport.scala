@@ -51,9 +51,9 @@ object ChannelReport {
       agg.select(
         col("channel_name"),
         col("date"),
-        round(col("cost"), 2).as("cost"),
-        round(col("ihc"), 4).as("ihc"),
-        round(col("ihc_revenue"), 2).as("ihc_revenue"))
+        graft.Num.rnd(col("cost"), 2).as("cost"),
+        graft.Num.rnd(col("ihc"), 4).as("ihc"),
+        graft.Num.rnd(col("ihc_revenue"), 2).as("ihc_revenue"))
     else agg
   }
 

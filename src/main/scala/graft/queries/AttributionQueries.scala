@@ -23,19 +23,19 @@ object AttributionQueries {
   }
 
   val flagshipSql: String = Sql.CTES +
-    """SELECT channel_name, date, cost, ihc, ihc_revenue,
-      |       COALESCE(cost / NULLIF(ihc, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)) AS CPO,
-      |       COALESCE(ihc_revenue / NULLIF(cost, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)) AS ROAS
-      |FROM (
-      |  SELECT sd.channel_name, sd.date,
-      |         ROUND(SUM(sd.cost), 2) AS cost,
-      |         ROUND(SUM(a.ihc), 4) AS ihc,
-      |         ROUND(SUM(a.ihc * cv.revenue), 2) AS ihc_revenue
-      |  FROM session_data sd
-      |  JOIN scored a ON sd.session_id = a.session_id
-      |  JOIN conversions cv ON a.conversion_id = cv.conv_id
-      |  GROUP BY 1, 2
-      |) r""".stripMargin
+    s"""SELECT channel_name, date, cost, ihc, ihc_revenue,
+       |       COALESCE(cost / NULLIF(ihc, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)) AS CPO,
+       |       COALESCE(ihc_revenue / NULLIF(cost, CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE)) AS ROAS
+       |FROM (
+       |  SELECT sd.channel_name, sd.date,
+       |         ${Sql.rnd("SUM(sd.cost)", 2)} AS cost,
+       |         ${Sql.rnd("SUM(a.ihc)", 4)} AS ihc,
+       |         ${Sql.rnd("SUM(a.ihc * cv.revenue)", 2)} AS ihc_revenue
+       |  FROM session_data sd
+       |  JOIN scored a ON sd.session_id = a.session_id
+       |  JOIN conversions cv ON a.conversion_id = cv.conv_id
+       |  GROUP BY 1, 2
+       |) r""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("flagship_report", flagship, Some(flagshipSql), bench = true),
@@ -98,13 +98,13 @@ object AttributionQueries {
         ChannelReport.report(sd, attr, Tables.conversions(s, d), roundForOracle = true)
       },
       Some(Sql.CTES +
-        """SELECT sd.channel_name, sd.date,
-          |       ROUND(SUM(sd.cost), 2) AS cost,
-          |       ROUND(SUM(a.ihc), 4) AS ihc,
-          |       ROUND(SUM(a.ihc * cv.revenue), 2) AS ihc_revenue
-          |FROM session_data sd
-          |JOIN scored a ON sd.session_id = a.session_id
-          |JOIN conversions cv ON a.conversion_id = cv.conv_id
-          |GROUP BY 1, 2""".stripMargin))
+        s"""SELECT sd.channel_name, sd.date,
+           |       ${Sql.rnd("SUM(sd.cost)", 2)} AS cost,
+           |       ${Sql.rnd("SUM(a.ihc)", 4)} AS ihc,
+           |       ${Sql.rnd("SUM(a.ihc * cv.revenue)", 2)} AS ihc_revenue
+           |FROM session_data sd
+           |JOIN scored a ON sd.session_id = a.session_id
+           |JOIN conversions cv ON a.conversion_id = cv.conv_id
+           |GROUP BY 1, 2""".stripMargin))
   )
 }
