@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXT1/EXT2 — deduplication operators for LLM-training-data pipelines:
+  * exact dedup, n-gram Jaccard near-dup (exact), MinHash + banded-LSH
+  * near-dup (the 100 TB scale path), and SimHash signatures.
+  *
+  * Scale design: nothing here compares all pairs. Exact dedup is a
+  * hash-shuffle on the key; Jaccard candidates come from an inverted-index
+  * join on shared shingles (only pairs sharing ≥1 shingle meet); LSH
+  * candidates come from band-bucket joins (only pairs colliding in ≥1 of
+  * the 16 bands meet), after which the exact Jaccard is recomputed on the
+  * candidate set only. All shuffles are keyed on shingle/bucket — no
+  * crossJoin anywhere.
+  */
+object Dedup {
+
+  /** EXT1 — exact dedup, keep-first-by-ordering: one row per key, the one
+    * with the smallest (orderCol, tieCol). `row_number` window = the
+    * classic Spark idiom; one shuffle on the key columns. */
+  def keepFirst(df: DataFrame, keys: Seq[String], orderCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol), col(tieCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** (doc_id, shingles) with distinct w-token shingles per document. */
+  private def docShingles(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), TextOps.shingles(col("text"), w).as("sh"))
+
+  /** EXT2a — exact n-gram Jaccard near-dup pairs via an inverted-index
+    * self-join on shingles: explode → join on the shingle → count common
+    * shingles per pair → Jaccard = |∩| / (|A|+|B|−|∩|). Returns
+    * (doc_a, doc_b, jaccard) for pairs ≥ `threshold`, doc_a < doc_b.
+    * Jaccard is an exact integer ratio (engine-portable). */
+  def jaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docShingles(docs, w)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val common = inv.alias("a")
+      .join(inv.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), graft.Num.rnd(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: k seeded hashes; sig_i = min over shingles of
+    * xxhash64(shingle_hash, i). Formulated as explode → groupBy(doc) with k
+    * `min` aggregates, NOT as higher-order array functions: HOFs are
+    * CodegenFallback (interpreted per row — measured 50× slower here),
+    * while explode + hash + HashAggregate stay in whole-stage codegen and
+    * the mins combine map-side, so the shuffle carries one k-column row
+    * per document per mapper. */
+  private def withSignature(sh: DataFrame, k: Int): DataFrame = {
+    val exploded = sh
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h", xxhash64(col("shingle")))
+    val sigCols = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"sig_$i"))
+    exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** EXT2b — MinHash + banded LSH near-dup (the scale path). k=64 hashes in
+    * `bands` bands of k/bands rows; docs colliding on any band's row-hash
+    * become candidates; candidates are re-verified with the exact Jaccard,
+    * so false positives cost time, never correctness. For threshold 0.5 and
+    * 16×4 banding, pair-recall at j=0.8 is 1−(1−0.8⁴)¹⁶ ≈ 0.9998.
+    * Returns the same shape as [[jaccardPairs]] — on data whose near-dups
+    * sit above ~0.7 Jaccard the two are equal (the oracle exploits this). */
+  def minhashLshPairs(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sh = docShingles(docs, w).filter(size(col("sh")) > 0)
+    val sig = withSignature(sh, k)
+    // (doc_id, band_id, band_key): band_key hashes the band's slice of sig.
+    // The shingle arrays are NOT carried through the band join (they would
+    // be replicated ×bands through the shuffle); they are joined back onto
+    // the much smaller candidate-pair set instead.
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band_id"),
+        xxhash64((b * rows until (b + 1) * rows).map(r => col(s"sig_$r")): _*).as("band_key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Exact re-verification on the (tiny) candidate set.
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), graft.Num.rnd(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** EXT2c — 64-bit SimHash over distinct tokens: bit b of the signature is
+    * the sign of Σ_tokens (2·bit_b(xxhash64(token)) − 1). Hamming-close
+    * signatures ⇒ similar token sets. Signature only (pairing would use the
+    * same band-join as LSH); engine-specific hashing ⇒ no SQL oracle,
+    * checked by ScalaTest on planted near-dups instead. */
+  def simhash(docs: DataFrame): DataFrame = {
+    // Same explode-and-aggregate shape as MinHash (codegen'd, map-side
+    // combinable): per bit, sum of ±1 over distinct token hashes.
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s_$b")
+    }
+    val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"s_$b") > 0L, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), sig.as("simhash"))
+  }
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.{QueryDef, Sql, Tables}
+import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** EXT1–EXT6 (SURVEY.md §2.11) — the LLM-training-data-pipeline operators,
+  * each registered with a DuckDB oracle wherever DuckDB can express the
+  * semantics portably. Engine-specific hashing (SimHash, raw MinHash
+  * signatures) gets the driver's rows-only check plus ScalaTest coverage.
+  *
+  * Notable oracle: `ext2_minhash_lsh` is checked against the *exact*
+  * all-pairs Jaccard ground truth — green means the LSH path achieved 100%
+  * recall/precision at the threshold on this corpus, a far stronger check
+  * than comparing the LSH mechanics.
+  */
+object ExtQueries {
+
+  /** DuckDB mirror of TextOps.shingles/jaccard ground truth on documents. */
+  private val DocShinglesCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), shing AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                FOR i IN range(1, len(t) - 1)]) AS sh
+      |  FROM toks WHERE len(t) >= 3
+      |), inv AS (
+      |  SELECT doc_id, unnest(sh) AS shingle FROM shing
+      |), pair_common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), sizes AS (
+      |  SELECT doc_id, len(sh) AS n_sh FROM shing
+      |), jac AS (
+      |  SELECT doc_a, doc_b,
+      |         CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+      |  FROM pair_common
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |)
+      |""".stripMargin
+
+  private val JaccardSelect: String =
+    s"""SELECT doc_a, doc_b, ${Sql.rnd("jaccard", 4)} AS jaccard
+       |FROM jac WHERE jaccard >= 0.5""".stripMargin
+
+  /** DuckDB mirror of Similarity.cosine: DOUBLE[] dot products (sequential
+    * sum, bit-identical to Spark's aggregate fold). */
+  private val CosineCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS q_id, label AS q_label, emb AS q_emb, nrm AS q_nrm
+      |  FROM e WHERE vec_id % 50 = 0
+      |)
+      |""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── EXT1 — exact dedup, keep-first-by-timestamp per (user, channel):
+    //    row_number window = 1 (the reference never dedups; this is the
+    //    training-pipeline staple).
+    QueryDef(
+      "ext1_dedup_exact",
+      (s, d) =>
+        Dedup.keepFirst(Tables.sessions(s, d), Seq("user_id", "channel_name"), "ts", "session_id")
+          .select("user_id", "channel_name", "session_id"),
+      Some(Sql.CTES +
+        """SELECT user_id, channel_name, session_id FROM (
+          |  SELECT user_id, channel_name, session_id,
+          |         ROW_NUMBER() OVER (PARTITION BY user_id, channel_name
+          |                            ORDER BY ts, session_id) AS rn
+          |  FROM sessions) t WHERE rn = 1""".stripMargin)),
+
+    // ── EXT2a — exact n-gram Jaccard near-dup pairs (inverted-index join).
+    QueryDef(
+      "ext2_ngram_jaccard",
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d)),
+      Some(DocShinglesCte + JaccardSelect),
+      bench = true),
+
+    // ── EXT2b — MinHash+LSH near-dup (scale path), oracled against the
+    //    exact ground truth: green ⇔ perfect recall+precision here.
+    QueryDef(
+      "ext2_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d)),
+      Some(DocShinglesCte + JaccardSelect),
+      bench = true),
+
+    // ── EXT2c — SimHash signatures (engine-specific xxhash64 ⇒ rows-only
+    //    check here; pair semantics covered in DedupSpec).
+    QueryDef(
+      "ext2_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d)),
+      None),
+
+    // ── EXT3 — brute-force top-k cosine (broadcast queries, no shuffle
+    //    until the per-query top-k).
+    QueryDef(
+      "ext3_topk_cosine",
+      (s, d) => Similarity.topK(Tables.embeddings(s, d)),
+      Some(CosineCte +
+        s"""SELECT q_id, vec_id, rk, ${Sql.rnd("sim", 6)} AS sim FROM (
+           |  SELECT q.q_id, e.vec_id,
+           |         ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |                            ORDER BY list_dot_product(q.q_emb, e.emb) / (q.q_nrm * e.nrm) DESC,
+           |                                     e.vec_id) AS rk,
+           |         list_dot_product(q.q_emb, e.emb) / (q.q_nrm * e.nrm) AS sim
+           |  FROM q JOIN e ON e.vec_id <> q.q_id) t
+           |WHERE rk <= 10""".stripMargin),
+      bench = true),
+
+    // ── EXT3b — IVF-style blocked top-k (label = coarse cell).
+    QueryDef(
+      "ext3_topk_blocked",
+      (s, d) => Similarity.topKBlocked(Tables.embeddings(s, d)),
+      Some(CosineCte +
+        s"""SELECT q_id, vec_id, rk, ${Sql.rnd("sim", 6)} AS sim FROM (
+           |  SELECT q.q_id, e.vec_id,
+           |         ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |                            ORDER BY list_dot_product(q.q_emb, e.emb) / (q.q_nrm * e.nrm) DESC,
+           |                                     e.vec_id) AS rk,
+           |         list_dot_product(q.q_emb, e.emb) / (q.q_nrm * e.nrm) AS sim
+           |  FROM q JOIN e ON e.label = q.q_label AND e.vec_id <> q.q_id) t
+           |WHERE rk <= 5""".stripMargin)),
+
+    // ── EXT2d — embedding-cosine near-dup pairs (empty on this fixture —
+    //    max pair cosine ≈ 0.51 — and the oracle proves the emptiness).
+    QueryDef(
+      "ext2_embed_neardup",
+      (s, d) => Similarity.nearDupPairs(Tables.embeddings(s, d)),
+      Some(CosineCte +
+        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       ${Sql.rnd("list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)", 6)} AS sim
+           |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95""".stripMargin)),
+
+    // ── EXT4 — corpus term frequencies.
+    QueryDef(
+      "ext4_term_freq",
+      (s, d) => TextOps.termFrequencies(Tables.documents(s, d)),
+      Some("""SELECT token, COUNT(*) AS cnt FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+             |) t GROUP BY 1""".stripMargin),
+      bench = true),
+
+    // ── EXT4b — token counting (whitespace + alpha-run regex).
+    QueryDef(
+      "ext4_token_count",
+      (s, d) => TextOps.tokenCounts(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+             |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS alpha_tokens
+             |FROM documents""".stripMargin)),
+
+    // ── EXT4c — quality scoring (length stats, stopword ratio).
+    QueryDef(
+      "ext4_quality",
+      (s, d) => TextOps.qualityScore(Tables.documents(s, d)),
+      Some(s"""SELECT doc_id,
+              |       CAST(length(text) AS BIGINT) AS n_chars,
+              |       CAST(len(t) AS BIGINT) AS n_tokens,
+              |       ${Sql.rnd("CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t)", 4)} AS avg_token_len,
+              |       ${Sql.rnd("CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(t)", 4)} AS stopword_ratio
+              |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) d""".stripMargin)),
+
+    // ── EXT4d — rolling polynomial fingerprint (portable arithmetic, no
+    //    engine hash functions).
+    QueryDef(
+      "ext4_fingerprint",
+      (s, d) => TextOps.fingerprint(Tables.documents(s, d)),
+      Some("""SELECT doc_id,
+             |       list_reduce(
+             |         list_prepend(CAST(0 AS BIGINT),
+             |           list_transform(string_split(text, ' '),
+             |                          x -> CAST(ascii(x) * 131 + length(x) AS BIGINT))),
+             |         (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+             |FROM documents""".stripMargin)),
+
+    // ── EXT4e — language-ID marker scoring (argmax with lexicographic
+    //    tie-break; see TextOps.LangMarkers on why fixture accuracy is nil).
+    QueryDef(
+      "ext4_langid",
+      (s, d) => TextOps.languageId(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+             |scores AS (
+             |  SELECT doc_id, lang AS labeled_lang, s.lng AS cand,
+             |         CAST(len(list_filter(toks, x -> list_contains(s.markers, x))) AS BIGINT) AS hits
+             |  FROM t CROSS JOIN (
+             |    SELECT * FROM (VALUES
+             |      ('de', ['der','die','und','nicht','das']),
+             |      ('en', ['the','a','of','and','to','in','is']),
+             |      ('es', ['el','la','y','que','de']),
+             |      ('fr', ['le','la','et','les','des']),
+             |      ('zh', ['de','le','shi','bu','zai'])) AS v(lng, markers)) s
+             |), ranked AS (
+             |  SELECT doc_id, labeled_lang, cand, hits,
+             |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand) AS rk
+             |  FROM scores
+             |)
+             |SELECT doc_id, labeled_lang, cand AS predicted_lang, hits AS marker_hits
+             |FROM ranked WHERE rk = 1""".stripMargin)),
+
+    // ── EXT5 — JSON column extraction (events.props).
+    QueryDef(
+      "ext5_json_extract",
+      (s, d) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k")),
+      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+             |FROM events""".stripMargin)),
+
+    // ── EXT5b — multimodal metadata features over the opaque payload
+    //    (decode itself is the documented stub; see ops/Multimodal.scala).
+    QueryDef(
+      "ext5_media_meta",
+      (s, d) => {
+        val m = Multimodal.mediaFromDocuments(s, Tables.documents(s, d)).toDF()
+        m.select(
+          col("media_id"),
+          col("kind"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          (length(col("payload")) % 640 + 1).cast("long").as("width"),
+          (length(col("payload")) % 480 + 1).cast("long").as("height"),
+          (length(col("payload")) / 1000 + 1).cast("long").as("n_frames"))
+      },
+      Some("""SELECT doc_id AS media_id, 'img/' || source AS kind,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+             |       CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height,
+             |       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+             |FROM documents""".stripMargin)),
+
+    // ── EXT6 — gap-based sessionization of raw events.
+    QueryDef(
+      "ext6_sessionize",
+      (s, d) => Sessionize.sessions(Tables.events(s, d)),
+      Some("""SELECT event_id, user_id,
+             |       CAST(SUM(new_session) OVER (PARTITION BY user_id
+             |                                   ORDER BY ts, event_id
+             |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+             |FROM (
+             |  SELECT event_id, user_id, ts,
+             |         CASE WHEN prev_ts IS NULL
+             |                   OR epoch_ns(ts) - epoch_ns(prev_ts) > CAST(1800000000000 AS BIGINT) THEN 1
+             |              ELSE 0 END AS new_session
+             |  FROM (
+             |    SELECT event_id, user_id, ts,
+             |           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |    FROM events) l) f""".stripMargin),
+      bench = true)
+  )
+}
