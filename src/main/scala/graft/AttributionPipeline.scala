@@ -1,0 +1,128 @@
+package graft
+
+import graft.ops.{ChannelReport, IhcScorer, JourneyBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's 3-step pipeline with its per-step file contract
+  * (reference run_pipeline.py:31–106, §3.2): each step is independently
+  * runnable, consuming/producing the inter-step artifacts, so any
+  * orchestrator (cron, Airflow, one spark-submit per step) can drive it.
+  *
+  * Step 1 build_journeys  → customer_journeys CSV (reference cj_builder.py:122–130)
+  * Step 2 score           → attribution Parquet, truncate-once overwrite
+  *                          (the *intent* of reference api_client.py:139 —
+  *                          the reference re-truncates per chunk, ⚠B1, which
+  *                          loses all but the last chunk; documented divergence)
+  * Step 3 report          → channel_reporting CSV with CPO/ROAS
+  *                          (reference channel_reporter.py:99–130)
+  *
+  * Deliberately preserved reference semantics: conversions with no prior
+  * session vanish (⚠B3); sessions at exactly the conversion timestamp are
+  * included and the `conversion` flag is constant 0 (⚠B4); the report's
+  * date filter applies to the session date, not the conversion date (⚠B5).
+  */
+object AttributionPipeline {
+
+  /** The customer_journeys CSV schema — a public interface of the system
+    * (reference cj_builder.py:103–106; column order is the golden order). */
+  val journeyCsvSchema: StructType = StructType(Seq(
+    StructField("conversion_id", LongType),
+    StructField("session_id", LongType),
+    StructField("timestamp", StringType),
+    StructField("channel_label", StringType),
+    StructField("holder_engagement", LongType),
+    StructField("closer_engagement", LongType),
+    StructField("conversion", LongType),
+    StructField("impression_interaction", LongType)))
+
+  /** Step 1 — J1 join with optional inclusive conv-date bounds (P4;
+    * reference cj_builder.py:45–53 filters the *conversion* date). */
+  def buildJourneys(
+      conversions: DataFrame,
+      sessions: DataFrame,
+      startDate: Option[String] = None,
+      endDate: Option[String] = None): DataFrame = {
+    val convDate = date_format(Tables.tsMicros("conv_ts"), "yyyy-MM-dd")
+    val bounded = (startDate, endDate) match {
+      case (Some(s), Some(e)) => conversions.filter(convDate >= s && convDate <= e)
+      case (Some(s), None)    => conversions.filter(convDate >= s)
+      case (None, Some(e))    => conversions.filter(convDate <= e)
+      case (None, None)       => conversions
+    }
+    JourneyBuilder.journeys(bounded, sessions)
+  }
+
+  /** S3 — CSV sink with header; coalesced to one part for the reference's
+    * single-file hand-off contract (artifact-sized data; the big tables
+    * stay parquet). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
+
+  /** S2 — CSV source with the explicit journey schema (no inference —
+    * fixes the reference's inferred-dtype fragility, SURVEY.md §1.4). */
+  def readJourneysCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(journeyCsvSchema).csv(path)
+
+  /** Step 2 — native IHC score + Σ=1 normalization on a journey frame
+    * (either fresh from step 1, or reloaded from the CSV contract — then
+    * `ts` is the formatted string and ordering uses it lexicographically,
+    * which is order-equivalent for ISO timestamps). */
+  def score(journeys: DataFrame): DataFrame = {
+    val withTs =
+      if (journeys.columns.contains("ts")) journeys
+      else journeys.withColumn("ts", col("timestamp")) // ISO string sorts = time sorts
+    IhcScorer.normalize(IhcScorer.score(withTs))
+  }
+
+  /** S5 — truncate-once overwrite of the attribution table (⚠B1 intent). */
+  def writeAttribution(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S4 — append sink (reference db_operations.py:59–69 `if_exists=append`). */
+  def appendTable(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Step 3 — the channel/date report with KPIs; optional inclusive bounds
+    * on the *session* event date (⚠B5; reference channel_reporter.py:47–56). */
+  def report(
+      sessions: DataFrame,
+      sessionCosts: DataFrame,
+      attribution: DataFrame,
+      conversions: DataFrame,
+      startDate: Option[String] = None,
+      endDate: Option[String] = None): DataFrame = {
+    val sd0 = ChannelReport.sessionData(sessions, sessionCosts)
+    val sd = (startDate, endDate) match {
+      case (Some(s), Some(e)) => sd0.filter(col("date") >= s && col("date") <= e)
+      case (Some(s), None)    => sd0.filter(col("date") >= s)
+      case (None, Some(e))    => sd0.filter(col("date") <= e)
+      case (None, None)       => sd0
+    }
+    ChannelReport.withKpis(ChannelReport.report(sd, attribution, conversions))
+      .select("channel_name", "date", "cost", "ihc", "ihc_revenue", "CPO", "ROAS")
+  }
+
+  /** P10 — the reference's empty-input guard (pipeline.py:91–100). */
+  def nonEmpty(df: DataFrame): Boolean = !df.isEmpty
+
+  /** All three steps in-memory (the `--step all` path skips the disk
+    * round-trip; per-step mains keep the file contract). Returns the
+    * report; writes both CSV artifacts + the attribution table. */
+  def runAll(
+      conversions: DataFrame,
+      sessions: DataFrame,
+      sessionCosts: DataFrame,
+      outDir: String): DataFrame = {
+    val journeys = buildJourneys(conversions, sessions)
+    require(nonEmpty(journeys), "no customer journeys built")
+    writeCsv(JourneyBuilder.journeyOutput(journeys), s"$outDir/customer_journeys")
+    val attribution = score(journeys)
+    require(nonEmpty(attribution), "no attribution records")
+    writeAttribution(attribution, s"$outDir/attribution_customer_journey")
+    val rep = report(sessions, sessionCosts, attribution, conversions)
+    writeCsv(rep, s"$outDir/channel_reporting")
+    rep
+  }
+}

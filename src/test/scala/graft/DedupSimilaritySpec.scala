@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity operators against the planted structure in the
+  * driver fixtures: documents has exactly 25 near-dup pairs at 3-shingle
+  * Jaccard ≥ 0.8 (clean gap below), embeddings has none above 0.95. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf("sf0.001"))
+  private def embs = Tables.embeddings(spark, sf("sf0.001"))
+
+  test("exact keep-first dedup keeps exactly one row per key, the earliest") {
+    val df = Seq(
+      (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 10L), (5L, "c", 10L), (6L, "c", 10L) // tie on ts → min id wins
+    ).toDF("session_id", "k", "ts")
+    val kept = Dedup.keepFirst(df, Seq("k"), "ts", "session_id")
+      .select("session_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
+  test("MinHash+LSH finds exactly the exact-Jaccard near-dup pairs") {
+    val exact = Dedup.jaccardPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.size >= 20, s"expected planted near-dups, got ${exact.size}")
+    assert(lsh == exact)
+  }
+
+  test("SimHash: planted near-dup pairs are closer than background pairs") {
+    val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val pairs = Dedup.jaccardPairs(docs).select("doc_a", "doc_b").as[(Long, Long)].collect()
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dupDists = pairs.map { case (a, b) => hamming(sig(a), sig(b)) }
+    // NB all docs share one 31-token vocabulary, so even unrelated pairs
+    // have overlapping token sets; the separation is in the means, not a
+    // clean threshold.
+    val bg = (0L to 40L).sliding(2).collect { case Seq(a, b) if !pairs.contains((a, b)) =>
+      hamming(sig(a), sig(b))
+    }.toSeq
+    val dupMean = dupDists.map(_.toDouble).sum / dupDists.length
+    val bgMean = bg.map(_.toDouble).sum / bg.size
+    assert(dupMean < bgMean, s"dupMean=$dupMean bgMean=$bgMean")
+  }
+
+  test("blocked top-k equals brute-force top-k restricted to the query's label") {
+    val brute = Similarity.topK(embs, k = 500, queryMod = 100) // effectively unbounded k
+    val labels = embs.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val bruteInLabel = brute.as[(Long, Long, Long, Double)].collect()
+      .filter { case (q, v, _, _) => labels(q) == labels(v) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rs) => rs.sortBy(r => (-r._4, r._2)).take(5).map(r => (r._1, r._2)) }
+      .toSet
+    val blocked = Similarity.topKBlocked(embs, k = 5, queryMod = 100)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(blocked == bruteInLabel)
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = embs.limit(3).select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    df.as[Double].collect().foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("embedding near-dup is empty on this corpus (max pair cosine ~0.51)") {
+    assert(Similarity.nearDupPairs(embs).isEmpty)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.IhcScorer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Properties of the native IHC scorer (SURVEY.md §7.3): the reference's
+  * only contract is Σ ihc = 1 ± 1e-4 per conversion with non-negative
+  * weights (reference api_client.py:92–107, 132–136, 254–268). Property
+  * cases are generated with a fixed seed (no scalatest-scalacheck bridge
+  * in the offline dependency set). */
+class IhcScorerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def journeysDf(rows: Seq[(Long, Long, Long, Long, Long, Long)]): DataFrame =
+    rows.toDF("conversion_id", "session_id", "ts",
+      "holder_engagement", "closer_engagement", "impression_interaction")
+
+  private def randomJourneys(rnd: Random): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val nConv = 1 + rnd.nextInt(8)
+    (1 to nConv).flatMap { c =>
+      val n = 1 + rnd.nextInt(12)
+      (0 until n).map { i =>
+        (c.toLong, c.toLong * 1000 + i, rnd.nextLong(1000000L),
+          rnd.nextLong(2L), rnd.nextLong(2L), rnd.nextLong(2L))
+      }
+    }
+  }
+
+  test("property: ihc sums to 1 per conversion, all weights positive") {
+    val rnd = new Random(42)
+    (1 to 20).foreach { _ =>
+      val scored = IhcScorer.score(journeysDf(randomJourneys(rnd)))
+      val sums = scored.groupBy("conversion_id").agg(sum("ihc").as("s")).collect()
+      assert(sums.nonEmpty)
+      sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, s"sum=${r.getDouble(1)}"))
+      assert(scored.filter(col("ihc") <= 0.0).isEmpty, "non-positive weight")
+    }
+  }
+
+  test("single-touchpoint journey gets exactly 1.0") {
+    val scored = IhcScorer.score(journeysDf(Seq((1L, 10L, 5L, 1L, 0L, 1L)))).collect()
+    assert(scored.length == 1 && scored.head.getDouble(2) == 1.0)
+  }
+
+  test("normalization is idempotent and rescales only outside tolerance") {
+    val attr = Seq((1L, 10L, 0.5), (1L, 11L, 0.7), (2L, 20L, 0.99997), (2L, 21L, 0.00002))
+      .toDF("conversion_id", "session_id", "ihc")
+    val once = IhcScorer.normalize(attr)
+    // conv 1: sum = 1.2 → rescaled; conv 2: sum = 0.99999, inside 1e-4 → untouched
+    val m = once.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m((1L, 10L)) - 0.5 / 1.2) < 1e-12)
+    assert(m((2L, 20L)) == 0.99997 && m((2L, 21L)) == 0.00002)
+    val twice = IhcScorer.normalize(once)
+    assert(twice.collect().map(_.getDouble(2)).sorted
+      .sameElements(once.collect().map(_.getDouble(2)).sorted))
+  }
+
+  test("scorer is deterministic under input row order") {
+    val rows = Seq(
+      (1L, 10L, 100L, 1L, 0L, 0L), (1L, 11L, 200L, 0L, 1L, 1L),
+      (1L, 12L, 300L, 1L, 1L, 0L), (2L, 20L, 100L, 0L, 0L, 0L))
+    def run(rs: Seq[(Long, Long, Long, Long, Long, Long)]) =
+      IhcScorer.score(journeysDf(rs)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(run(rows).sameElements(run(rows.reverse)))
+  }
+
+  test("closer gets the largest share when engagement flags are equal") {
+    // 3 touchpoints, no engagement: raw = initializer 10, holder 4, closer 12.
+    val scored = IhcScorer.score(journeysDf(Seq(
+      (1L, 10L, 100L, 0L, 0L, 0L), (1L, 11L, 200L, 0L, 0L, 0L), (1L, 12L, 300L, 0L, 0L, 0L))))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(scored(12L) > scored(10L) && scored(10L) > scored(11L))
+  }
+
+  test("invariant report counts all conversions as ok") {
+    val rows = (1 to 5).flatMap(c => (0 to c).map(i =>
+      (c.toLong, c * 100L + i, i * 10L, (i % 2).toLong, 0L, 1L)))
+    val rep = IhcScorer.invariantReport(IhcScorer.score(journeysDf(rows))).collect().head
+    assert(rep.getLong(0) == 5L && rep.getLong(1) == 5L)
+  }
+}
