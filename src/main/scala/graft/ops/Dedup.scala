@@ -26,27 +26,43 @@ object Dedup {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
-  /** (doc_id, shingles) with distinct w-token shingles per document. */
-  private def docShingles(docs: DataFrame, w: Int): DataFrame =
-    docs.select(col("doc_id"), TextOps.shingles(col("text"), w).as("sh"))
+  /** Jaccard from a candidate-pair frame: join each side's shingle rows,
+    * count the common shingles, divide by the union size. Exact integer
+    * ratio (engine-portable). `pairs` must have (doc_a, doc_b). */
+  private def verifyJaccard(
+      pairs: DataFrame,
+      inv: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(inv.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), graft.Num.rnd(col("jaccard"), 4).as("jaccard"))
+  }
 
   /** EXT2a — exact n-gram Jaccard near-dup pairs via an inverted-index
-    * self-join on shingles: explode → join on the shingle → count common
-    * shingles per pair → Jaccard = |∩| / (|A|+|B|−|∩|). Returns
-    * (doc_a, doc_b, jaccard) for pairs ≥ `threshold`, doc_a < doc_b.
-    * Jaccard is an exact integer ratio (engine-portable). */
+    * self-join on shingles: shingle rows → join on the shingle → count
+    * common shingles per pair → Jaccard = |∩| / (|A|+|B|−|∩|). Returns
+    * (doc_a, doc_b, jaccard) for pairs ≥ `threshold`, doc_a < doc_b. */
   def jaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docShingles(docs, w)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inv = TextOps.shingleRows(docs, w)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = inv.alias("a")
       .join(inv.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -54,18 +70,16 @@ object Dedup {
   }
 
   /** MinHash signature: k seeded hashes; sig_i = min over shingles of
-    * xxhash64(shingle_hash, i). Formulated as explode → groupBy(doc) with k
-    * `min` aggregates, NOT as higher-order array functions: HOFs are
-    * CodegenFallback (interpreted per row — measured 50× slower here),
-    * while explode + hash + HashAggregate stay in whole-stage codegen and
-    * the mins combine map-side, so the shuffle carries one k-column row
-    * per document per mapper. */
-  private def withSignature(sh: DataFrame, k: Int): DataFrame = {
-    val exploded = sh
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h", xxhash64(col("shingle")))
+    * xxhash64(shingle_hash, i). Formulated as shingle rows → groupBy(doc)
+    * with k `min` aggregates, NOT as higher-order array functions: HOFs
+    * are CodegenFallback (interpreted per row — measured 50× slower here),
+    * while hash + HashAggregate stay in whole-stage codegen and the mins
+    * combine map-side, so the shuffle carries one k-column row per
+    * document per mapper. */
+  private def withSignature(inv: DataFrame, k: Int): DataFrame = {
+    val hashed = inv.withColumn("h", xxhash64(col("shingle")))
     val sigCols = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"sig_$i"))
-    exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
   /** EXT2b — MinHash + banded LSH near-dup (the scale path). k=64 hashes in
@@ -82,8 +96,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sh = docShingles(docs, w).filter(size(col("sh")) > 0)
-    val sig = withSignature(sh, k)
+    val inv = TextOps.shingleRows(docs, w)
+    val sig = withSignature(inv, k)
     // (doc_id, band_id, band_key): band_key hashes the band's slice of sig.
     // The shingle arrays are NOT carried through the band join (they would
     // be replicated ×bands through the shuffle); they are joined back onto
@@ -103,15 +117,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // Exact re-verification on the (tiny) candidate set.
-    candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), graft.Num.rnd(col("jaccard"), 4).as("jaccard"))
+    verifyJaccard(candidates, inv, threshold)
   }
 
   /** EXT2c — 64-bit SimHash over distinct tokens: bit b of the signature is
