@@ -37,14 +37,19 @@ object Similarity {
 
   /** Queries = rows with `vec_id % queryMod == 0` (deterministic, valid at
     * any SF); corpus = everything. Top-k by cosine per query, self-match
-    * excluded, vec_id tie-break. */
+    * excluded, vec_id tie-break. Norms are precomputed per row BEFORE the
+    * pair join — computed inside it they would be re-derived per pair
+    * (|Q|× for the corpus side), and the fold is interpreted
+    * (CodegenFallback), so that costs real time. */
   def topK(embeddings: DataFrame, k: Int = 10, queryMod: Int = 50): DataFrame = {
-    val q = embeddings
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = corpus
       .filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val scored = embeddings
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = corpus
       .join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
     scored
       .withColumn("rk",
         row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))).cast("long"))
@@ -55,12 +60,15 @@ object Similarity {
   /** IVF-style blocked top-k: each query only scans its own coarse cell
     * (fixture `label` stands in for the quantizer assignment). */
   def topKBlocked(embeddings: DataFrame, k: Int = 5, queryMod: Int = 50): DataFrame = {
-    val q = embeddings
+    val corpus = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = corpus
       .filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("embedding").as("q_emb"))
-    embeddings
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    corpus
       .join(broadcast(q), col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
       .withColumn("rk",
         row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))).cast("long"))
       .filter(col("rk") <= k)
@@ -70,11 +78,13 @@ object Similarity {
   /** Embedding-cosine near-dup pairs (EXT2's vector flavor): pairs with
     * cosine ≥ threshold, label-blocked so the pair join is per-cell. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val e = embeddings
+      .select(col("vec_id"), col("label"), col("embedding"), norm(col("embedding")).as("nrm"))
     e.alias("a")
       .join(e.alias("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("sim",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         graft.Num.rnd(col("sim"), 6).as("sim"))

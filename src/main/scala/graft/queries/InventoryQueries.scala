@@ -434,6 +434,20 @@ object InventoryQueries {
            |  GROUP BY 1, 2
            |) r""".stripMargin)),
 
+    // ── F9 — row → JSON record (api_client.py:204, 229): the wire shape a
+    //    pluggable external-scorer boundary (S6) would POST. JSON text
+    //    differs cosmetically between engines (key spacing) ⇒ rows-only
+    //    check; the from_json(to_json(x)) == x roundtrip is unit-tested.
+    QueryDef(
+      "f9_row_json",
+      (s, d) =>
+        JourneyBuilder.journeyOutput(journeys(s, d))
+          .select(col("conversion_id"), col("session_id"),
+            to_json(struct(col("timestamp"), col("channel_label"),
+              col("holder_engagement"), col("closer_engagement"),
+              col("conversion"), col("impression_interaction"))).as("payload")),
+      None),
+
     // ── F7 — abs + tolerance as a surfaced boolean (api_client.py:95).
     QueryDef(
       "f7_abs_tolerance",

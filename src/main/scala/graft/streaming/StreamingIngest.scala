@@ -26,7 +26,9 @@ object StreamingIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of an events landing dir. */
+  /** Streaming scan of an events landing path (a directory that receives
+    * only event files, or a glob — NOT a mixed-table directory: the file
+    * source applies the schema to every parquet it finds). */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(eventsSchema)

@@ -4,7 +4,7 @@ import graft.ops.Multimodal
 import graft.streaming.StreamingIngest
 import org.apache.spark.sql.functions._
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 /** S7 streaming (AvailableNow == the reference's FileSensor-then-batch
   * contract) and the multimodal plumbing. */
@@ -15,7 +15,9 @@ class StreamingMultimodalSpec extends SparkSpec {
   test("AvailableNow streaming rollup equals the batch rollup") {
     val dir = sf("sf0.001")
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
-    val q = StreamingIngest.runAvailableNow(spark, dir, ckpt, "stream_rollup")
+    val landing = Files.createTempDirectory("graft-landing")
+    Files.copy(Paths.get(s"$dir/events.parquet"), landing.resolve("events.parquet"))
+    val q = StreamingIngest.runAvailableNow(spark, landing.toString, ckpt, "stream_rollup")
     q.awaitTermination(120000)
     val streamed = spark.table("stream_rollup")
       .select("date", "event_type", "n_events")
@@ -29,6 +31,34 @@ class StreamingMultimodalSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
 
     assert(streamed == batch)
+  }
+
+  test("stateful streaming sessionization equals the batch window operator") {
+    val dir = sf("sf0.001")
+    val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
+    val landing = Files.createTempDirectory("graft-landing-sess")
+    Files.copy(Paths.get(s"$dir/events.parquet"), landing.resolve("events.parquet"))
+    val q = graft.streaming.StreamingSessionize.runAvailableNow(
+      spark, landing.toString, ckpt, "stream_sessions")
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_sessions")
+      .select("event_id", "user_id", "session_num")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.ops.Sessionize.sessions(Tables.events(spark, dir))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("f9 JSON roundtrip: from_json(to_json(x)) == x") {
+    val j = SparkEntry.queries("f9_row_json")(spark, sf("sf0.001"))
+    val schema = "timestamp STRING, channel_label STRING, holder_engagement LONG, " +
+      "closer_engagement LONG, conversion LONG, impression_interaction LONG"
+    val back = j.select(
+      col("conversion_id"), col("session_id"),
+      from_json(col("payload"), org.apache.spark.sql.types.StructType.fromDDL(schema)).as("r"))
+    assert(back.filter(col("r.timestamp").isNull || col("r.channel_label").isNull).isEmpty)
+    assert(back.select("r.conversion").distinct().as[Long].collect().sameElements(Array(0L)))
+    assert(j.count() == back.count())
   }
 
   test("fake decoder features are deterministic and length-derived") {
