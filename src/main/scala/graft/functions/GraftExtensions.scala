@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the engine's native expressions with a session so they are
+  * callable from SQL (`SELECT graft_dot(a, b)`) as well as the DataFrame
+  * API. Wire up either via
+  * `spark.sql.extensions=graft.functions.GraftExtensions` or
+  * [[GraftExtensions.register]] on an existing session (GraftSession does
+  * the latter — extensions config only applies at session construction). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotFunction)
+}
+
+object GraftExtensions {
+
+  private val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, s"graft_dot takes 2 arguments, got ${children.size}")
+      DotProduct(children.head, children.last)
+    })
+
+  /** Idempotent late registration on an already-built session. */
+  def register(spark: SparkSession): SparkSession = {
+    val (id, info, builder) = dotFunction
+    if (!spark.catalog.functionExists(id.funcName)) {
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    spark
+  }
+
+  /** DataFrame-API handle for the native dot product. Resolved from the
+    * function registry at analysis time (Spark 4 keeps the Column ↔
+    * catalyst-Expression bridge private), so the session must have been
+    * through [[register]] / GraftSession — which every engine entry point
+    * guarantees. */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+}

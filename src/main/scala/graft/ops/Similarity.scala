@@ -24,8 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Double-precision dot product of two float-array columns — the native
+    * codegen'd expression (functions/DotProduct.scala). */
+  def dot(a: Column, b: Column): Column = graft.functions.GraftExtensions.dot(a, b)
+
+  /** The same semantics in built-in higher-order functions. Kept as the
+    * cross-check for the native expression (same IEEE result, verified in
+    * tests) and as the fallback for sessions without graft registration —
+    * but CodegenFallback-interpreted, ~3× slower in the pair join. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -1,0 +1,58 @@
+package graft
+
+import graft.functions.GraftExtensions
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** The native graft_dot expression vs the built-in HOF formulation: same
+  * IEEE result (left-to-right double accumulation), SQL-callable, and it
+  * stays inside whole-stage codegen (no CodegenFallback marker). */
+class DotProductSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def embs = Tables.embeddings(spark, sf("sf0.001"))
+
+  test("native dot == HOF dot, bit-identical, on real embeddings") {
+    val both = embs.alias("a").join(embs.alias("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(
+        Similarity.dot(col("a.embedding"), col("b.embedding")).as("native"),
+        Similarity.dotHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    assert(both.count() > 0)
+  }
+
+  test("graft_dot is callable from SQL") {
+    embs.limit(5).createOrReplaceTempView("e_dot_test")
+    val r = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS d FROM e_dot_test")
+      .as[(Long, Double)].collect()
+    assert(r.length == 5 && r.forall(_._2 > 0.0))
+  }
+
+  test("nulls propagate; mismatched lengths raise") {
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
+      (2L, None, Some(Seq(1.0f)))
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), GraftExtensions.dot(col("a"), col("b")).as("d")).collect()
+    val m = out.map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(m(1L).contains(11.0))
+    assert(m(2L).isEmpty)
+
+    val bad = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(GraftExtensions.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("expression participates in whole-stage codegen (no fallback)") {
+    val plan = embs
+      .select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan
+    // the '*' prefix marks operators inside a WholeStageCodegen stage
+    val s = plan.toString
+    assert(s.linesIterator.exists(l => l.contains("*(1) Project") && l.contains("graft_dot")), s)
+  }
+}

@@ -24,6 +24,6 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    GraftSession.tune(s)
   }
 }
