@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** S6 — the pluggable external-scorer boundary, re-expressed the way it
+  * must work on a cluster. The reference collects journeys on the driver,
+  * chunks them by `max_journeys_per_request` / `max_sessions_per_request`,
+  * and POSTs each chunk to the IHC API with a 1 s pause
+  * (api_client.py:153–252). Driver-side looping dies at scale; here the
+  * boundary is `mapPartitions`:
+  *
+  *  - `repartition(conversion_id)` guarantees every journey is whole
+  *    inside one partition (a conversion must be scored from its complete
+  *    journey);
+  *  - `sortWithinPartitions` makes journeys contiguous so the executor can
+  *    group them with one linear pass — no per-partition hash map of the
+  *    whole data;
+  *  - each executor batches up to `maxJourneysPerRequest` conversions /
+  *    `maxSessionsPerRequest` sessions per call, exactly the reference's
+  *    chunking contract (C1/C2), and calls the transport once per batch.
+  *
+  * The transport (`ScoreFn`) is pluggable: production would wrap an HTTP
+  * client opened once per partition; this container has no egress, so the
+  * default transport computes the same IHC formula as IhcScorer locally —
+  * which also turns the whole path into something the DuckDB oracle can
+  * verify (`s6_external_scorer` must equal `ihc_score`).
+  */
+object ExternalScorer {
+
+  final case class Touch(
+      conversion_id: Long,
+      session_id: Long,
+      ts: Long,
+      holder_engagement: Long,
+      closer_engagement: Long,
+      impression_interaction: Long)
+
+  final case class Scored(conversion_id: Long, session_id: Long, ihc: Double)
+
+  /** One request: a batch of complete journeys → scores. Production: HTTP
+    * POST (client per partition, retries, backoff). */
+  type ScoreFn = Seq[Seq[Touch]] => Seq[Scored]
+
+  /** Reference-parity local transport: the IhcScorer formula (SURVEY.md
+    * §7.3) computed per journey — deterministic, network-free. */
+  val localIhc: ScoreFn = batch =>
+    batch.flatMap { journey =>
+      val ordered = journey.sortBy(t => (t.ts, t.session_id))
+      val n = ordered.length
+      val raws = ordered.zipWithIndex.map { case (t, i) =>
+        4L + (if (i == 0) 6L else 0L) + (if (i == n - 1) 8L else 0L) +
+          2L * t.holder_engagement + t.impression_interaction +
+          (if (i == n - 1) 3L * t.closer_engagement else 0L)
+      }
+      val total = raws.sum.toDouble
+      ordered.zip(raws).map { case (t, r) =>
+        Scored(t.conversion_id, t.session_id, r.toDouble / total)
+      }
+    }
+
+  /** Score journeys through the pluggable boundary. Returns the
+    * attribution shape (conversion_id, session_id, ihc). */
+  def score(
+      journeys: DataFrame,
+      fn: ScoreFn = localIhc,
+      maxJourneysPerRequest: Int = 100,
+      maxSessionsPerRequest: Int = 2000): DataFrame = {
+    val spark = journeys.sparkSession
+    import spark.implicits._
+    val touches: Dataset[Touch] = journeys
+      .select(
+        col("conversion_id").cast("long"),
+        col("session_id").cast("long"),
+        col("ts").cast("long"),
+        col("holder_engagement").cast("long"),
+        col("closer_engagement").cast("long"),
+        col("impression_interaction").cast("long"))
+      .as[Touch]
+    touches
+      .repartition(col("conversion_id"))
+      .sortWithinPartitions("conversion_id", "ts", "session_id")
+      .mapPartitions { it =>
+        // linear pass: journeys are contiguous after the partition sort
+        val journeyIt = new Iterator[Seq[Touch]] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[Touch] = {
+            val head = buf.head.conversion_id
+            val j = scala.collection.mutable.ArrayBuffer.empty[Touch]
+            while (buf.hasNext && buf.head.conversion_id == head) j += buf.next()
+            j.toSeq
+          }
+        }
+        // batch journeys up to the request limits (C1/C2); oversize
+        // single journeys go alone rather than being skipped (the
+        // reference skips them, api_client.py:197-199 — divergence
+        // documented: silently dropping conversions loses revenue).
+        val batched = new Iterator[Seq[Seq[Touch]]] {
+          def hasNext: Boolean = journeyIt.hasNext
+          def next(): Seq[Seq[Touch]] = {
+            val b = scala.collection.mutable.ArrayBuffer.empty[Seq[Touch]]
+            var sessions = 0
+            var done = false
+            while (!done && journeyIt.hasNext && b.size < maxJourneysPerRequest) {
+              val j = journeyIt.next()
+              b += j
+              sessions += j.size
+              if (sessions >= maxSessionsPerRequest) done = true
+            }
+            b.toSeq
+          }
+        }
+        batched.flatMap(fn)
+      }
+      .toDF()
+  }
+}

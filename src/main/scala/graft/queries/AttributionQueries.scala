@@ -59,6 +59,15 @@ object AttributionQueries {
       Some(Sql.CTES + "SELECT conversion_id, session_id, ihc FROM scored"),
       bench = true),
 
+    // S6 — the pluggable external-scorer boundary (mapPartitions +
+    // conversion co-location + request batching; transport stubbed with
+    // the local IHC formula) must produce exactly the native scorer's
+    // result — same oracle as ihc_score.
+    QueryDef(
+      "s6_external_scorer",
+      (s, d) => graft.ops.ExternalScorer.score(journeys(s, d)),
+      Some(Sql.CTES + "SELECT conversion_id, session_id, ihc FROM scored")),
+
     // W1 — Σ=1 normalization, fed deliberately denormalized integer scores
     // so the rescale branch fires; result must equal the scorer output.
     QueryDef(

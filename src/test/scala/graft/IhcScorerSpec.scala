@@ -77,6 +77,17 @@ class IhcScorerSpec extends SparkSpec {
     assert(scored(12L) > scored(10L) && scored(10L) > scored(11L))
   }
 
+  test("external-scorer boundary (mapPartitions) equals the native window scorer") {
+    val rnd = new Random(7)
+    val rows = randomJourneys(rnd)
+    val j = journeysDf(rows)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    // tiny batch limits force many request batches; result must not change
+    val ext = graft.ops.ExternalScorer.score(j, maxJourneysPerRequest = 2, maxSessionsPerRequest = 5)
+    assert(canon(ext).sameElements(canon(IhcScorer.score(j))))
+  }
+
   test("invariant report counts all conversions as ok") {
     val rows = (1 to 5).flatMap(c => (0 to c).map(i =>
       (c.toLong, c * 100L + i, i * 10L, (i % 2).toLong, 0L, 1L)))
