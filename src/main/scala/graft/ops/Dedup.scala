@@ -19,11 +19,20 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** EXT1 — exact dedup, keep-first-by-ordering: one row per key, the one
-    * with the smallest (orderCol, tieCol). `row_number` window = the
-    * classic Spark idiom; one shuffle on the key columns. */
+    * with the smallest (orderCol, tieCol). Implemented as a min-struct
+    * aggregate (struct comparison is lexicographic), NOT the classic
+    * `row_number() = 1` window: the aggregate combines map-side, so the
+    * shuffle carries one row per key per mapper and nothing is sorted —
+    * the window form shuffles and sorts every row. Same result (the
+    * ext1 oracle is the ROW_NUMBER formulation and hash-matches). */
   def keepFirst(df: DataFrame, keys: Seq[String], orderCol: String, tieCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol), col(tieCol))
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val others = df.columns.filterNot(keys.contains).toSeq
+    val packedFields =
+      Seq(orderCol, tieCol) ++ others.filterNot(c => c == orderCol || c == tieCol)
+    val packed = struct(packedFields.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min(packed).as("__first"))
+      .select(keys.map(col) ++ others.map(c => col(s"__first.$c").as(c)): _*)
   }
 
   /** Jaccard from a candidate-pair frame: join each side's shingle rows,
@@ -34,9 +43,15 @@ object Dedup {
       inv: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // The candidate set is tiny relative to the corpus — semi-filter the
+    // inverted index down to candidate docs (broadcast) before the pair
+    // joins, instead of shuffling the full index by doc twice.
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val invC = inv.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     val common = pairs
-      .join(inv.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(invC.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(invC.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
     common
