@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.JourneyBuilder
+
+/** CLI mirroring the reference's per-step interface
+  * (run_pipeline.py:31–106): each step runnable standalone against the
+  * file contracts, or `all` in one process. Usage:
+  *
+  *   graft.Main --data-dir /root/testdata/sf0.01 --out-dir /tmp/out \
+  *     [--step build-journeys|score|report|all] \
+  *     [--start-date YYYY-MM-DD] [--end-date YYYY-MM-DD]
+  *
+  * `--data-dir` points at the driver testdata (domain mapping in Tables);
+  * `--out-dir` receives customer_journeys/ (CSV),
+  * attribution_customer_journey/ (parquet) and channel_reporting/ (CSV).
+  * Date bounds follow the reference's asymmetry: build-journeys filters
+  * the conversion date (cj_builder.py:45–53), report filters the session
+  * date (⚠B5, channel_reporter.py:47–56).
+  */
+object Main {
+
+  private def parse(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val opts = parse(args)
+    val dataDir = opts.getOrElse("data-dir", "/root/testdata/sf0.001")
+    val outDir = opts.getOrElse("out-dir", "/tmp/graft-out")
+    val step = opts.getOrElse("step", "all")
+    val start = opts.get("start-date")
+    val end = opts.get("end-date")
+
+    val spark = GraftSession.build(s"graft-$step")
+    try {
+      val conv = Tables.conversions(spark, dataDir)
+      val sess = Tables.sessions(spark, dataDir)
+      val costs = Tables.sessionCosts(spark, dataDir)
+
+      step match {
+        case "build-journeys" =>
+          val j = AttributionPipeline.buildJourneys(conv, sess, start, end)
+          require(AttributionPipeline.nonEmpty(j), "no customer journeys built")
+          AttributionPipeline.writeCsv(JourneyBuilder.journeyOutput(j), s"$outDir/customer_journeys")
+          println(s"[graft] journeys -> $outDir/customer_journeys")
+        case "score" =>
+          val j = AttributionPipeline.readJourneysCsv(spark, s"$outDir/customer_journeys")
+          require(AttributionPipeline.nonEmpty(j), "no journeys to score")
+          val attr = AttributionPipeline.score(j)
+          AttributionPipeline.writeAttribution(attr, s"$outDir/attribution_customer_journey")
+          println(s"[graft] attribution -> $outDir/attribution_customer_journey")
+        case "report" =>
+          val attr = spark.read.parquet(s"$outDir/attribution_customer_journey")
+          val rep = AttributionPipeline.report(sess, costs, attr, conv, start, end)
+          AttributionPipeline.writeCsv(rep, s"$outDir/channel_reporting")
+          println(s"[graft] report -> $outDir/channel_reporting")
+        case "all" =>
+          val rep = AttributionPipeline.runAll(conv, sess, costs, outDir)
+          println(s"[graft] pipeline complete -> $outDir (${rep.count()} report rows)")
+        case other =>
+          sys.error(s"unknown --step $other (build-journeys|score|report|all)")
+      }
+    } finally spark.stop()
+  }
+}

@@ -25,4 +25,23 @@ object Sessionize {
       .withColumn("session_num", sum("new_session").over(byUser))
       .select(col("event_id"), col("user_id"), col("session_num"))
   }
+
+  /** Session-level rollup bridging EXT6 into the attribution flow: one row
+    * per (user, session) with start/end, the entry channel (first
+    * event_type by ts — min-struct aggregate, map-side combinable), event
+    * count and value sum. This is the `session_sources`-shaped table the
+    * reference *assumes* already exists (README.md:54) — here derived from
+    * raw events inside the engine. */
+  def sessionSources(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val tagged = events.join(sessions(events, gapMinutes), Seq("event_id", "user_id"))
+    tagged
+      .groupBy(col("user_id"), col("session_num"))
+      .agg(
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_channel"),
+        count(lit(1)).as("n_events"),
+        graft.Num.rnd(sum(col("value")), 2).as("total_value"))
+  }
 }

@@ -235,6 +235,36 @@ object ExtQueries {
              |       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
              |FROM documents""".stripMargin)),
 
+    // ── EXT6b — session-level rollup (the session_sources table the
+    //    reference assumes pre-exists, derived from raw events).
+    QueryDef(
+      "ext6_session_sources",
+      (s, d) =>
+        Sessionize.sessionSources(Tables.events(s, d))
+          .select(col("user_id"), col("session_num"), col("entry_channel"),
+            col("n_events"), col("total_value")),
+      Some(s"""WITH sess AS (
+              |  SELECT event_id, user_id, ts, event_type, value,
+              |         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+              |  FROM (
+              |    SELECT *, CASE WHEN prev_ts IS NULL
+              |                        OR epoch_ns(ts) - epoch_ns(prev_ts) > CAST(1800000000000 AS BIGINT) THEN 1
+              |                   ELSE 0 END AS new_session
+              |    FROM (SELECT event_id, user_id, ts, event_type, value,
+              |                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              |          FROM events) l) f
+              |)
+              |, sess2 AS (
+              |  SELECT *, FIRST_VALUE(event_type) OVER (PARTITION BY user_id, session_num
+              |                                          ORDER BY ts, event_id) AS entry_channel
+              |  FROM sess
+              |)
+              |SELECT user_id, session_num, entry_channel,
+              |       COUNT(*) AS n_events,
+              |       ${Sql.rnd("SUM(value)", 2)} AS total_value
+              |FROM sess2 GROUP BY 1, 2, 3""".stripMargin)),
+
     // ── EXT6 — gap-based sessionization of raw events.
     QueryDef(
       "ext6_sessionize",
