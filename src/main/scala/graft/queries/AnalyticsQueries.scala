@@ -99,6 +99,68 @@ object AnalyticsQueries {
               |JOIN nation   ON n_nationkey = c_nationkey
               |JOIN region   ON r_regionkey = n_regionkey
               |GROUP BY 1, 2""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ROLLUP over the channel report dimensions (grouping sets — absent
+    // from the reference, SURVEY §2.4; subtotal rows get NULL dimensions).
+    // Expressed through spark.sql: the DataFrame `rollup` trips
+    // DetectAmbiguousSelfJoin on the shared events lineage (both join
+    // sides scan events.parquet), while the SQL path resolves cleanly —
+    // and exercises the engine's SQL front door.
+    QueryDef(
+      "an4_rollup",
+      (s, d) => {
+        graft.ops.ChannelReport.sessionData(Tables.sessions(s, d), Tables.sessionCosts(s, d))
+          .select("channel_name", "cost")
+          .createOrReplaceTempView("an4_session_data")
+        s.sql(
+          s"""SELECT channel_name, ${Sql.rnd("SUM(cost)", 2)} AS cost, COUNT(*) AS n
+             |FROM an4_session_data GROUP BY ROLLUP (channel_name)""".stripMargin)
+      },
+      Some(Sql.CTES +
+        s"""SELECT channel_name, ${Sql.rnd("SUM(cost)", 2)} AS cost, COUNT(*) AS n
+           |FROM session_data GROUP BY ROLLUP (channel_name)""".stripMargin)),
+
+    // Exact percentiles (§2.4 lists median as absent from the reference).
+    // Both engines use linear interpolation for continuous quantiles on
+    // DOUBLE; values here are exact integer ratios of small ints.
+    QueryDef(
+      "an5_percentiles",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            graft.Num.rnd(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+            graft.Num.rnd(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty")),
+      Some(s"""SELECT l_returnflag,
+              |       ${Sql.rnd("quantile_cont(l_quantity, 0.5)", 4)} AS median_qty,
+              |       ${Sql.rnd("quantile_cont(l_quantity, 0.9)", 4)} AS p90_qty
+              |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // INTERSECT / EXCEPT set ops (§2.6: absent from the reference).
+    QueryDef(
+      "an6_intersect",
+      (s, d) => {
+        val purchasers = Tables.events(s, d)
+          .filter(col("event_type") === "purchase").select("user_id")
+        val clickers = Tables.events(s, d)
+          .filter(col("event_type") === "click").select("user_id")
+        purchasers.intersect(clickers)
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'purchase'
+             |INTERSECT
+             |SELECT user_id FROM events WHERE event_type = 'click'""".stripMargin)),
+
+    QueryDef(
+      "an7_except",
+      (s, d) => {
+        val allSessions = Tables.sessions(s, d).select("session_id")
+        val costed = Tables.sessionCosts(s, d).select("session_id")
+        allSessions.except(costed) // the uncosted quarter (event_id % 4 == 0)
+      },
+      Some(Sql.CTES +
+        """SELECT session_id FROM sessions
+          |EXCEPT
+          |SELECT session_id FROM session_costs""".stripMargin))
   )
 }

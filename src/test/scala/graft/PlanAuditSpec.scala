@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Automated physical-plan guard over the ENTIRE query registry: no
+  * registered query may plan a cartesian product or an unintended
+  * broadcast-nested-loop join, and the key scale-bearing plan features
+  * must be present. Catches plan regressions the row-level oracle can't
+  * see (a cartesian that happens to produce correct rows is still a
+  * 100 TB outage). */
+class PlanAuditSpec extends SparkSpec {
+
+  // Brute-force similarity IS a deliberate broadcast scan of corpus ×
+  // query set (PLANS.md); everything else must equi-join.
+  private val intendedBnlj = Set("ext3_topk_cosine")
+
+  test("no cartesian products or unintended nested-loop joins anywhere") {
+    SparkEntry.registry.foreach { q =>
+      val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$plan")
+      if (!intendedBnlj(q.name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an unintended BNLJ:\n$plan")
+      }
+    }
+  }
+
+  test("top-k sort/limit plans as TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("an2_top_orders")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("dimension-chain joins broadcast the dimensions") {
+    val plan = SparkEntry.queries("an3_nation_revenue")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("filters and projection reach the parquet scan") {
+    val plan = SparkEntry.queries("s1_scan_prune")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,50000.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), plan)
+  }
+
+  test("journey scan prunes to the joined columns only") {
+    val plan = graft.ops.JourneyBuilder.journeys(
+      Tables.conversions(spark, sf("sf0.001")), Tables.sessions(spark, sf("sf0.001")))
+      .select(col("conversion_id"), col("session_id"))
+      .queryExecution.executedPlan.toString
+    // neither `value` nor `props` may be read for a key-only projection
+    assert(!plan.contains("props"), plan)
+  }
+}
