@@ -110,12 +110,17 @@ object AnalyticsQueries {
     QueryDef(
       "an4_rollup",
       (s, d) => {
+        // unique per-call view name (no catalog pollution / cross-call
+        // races on a shared session), dropped once the plan is resolved
+        val view = s"an4_sd_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         graft.ops.ChannelReport.sessionData(Tables.sessions(s, d), Tables.sessionCosts(s, d))
           .select("channel_name", "cost")
-          .createOrReplaceTempView("an4_session_data")
-        s.sql(
+          .createOrReplaceTempView(view)
+        val out = s.sql(
           s"""SELECT channel_name, ${Sql.rnd("SUM(cost)", 2)} AS cost, COUNT(*) AS n
-             |FROM an4_session_data GROUP BY ROLLUP (channel_name)""".stripMargin)
+             |FROM $view GROUP BY ROLLUP (channel_name)""".stripMargin)
+        s.catalog.dropTempView(view) // plan already resolved; safe to drop
+        out
       },
       Some(Sql.CTES +
         s"""SELECT channel_name, ${Sql.rnd("SUM(cost)", 2)} AS cost, COUNT(*) AS n

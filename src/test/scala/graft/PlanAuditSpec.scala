@@ -16,7 +16,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no cartesian products or unintended nested-loop joins anywhere") {
     SparkEntry.registry.foreach { q =>
-      val plan = q.fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+      // through SparkEntry.queries so the sweep exercises the same tuned
+      // path every production consumer gets
+      val plan = SparkEntry.queries(q.name)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$plan")
       if (!intendedBnlj(q.name)) {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
@@ -49,7 +52,10 @@ class PlanAuditSpec extends SparkSpec {
       Tables.conversions(spark, sf("sf0.001")), Tables.sessions(spark, sf("sf0.001")))
       .select(col("conversion_id"), col("session_id"))
       .queryExecution.executedPlan.toString
-    // neither `value` nor `props` may be read for a key-only projection
-    assert(!plan.contains("props"), plan)
+    // Tables.conversions selects `value` (as revenue), but a key-only
+    // projection must prune it out of the parquet scan entirely: no
+    // events scan may read the double column.
+    assert(!plan.contains("value:double"), plan)
+    assert(plan.contains("ReadSchema"), plan)
   }
 }
