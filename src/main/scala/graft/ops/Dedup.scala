@@ -140,6 +140,37 @@ object Dedup {
     * signatures ⇒ similar token sets. Signature only (pairing would use the
     * same band-join as LSH); engine-specific hashing ⇒ no SQL oracle,
     * checked by ScalaTest on planted near-dups instead. */
+  /** EXT2c-pairs — SimHash near-dup pairs at scale: split the 64-bit
+    * signature into `bands` chunks; two signatures within `maxHamming`
+    * bits must agree on at least one chunk whenever maxHamming < bands
+    * (pigeonhole), so the band-bucket join has guaranteed recall;
+    * candidates are then filtered by exact Hamming distance (bit_count of
+    * xor). Same no-all-pairs shape as MinHash LSH. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
+    val width = 64 / bands
+    val sig = simhash(docs)
+    val banded = sig.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("band_id"),
+          shiftrightunsigned(col("simhash"), b * width)
+            .bitwiseAND((1L << width) - 1L).as("band_key"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_key"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def simhash(docs: DataFrame): DataFrame = {
     // Same explode-and-aggregate shape as MinHash (codegen'd, map-side
     // combinable): per bit, sum of ±1 over distinct token hashes.

@@ -90,6 +90,25 @@ object TextOps {
       aggregate(atom, lit(0L), (acc, x) => (acc * 31L + x) % 1000000007L).as("fingerprint"))
   }
 
+  /** TF-IDF: term frequency per (doc, token) × ln(N / doc-frequency).
+    * Two shuffles, both keyed (token for the df counts — vocabulary-sized
+    * after map-side combine — and the broadcast-joined tf table). The
+    * doc count N is a scalar subquery, not a driver-side collect. */
+  def tfIdf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
+      .select(
+        col("doc_id"), col("token"), col("tf"),
+        graft.Num.rnd(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tf_idf"))
+  }
+
   /** Language-ID marker profiles. NOTE: the documents fixture draws every
     * language's text from one shared 31-token vocabulary (verified), so no
     * heuristic can recover `lang` here; the operator is graded on being a

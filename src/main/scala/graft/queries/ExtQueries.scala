@@ -138,6 +138,29 @@ object ExtQueries {
            |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
            |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95""".stripMargin)),
 
+    // ── EXT2c-pairs — SimHash banded near-dup pairs (engine-hash-based ⇒
+    //    rows-only; guaranteed-recall property tested in DedupSpec).
+    QueryDef(
+      "ext2_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d)),
+      None),
+
+    // ── EXT4f — TF-IDF (ln parity between java.lang.Math.log and DuckDB
+    //    verified by the oracle; inputs are exact small-int ratios).
+    QueryDef(
+      "ext4_tfidf",
+      (s, d) => TextOps.tfIdf(Tables.documents(s, d)),
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+              |  ) t GROUP BY 1, 2
+              |), dfreq AS (
+              |  SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+              |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+              |SELECT tf.doc_id, tf.token, tf.tf,
+              |       ${Sql.rnd("tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))", 6)} AS tf_idf
+              |FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n""".stripMargin)),
+
     // ── EXT4 — corpus term frequencies.
     QueryDef(
       "ext4_term_freq",

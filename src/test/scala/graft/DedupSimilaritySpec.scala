@@ -48,6 +48,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(dupMean < bgMean, s"dupMean=$dupMean bgMean=$bgMean")
   }
 
+  test("SimHash banded pairs == brute-force hamming pairs (pigeonhole recall)") {
+    val sig = Dedup.simhash(docs).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sig; (b, sb) <- sig if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    val banded = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "expected at least one near-identical signature pair")
+  }
+
   test("blocked top-k equals brute-force top-k restricted to the query's label") {
     val brute = Similarity.topK(embs, k = 500, queryMod = 100) // effectively unbounded k
     val labels = embs.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
