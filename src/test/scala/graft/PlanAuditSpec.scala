@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions.col
 class PlanAuditSpec extends SparkSpec {
 
   // Brute-force similarity IS a deliberate broadcast scan of corpus ×
-  // query set (PLANS.md); everything else must equi-join.
-  private val intendedBnlj = Set("ext3_topk_cosine")
+  // query set (PLANS.md), and tf-idf cross-joins a SINGLE-ROW broadcast
+  // scalar (the corpus doc count); everything else must equi-join.
+  private val intendedBnlj = Set("ext3_topk_cosine", "ext4_tfidf")
 
   test("no cartesian products or unintended nested-loop joins anywhere") {
     SparkEntry.registry.foreach { q =>
