@@ -67,8 +67,12 @@ object AttributionPipeline {
 
   /** Step 2 — native IHC score + Σ=1 normalization on a journey frame
     * (either fresh from step 1, or reloaded from the CSV contract — then
-    * `ts` is the formatted string and ordering uses it lexicographically,
-    * which is order-equivalent for ISO timestamps). */
+    * `ts` is the formatted string, ordered lexicographically). NB the CSV
+    * contract truncates timestamps to seconds (the reference does the
+    * same before sending to the API, cj_builder.py:116), so sub-second
+    * orderings resolve by the session_id tie-break on this path; the
+    * in-memory path keeps nanosecond order. Same trade-off as the
+    * reference's own per-step mode. */
   def score(journeys: DataFrame): DataFrame = {
     val withTs =
       if (journeys.columns.contains("ts")) journeys
@@ -109,20 +113,34 @@ object AttributionPipeline {
 
   /** All three steps in-memory (the `--step all` path skips the disk
     * round-trip; per-step mains keep the file contract). Returns the
-    * report; writes both CSV artifacts + the attribution table. */
+    * report; writes both CSV artifacts + the attribution table.
+    *
+    * The journey and attribution frames are persisted across their
+    * multiple consumers (guard, artifact write, downstream step) —
+    * without it each action re-runs the J1 join and scorer lineage from
+    * the scans, which at the target scale is hours of duplicated shuffle.
+    * Date bounds follow the reference's asymmetry: `startDate`/`endDate`
+    * filter the conversion date during journey build and the session
+    * date in the report (⚠B5). */
   def runAll(
       conversions: DataFrame,
       sessions: DataFrame,
       sessionCosts: DataFrame,
-      outDir: String): DataFrame = {
-    val journeys = buildJourneys(conversions, sessions)
-    require(nonEmpty(journeys), "no customer journeys built")
-    writeCsv(JourneyBuilder.journeyOutput(journeys), s"$outDir/customer_journeys")
-    val attribution = score(journeys)
-    require(nonEmpty(attribution), "no attribution records")
-    writeAttribution(attribution, s"$outDir/attribution_customer_journey")
-    val rep = report(sessions, sessionCosts, attribution, conversions)
-    writeCsv(rep, s"$outDir/channel_reporting")
-    rep
+      outDir: String,
+      startDate: Option[String] = None,
+      endDate: Option[String] = None): DataFrame = {
+    val journeys = buildJourneys(conversions, sessions, startDate, endDate).persist()
+    try {
+      require(nonEmpty(journeys), "no customer journeys built")
+      writeCsv(JourneyBuilder.journeyOutput(journeys), s"$outDir/customer_journeys")
+      val attribution = score(journeys).persist()
+      try {
+        require(nonEmpty(attribution), "no attribution records")
+        writeAttribution(attribution, s"$outDir/attribution_customer_journey")
+        val rep = report(sessions, sessionCosts, attribution, conversions, startDate, endDate)
+        writeCsv(rep, s"$outDir/channel_reporting")
+        rep
+      } finally attribution.unpersist()
+    } finally journeys.unpersist()
   }
 }

@@ -54,8 +54,8 @@ object Main {
           AttributionPipeline.writeCsv(rep, s"$outDir/channel_reporting")
           println(s"[graft] report -> $outDir/channel_reporting")
         case "all" =>
-          val rep = AttributionPipeline.runAll(conv, sess, costs, outDir)
-          println(s"[graft] pipeline complete -> $outDir (${rep.count()} report rows)")
+          AttributionPipeline.runAll(conv, sess, costs, outDir, start, end)
+          println(s"[graft] pipeline complete -> $outDir")
         case other =>
           sys.error(s"unknown --step $other (build-journeys|score|report|all)")
       }

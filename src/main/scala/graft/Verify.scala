@@ -14,6 +14,14 @@ object Verify {
       catch {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // remove any output from a previous run: a stale (still-valid)
+          // dump would make the driver's compare report this broken
+          // query green
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

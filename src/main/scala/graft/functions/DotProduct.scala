@@ -19,8 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics match the HOF formulation exactly: elements are upcast to
   * double and accumulated left-to-right (same IEEE result, same DuckDB
-  * oracle parity), nulls propagate, and mismatched lengths raise — a
-  * malformed embedding column should fail loudly, not silently truncate.
+  * oracle parity), null arrays AND null elements propagate to a NULL
+  * result (the HOF fold yields NULL on a null element), and mismatched
+  * lengths raise — a malformed embedding column should fail loudly, not
+  * silently truncate. The null-element check is only emitted when the
+  * input type says containsNull, keeping the common loop tight.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,7 +43,14 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -49,6 +59,13 @@ case class DotProduct(left: Expression, right: Expression)
     if (y.numElements() != n) {
       throw new IllegalArgumentException(
         s"graft_dot: vector lengths differ (${n} vs ${y.numElements()})")
+    }
+    if (elementsNullable) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
     }
     var acc = 0.0
     var i = 0
@@ -64,17 +81,28 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullElementGuard =
+        if (elementsNullable)
+          s"""
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |}
+           """.stripMargin
+        else ""
       s"""
          |final int $n = $a.numElements();
          |if ($b.numElements() != $n) {
          |  throw new IllegalArgumentException(
          |    "graft_dot: vector lengths differ (" + $n + " vs " + $b.numElements() + ")");
          |}
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |$nullElementGuard
+         |if (!${ev.isNull}) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -43,12 +43,15 @@ object Dedup {
       inv: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // The candidate set is tiny relative to the corpus — semi-filter the
-    // inverted index down to candidate docs (broadcast) before the pair
-    // joins, instead of shuffling the full index by doc twice.
+    // The candidate set is usually tiny relative to the corpus —
+    // semi-filter the inverted index down to candidate docs before the
+    // pair joins, instead of shuffling the full index by doc twice. No
+    // broadcast hint: on a dup-heavy corpus the candidate set can grow
+    // toward corpus cardinality, and a forced broadcast would blow the
+    // driver; AQE broadcasts it automatically whenever it is small.
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val invC = inv.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val invC = inv.join(candDocs, Seq("doc_id"), "left_semi")
     val common = pairs
       .join(invC.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(invC.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))

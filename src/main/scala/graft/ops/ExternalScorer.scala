@@ -92,21 +92,23 @@ object ExternalScorer {
             j.toSeq
           }
         }
-        // batch journeys up to the request limits (C1/C2); oversize
-        // single journeys go alone rather than being skipped (the
-        // reference skips them, api_client.py:197-199 — divergence
-        // documented: silently dropping conversions loses revenue).
+        // batch journeys up to the request limits (C1/C2): the session
+        // cap is checked BEFORE adding (peek), so a batch never exceeds
+        // it — except an oversize single journey, which goes alone
+        // rather than being skipped (the reference skips them,
+        // api_client.py:197-199 — divergence documented: silently
+        // dropping conversions loses revenue).
+        val jbuf = journeyIt.buffered
         val batched = new Iterator[Seq[Seq[Touch]]] {
-          def hasNext: Boolean = journeyIt.hasNext
+          def hasNext: Boolean = jbuf.hasNext
           def next(): Seq[Seq[Touch]] = {
             val b = scala.collection.mutable.ArrayBuffer.empty[Seq[Touch]]
             var sessions = 0
-            var done = false
-            while (!done && journeyIt.hasNext && b.size < maxJourneysPerRequest) {
-              val j = journeyIt.next()
+            while (jbuf.hasNext && b.size < maxJourneysPerRequest &&
+              (b.isEmpty || sessions + jbuf.head.size <= maxSessionsPerRequest)) {
+              val j = jbuf.next()
               b += j
               sessions += j.size
-              if (sessions >= maxSessionsPerRequest) done = true
             }
             b.toSeq
           }

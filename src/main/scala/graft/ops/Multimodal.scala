@@ -32,15 +32,33 @@ object Multimodal {
 
   /** STUB decoder — stands in for an image/audio/video codec. Deterministic
     * functions of the payload bytes so tests have exact expectations. A
-    * real implementation would parse the container format here. */
+    * real implementation would parse the container format here. The
+    * metadata formulas live ONCE here (scalar + Column forms) — the
+    * ext5_media_meta query derives from [[metaColumns]], so changing the
+    * stub changes every Scala consumer in lockstep (the DuckDB oracle SQL
+    * remains the one necessary second copy). */
   object FakeDecoder {
+    def width(nBytes: Long): Long = nBytes % 640 + 1
+    def height(nBytes: Long): Long = nBytes % 480 + 1
+    def frames(nBytes: Long): Long = nBytes / 1000 + 1
+
     def decode(r: MediaRow): MediaFeatures = {
       val n = r.payload.length.toLong
       var ck = 0L
       var i = 0
       while (i < r.payload.length) { ck = (ck * 31 + (r.payload(i) & 0xff)) % 1000000007L; i += 1 }
-      MediaFeatures(r.media_id, r.kind, n, n % 640 + 1, n % 480 + 1, n / 1000 + 1, ck)
+      MediaFeatures(r.media_id, r.kind, n, width(n), height(n), frames(n), ck)
     }
+  }
+
+  /** Column forms of the stub metadata, over a binary `payload` column. */
+  def metaColumns(payload: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    val n = length(payload).cast("long")
+    Seq(
+      n.as("n_bytes"),
+      (n % 640 + 1).as("width"),
+      (n % 480 + 1).as("height"),
+      ((n / 1000).cast("long") + 1).as("n_frames")) // Column./ is double division
   }
 
   /** Batched per-partition decode: one decoder instance per partition (the
@@ -67,12 +85,15 @@ object Multimodal {
 
   /** Frame sampling on the opaque payload: every `stride`-th byte window —
     * the plumbing shape of video frame extraction (explode over frame
-    * index, slice the payload), pure column ops. */
+    * index, slice the payload), pure column ops. Payloads with zero
+    * complete frames yield zero rows (same contract as shingleRows for
+    * short documents) — no truncated trailing frame is emitted. */
   def sampleFrames(spark: SparkSession, docs: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     val media = mediaFromDocuments(spark, docs).toDF()
     media
       .withColumn("n_frames", (length(col("payload")) / lit(frameBytes)).cast("long"))
-      .withColumn("frame_idx", explode(sequence(lit(0L), greatest(col("n_frames") - 1L, lit(0L)), lit(stride.toLong))))
+      .filter(col("n_frames") > 0L)
+      .withColumn("frame_idx", explode(sequence(lit(0L), col("n_frames") - 1L, lit(stride.toLong))))
       .select(
         col("media_id"),
         col("frame_idx"),

@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** All event columns + session_num — the window carries the full row,
+    * so consumers needing event payload (sessionSources) pay no second
+    * scan or join. */
+  private def tagged(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapNs = gapMinutes.toLong * 60L * 1000000000L
     events
@@ -23,18 +26,22 @@ object Sessionize {
       .withColumn("new_session",
         when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
       .withColumn("session_num", sum("new_session").over(byUser))
-      .select(col("event_id"), col("user_id"), col("session_num"))
+      .drop("prev_ts", "new_session")
   }
+
+  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    tagged(events, gapMinutes).select(col("event_id"), col("user_id"), col("session_num"))
 
   /** Session-level rollup bridging EXT6 into the attribution flow: one row
     * per (user, session) with start/end, the entry channel (first
     * event_type by ts — min-struct aggregate, map-side combinable), event
-    * count and value sum. This is the `session_sources`-shaped table the
-    * reference *assumes* already exists (README.md:54) — here derived from
-    * raw events inside the engine. */
-  def sessionSources(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val tagged = events.join(sessions(events, gapMinutes), Seq("event_id", "user_id"))
-    tagged
+    * count and value sum. Built on the tagged frame directly — one events
+    * scan, one window shuffle, one aggregation shuffle. This is the
+    * `session_sources`-shaped table the reference *assumes* already
+    * exists (README.md:54) — here derived from raw events inside the
+    * engine. */
+  def sessionSources(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    tagged(events, gapMinutes)
       .groupBy(col("user_id"), col("session_num"))
       .agg(
         min(col("ts")).as("start_ts"),
@@ -43,5 +50,4 @@ object Sessionize {
           .getField("event_type").as("entry_channel"),
         count(lit(1)).as("n_events"),
         graft.Num.rnd(sum(col("value")), 2).as("total_value"))
-  }
 }

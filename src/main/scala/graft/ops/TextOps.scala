@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * (stopword-profile) language-ID heuristic.
   *
   * All operators are single-pass projections/aggregations over the scan —
-  * no driver-side loops, no UDFs (higher-order array functions stay inside
-  * whole-stage codegen) — so they scale linearly with partition count.
+  * no driver-side loops, no UDFs — so they scale linearly with partition
+  * count. Per-document ops (quality, fingerprint, lang-ID) use
+  * higher-order array functions, which are CodegenFallback (interpreted)
+  * but evaluate each token once, linear per row; the corpus-scale hot
+  * paths (shingling, TF, TF-IDF) avoid HOFs entirely (see shingleRows).
   * Arithmetic is integer or exact-ratio wherever a DuckDB oracle compares
   * results (same discipline as the attribution ops).
   */
@@ -91,9 +94,11 @@ object TextOps {
   }
 
   /** TF-IDF: term frequency per (doc, token) × ln(N / doc-frequency).
-    * Two shuffles, both keyed (token for the df counts — vocabulary-sized
-    * after map-side combine — and the broadcast-joined tf table). The
-    * doc count N is a scalar subquery, not a driver-side collect. */
+    * Shuffles are keyed (token for the df counts — vocabulary-sized after
+    * map-side combine — and the tf⋈df join); the df side carries no hint
+    * because a noisy-token vocabulary can outgrow the driver — AQE
+    * broadcasts it when it is small. The doc count N is a one-row scalar
+    * (always safe to broadcast), not a driver-side collect. */
   def tfIdf(docs: DataFrame): DataFrame = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -101,7 +106,7 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), "token")
+    tf.join(df, "token")
       .crossJoin(broadcast(n))
       .select(
         col("doc_id"), col("token"), col("tf"),

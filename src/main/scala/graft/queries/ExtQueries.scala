@@ -243,13 +243,7 @@ object ExtQueries {
       "ext5_media_meta",
       (s, d) => {
         val m = Multimodal.mediaFromDocuments(s, Tables.documents(s, d)).toDF()
-        m.select(
-          col("media_id"),
-          col("kind"),
-          length(col("payload")).cast("long").as("n_bytes"),
-          (length(col("payload")) % 640 + 1).cast("long").as("width"),
-          (length(col("payload")) % 480 + 1).cast("long").as("height"),
-          (length(col("payload")) / 1000 + 1).cast("long").as("n_frames"))
+        m.select(col("media_id") +: col("kind") +: Multimodal.metaColumns(col("payload")): _*)
       },
       Some("""SELECT doc_id AS media_id, 'img/' || source AS kind,
              |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

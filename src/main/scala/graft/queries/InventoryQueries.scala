@@ -340,7 +340,6 @@ object InventoryQueries {
         a.unionByName(b)
           .select(col("user_id"),
             date_format(Tables.tsMicros("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("kind"))
-          .drop("ts")
       },
       Some(Sql.CTES +
         """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, 'session' AS kind FROM sessions

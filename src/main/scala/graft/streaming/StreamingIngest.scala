@@ -36,10 +36,13 @@ object StreamingIngest {
       .parquet(dir)
 
   /** Windowed channel/day counts+sums with a watermark — the streaming
-    * twin of the batch A1 rollup. The watermark bounds state so a
-    * long-running continuous deployment doesn't grow without limit. */
+    * twin of the batch A1 rollup. Run in `update` output mode: the
+    * watermark then actually evicts finalized windows from state (in
+    * `complete` mode Spark must retain every group forever), so a
+    * long-running deployment stays bounded; the sink receives upserts
+    * per (day, channel). */
   def channelDaily(events: DataFrame): DataFrame = {
-    val withTs = events.withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+    val withTs = events.withColumn("event_ts", graft.Tables.tsMicros("ts"))
     withTs
       .withWatermark("event_ts", "1 day")
       .groupBy(window(col("event_ts"), "1 day"), col("event_type"))
@@ -61,7 +64,7 @@ object StreamingIngest {
       name: String): StreamingQuery =
     channelDaily(readEvents(spark, dir))
       .writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .format("memory")
       .queryName(name)
       .option("checkpointLocation", checkpoint)

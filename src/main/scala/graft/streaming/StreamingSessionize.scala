@@ -10,11 +10,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * needs the previous event's timestamp across micro-batches — that is
   * exactly what GroupState carries.
   *
-  * State per user = (last event ts, current session number): constant size,
-  * explicitly timed out after `gapMinutes` of event-time silence, so state
-  * neither grows with history nor leaks closed sessions. Emits one row per
-  * event, assigning the same session numbers the batch operator produces
-  * when events arrive in order (verified in StreamingMultimodalSpec).
+  * State per user = (last event ts, current session number): one small
+  * record per user ever seen, kept for the stream's lifetime — the
+  * counter must survive idle periods or session numbers would restart at
+  * 1 and collide with earlier sessions of the same user. (A deployment
+  * that must expire state would switch the session identity to
+  * (user_id, session-start ts), which needs no counter; the per-user
+  * numbering here matches the batch operator.) Emits one row per event,
+  * assigning the same session numbers the batch operator produces when
+  * events arrive in order (verified in StreamingMultimodalSpec).
   */
 object StreamingSessionize {
 
@@ -26,21 +30,14 @@ object StreamingSessionize {
       userId: Long,
       events: Iterator[Event],
       state: GroupState[UserState]): Iterator[SessionedEvent] = {
-    if (state.hasTimedOut) {
-      // session closed by inactivity; drop state, next event starts fresh
-      state.remove()
-      Iterator.empty
-    } else {
-      var st = state.getOption.getOrElse(UserState(Long.MinValue, 0L))
-      val out = events.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
-        val isNew = st.lastTs == Long.MinValue || e.ts - st.lastTs > gapNs
-        st = UserState(e.ts, if (isNew) st.sessionNum + 1 else st.sessionNum)
-        SessionedEvent(e.event_id, userId, st.sessionNum)
-      }
-      state.update(st)
-      state.setTimeoutDuration(gapNs / 1000000L) // ns → ms of processing-time silence
-      out.iterator
+    var st = state.getOption.getOrElse(UserState(Long.MinValue, 0L))
+    val out = events.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+      val isNew = st.lastTs == Long.MinValue || e.ts - st.lastTs > gapNs
+      st = UserState(e.ts, if (isNew) st.sessionNum + 1 else st.sessionNum)
+      SessionedEvent(e.event_id, userId, st.sessionNum)
     }
+    state.update(st)
+    out.iterator
   }
 
   /** Wire the stateful sessionizer over a streaming event source and run it
@@ -57,7 +54,7 @@ object StreamingSessionize {
       StreamingIngest.readEvents(spark, dir).selectExpr("event_id", "user_id", "ts").as[Event]
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
         assign(gapNs))
       .writeStream
       .outputMode("append")
