@@ -47,6 +47,20 @@ class DotProductSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("null ELEMENTS yield NULL, matching the HOF formulation") {
+    val df = Seq(
+      (1L, Seq(Option(1.0f), None), Seq(Option(3.0f), Option(4.0f))),
+      (2L, Seq(Option(1.0f), Option(2.0f)), Seq(Option(3.0f), Option(4.0f)))
+    ).toDF("id", "a", "b")
+    val out = df.select(
+      col("id"),
+      GraftExtensions.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    val m = out.map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(m(1L) == (None, None), s"null element must propagate: ${m(1L)}")
+    assert(m(2L)._1.contains(11.0) && m(2L)._2.contains(11.0))
+  }
+
   test("expression participates in whole-stage codegen (no fallback)") {
     val plan = embs
       .select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
