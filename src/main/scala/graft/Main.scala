@@ -24,11 +24,14 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parse(args)
-    val dataDir = opts.getOrElse("data-dir", "/root/testdata/sf0.001")
-    val outDir = opts.getOrElse("out-dir", "/tmp/graft-out")
+    // --config file supplies defaults (reference config.ini, config.py:17-36);
+    // explicit flags override it
+    val cfg = opts.get("config").map(Config.load).getOrElse(Config.Defaults)
+    val dataDir = opts.getOrElse("data-dir", cfg.dataDir)
+    val outDir = opts.getOrElse("out-dir", cfg.outDir)
     val step = opts.getOrElse("step", "all")
-    val start = opts.get("start-date")
-    val end = opts.get("end-date")
+    val start = opts.get("start-date").orElse(cfg.startDate)
+    val end = opts.get("end-date").orElse(cfg.endDate)
 
     val spark = GraftSession.build(s"graft-$step")
     try {
