@@ -1,6 +1,7 @@
 package graft
 
-import graft.ops.JourneyBuilder
+import graft.ops.{ExternalScorer, IhcScorer, JourneyBuilder}
+import org.apache.spark.sql.functions.{col, to_timestamp}
 
 /** CLI mirroring the reference's per-step interface
   * (run_pipeline.py:31–106): each step runnable standalone against the
@@ -51,6 +52,19 @@ object Main {
           val attr = AttributionPipeline.score(j)
           AttributionPipeline.writeAttribution(attr, s"$outDir/attribution_customer_journey")
           println(s"[graft] attribution -> $outDir/attribution_customer_journey")
+        case "score-external" =>
+          // the pluggable-boundary path (S6): same contract as `score`,
+          // batched per the config's request limits
+          val j = AttributionPipeline.readJourneysCsv(spark, s"$outDir/customer_journeys")
+            .withColumn("ts",
+              to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss").cast("long"))
+          require(AttributionPipeline.nonEmpty(j), "no journeys to score")
+          val attr = IhcScorer.normalize(ExternalScorer.score(
+            j,
+            maxJourneysPerRequest = cfg.maxJourneysPerRequest,
+            maxSessionsPerRequest = cfg.maxSessionsPerRequest))
+          AttributionPipeline.writeAttribution(attr, s"$outDir/attribution_customer_journey")
+          println(s"[graft] attribution (external boundary) -> $outDir/attribution_customer_journey")
         case "report" =>
           val attr = spark.read.parquet(s"$outDir/attribution_customer_journey")
           val rep = AttributionPipeline.report(sess, costs, attr, conv, start, end)
@@ -60,7 +74,7 @@ object Main {
           AttributionPipeline.runAll(conv, sess, costs, outDir, start, end)
           println(s"[graft] pipeline complete -> $outDir")
         case other =>
-          sys.error(s"unknown --step $other (build-journeys|score|report|all)")
+          sys.error(s"unknown --step $other (build-journeys|score|score-external|report|all)")
       }
     } finally spark.stop()
   }
