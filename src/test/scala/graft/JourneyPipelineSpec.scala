@@ -108,6 +108,28 @@ class JourneyPipelineSpec extends SparkSpec {
     sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4))
   }
 
+  test("J1 stays correct under a pathological power user (skew path)") {
+    // one user owns 95% of all sessions — the SURVEY §7.6 skew risk.
+    // Correctness must not depend on AQE's skew splitting; this pins the
+    // row-count algebra: Σ over conversions of |prior sessions|.
+    val skewSess = (1 to 2000).map(i => (1000L + i, 99L, i.toLong * ns, "ads", 0L, 0L, 0L)) ++
+      (1 to 50).map(i => (5000L + i, 7L, i.toLong * ns, "email", 0L, 0L, 0L))
+    val skewConv = Seq(
+      (900L, 99L, 1500L * ns, 10.0), // 1500 prior sessions
+      (901L, 99L, 2000L * ns, 10.0), // 2000 prior sessions
+      (902L, 7L, 25L * ns, 10.0))    // 25 prior sessions
+    val j = JourneyBuilder.journeys(
+      skewConv.toDF("conv_id", "user_id", "conv_ts", "revenue"),
+      skewSess.toDF("session_id", "user_id", "ts", "channel_name",
+        "holder_engagement", "closer_engagement", "impression_interaction"))
+    val counts = j.groupBy("conversion_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(900L -> 1500L, 901L -> 2000L, 902L -> 25L))
+    // and the scorer's invariant holds on the giant journeys too
+    val rep = graft.ops.IhcScorer.invariantReport(graft.ops.IhcScorer.score(j)).head()
+    assert(rep.getLong(0) == 3L && rep.getLong(1) == 3L)
+  }
+
   test("report column order matches the reference channel_reporting.csv") {
     val attribution = AttributionPipeline.score(JourneyBuilder.journeys(conv, sess))
     val rep = AttributionPipeline.report(sess, costs, attribution, conv)
