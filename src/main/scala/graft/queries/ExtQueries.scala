@@ -252,6 +252,36 @@ object ExtQueries {
              |       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
              |FROM documents""".stripMargin)),
 
+    // ── EXT7 — the composed training-data cleaning pipeline: quality
+    //    gate → exact dedup → near-dup dedup (LSH) → survivors. The
+    //    oracle recomputes the near-dup losers from the exact all-pairs
+    //    ground truth, so green additionally re-proves LSH recall inside
+    //    a composition.
+    QueryDef(
+      "ext7_clean_corpus",
+      (s, d) => graft.ops.CorpusClean.clean(Tables.documents(s, d)),
+      Some(DocShinglesCte.replace("WITH toks AS", "WITH quality AS (\n" +
+        s"""  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |         ${Sql.rnd("CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' '))", 4)} AS stopword_ratio
+           |  FROM documents
+           |), passing AS (
+           |  SELECT d.doc_id, d.text FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+           |  WHERE q.n_tokens >= 10 AND q.stopword_ratio <= 0.5
+           |), exact AS (
+           |  SELECT p.doc_id, p.text FROM passing p
+           |  JOIN (SELECT text, MIN(doc_id) AS doc_id FROM passing GROUP BY 1) k
+           |    ON p.doc_id = k.doc_id
+           |), toks AS""".stripMargin) // shingle/jaccard CTEs now run over `exact`
+        .replace("FROM documents WHERE len(t) >= 3", "FROM documents WHERE len(t) >= 3")
+        .replace("SELECT doc_id, string_split(text, ' ') AS t FROM documents",
+          "SELECT doc_id, string_split(text, ' ') AS t FROM exact") +
+        """SELECT e.doc_id, q.n_chars, q.n_tokens, q.stopword_ratio
+          |FROM exact e
+          |JOIN quality q ON e.doc_id = q.doc_id
+          |WHERE e.doc_id NOT IN (SELECT doc_b FROM jac WHERE jaccard >= 0.5)""".stripMargin),
+      bench = true),
+
     // ── EXT6b — session-level rollup (the session_sources table the
     //    reference assumes pre-exists, derived from raw events).
     QueryDef(
