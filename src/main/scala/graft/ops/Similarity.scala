@@ -82,6 +82,66 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
   }
 
+  /** Sign-random-projection LSH top-k — the hash-bucketed ANN scale path
+    * (complementing the IVF-style [[topKBlocked]]). `tables` independent
+    * hash tables of `planes`-bit keys; a vector's key in table t is the
+    * sign pattern of its projections onto `planes` fixed hyperplanes.
+    * Hyperplane components are deterministic pseudo-random values derived
+    * from (table, plane, dim) — reproducible across runs and engines, no
+    * RNG state. Candidates = corpus rows sharing any table's bucket with
+    * the query, re-scored exactly, top-k per query. Recall is tunable via
+    * (planes, tables): fewer planes ⇒ bigger buckets ⇒ higher recall and
+    * cost. Returns ≤ k rows per query (fewer when a bucket is sparse) —
+    * the standard ANN contract. */
+  def topKLsh(
+      embeddings: DataFrame,
+      k: Int = 10,
+      queryMod: Int = 50,
+      planes: Int = 4,
+      tables: Int = 16,
+      dim: Int = 64): DataFrame = {
+    // deterministic hyperplanes: component (t,p,d) from a splitmix-style mix
+    def component(t: Int, p: Int, d: Int): Double = {
+      var z = t.toLong * 1000003L + p.toLong * 1009L + d.toLong + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    }
+    // bucket key for table t: planes sign bits of the projections
+    def bucketKey(emb: Column, t: Int): Column =
+      (0 until planes).map { p =>
+        val proj = (0 until dim).map { d =>
+          element_at(emb, d + 1).cast("double") * lit(component(t, p, d))
+        }.reduce(_ + _)
+        when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val corpus = embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = corpus
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+
+    val qB = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("table_id"), bucketKey(col("q_emb"), t).as("bucket"))): _*)).as("bnd"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("bnd.table_id"), col("bnd.bucket"))
+    val cB = corpus.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("table_id"), bucketKey(col("embedding"), t).as("bucket"))): _*)).as("bnd"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("bnd.table_id"), col("bnd.bucket"))
+
+    cB.join(broadcast(qB), Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-dup pairs (EXT2's vector flavor): pairs with
     * cosine ≥ threshold, label-blocked so the pair join is per-cell. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {

@@ -127,6 +127,14 @@ object ExtQueries {
            |  FROM q JOIN e ON e.label = q.q_label AND e.vec_id <> q.q_id) t
            |WHERE rk <= 5""".stripMargin)),
 
+    // ── EXT3c — sign-random-projection LSH ANN (hash-bucketed scale path;
+    //    deterministic hyperplanes live in Scala arithmetic, not SQL ⇒
+    //    rows-only check; recall vs brute force pinned in the spec).
+    QueryDef(
+      "ext3_topk_lsh",
+      (s, d) => Similarity.topKLsh(Tables.embeddings(s, d)),
+      None),
+
     // ── EXT2d — embedding-cosine near-dup pairs (empty on this fixture —
     //    max pair cosine ≈ 0.51 — and the oracle proves the emptiness).
     QueryDef(

@@ -73,6 +73,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(blocked == bruteInLabel)
   }
 
+  test("LSH ANN recall vs brute force is high and far above chance") {
+    val brute = Similarity.topK(embs, k = 10, queryMod = 50)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.topKLsh(embs, k = 10, queryMod = 50)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (lsh & brute).size.toDouble / brute.size
+    // deterministic hyperplanes ⇒ recall is fixed (measured 0.88 on this
+    // fixture); chance would be 10/500 = 0.02
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = embs.limit(3).select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
     df.as[Double].collect().foreach(c => assert(math.abs(c - 1.0) < 1e-12))
