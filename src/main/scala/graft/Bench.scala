@@ -5,36 +5,47 @@ package graft
   *
   * Measurement: a `noop`-format write, so every column is fully
   * materialized (a bare `.count()` lets Spark skip column evaluation for
-  * some plans — VERDICT r1). Each query runs once untimed then once timed
-  * (BASELINE.md protocol: warm-up discarded) so JIT/codegen compilation
-  * and parquet footer caching don't land on whichever query happens to run
-  * first. A failing query is recorded as -1 and excluded from the total
-  * rather than silently inflating it.
+  * some plans — VERDICT r1). Each query runs once untimed (JIT/codegen
+  * warm-up, parquet footer caching), then THREE timed runs, and the
+  * MEDIAN is reported — the BASELINE.md protocol. One-run timing let a
+  * loaded machine report 23× noise in the round-2 artifact; the median of
+  * three absorbs transient load spikes. A failing query is recorded as -1
+  * and excluded from the total rather than silently inflating it.
+  *
+  * Optional args: a subset of query names to bench (default: all of
+  * SparkEntry.benchQueries) — used for profiling a single query.
   */
 object Bench {
+  private val TimedRuns = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
     val fns = SparkEntry.queries
-    def run(name: String): Unit =
-      fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.benchQueries.map { name =>
-      val ok =
-        try { run(name); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED (warm-up): ${e.getMessage}")
-            false
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(fns.contains)
+      else SparkEntry.benchQueries
+    def run(name: String): Boolean =
+      try {
+        fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+      }
+    val results = names.map { name =>
+      val warm = run(name)
+      val times = (1 to TimedRuns).flatMap { _ =>
+        if (!warm) None
+        else {
+          val t0 = System.nanoTime()
+          if (run(name)) Some((System.nanoTime() - t0) / 1e9) else None
         }
-      val t0 = System.nanoTime()
-      val ok2 = ok &&
-        (try { run(name); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        })
-      name -> (if (ok2) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val median =
+        if (times.size == TimedRuns) times.sorted.apply(TimedRuns / 2) else -1.0
+      name -> median
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }

@@ -26,8 +26,15 @@ object CorpusClean {
       minTokens: Int = 10,
       maxStopwordRatio: Double = 0.5,
       jaccardThreshold: Double = 0.5): DataFrame = {
+    // Quality stats feed two consumers (the gate and the final stat
+    // join); the exact-deduped corpus feeds three (the LSH signature
+    // pass, the candidate re-verification, and the final anti-join).
+    // Persist both so their lineage — a full corpus scan + tokenization —
+    // runs once, not once per consumer. Both frames are ≤ corpus-sized
+    // and column-pruned, so MEMORY_AND_DISK spills safely at scale.
     val quality = TextOps.qualityScore(docs)
       .filter(col("n_tokens") >= minTokens && col("stopword_ratio") <= maxStopwordRatio)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // carry only (doc_id, text): the fixture has its own n_chars column
     // that would collide with the computed quality stats downstream
     val passing = docs.select("doc_id", "text").join(quality.select("doc_id"), "doc_id")
@@ -37,6 +44,7 @@ object CorpusClean {
       .groupBy("text").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val exact = passing.join(exactKept, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // near-dup dedup over the exact-deduped corpus (LSH scale path)
     val dupLosers = Dedup.minhashLshPairs(exact, threshold = jaccardThreshold)

@@ -37,22 +37,36 @@ object Dedup {
 
   /** Jaccard from a candidate-pair frame: join each side's shingle rows,
     * count the common shingles, divide by the union size. Exact integer
-    * ratio (engine-portable). `pairs` must have (doc_a, doc_b). */
+    * ratio (engine-portable). `pairs` must have (doc_a, doc_b).
+    *
+    * Cost shape (the round-2 regression lived here): `pairs` sits on an
+    * EXPENSIVE lineage (full-corpus signatures + band join), and this
+    * function fans it out to several consumers — so the candidate pairs
+    * are persisted (they are tiny: bounded by true near-dups plus LSH
+    * false positives). The shingles needed for re-verification are then
+    * recomputed ONLY for candidate docs (a semi-join against `docs`
+    * before shingling), never by re-shingling the whole corpus, and that
+    * candidate index is persisted too because it feeds three consumers
+    * (two pair joins + the size aggregate). The full corpus is shingled
+    * exactly once per LSH run — in the signature pass. No broadcast
+    * hints: AQE broadcasts the candidate frames whenever they are small;
+    * on a dup-heavy corpus where they are not, a forced broadcast would
+    * blow the driver. */
   private def verifyJaccard(
       pairs: DataFrame,
-      inv: DataFrame,
+      docs: DataFrame,
+      w: Int,
       threshold: Double): DataFrame = {
-    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // The candidate set is usually tiny relative to the corpus —
-    // semi-filter the inverted index down to candidate docs before the
-    // pair joins, instead of shuffling the full index by doc twice. No
-    // broadcast hint: on a dup-heavy corpus the candidate set can grow
-    // toward corpus cardinality, and a forced broadcast would blow the
-    // driver; AQE broadcasts it automatically whenever it is small.
-    val candDocs = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val invC = inv.join(candDocs, Seq("doc_id"), "left_semi")
-    val common = pairs
+    val cand = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val invC = TextOps
+      .shingleRows(docs.join(candDocs, Seq("doc_id"), "left_semi"), w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Sizes are only ever joined for candidate docs — compute them from
+    // the candidate index, not the full corpus.
+    val sizes = invC.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
       .join(invC.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(invC.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
@@ -135,7 +149,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // Exact re-verification on the (tiny) candidate set.
-    verifyJaccard(candidates, inv, threshold)
+    verifyJaccard(candidates, docs, w, threshold)
   }
 
   /** EXT2c — 64-bit SimHash over distinct tokens: bit b of the signature is
