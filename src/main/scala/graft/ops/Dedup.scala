@@ -114,34 +114,84 @@ object Dedup {
     hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** Hot-bucket guard shared by the banded-LSH joins: a (band_id,
+    * band_key) bucket holding B docs emits O(B²) candidate pairs from the
+    * self-join, so one boilerplate-heavy bucket (a signature collision
+    * across a huge fraction of the corpus) turns the whole job quadratic.
+    * Buckets larger than `maxBucket` are dropped BEFORE the self-join.
+    * Recall note: a genuine near-dup pair inside a dropped bucket is only
+    * lost if ALL of its colliding bands are oversized — for boilerplate
+    * collisions the other bands still differ, and exact duplicates should
+    * be removed by [[keepFirst]]/CorpusClean before LSH anyway. Dropped
+    * buckets are observable via [[oversizedBuckets]] — run it when the
+    * guard may have fired; the pair operators stay lazy so they cannot
+    * log from inside the plan.
+    *
+    * Plan shape: the bucket count is a window over exactly the self-join
+    * keys, so the sort/exchange it needs is the one the sort-merge join
+    * needs anyway, and the two aliases of the guarded frame share one
+    * exchange (ReusedExchange). */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
+      .withColumn("__bucket_n",
+        count(lit(1)).over(Window.partitionBy("band_id", "band_key")))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+
+  /** Diagnostic twin of the guard in [[minhashLshPairs]]: the (band_id,
+    * band_key, bucket_n) buckets that exceed `maxBucket` and were
+    * therefore excluded from candidate generation. Empty ⇒ the guard
+    * changed nothing. */
+  def oversizedBuckets(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandedSignatures(docs, w, k, bands)
+      .groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  /** 1 000 docs/bucket ⇒ ≤ ~500 k candidate pairs per bucket — bounded
+    * work per task; far above any honest near-dup cluster size once exact
+    * dups are removed. */
+  val DefaultMaxBucket: Int = 1000
+
+  /** (doc_id, band_id, band_key) rows: band_key hashes the band's slice
+    * of the MinHash signature. The shingle arrays are NOT carried through
+    * the band join (they would be replicated ×bands through the shuffle);
+    * they are joined back onto the much smaller candidate-pair set
+    * instead. */
+  private def bandedSignatures(docs: DataFrame, w: Int, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val sig = withSignature(TextOps.shingleRows(docs, w), k)
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band_id"),
+        xxhash64((b * rows until (b + 1) * rows).map(r => col(s"sig_$r")): _*).as("band_key"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
   /** EXT2b — MinHash + banded LSH near-dup (the scale path). k=64 hashes in
     * `bands` bands of k/bands rows; docs colliding on any band's row-hash
     * become candidates; candidates are re-verified with the exact Jaccard,
     * so false positives cost time, never correctness. For threshold 0.5 and
     * 16×4 banding, pair-recall at j=0.8 is 1−(1−0.8⁴)¹⁶ ≈ 0.9998.
     * Returns the same shape as [[jaccardPairs]] — on data whose near-dups
-    * sit above ~0.7 Jaccard the two are equal (the oracle exploits this). */
+    * sit above ~0.7 Jaccard the two are equal (the oracle exploits this).
+    * Buckets larger than `maxBucket` are dropped (see [[capBuckets]]). */
   def minhashLshPairs(
       docs: DataFrame,
       w: Int = 3,
       k: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val rows = k / bands
-    val inv = TextOps.shingleRows(docs, w)
-    val sig = withSignature(inv, k)
-    // (doc_id, band_id, band_key): band_key hashes the band's slice of sig.
-    // The shingle arrays are NOT carried through the band join (they would
-    // be replicated ×bands through the shuffle); they are joined back onto
-    // the much smaller candidate-pair set instead.
-    val bandStructs = (0 until bands).map { b =>
-      struct(
-        lit(b).as("band_id"),
-        xxhash64((b * rows until (b + 1) * rows).map(r => col(s"sig_$r")): _*).as("band_key"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = capBuckets(bandedSignatures(docs, w, k, bands), maxBucket)
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
@@ -163,20 +213,29 @@ object Dedup {
     * (pigeonhole), so the band-bucket join has guaranteed recall;
     * candidates are then filtered by exact Hamming distance (bit_count of
     * xor). Same no-all-pairs shape as MinHash LSH. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
     val width = 64 / bands
     val sig = simhash(docs)
-    val banded = sig.select(
-      col("doc_id"),
-      col("simhash"),
-      explode(array((0 until bands).map { b =>
-        struct(
-          lit(b).as("band_id"),
-          shiftrightunsigned(col("simhash"), b * width)
-            .bitwiseAND((1L << width) - 1L).as("band_key"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_key"))
+    // Same hot-bucket guard as the MinHash path ([[capBuckets]]). NB the
+    // pigeonhole recall guarantee holds only for pairs whose agreeing
+    // band's bucket survives the cap.
+    val banded = capBuckets(
+      sig.select(
+        col("doc_id"),
+        col("simhash"),
+        explode(array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band_id"),
+            shiftrightunsigned(col("simhash"), b * width)
+              .bitwiseAND((1L << width) - 1L).as("band_key"))
+        }: _*)).as("band"))
+        .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_key")),
+      maxBucket)
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&

@@ -32,6 +32,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("LSH hot-bucket guard bounds a planted pathological bucket") {
+    // 200 identical texts (one signature → the same bucket in all 16
+    // bands, 200-doc buckets → 19 900 pairs unguarded) plus one honest
+    // near-dup pair with unique buckets. With maxBucket=50 the hot
+    // buckets are dropped — their pairs never reach the pair join — while
+    // the honest pair survives untouched.
+    val boiler = (0 until 200).map(i => (1000L + i, "the same boilerplate line repeated " * 5))
+    val near = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    val oversized = Dedup.oversizedBuckets(df, maxBucket = 50)
+      .as[(Int, Long, Long)].collect()
+    assert(oversized.nonEmpty && oversized.forall(_._3 == 200L),
+      s"expected 200-doc hot buckets, got ${oversized.mkString(",")}")
+    val guarded = Dedup.minhashLshPairs(df, maxBucket = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(guarded == Set((1L, 2L)), s"got $guarded")
+    // Unguarded control: the hot bucket's pairs all come through.
+    val unguarded = Dedup.minhashLshPairs(df).count()
+    assert(unguarded == 19901L, s"got $unguarded")
+  }
+
   test("SimHash: planted near-dup pairs are closer than background pairs") {
     val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val pairs = Dedup.jaccardPairs(docs).select("doc_a", "doc_b").as[(Long, Long)].collect()
