@@ -23,6 +23,17 @@ object Main {
   private def parse(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
 
+  /** The summary the reference prints after every report save
+    * (channel_reporter.py:133–151). Computed from the artifact just
+    * written — channel×date-sized, one tiny read — rather than from the
+    * report frame, whose (unpersisted) lineage would re-run the step-3
+    * joins a second time. */
+  private def printSummary(spark: org.apache.spark.sql.SparkSession, outDir: String): Unit = {
+    val rep = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$outDir/channel_reporting")
+    ops.ChannelReport.summaryLines(rep).foreach(l => println(s"[graft] $l"))
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = parse(args)
     // --config file supplies defaults (reference config.ini, config.py:17-36);
@@ -70,8 +81,10 @@ object Main {
           val rep = AttributionPipeline.report(sess, costs, attr, conv, start, end)
           AttributionPipeline.writeCsv(rep, s"$outDir/channel_reporting")
           println(s"[graft] report -> $outDir/channel_reporting")
+          printSummary(spark, outDir)
         case "all" =>
           AttributionPipeline.runAll(conv, sess, costs, outDir, start, end)
+          printSummary(spark, outDir)
           println(s"[graft] pipeline complete -> $outDir")
         case other =>
           sys.error(s"unknown --step $other (build-journeys|score|score-external|report|all)")

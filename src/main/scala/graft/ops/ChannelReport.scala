@@ -63,4 +63,34 @@ object ChannelReport {
     report
       .withColumn("CPO", when(col("ihc") === 0.0, 0.0).otherwise(col("cost") / col("ihc")))
       .withColumn("ROAS", when(col("cost") === 0.0, 0.0).otherwise(col("ihc_revenue") / col("cost")))
+
+  /** The post-save summary the reference prints after every report run
+    * (channel_reporter.py:133–151): row count, cost/revenue totals, and
+    * the conditional means over positive CPO/ROAS rows only (the A7/A8
+    * computations as one scalar aggregate — the report frame is already
+    * channel×date-sized, so this is a single cheap pass). `avg_cpo` /
+    * `avg_roas` are NULL when no row qualifies (the reference's "No
+    * valid ... found" branch). */
+  def summary(reportWithKpis: DataFrame): DataFrame =
+    reportWithKpis.agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum("cost"), lit(0.0)).as("total_cost"),
+      coalesce(sum("ihc_revenue"), lit(0.0)).as("total_ihc_revenue"),
+      avg(when(col("CPO") > 0.0, col("CPO"))).as("avg_cpo"),
+      avg(when(col("ROAS") > 0.0, col("ROAS"))).as("avg_roas"))
+
+  /** [[summary]] formatted as the reference's printed lines
+    * (channel_reporter.py:133–151). One collect of one row. */
+  def summaryLines(reportWithKpis: DataFrame): Seq[String] = {
+    val r = summary(reportWithKpis).collect().head
+    def f2(d: Double): String = f"$d%.2f"
+    Seq(
+      s"Generated channel reporting for ${r.getLong(0)} channel-date combinations",
+      s"Total marketing cost: ${f2(r.getDouble(1))} Euro",
+      s"Total IHC revenue: ${f2(r.getDouble(2))} Euro",
+      if (r.isNullAt(3)) "No valid CPO values found"
+      else s"Average CPO: ${f2(r.getDouble(3))} Euro",
+      if (r.isNullAt(4)) "No valid ROAS values found"
+      else s"Average ROAS: ${f2(r.getDouble(4))}")
+  }
 }

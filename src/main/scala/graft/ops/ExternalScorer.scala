@@ -38,6 +38,17 @@ object ExternalScorer {
 
   final case class Scored(conversion_id: Long, session_id: Long, ihc: Double)
 
+  /** Full-channel result row: `ihc` is NULL and `error` carries the
+    * transport's message for conversions whose batch exhausted its
+    * retries (the reference's partialFailureErrors channel,
+    * api_client.py:50–65 — a failed request is logged and surfaced, never
+    * task-fatal). */
+  final case class ScoredResult(
+      conversion_id: Long,
+      session_id: Long,
+      ihc: Option[Double],
+      error: Option[String])
+
   /** One request: a batch of complete journeys → scores. Production: HTTP
     * POST (client per partition, retries, backoff). */
   type ScoreFn = Seq[Seq[Touch]] => Seq[Scored]
@@ -60,12 +71,38 @@ object ExternalScorer {
     }
 
   /** Score journeys through the pluggable boundary. Returns the
-    * attribution shape (conversion_id, session_id, ihc). */
+    * attribution shape (conversion_id, session_id, ihc). Failure
+    * semantics follow the reference (api_client.py:50–65): a batch that
+    * exhausts its retries is dropped from this result, not task-fatal —
+    * use [[scoreWithFailures]] when the caller needs the per-conversion
+    * error channel instead of the reference's log-and-continue. */
   def score(
       journeys: DataFrame,
       fn: ScoreFn = localIhc,
       maxJourneysPerRequest: Int = 100,
-      maxSessionsPerRequest: Int = 2000): DataFrame = {
+      maxSessionsPerRequest: Int = 2000,
+      maxRetries: Int = 3,
+      backoffMs: Long = 100L): DataFrame =
+    scoreWithFailures(
+      journeys, fn, maxJourneysPerRequest, maxSessionsPerRequest, maxRetries, backoffMs)
+      .filter(col("error").isNull)
+      .select(col("conversion_id"), col("session_id"), col("ihc").cast("double"))
+
+  /** [[score]] with the partial-failure channel surfaced: every input
+    * conversion appears in the output — scored rows carry `ihc`, rows
+    * from a batch that failed all `maxRetries + 1` attempts carry a NULL
+    * `ihc` and the final attempt's message in `error`. Transient
+    * transport faults are retried inside the executor with exponential
+    * backoff (backoffMs · 2^attempt), so a flaky request never re-runs
+    * the whole Spark task, and a poisoned batch costs its own
+    * conversions only. */
+  def scoreWithFailures(
+      journeys: DataFrame,
+      fn: ScoreFn = localIhc,
+      maxJourneysPerRequest: Int = 100,
+      maxSessionsPerRequest: Int = 2000,
+      maxRetries: Int = 3,
+      backoffMs: Long = 100L): DataFrame = {
     val spark = journeys.sparkSession
     import spark.implicits._
     val touches: Dataset[Touch] = journeys
@@ -113,7 +150,26 @@ object ExternalScorer {
             b.toSeq
           }
         }
-        batched.flatMap(fn)
+        def attempt(batch: Seq[Seq[Touch]]): Seq[ScoredResult] = {
+          var tryNum = 0
+          var out: Seq[ScoredResult] = null
+          while (out == null) {
+            try {
+              out = fn(batch).map(s =>
+                ScoredResult(s.conversion_id, s.session_id, Some(s.ihc), None))
+            } catch {
+              case scala.util.control.NonFatal(e) if tryNum < maxRetries =>
+                Thread.sleep(backoffMs << tryNum)
+                tryNum += 1
+              case scala.util.control.NonFatal(e) =>
+                out = batch.flatMap(_.map(t =>
+                  ScoredResult(t.conversion_id, t.session_id, None,
+                    Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))))
+            }
+          }
+          out
+        }
+        batched.flatMap(attempt)
       }
       .toDF()
   }

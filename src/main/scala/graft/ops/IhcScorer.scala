@@ -31,13 +31,32 @@ import org.apache.spark.sql.functions._
   */
 object IhcScorer {
 
+  /** Skew gate for the scorer windows. AQE splits skewed JOIN partitions
+    * but never skewed WINDOW partitions — a million-session conversion
+    * serializes in a single window task. With `maxSessions` set,
+    * conversions above the cap are excluded BEFORE the window (the
+    * reference's own behavior at its request cap: oversize conversions
+    * are skipped, api_client.py:197–199 / C2). The count is a map-side-
+    * combinable aggregate (the hot key costs one long per mapper, not a
+    * sorted window buffer) and the keep-set joins back as a semi-join
+    * AQE can broadcast. */
+  def sessionGate(journeys: DataFrame, maxSessions: Int): DataFrame = {
+    val keep = journeys
+      .groupBy("conversion_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxSessions)
+      .select("conversion_id")
+    journeys.join(keep, Seq("conversion_id"), "left_semi")
+  }
+
   /** journeys → journeys + (rn, n, raw, ihc). Input needs columns
     * conversion_id, session_id, ts, holder_engagement, closer_engagement,
-    * impression_interaction. */
-  def scoreFull(journeys: DataFrame): DataFrame = {
+    * impression_interaction. `maxSessions` applies [[sessionGate]] first
+    * (recommended at scale — see its note on window skew). */
+  def scoreFull(journeys: DataFrame, maxSessions: Option[Int] = None): DataFrame = {
     val byConv = Window.partitionBy("conversion_id")
     val ordered = byConv.orderBy(col("ts"), col("session_id"))
-    journeys
+    val gated = maxSessions.fold(journeys)(sessionGate(journeys, _))
+    gated
       .withColumn("rn", row_number().over(ordered))
       .withColumn("n", count(lit(1)).over(byConv))
       .withColumn(
@@ -53,8 +72,8 @@ object IhcScorer {
 
   /** The attribution table shape the reference persists:
     * (conversion_id, session_id, ihc) — api_client.py:139–149. */
-  def score(journeys: DataFrame): DataFrame =
-    scoreFull(journeys).select("conversion_id", "session_id", "ihc")
+  def score(journeys: DataFrame, maxSessions: Option[Int] = None): DataFrame =
+    scoreFull(journeys, maxSessions).select("conversion_id", "session_id", "ihc")
 
   /** W1 — grouped Σ=1 normalization (reference api_client.py:90–107):
     * rescale ihc within each conversion only when the group sum drifts more

@@ -88,10 +88,75 @@ class IhcScorerSpec extends SparkSpec {
     assert(canon(ext).sameElements(canon(IhcScorer.score(j))))
   }
 
+  test("external scorer retries a flaky transport inside the executor") {
+    IhcScorerSpec.calls.set(0)
+    val flaky: graft.ops.ExternalScorer.ScoreFn = batch => {
+      // the first call ever fails; every retry (and later batch) succeeds
+      if (IhcScorerSpec.calls.getAndIncrement() == 0)
+        throw new RuntimeException("transient transport fault")
+      graft.ops.ExternalScorer.localIhc(batch)
+    }
+    val j = journeysDf(randomJourneys(new Random(11)))
+    val scored = graft.ops.ExternalScorer.score(j, flaky, backoffMs = 1L)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    assert(canon(scored).sameElements(canon(IhcScorer.score(j))))
+    assert(IhcScorerSpec.calls.get() >= 2, "the failing attempt must have been retried")
+  }
+
+  test("a poisoned batch surfaces per-conversion errors without killing the job") {
+    val poison: graft.ops.ExternalScorer.ScoreFn = batch =>
+      if (batch.exists(_.head.conversion_id == 2L))
+        throw new RuntimeException("unscorable journey")
+      else graft.ops.ExternalScorer.localIhc(batch)
+    val j = journeysDf(Seq(
+      (1L, 10L, 100L, 1L, 0L, 0L), (1L, 11L, 200L, 0L, 1L, 1L),
+      (2L, 20L, 100L, 0L, 0L, 1L), (2L, 21L, 200L, 1L, 0L, 0L),
+      (3L, 30L, 100L, 0L, 1L, 0L)))
+    // one journey per request batch → exactly conversion 2 fails
+    val out = graft.ops.ExternalScorer.scoreWithFailures(
+      j, poison, maxJourneysPerRequest = 1, maxRetries = 1, backoffMs = 1L).collect()
+    val byConv = out.groupBy(_.getLong(0))
+    assert(byConv.keySet == Set(1L, 2L, 3L), "every conversion must appear")
+    byConv(2L).foreach { r =>
+      assert(r.isNullAt(2) && r.getString(3).contains("unscorable journey"))
+    }
+    (byConv(1L) ++ byConv(3L)).foreach(r => assert(!r.isNullAt(2) && r.isNullAt(3)))
+    // and the log-and-continue shape (reference api_client.py:50–65):
+    // score() drops the failed conversion, keeps the rest
+    val kept = graft.ops.ExternalScorer.score(
+      j, poison, maxJourneysPerRequest = 1, maxRetries = 1, backoffMs = 1L)
+      .select("conversion_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("session gate excludes a million-session conversion before the window") {
+    // AQE does not split skewed window partitions — ungated, conversion 1
+    // would serialize 10⁶ rows through one sorted window task. The gate
+    // must remove it via the map-side-combined count, leaving the honest
+    // conversion scored normally.
+    val big = spark.range(1000000L).select(
+      lit(1L).as("conversion_id"), col("id").as("session_id"), col("id").as("ts"),
+      lit(0L).as("holder_engagement"), lit(0L).as("closer_engagement"),
+      lit(0L).as("impression_interaction"))
+    val small = journeysDf(Seq((2L, 20L, 100L, 1L, 0L, 0L), (2L, 21L, 200L, 0L, 1L, 0L)))
+    val scored = IhcScorer.score(big.unionByName(small), maxSessions = Some(1000))
+    val byConv = scored.collect().groupBy(_.getLong(0))
+    assert(byConv.keySet == Set(2L), s"gate must drop conversion 1, got ${byConv.keySet}")
+    assert(math.abs(byConv(2L).map(_.getDouble(2)).sum - 1.0) < 1e-12)
+  }
+
   test("invariant report counts all conversions as ok") {
     val rows = (1 to 5).flatMap(c => (0 to c).map(i =>
       (c.toLong, c * 100L + i, i * 10L, (i % 2).toLong, 0L, 1L)))
     val rep = IhcScorer.invariantReport(IhcScorer.score(journeysDf(rows))).collect().head
     assert(rep.getLong(0) == 5L && rep.getLong(1) == 5L)
   }
+}
+
+/** JVM-static call counter: task closures are serialized even in local
+  * mode, so the flaky transport counts attempts through this companion
+  * rather than a captured field. */
+object IhcScorerSpec {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
 }

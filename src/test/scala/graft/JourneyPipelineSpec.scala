@@ -130,6 +130,30 @@ class JourneyPipelineSpec extends SparkSpec {
     assert(rep.getLong(0) == 3L && rep.getLong(1) == 3L)
   }
 
+  test("report summary prints the reference's totals and conditional means") {
+    val attribution = AttributionPipeline.score(JourneyBuilder.journeys(conv, sess))
+    val rep = AttributionPipeline.report(sess, costs, attribution, conv)
+    val lines = ChannelReport.summaryLines(rep)
+    assert(lines.head == s"Generated channel reporting for ${rep.count()} channel-date combinations")
+    // totals: Σcost = 12.5 — session 10 (5.0) joins BOTH conversions'
+    // journeys and the reference counts cost once per attribution row
+    // (channel_reporter.py:62–91); session 12 adds 2.5; 11/13 coalesce
+    // to 0. Σihc_revenue = 300.
+    assert(lines(1) == "Total marketing cost: 12.50 Euro")
+    assert(lines(2) == "Total IHC revenue: 300.00 Euro")
+    // conditional means exclude the zero-CPO/ROAS email row
+    val m = rep.collect().map(r =>
+      r.getString(0) -> (r.getAs[Double]("CPO"), r.getAs[Double]("ROAS"))).toMap
+    val cpos = m.values.map(_._1).filter(_ > 0)
+    assert(lines(3) == f"Average CPO: ${cpos.sum / cpos.size}%.2f Euro")
+    // empty report → the reference's "No valid ... found" branches
+    val empty = ChannelReport.summaryLines(rep.filter(col("cost") < 0))
+    assert(empty(0) == "Generated channel reporting for 0 channel-date combinations")
+    assert(empty(1) == "Total marketing cost: 0.00 Euro")
+    assert(empty(3) == "No valid CPO values found")
+    assert(empty(4) == "No valid ROAS values found")
+  }
+
   test("report column order matches the reference channel_reporting.csv") {
     val attribution = AttributionPipeline.score(JourneyBuilder.journeys(conv, sess))
     val rep = AttributionPipeline.report(sess, costs, attribution, conv)
