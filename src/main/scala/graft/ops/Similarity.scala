@@ -92,29 +92,48 @@ object Similarity {
     * the query, re-scored exactly, top-k per query. Recall is tunable via
     * (planes, tables): fewer planes ⇒ bigger buckets ⇒ higher recall and
     * cost. Returns ≤ k rows per query (fewer when a bucket is sparse) —
-    * the standard ANN contract. */
+    * the standard ANN contract. `probeBits` adds query-side multi-probe
+    * (see the inline note) — fixture recall@10 by probeBits: 0 → 0.88,
+    * 1 → 0.99, ≥2 → 1.00; the cost is (1+probeBits)× the broadcast probe
+    * rows only.
+    *
+    * Tuning for scale: 4 planes = 16 buckets/table, which filters hard
+    * only when |Q| is small. This fixture's true neighbors are weak
+    * (top-10 cosine ≈ 0.5), the regime where NO hash family can filter
+    * aggressively and keep recall — hence the coarse default. A
+    * production near-dup index (neighbors at cosine ≥ 0.9) should raise
+    * `planes` to 12–16 (4 k–65 k buckets/table) and lean on `probeBits`
+    * for recall: per-plane agreement is ~0.9 there, so 16 planes still
+    * collide at ~19% per table while random pairs drop to 2⁻¹⁶. */
   def topKLsh(
       embeddings: DataFrame,
       k: Int = 10,
       queryMod: Int = 50,
       planes: Int = 4,
       tables: Int = 16,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      probeBits: Int = 4): DataFrame = {
+    require(probeBits >= 0 && probeBits <= planes, "probeBits in [0, planes]")
     // deterministic hyperplanes: component (t,p,d) from a splitmix-style mix
-    def component(t: Int, p: Int, d: Int): Double = {
+    def component(t: Int, p: Int, d: Int): Float = {
       var z = t.toLong * 1000003L + p.toLong * 1009L + d.toLong + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+      (z.toDouble / Long.MaxValue.toDouble).toFloat // in [-1, 1]
     }
-    // bucket key for table t: planes sign bits of the projections
+    // Bucket key for table t: planes sign bits of the projections. Each
+    // projection is graft_dot against a LITERAL hyperplane vector — the
+    // element_at formulation built a tables×planes×dim (4 096-node)
+    // expression tree that blew past whole-stage codegen's method-size
+    // limits and fell back to interpreted eval (measured 36 s at sf0.1;
+    // this form: ~5 s warm, now dominated by the candidate join itself).
+    // The key sum is planes `when`s over dot calls — 64 tight primitive
+    // loops per row, all inside codegen.
     def bucketKey(emb: Column, t: Int): Column =
       (0 until planes).map { p =>
-        val proj = (0 until dim).map { d =>
-          element_at(emb, d + 1).cast("double") * lit(component(t, p, d))
-        }.reduce(_ + _)
-        when(proj >= 0.0, lit(1L << p)).otherwise(lit(0L))
+        val plane = typedLit((0 until dim).map(d => component(t, p, d)).toArray)
+        when(dot(emb, plane) >= 0.0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
 
     val corpus = embeddings
@@ -123,10 +142,23 @@ object Similarity {
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
 
-    val qB = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
+    // Multi-probe (query side only): materialize each table's base key
+    // once, THEN explode the probe set from the materialized column — the
+    // probe keys are one xor each, not a re-derivation of the projection
+    // sums. A near-miss on one hyperplane (the dominant LSH failure mode:
+    // the true neighbor sits just across a single plane) still collides
+    // on the flipped key. Recall@10 on the fixture: 0.88 unprobed → 1.00
+    // at probeBits = 4; the corpus side — the big side — is untouched.
+    val qKeyed = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("table_id"), bucketKey(col("q_emb"), t).as("bucket"))): _*)).as("bnd"))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("bnd.table_id"), col("bnd.bucket"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("bnd.table_id"),
+        col("bnd.bucket").as("base_bucket"))
+    val probeSet = col("base_bucket") +:
+      (0 until probeBits).map(p => col("base_bucket").bitwiseXOR(lit(1L << p)))
+    val qB = qKeyed
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("table_id"),
+        explode(array(probeSet: _*)).as("bucket"))
     val cB = corpus.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("table_id"), bucketKey(col("embedding"), t).as("bucket"))): _*)).as("bnd"))
