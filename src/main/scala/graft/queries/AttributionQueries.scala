@@ -89,6 +89,43 @@ object AttributionQueries {
           |       CAST(SUM(CASE WHEN ABS(ihc_sum - 1.0) < 0.0001 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
           |FROM (SELECT conversion_id, SUM(ihc) AS ihc_sum FROM scored GROUP BY 1) g""".stripMargin)),
 
+    // S3 + S2 — the CSV sink/source contract as an oracle row: write the
+    // journey artifact through the real sink, read it back through the
+    // real source (explicit schema), and hash-compare the round-trip
+    // against the same oracle as j1_journeys. A lossy sink (dtype drift,
+    // quoting, header, ordering) breaks the hash.
+    QueryDef(
+      "s3_csv_roundtrip",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft-s3").toString
+        graft.AttributionPipeline.writeCsv(
+          JourneyBuilder.journeyOutput(journeys(s, d)), s"$out/customer_journeys")
+        graft.AttributionPipeline.readJourneysCsv(s, s"$out/customer_journeys")
+      },
+      Some(Sql.CTES +
+        """SELECT conversion_id, session_id,
+          |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS "timestamp",
+          |       channel_label, holder_engagement, closer_engagement,
+          |       conversion, impression_interaction
+          |FROM journeys""".stripMargin)),
+
+    // S5 — truncate-once overwrite as an oracle row: write the
+    // attribution table TWICE with mode=overwrite and read it back; the
+    // ihc_score oracle only hash-matches if the second write replaced
+    // (not appended to / partially truncated) the first — the ⚠B1-intent
+    // contract (reference api_client.py:139 re-truncates per chunk and
+    // loses all but the last chunk; ours truncates once per write).
+    QueryDef(
+      "s5_overwrite_readback",
+      (s, d) => {
+        val out = java.nio.file.Files.createTempDirectory("graft-s5").toString
+        val attr = IhcScorer.score(journeys(s, d))
+        graft.AttributionPipeline.writeAttribution(attr, s"$out/attribution")
+        graft.AttributionPipeline.writeAttribution(attr, s"$out/attribution")
+        s.read.parquet(s"$out/attribution")
+      },
+      Some(Sql.CTES + "SELECT conversion_id, session_id, ihc FROM scored")),
+
     // J2 + F4 — sessions ⟕ costs with COALESCE (channel_reporter.py:36-45).
     QueryDef(
       "j2_session_costs",
