@@ -65,15 +65,19 @@ object Tables {
       .select(col("event_id").as("session_id"), col("value").as("cost"))
 }
 
-/** Spark-side mirror of [[Sql.rnd]]: half-up rounding as pure IEEE
-  * arithmetic, bit-identical to the DuckDB oracle (see Sql.rnd scaladoc).
-  * `floor` yields LongType, so the product must stay within ±2⁶³ — fine for
-  * money/ihc magnitudes at any realistic scale (≤ ~9e14 at n=4). */
+/** Spark-side mirror of [[Sql.rnd]]: half-away-from-zero rounding as pure
+  * IEEE arithmetic, bit-identical to the DuckDB oracle (see Sql.rnd
+  * scaladoc). The sign split matters: bare `floor(x·p + 0.5)` rounds
+  * negative ties toward −∞ (−0.05 → 0.0 at 1dp), which is not any
+  * conventional rounding mode once values can be negative (refunds,
+  * credits, negative cosines). `floor` yields LongType, so the product
+  * must stay within ±2⁶³ — fine for money/ihc magnitudes at any realistic
+  * scale (≤ ~9e14 at n=4). */
 object Num {
-  import org.apache.spark.sql.functions.{floor, lit}
+  import org.apache.spark.sql.functions.{abs, floor, lit, signum}
   def rnd(c: Column, n: Int): Column = {
     val p = math.pow(10, n)
-    floor(c * lit(p) + lit(0.5)) / lit(p)
+    signum(c) * (floor(abs(c) * lit(p) + lit(0.5)) / lit(p))
   }
 }
 
@@ -86,13 +90,16 @@ object Num {
   */
 object Sql {
 
-  /** Half-up rounding via pure IEEE arithmetic — `FLOOR(x·10ⁿ + 0.5)/10ⁿ`.
-    * Spark's `round` (BigDecimal HALF_UP over the double's shortest decimal
-    * representation) and DuckDB's `ROUND` (float multiply) disagree on
-    * ~0.05% of arbitrary doubles (decimal-boundary values like 2.06125);
-    * multiply/add/floor/divide is bit-identical in both engines. Mirror of
-    * [[Num.rnd]]. Non-negative values only (half-up == half-away). */
-  def rnd(e: String, n: Int): String = s"FLOOR(($e) * 1e$n + 0.5) / 1e$n"
+  /** Half-away-from-zero rounding via pure IEEE arithmetic —
+    * `SIGN(x)·FLOOR(|x|·10ⁿ + 0.5)/10ⁿ`. Spark's `round` (BigDecimal
+    * HALF_UP over the double's shortest decimal representation) and
+    * DuckDB's `ROUND` (float multiply) disagree on ~0.05% of arbitrary
+    * doubles (decimal-boundary values like 2.06125); sign/abs/multiply/
+    * add/floor/divide is bit-identical in both engines, and the sign
+    * split keeps ties rounding AWAY from zero for negative inputs too
+    * (bare floor(x+0.5) pulls them toward −∞). Mirror of [[Num.rnd]]. */
+  def rnd(e: String, n: Int): String =
+    s"SIGN(($e)) * (FLOOR(ABS(($e)) * 1e$n + 0.5) / 1e$n)"
 
   val CTES: String =
     """WITH conversions AS (

@@ -24,7 +24,17 @@ object Dedup {
     * `row_number() = 1` window: the aggregate combines map-side, so the
     * shuffle carries one row per key per mapper and nothing is sorted —
     * the window form shuffles and sorts every row. Same result (the
-    * ext1 oracle is the ROW_NUMBER formulation and hash-matches). */
+    * ext1 oracle is the ROW_NUMBER formulation and hash-matches).
+    *
+    * CONTRACT — (orderCol, tieCol) must be NON-NULL and UNIQUE within
+    * each key group. The min-struct packs the remaining payload columns
+    * after the ordering pair, so a duplicated (orderCol, tieCol) would
+    * let payload values pick the winner (a ROW_NUMBER oracle picks a
+    * stable-arbitrary row instead), and a NULL orderCol sorts FIRST in
+    * Spark struct comparison but LAST under SQL's default NULLS LAST —
+    * either violation silently flips survivors vs the oracle. Use a
+    * unique id (event/session id) as `tieCol` to satisfy this by
+    * construction, as every call site here does. */
   def keepFirst(df: DataFrame, keys: Seq[String], orderCol: String, tieCol: String): DataFrame = {
     val others = df.columns.filterNot(keys.contains).toSeq
     val packedFields =
@@ -146,17 +156,38 @@ object Dedup {
       docs: DataFrame,
       w: Int = 3,
       k: Int = 64,
-      bands: Int = 16,
-      maxBucket: Int = DefaultMaxBucket): DataFrame =
-    bandedSignatures(docs, w, k, bands)
+      bands: Int = 0,
+      threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val b = if (bands > 0) bands else bandingFor(k, threshold)
+    bandedSignatures(docs, w, k, b)
       .groupBy("band_id", "band_key")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucket)
+  }
 
   /** 1 000 docs/bucket ⇒ ≤ ~500 k candidate pairs per bucket — bounded
     * work per task; far above any honest near-dup cluster size once exact
     * dups are removed. */
   val DefaultMaxBucket: Int = 1000
+
+  /** Cheapest banding of k MinHashes whose candidate recall at the
+    * requested Jaccard threshold is ≥ 0.99. Banded-LSH recall for a pair
+    * at similarity j is 1 − (1 − j^r)^(k/r) (r = rows/band): more rows
+    * per band ⇒ fewer, more selective candidates but lower recall at low
+    * j. This picks the LARGEST r (fewest candidates) still clearing 0.99
+    * at j = threshold — e.g. k=64: threshold 0.5 → 32 bands × 2 rows,
+    * 0.7 → 32×2, 0.8 → 16×4, 0.9 → 16×4. A fixed 16×4 banding at
+    * threshold 0.5 would silently cap recall at ~0.64 — false NEGATIVES,
+    * which the exact re-verification cannot repair. */
+  private[graft] def bandingFor(k: Int, threshold: Double): Int = {
+    val rowsPerBand = (1 to k).filter(k % _ == 0).reverse
+      .find { r =>
+        1.0 - math.pow(1.0 - math.pow(threshold, r.toDouble), (k / r).toDouble) >= 0.99
+      }
+      .getOrElse(1)
+    k / rowsPerBand
+  }
 
   /** (doc_id, band_id, band_key) rows: band_key hashes the band's slice
     * of the MinHash signature. The shingle arrays are NOT carried through
@@ -176,22 +207,26 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
   }
 
-  /** EXT2b — MinHash + banded LSH near-dup (the scale path). k=64 hashes in
-    * `bands` bands of k/bands rows; docs colliding on any band's row-hash
-    * become candidates; candidates are re-verified with the exact Jaccard,
-    * so false positives cost time, never correctness. For threshold 0.5 and
-    * 16×4 banding, pair-recall at j=0.8 is 1−(1−0.8⁴)¹⁶ ≈ 0.9998.
-    * Returns the same shape as [[jaccardPairs]] — on data whose near-dups
-    * sit above ~0.7 Jaccard the two are equal (the oracle exploits this).
-    * Buckets larger than `maxBucket` are dropped (see [[capBuckets]]). */
+  /** EXT2b — MinHash + banded LSH near-dup (the scale path). k=64 hashes
+    * banded per [[bandingFor]] (derived from `threshold` so candidate
+    * recall stays ≥ 0.99 at the threshold — pass `bands` > 0 to override);
+    * docs colliding on any band's row-hash become candidates; candidates
+    * are re-verified with the exact Jaccard, so false POSITIVES cost
+    * time, never correctness (false negatives are what the banding rule
+    * bounds). Returns the same shape as [[jaccardPairs]]; at the derived
+    * banding the two agree on pairs at or above the threshold with
+    * ≥ 0.99 probability per pair (the oracle compares against the exact
+    * ground truth and so measures exactly this). Buckets larger than
+    * `maxBucket` are dropped (see [[capBuckets]]). */
   def minhashLshPairs(
       docs: DataFrame,
       w: Int = 3,
       k: Int = 64,
-      bands: Int = 16,
+      bands: Int = 0,
       threshold: Double = 0.5,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded = capBuckets(bandedSignatures(docs, w, k, bands), maxBucket)
+    val b = if (bands > 0) bands else bandingFor(k, threshold)
+    val banded = capBuckets(bandedSignatures(docs, w, k, b), maxBucket)
     val candidates = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&

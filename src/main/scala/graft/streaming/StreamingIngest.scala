@@ -29,10 +29,10 @@ object StreamingIngest {
   /** Streaming scan of an events landing path (a directory that receives
     * only event files, or a glob — NOT a mixed-table directory: the file
     * source applies the schema to every parquet it finds). */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 32): DataFrame =
     spark.readStream
       .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "32")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
 
   /** Windowed channel/day counts+sums with a watermark — the streaming
@@ -56,18 +56,45 @@ object StreamingIngest {
 
   /** Run the rollup over whatever is in `dir` right now, AvailableNow,
     * into an in-memory table `name`; returns the query (await it, then
-    * read `spark.table(name)`). */
+    * read `spark.table(name)` — one row per (date, event_type)).
+    *
+    * The sink is a `foreachBatch` keyed UPSERT, not `format("memory")`:
+    * the memory sink in update mode APPENDS each micro-batch's updated
+    * rows, so any run spanning more than one micro-batch (>
+    * maxFilesPerTrigger landing files, or one day's events split across
+    * triggers) would leave stale duplicates per key and double-count on
+    * read. Each batch's rows land in a driver-resident map keyed by
+    * (date, event_type) — last write wins — re-registered as `name` on
+    * the CALLER's session after every batch (foreachBatch runs under a
+    * cloned session whose temp views the caller can't see). Driver
+    * residency matches what format("memory") does anyway and is sized to
+    * the rollup (days × event types), never the event stream; a
+    * production deployment would upsert into a keyed store (Delta MERGE,
+    * JDBC upsert) through this same foreachBatch seam. Verified by the
+    * multi-micro-batch spec. */
   def runAvailableNow(
       spark: SparkSession,
       dir: String,
       checkpoint: String,
-      name: String): StreamingQuery =
-    channelDaily(readEvents(spark, dir))
+      name: String,
+      maxFilesPerTrigger: Int = 32): StreamingQuery = {
+    val state = scala.collection.mutable.LinkedHashMap.empty[(String, String), (Long, Double)]
+    channelDaily(readEvents(spark, dir, maxFilesPerTrigger))
       .writeStream
       .outputMode("update")
-      .format("memory")
-      .queryName(name)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // foreachBatch invocations are sequential per query — no lock
+        batch.collect().foreach { r =>
+          state.put((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))
+        }
+        import spark.implicits._
+        state.toSeq.map { case ((d, et), (n, v)) => (d, et, n, v) }
+          .toDF("date", "event_type", "n_events", "total_value")
+          .createOrReplaceTempView(name)
+        ()
+      }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

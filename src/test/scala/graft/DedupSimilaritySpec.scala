@@ -32,6 +32,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("LSH banding derives from the threshold with candidate recall ≥ 0.99") {
+    def recall(k: Int, bands: Int, j: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(j, (k / bands).toDouble), bands.toDouble)
+    // low thresholds force more bands / fewer rows; a fixed 16×4 would
+    // cap recall at ~0.64 for j = 0.5
+    assert(Dedup.bandingFor(64, 0.5) == 32)
+    assert(Dedup.bandingFor(64, 0.8) == 16)
+    assert(recall(64, 16, 0.5) < 0.7)
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9, 0.95)) {
+      val b = Dedup.bandingFor(64, t)
+      assert(64 % (64 / b) == 0)
+      assert(recall(64, b, t) >= 0.99, s"threshold=$t bands=$b")
+    }
+  }
+
   test("LSH hot-bucket guard bounds a planted pathological bucket") {
     // 200 identical texts (one signature → the same bucket in all 16
     // bands, 200-doc buckets → 19 900 pairs unguarded) plus one honest

@@ -33,6 +33,37 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("multi-micro-batch rollup upserts per key instead of appending stale rows") {
+    // Split the same events across two landing files and force one file
+    // per trigger: every (date, event_type) key is updated in BOTH
+    // micro-batches, so the old memory sink kept each batch's row and
+    // spark.table double-counted. The foreachBatch upsert must converge
+    // to exactly the batch rollup, one row per key.
+    val dir = sf("sf0.001")
+    val ckpt = Files.createTempDirectory("graft-ckpt-mb").toString
+    val landing = Files.createTempDirectory("graft-landing-mb")
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(landing.resolve("even").toString)
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(landing.resolve("odd").toString)
+    val q = StreamingIngest.runAvailableNow(
+      spark, s"$landing/*/", ckpt, "stream_rollup_mb", maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_rollup_mb")
+      .select("date", "event_type", "n_events")
+      .as[(String, String, Long)].collect()
+    assert(streamed.length == streamed.map(r => (r._1, r._2)).distinct.length,
+      "duplicate (date, event_type) rows — sink appended instead of upserting")
+    val batch = Tables.events(spark, dir)
+      .groupBy(
+        date_format(Tables.tsMicros("ts"), "yyyy-MM-dd").as("date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed.toSet == batch)
+  }
+
   test("stateful streaming sessionization equals the batch window operator") {
     val dir = sf("sf0.001")
     val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
