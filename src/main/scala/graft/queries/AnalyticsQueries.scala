@@ -104,9 +104,10 @@ object AnalyticsQueries {
     // ROLLUP over the channel report dimensions (grouping sets — absent
     // from the reference, SURVEY §2.4; subtotal rows get NULL dimensions).
     // Expressed through spark.sql: the DataFrame `rollup` trips
-    // DetectAmbiguousSelfJoin on the shared events lineage (both join
-    // sides scan events.parquet), while the SQL path resolves cleanly —
-    // and exercises the engine's SQL front door.
+    // DetectAmbiguousSelfJoin on the session⟕cost join lineage even with
+    // a deduplicating projection in between (re-verified on Spark 4.1.2
+    // this round: "Column channel_name#N are ambiguous"), while the SQL
+    // path resolves cleanly — and exercises the engine's SQL front door.
     QueryDef(
       "an4_rollup",
       (s, d) => {
