@@ -20,18 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object CorpusClean {
 
-  /** Surviving doc_ids with their quality stats. */
-  def clean(
+  /** The shared front of both cleaning modes: the quality gate and the
+    * exact dedup. Quality stats feed two consumers (the gate and the
+    * final stat join); the exact-deduped corpus feeds three (the LSH
+    * signature pass, the candidate re-verification, and the final
+    * anti-join). Persist both so their lineage — a full corpus scan +
+    * tokenization — runs once, not once per consumer. Both frames are
+    * ≤ corpus-sized and column-pruned, so MEMORY_AND_DISK spills safely
+    * at scale. */
+  private def gatedExact(
       docs: DataFrame,
-      minTokens: Int = 10,
-      maxStopwordRatio: Double = 0.5,
-      jaccardThreshold: Double = 0.5): DataFrame = {
-    // Quality stats feed two consumers (the gate and the final stat
-    // join); the exact-deduped corpus feeds three (the LSH signature
-    // pass, the candidate re-verification, and the final anti-join).
-    // Persist both so their lineage — a full corpus scan + tokenization —
-    // runs once, not once per consumer. Both frames are ≤ corpus-sized
-    // and column-pruned, so MEMORY_AND_DISK spills safely at scale.
+      minTokens: Int,
+      maxStopwordRatio: Double): (DataFrame, DataFrame) = {
     val quality = TextOps.qualityScore(docs)
       .filter(col("n_tokens") >= minTokens && col("stopword_ratio") <= maxStopwordRatio)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -45,14 +45,47 @@ object CorpusClean {
       .select("doc_id")
     val exact = passing.join(exactKept, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (quality, exact)
+  }
 
+  private def survivors(exact: DataFrame, quality: DataFrame, losers: DataFrame): DataFrame =
+    exact
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(quality, "doc_id")
+      .select("doc_id", "n_chars", "n_tokens", "stopword_ratio")
+
+  /** Surviving doc_ids with their quality stats. */
+  def clean(
+      docs: DataFrame,
+      minTokens: Int = 10,
+      maxStopwordRatio: Double = 0.5,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val (quality, exact) = gatedExact(docs, minTokens, maxStopwordRatio)
     // near-dup dedup over the exact-deduped corpus (LSH scale path)
     val dupLosers = Dedup.minhashLshPairs(exact, threshold = jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
-    exact
-      .join(dupLosers, Seq("doc_id"), "left_anti")
-      .join(quality, "doc_id")
-      .select("doc_id", "n_chars", "n_tokens", "stopword_ratio")
+    survivors(exact, quality, dupLosers)
+  }
+
+  /** [[clean]] with exact near-dup CLUSTERING instead of the greedy
+    * pairwise drop: near-dup pairs are grouped into connected components
+    * (Dedup.connectedComponents) and exactly one representative — the
+    * min doc_id — survives per component. On transitive chains
+    * (a~b, b~c, a≁c) the greedy rule drops both b and c; clustering
+    * keeps a and drops b, c with a guarantee of one survivor per
+    * connected group — the semantics most training-data pipelines
+    * actually want. Costs the component iteration (a few keyed joins)
+    * on top of [[clean]]. */
+  def cleanClustered(
+      docs: DataFrame,
+      minTokens: Int = 10,
+      maxStopwordRatio: Double = 0.5,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val (quality, exact) = gatedExact(docs, minTokens, maxStopwordRatio)
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(exact, threshold = jaccardThreshold))
+    val dupLosers = comp.filter(col("component") =!= col("doc_id")).select("doc_id")
+    survivors(exact, quality, dupLosers)
   }
 
   /** One-line corpus report after cleaning. */

@@ -237,6 +237,55 @@ object Dedup {
     verifyJaccard(candidates, docs, w, threshold)
   }
 
+  /** EXT2e — connected components over an undirected near-dup pair graph
+    * (doc_a, doc_b): returns (doc_id, component) for every doc appearing
+    * in ≥ 1 pair, where component = the smallest doc_id transitively
+    * reachable. This is the canonical dedup-clustering step: greedy
+    * pairwise dropping (CorpusClean.clean) over-removes on transitive
+    * chains (b removes c even though a already removed b); clustering
+    * keeps exactly one representative — the min id — per group of
+    * transitively connected near-dups.
+    *
+    * Algorithm: min-label propagation — every round each node takes the
+    * min of its own and its neighbors' labels; converges in
+    * O(graph diameter) rounds. Each round is one keyed join plus a
+    * map-side-combined min aggregate (both shuffles on id-sized keys),
+    * and each round's labels are localCheckpoint-ed so the plan does not
+    * double per iteration (the classic Spark iterative-lineage bug).
+    * Driver-side work per round is ONE scalar count (the convergence
+    * check), never the data. Near-dup clusters are clique-ish (diameter
+    * 1–3), so this settles in a few rounds; for adversarial long-chain
+    * graphs at scale, switch to large-star/small-star (same join
+    * primitives, O(log n) rounds) — `maxIter` bounds the pathological
+    * case either way. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component").as("nbr")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("nbr").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          (coalesce(col("nbr_min"), col("component")) < col("component")).as("changed"))
+        .localCheckpoint(true)
+      changed = next.filter(col("changed")).count()
+      labels = next.select("doc_id", "component")
+      iter += 1
+    }
+    labels
+  }
+
   /** EXT2c — 64-bit SimHash over distinct tokens: bit b of the signature is
     * the sign of Σ_tokens (2·bit_b(xxhash64(token)) − 1). Hamming-close
     * signatures ⇒ similar token sets. Signature only (pairing would use the

@@ -45,6 +45,26 @@ object ExtQueries {
     s"""SELECT doc_a, doc_b, ${Sql.rnd("jaccard", 4)} AS jaccard
        |FROM jac WHERE jaccard >= 0.5""".stripMargin
 
+  /** The EXT7 composite CTE chain: quality gate + exact dedup, then the
+    * shingle/jaccard ground-truth CTEs re-pointed at the `exact` corpus.
+    * Shared by the greedy and the clustered cleaning oracles. */
+  private val CleanCorpusCtes: String =
+    DocShinglesCte.replace("WITH toks AS", "WITH quality AS (\n" +
+      s"""  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |         ${Sql.rnd("CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' '))", 4)} AS stopword_ratio
+         |  FROM documents
+         |), passing AS (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+         |  WHERE q.n_tokens >= 10 AND q.stopword_ratio <= 0.5
+         |), exact AS (
+         |  SELECT p.doc_id, p.text FROM passing p
+         |  JOIN (SELECT text, MIN(doc_id) AS doc_id FROM passing GROUP BY 1) k
+         |    ON p.doc_id = k.doc_id
+         |), toks AS""".stripMargin) // shingle/jaccard CTEs now run over `exact`
+      .replace("SELECT doc_id, string_split(text, ' ') AS t FROM documents",
+        "SELECT doc_id, string_split(text, ' ') AS t FROM exact")
+
   /** DuckDB mirror of Similarity.cosine: DOUBLE[] dot products (sequential
     * sum, bit-identical to Spark's aggregate fold). */
   private val CosineCte: String =
@@ -268,27 +288,56 @@ object ExtQueries {
     QueryDef(
       "ext7_clean_corpus",
       (s, d) => graft.ops.CorpusClean.clean(Tables.documents(s, d)),
-      Some(DocShinglesCte.replace("WITH toks AS", "WITH quality AS (\n" +
-        s"""  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           |         ${Sql.rnd("CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' '))", 4)} AS stopword_ratio
-           |  FROM documents
-           |), passing AS (
-           |  SELECT d.doc_id, d.text FROM documents d JOIN quality q ON d.doc_id = q.doc_id
-           |  WHERE q.n_tokens >= 10 AND q.stopword_ratio <= 0.5
-           |), exact AS (
-           |  SELECT p.doc_id, p.text FROM passing p
-           |  JOIN (SELECT text, MIN(doc_id) AS doc_id FROM passing GROUP BY 1) k
-           |    ON p.doc_id = k.doc_id
-           |), toks AS""".stripMargin) // shingle/jaccard CTEs now run over `exact`
-        .replace("FROM documents WHERE len(t) >= 3", "FROM documents WHERE len(t) >= 3")
-        .replace("SELECT doc_id, string_split(text, ' ') AS t FROM documents",
-          "SELECT doc_id, string_split(text, ' ') AS t FROM exact") +
+      Some(CleanCorpusCtes +
         """SELECT e.doc_id, q.n_chars, q.n_tokens, q.stopword_ratio
           |FROM exact e
           |JOIN quality q ON e.doc_id = q.doc_id
           |WHERE e.doc_id NOT IN (SELECT doc_b FROM jac WHERE jaccard >= 0.5)""".stripMargin),
       bench = true),
+
+    // ── EXT2e — connected components over the near-dup pair graph
+    //    (doc_a, doc_b from the exact Jaccard ground truth): the dedup
+    //    clustering step. Oracle: DuckDB transitive closure via a
+    //    recursive CTE, component = MIN reachable id — an independent
+    //    algorithm (closure + group-by vs label propagation), so green
+    //    proves the clustering itself, not the implementation.
+    QueryDef(
+      "ext2_components",
+      (s, d) => Dedup.connectedComponents(Dedup.jaccardPairs(Tables.documents(s, d))),
+      Some(DocShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5
+          |), reach(doc_id, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+          |)
+          |SELECT doc_id, MIN(r) AS component FROM reach GROUP BY 1""".stripMargin)),
+
+    // ── EXT7b — cleaning with exact near-dup CLUSTERING: one survivor
+    //    (the min id) per connected component instead of the greedy
+    //    pairwise drop, which over-removes on transitive chains.
+    QueryDef(
+      "ext7_clean_clustered",
+      (s, d) => graft.ops.CorpusClean.cleanClustered(Tables.documents(s, d)),
+      Some(CleanCorpusCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5
+          |), reach(doc_id, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+          |), comp AS (
+          |  SELECT doc_id, MIN(r) AS component FROM reach GROUP BY 1
+          |)
+          |SELECT e.doc_id, q.n_chars, q.n_tokens, q.stopword_ratio
+          |FROM exact e
+          |JOIN quality q ON e.doc_id = q.doc_id
+          |WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)""".stripMargin)),
 
     // ── EXT6b — session-level rollup (the session_sources table the
     //    reference assumes pre-exists, derived from raw events).

@@ -70,6 +70,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(unguarded == 19901L, s"got $unguarded")
   }
 
+  test("connected components cluster transitive chains to the min id") {
+    // chain 1–2–3 (1 and 3 never directly paired) + separate pair 5–6 +
+    // an out-of-order edge (7,4) exercising the undirected symmetrization
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (4L, 7L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 4L -> 4L, 7L -> 4L))
+    // clustering vs greedy on the chain: greedy drops every doc_b
+    // (2, 3, 6, 7); clustering keeps one representative per group and
+    // drops the same ids here — but on a chain where b was already
+    // removed, clustering still guarantees the min-id survivor, which
+    // the greedy rule only happens to match on this shape.
+    val survivorsByCluster = comp.collect { case (id, c) if id == c => id }.toSet
+    assert(survivorsByCluster == Set(1L, 5L, 4L))
+  }
+
   test("SimHash: planted near-dup pairs are closer than background pairs") {
     val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val pairs = Dedup.jaccardPairs(docs).select("doc_a", "doc_b").as[(Long, Long)].collect()
