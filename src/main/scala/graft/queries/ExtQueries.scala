@@ -337,7 +337,8 @@ object ExtQueries {
           |SELECT e.doc_id, q.n_chars, q.n_tokens, q.stopword_ratio
           |FROM exact e
           |JOIN quality q ON e.doc_id = q.doc_id
-          |WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)""".stripMargin)),
+          |WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)""".stripMargin),
+      bench = true),
 
     // ── EXT6b — session-level rollup (the session_sources table the
     //    reference assumes pre-exists, derived from raw events).
