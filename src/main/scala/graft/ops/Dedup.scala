@@ -95,7 +95,14 @@ object Dedup {
     * common shingles per pair → Jaccard = |∩| / (|A|+|B|−|∩|). Returns
     * (doc_a, doc_b, jaccard) for pairs ≥ `threshold`, doc_a < doc_b. */
   def jaccardPairs(docs: DataFrame, w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // The inverted index feeds three consumers (two join sides + the size
+    // aggregate); persist it so tokenize+shingle runs once. This is the
+    // exact GROUND-TRUTH path — inherently Σ_s d_s² in the join and only
+    // sane at modest corpus sizes, where a serialized spill-able cache of
+    // the index is cheap; the scale path (minhashLshPairs) never
+    // materializes the full index more than once per pass.
     val inv = TextOps.shingleRows(docs, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = inv.alias("a")
       .join(inv.alias("b"),
