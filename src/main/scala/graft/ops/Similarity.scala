@@ -174,6 +174,108 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
   }
 
+  /** Lloyd's k-means over the embedding column — the trained coarse
+    * quantizer for the real IVF path ([[topKIvf]]; [[topKBlocked]] uses
+    * the fixture's label as a stand-in). Centroids live on the driver
+    * (k×dim floats — bytes, the standard k-means shape; MLlib does the
+    * same), everything row-scale is distributed:
+    *
+    *  - assignment is a pure expression: argmin_c ‖e−c‖² = argmax_c
+    *    (e·c − ‖c‖²/2), computed as `graft_dot` against each centroid
+    *    LITERAL — k tight codegen'd loops per row, no UDF, no shuffle;
+    *  - the update step is posexplode → groupBy(cell, dim) avg — one
+    *    map-side-combinable shuffle of k×dim cells per iteration, then a
+    *    k×dim collect to rebuild the literals.
+    *
+    * Init is deterministic (vec_id-stride sample), so the whole training
+    * is reproducible run-to-run up to float summation order in the avg
+    * (borderline points may flip cells across runs — callers needing a
+    * frozen quantizer persist the centroids like any model artifact). */
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      k: Int = 16,
+      iters: Int = 5,
+      dim: Int = 64): Array[Array[Float]] = {
+    val n = embeddings.count()
+    val stride = math.max(1L, n / k)
+    var centroids: Array[Array[Float]] = embeddings
+      .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(k)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(centroids.length == k, s"init picked ${centroids.length} of $k centroids")
+    for (_ <- 0 until iters) {
+      val assigned = embeddings.select(
+        assignCell(col("embedding"), centroids).as("cell"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      val means = assigned
+        .groupBy("cell", "d").agg(avg("x").as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat)
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id as a pure expression (see
+    * [[kmeansCentroids]] for the algebra). Ties break to the lower cell
+    * id via the struct comparison. */
+  private def assignCell(emb: Column, centroids: Array[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct(
+        (dot(emb, typedLit(c)) - lit(c2 / 2.0)).as("score"),
+        lit(-i).as("neg_cell"))
+    }
+    (-array_max(array(scored: _*)).getField("neg_cell")).cast("int")
+  }
+
+  /** Per-row TOP-`nProbe` cells (for query-side multi-cell probing):
+    * sort the (score, cell) structs descending and keep the best n. */
+  private def probeCells(emb: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct((dot(emb, typedLit(c)) - lit(c2 / 2.0)).as("score"), lit(i).as("cell"))
+    }
+    slice(reverse(sort_array(array(scored: _*))), 1, nProbe).getField("cell")
+  }
+
+  /** EXT3d — IVF top-k with a TRAINED quantizer: corpus rows live in
+    * their nearest-centroid cell; each query probes its `nProbe` nearest
+    * cells and scores only those rows exactly. The corpus side is one
+    * assignment expression + an equi-join on the cell id (no fan-out:
+    * each corpus row sits in exactly one cell); only the tiny query side
+    * multiplies by nProbe. Raising nProbe trades scan fraction
+    * (≈ nProbe/nCells of the corpus per query) for recall — the same
+    * knob as a production IVF index. Centroids are trained once on the
+    * corpus (sampled at scale) and shipped as expression literals. */
+  def topKIvf(
+      embeddings: DataFrame,
+      k: Int = 10,
+      queryMod: Int = 50,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nCells, iters)
+    val corpus = embeddings.select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+      assignCell(col("embedding"), centroids).as("cell"))
+    val q = embeddings
+      .filter(col("vec_id") % queryMod === 0)
+      .select(
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("q_nrm"),
+        explode(probeCells(col("embedding"), centroids, nProbe)).as("cell"))
+    corpus
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-dup pairs (EXT2's vector flavor): pairs with
     * cosine ≥ threshold, label-blocked so the pair join is per-cell. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {

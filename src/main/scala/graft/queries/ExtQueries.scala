@@ -155,6 +155,16 @@ object ExtQueries {
       (s, d) => Similarity.topKLsh(Tables.embeddings(s, d)),
       None),
 
+    // ── EXT3d — IVF top-k with a TRAINED k-means quantizer (Lloyd's
+    //    iterations in Similarity.kmeansCentroids; assignment + probing
+    //    are graft_dot expressions against centroid literals). Trained
+    //    float centroids ⇒ no SQL oracle; recall-vs-brute-force and the
+    //    nProbe knob are pinned in DedupSimilaritySpec.
+    QueryDef(
+      "ext3_topk_ivf",
+      (s, d) => Similarity.topKIvf(Tables.embeddings(s, d), nProbe = 8),
+      None),
+
     // ── EXT2d — embedding-cosine near-dup pairs (empty on this fixture —
     //    max pair cosine ≈ 0.51 — and the oracle proves the emptiness).
     QueryDef(

@@ -145,6 +145,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall0 >= 0.7 && recall0 <= recall, s"recall0=$recall0")
   }
 
+  test("trained IVF: recall rises with nProbe and beats chance by far") {
+    val brute = Similarity.topK(embs, k = 10, queryMod = 50)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallAt(np: Int) = {
+      val ivf = Similarity.topKIvf(embs, k = 10, queryMod = 50, nProbe = np)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      (ivf & brute).size.toDouble / brute.size
+    }
+    // measured 0.42 / 0.86 on this fixture; chance = 10/500 = 0.02. The
+    // fixture's neighbors are weak (top-10 cosine ≈ 0.5, scattered
+    // across cells), so probing half the 16 cells is what high recall
+    // costs here — the knob, not the index, is the contract.
+    val r2 = recallAt(2)
+    val r8 = recallAt(8)
+    assert(r8 >= 0.7, s"recall@nProbe=8 = $r8")
+    assert(r8 > r2, s"recall must rise with nProbe: r2=$r2 r8=$r8")
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = embs.limit(3).select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
     df.as[Double].collect().foreach(c => assert(math.abs(c - 1.0) < 1e-12))
