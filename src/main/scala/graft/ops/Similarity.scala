@@ -276,6 +276,38 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
   }
 
+  /** [[nearDupPairs]] with TRAINED cells instead of the fixture label —
+    * the self-sufficient scale path (no pre-existing blocking column
+    * needed). Every vector is assigned to its `nAssign` nearest cells
+    * (multi-assignment: a near-dup pair straddling a cell boundary still
+    * meets in the runner-up cell — at cosine ≥ 0.95 the two vectors'
+    * cell rankings are nearly identical, so 2 assignments cover the
+    * boundary band); the quadratic term is per-cell, candidates met in
+    * several shared cells are deduped BEFORE scoring. Same output shape
+    * as [[nearDupPairs]]. */
+  def nearDupPairsIvf(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      nCells: Int = 16,
+      nAssign: Int = 2,
+      iters: Int = 5): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nCells, iters)
+    val e = embeddings.select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+      explode(probeCells(col("embedding"), centroids, nAssign)).as("cell"))
+    e.alias("a")
+      .join(e.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"),
+        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), graft.Num.rnd(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-dup pairs (EXT2's vector flavor): pairs with
     * cosine ≥ threshold, label-blocked so the pair join is per-cell. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {

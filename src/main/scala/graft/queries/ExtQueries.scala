@@ -176,6 +176,15 @@ object ExtQueries {
            |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
            |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95""".stripMargin)),
 
+    // ── EXT2d-ivf — embedding near-dup over TRAINED cells (no blocking
+    //    column needed; multi-assignment covers cell boundaries). Trained
+    //    floats ⇒ rows-only; planted-duplicate exactness pinned in
+    //    DedupSimilaritySpec.
+    QueryDef(
+      "ext2_embed_neardup_ivf",
+      (s, d) => Similarity.nearDupPairsIvf(Tables.embeddings(s, d)),
+      None),
+
     // ── EXT2c-pairs — SimHash banded near-dup pairs (engine-hash-based ⇒
     //    rows-only; guaranteed-recall property tested in DedupSpec).
     QueryDef(

@@ -171,4 +171,23 @@ class DedupSimilaritySpec extends SparkSpec {
   test("embedding near-dup is empty on this corpus (max pair cosine ~0.51)") {
     assert(Similarity.nearDupPairs(embs).isEmpty)
   }
+
+  test("trained-cell near-dup finds exactly the planted duplicate vectors") {
+    // Plant near-identical copies of 5 corpus vectors (one component
+    // nudged by 1e-3 → cosine ≈ 1) under fresh ids; the trained-cell
+    // path must find exactly the 5 planted pairs — no labels involved.
+    val base = embs.select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % 100 === 0).limit(5)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          slice(col("embedding"), 1, 63),
+          array(element_at(col("embedding"), 64) + lit(0.001f))).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val pairs = Similarity.nearDupPairsIvf(corpus)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = planted.select("vec_id").as[Long].collect()
+      .map(id => (id - 1000000L, id)).toSet
+    assert(pairs == expected, s"got $pairs, expected $expected")
+  }
 }
