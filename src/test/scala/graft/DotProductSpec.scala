@@ -61,6 +61,19 @@ class DotProductSpec extends SparkSpec {
     assert(m(2L)._1.contains(11.0) && m(2L)._2.contains(11.0))
   }
 
+  test("Num.rnd rounds half away from zero for both signs") {
+    val cases = Seq(
+      0.05 -> 0.1, -0.05 -> -0.1, // the sign-aware tie cases
+      0.04 -> 0.0, -0.04 -> -0.0,
+      1.25 -> 1.3, -1.25 -> -1.3,
+      2.0 -> 2.0, -2.0 -> -2.0)
+    val out = cases.map(_._1).toDF("x")
+      .select(Num.rnd(col("x"), 1).as("r")).as[Double].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"expected $want got $got")
+    }
+  }
+
   test("expression participates in whole-stage codegen (no fallback)") {
     val plan = embs
       .select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
