@@ -72,6 +72,38 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      width: Long,
+      height: Long,
+      payload: Array[Byte])
+
+  /** Resize to a fixed target — the normalization step in front of a
+    * vision encoder, whose real contract is the OUTPUT SHAPE: every row
+    * leaves with exactly targetW×targetH payload bytes regardless of
+    * input size. The resample kernel is part of the [[FakeDecoder]] stub
+    * (nearest-neighbor byte subsample, zero-fill for empty payloads — a
+    * real codec resamples pixels here); the Spark side is the same
+    * init-once-per-partition `mapPartitions` shape as [[decodeFeatures]]:
+    * narrow, no shuffle, batch-friendly. */
+  def resize(media: Dataset[MediaRow], targetW: Int = 32, targetH: Int = 32): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    val target = targetW * targetH
+    media.mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        val out = new Array[Byte](target)
+        var i = 0
+        while (i < target && n > 0) {
+          out(i) = r.payload((i.toLong * n / target).toInt)
+          i += 1
+        }
+        ResizedMedia(r.media_id, r.kind, targetW.toLong, targetH.toLong, out)
+      }
+    }
+  }
+
   /** Builds a media table from `documents` (text bytes as the opaque
     * payload) — the fixture's stand-in for reading real media files. */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -299,6 +299,21 @@ object ExtQueries {
              |       CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
              |FROM documents""".stripMargin)),
 
+    // ── EXT5c — resize to a fixed target: the oracle checks the output
+    //    CONTRACT (every row leaves 32×32 with exactly 1024 payload
+    //    bytes — what a vision encoder consumes); the nearest-neighbor
+    //    byte content is pinned in StreamingMultimodalSpec.
+    QueryDef(
+      "ext5_media_resize",
+      (s, d) =>
+        Multimodal.resize(Multimodal.mediaFromDocuments(s, Tables.documents(s, d))).toDF()
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            length(col("payload")).cast("long").as("n_bytes")),
+      Some("""SELECT doc_id AS media_id, 'img/' || source AS kind,
+             |       CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+             |       CAST(1024 AS BIGINT) AS n_bytes
+             |FROM documents""".stripMargin)),
+
     // ── EXT7 — the composed training-data cleaning pipeline: quality
     //    gate → exact dedup → near-dup dedup (LSH) → survivors. The
     //    oracle recomputes the near-dup losers from the exact all-pairs

@@ -109,6 +109,21 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(byId.forall { case (id, f) => again(id) == f.checksum })
   }
 
+  test("resize emits a fixed-size payload per row with nearest-neighbor bytes") {
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf("sf0.001")))
+    val resized = Multimodal.resize(media, targetW = 32, targetH = 32).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(r => r.payload.length == 1024 && r.width == 32 && r.height == 32))
+    // nearest-neighbor contract: output byte i = input byte ⌊i·n/1024⌋
+    val original = media.collect().map(m => m.media_id -> m.payload).toMap
+    resized.take(10).foreach { r =>
+      val in = original(r.media_id)
+      (0 until 1024 by 97).foreach { i =>
+        assert(r.payload(i) == in((i.toLong * in.length / 1024).toInt))
+      }
+    }
+  }
+
   test("frame sampling slices the payload on stride boundaries") {
     val frames = Multimodal.sampleFrames(spark, Tables.documents(spark, sf("sf0.001")),
       frameBytes = 64, stride = 4)
