@@ -22,9 +22,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
     val fns = SparkEntry.queries
-    val names =
-      if (args.nonEmpty) args.toSeq.filter(fns.contains)
-      else SparkEntry.benchQueries
+    val unknown = args.toSeq.filterNot(fns.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")} " +
+        "— a typo here would silently bench the empty set")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.benchQueries
     def run(name: String): Boolean =
       try {
         fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -83,7 +83,9 @@ object ChannelReport {
     * (channel_reporter.py:133–151). One collect of one row. */
   def summaryLines(reportWithKpis: DataFrame): Seq[String] = {
     val r = summary(reportWithKpis).collect().head
-    def f2(d: Double): String = f"$d%.2f"
+    // Locale.ROOT: the artifact must print "12.50" on a comma-decimal
+    // default locale too
+    def f2(d: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     Seq(
       s"Generated channel reporting for ${r.getLong(0)} channel-date combinations",
       s"Total marketing cost: ${f2(r.getDouble(1))} Euro",

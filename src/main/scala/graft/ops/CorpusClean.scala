@@ -27,7 +27,10 @@ object CorpusClean {
     * anti-join). Persist both so their lineage — a full corpus scan +
     * tokenization — runs once, not once per consumer. Both frames are
     * ≤ corpus-sized and column-pruned, so MEMORY_AND_DISK spills safely
-    * at scale. */
+    * at scale. These (and the caches inside Dedup) are deliberately not
+    * unpersisted: a lazily-returned frame has no completion hook, so
+    * cache lifetime is left to Spark's LRU — repeated invocations in one
+    * session re-cache and let old blocks age out. */
   private def gatedExact(
       docs: DataFrame,
       minTokens: Int,

@@ -290,6 +290,14 @@ object Dedup {
       labels = next.select("doc_id", "component")
       iter += 1
     }
+    // Unconverged labels are WRONG labels (a node mid-chain can still
+    // carry component == doc_id without being the true min), and the
+    // one-survivor-per-component guarantee of cleanClustered rests on
+    // convergence — fail loudly rather than return them.
+    require(changed == 0L,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still improving) — graph diameter exceeds maxIter; " +
+        "raise maxIter or switch to a large-star/small-star formulation")
     labels
   }
 

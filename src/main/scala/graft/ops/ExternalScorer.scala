@@ -162,6 +162,13 @@ object ExternalScorer {
                 Thread.sleep(backoffMs << tryNum)
                 tryNum += 1
               case scala.util.control.NonFatal(e) =>
+                // the reference logs every failed request before moving
+                // on (api_client.py:50–65) — keep that visible in the
+                // executor log even on the score() path, which drops
+                // these rows from its result
+                System.err.println(
+                  s"[graft-scorer] batch of ${batch.size} journeys failed after " +
+                    s"${maxRetries + 1} attempts: ${e.getClass.getSimpleName}: ${e.getMessage}")
                 out = batch.flatMap(_.map(t =>
                   ScoredResult(t.conversion_id, t.session_id, None,
                     Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))))

@@ -187,22 +187,23 @@ object Similarity {
     *    map-side-combinable shuffle of k×dim cells per iteration, then a
     *    k×dim collect to rebuild the literals.
     *
-    * Init is deterministic (vec_id-stride sample), so the whole training
-    * is reproducible run-to-run up to float summation order in the avg
-    * (borderline points may flip cells across runs — callers needing a
-    * frozen quantizer persist the centroids like any model artifact). */
+    * Init is deterministic — the k smallest vectors by xxhash64(vec_id),
+    * a pseudo-random spread that works for ANY id domain (sparse,
+    * offset, non-dense) and is a scale-safe TakeOrdered, not a global
+    * sort. Training is reproducible run-to-run up to float summation
+    * order in the avg (borderline points may flip cells across runs —
+    * callers needing a frozen quantizer persist the centroids like any
+    * model artifact). */
   def kmeansCentroids(
       embeddings: DataFrame,
       k: Int = 16,
-      iters: Int = 5,
-      dim: Int = 64): Array[Array[Float]] = {
-    val n = embeddings.count()
-    val stride = math.max(1L, n / k)
+      iters: Int = 5): Array[Array[Float]] = {
     var centroids: Array[Array[Float]] = embeddings
-      .filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(k)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    require(centroids.length == k, s"init picked ${centroids.length} of $k centroids")
+    require(centroids.length == k,
+      s"corpus has only ${centroids.length} rows — need at least $k for $k centroids")
     for (_ <- 0 until iters) {
       val assigned = embeddings.select(
         assignCell(col("embedding"), centroids).as("cell"),
@@ -231,13 +232,21 @@ object Similarity {
   }
 
   /** Per-row TOP-`nProbe` cells (for query-side multi-cell probing):
-    * sort the (score, cell) structs descending and keep the best n. */
+    * sort the (score, cell) structs descending and keep the best n.
+    * Ties break to the LOWER cell id — the same direction as
+    * [[assignCell]] (via the negated cell id: ascending sort + reverse =
+    * score desc, neg_cell desc = cell asc), so with duplicate centroids
+    * the first probed cell is exactly the cell corpus rows were assigned
+    * to. The final `transform` un-negates — a CodegenFallback HOF, but
+    * over nProbe elements on the broadcast query side only. */
   private def probeCells(emb: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val c2 = c.map(x => x.toDouble * x.toDouble).sum
-      struct((dot(emb, typedLit(c)) - lit(c2 / 2.0)).as("score"), lit(i).as("cell"))
+      struct((dot(emb, typedLit(c)) - lit(c2 / 2.0)).as("score"), lit(-i).as("neg_cell"))
     }
-    slice(reverse(sort_array(array(scored: _*))), 1, nProbe).getField("cell")
+    transform(
+      slice(reverse(sort_array(array(scored: _*))), 1, nProbe),
+      s => -s.getField("neg_cell"))
   }
 
   /** EXT3d — IVF top-k with a TRAINED quantizer: corpus rows live in

@@ -97,7 +97,9 @@ object AttributionQueries {
     QueryDef(
       "s3_csv_roundtrip",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft-s3").toString
+        // fixed path + overwrite mode: repeated verify/bench invocations
+        // REPLACE the artifact instead of accumulating temp dirs
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-s3-roundtrip"
         graft.AttributionPipeline.writeCsv(
           JourneyBuilder.journeyOutput(journeys(s, d)), s"$out/customer_journeys")
         graft.AttributionPipeline.readJourneysCsv(s, s"$out/customer_journeys")
@@ -118,7 +120,8 @@ object AttributionQueries {
     QueryDef(
       "s5_overwrite_readback",
       (s, d) => {
-        val out = java.nio.file.Files.createTempDirectory("graft-s5").toString
+        // fixed path + overwrite mode — see s3_csv_roundtrip
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-s5-roundtrip"
         val attr = IhcScorer.score(journeys(s, d))
         graft.AttributionPipeline.writeAttribution(attr, s"$out/attribution")
         graft.AttributionPipeline.writeAttribution(attr, s"$out/attribution")

@@ -79,6 +79,14 @@ object StreamingIngest {
       name: String,
       maxFilesPerTrigger: Int = 32): StreamingQuery = {
     val state = scala.collection.mutable.LinkedHashMap.empty[(String, String), (Long, Double)]
+    // Register the (empty) table up front: a zero-micro-batch run (empty
+    // landing dir, or a checkpoint with nothing new) never fires
+    // foreachBatch, and the documented `spark.table(name)` read-back must
+    // still resolve — format("memory") registered at start() too.
+    import spark.implicits._
+    Seq.empty[(String, String, Long, Double)]
+      .toDF("date", "event_type", "n_events", "total_value")
+      .createOrReplaceTempView(name)
     channelDaily(readEvents(spark, dir, maxFilesPerTrigger))
       .writeStream
       .outputMode("update")
