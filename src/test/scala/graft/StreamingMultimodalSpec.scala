@@ -64,6 +64,15 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.toSet == batch)
   }
 
+  test("zero-micro-batch run still registers an empty readable table") {
+    val ckpt = Files.createTempDirectory("graft-ckpt-empty").toString
+    val landing = Files.createTempDirectory("graft-landing-empty") // no files
+    val q = StreamingIngest.runAvailableNow(
+      spark, landing.toString, ckpt, "stream_rollup_empty")
+    q.awaitTermination(120000)
+    assert(spark.table("stream_rollup_empty").isEmpty)
+  }
+
   test("stateful streaming sessionization equals the batch window operator") {
     val dir = sf("sf0.001")
     val ckpt = Files.createTempDirectory("graft-ckpt-sess").toString
