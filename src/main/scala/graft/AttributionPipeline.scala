@@ -73,11 +73,11 @@ object AttributionPipeline {
     * orderings resolve by the session_id tie-break on this path; the
     * in-memory path keeps nanosecond order. Same trade-off as the
     * reference's own per-step mode. */
-  def score(journeys: DataFrame): DataFrame = {
+  def score(journeys: DataFrame, maxSessions: Option[Int] = None): DataFrame = {
     val withTs =
       if (journeys.columns.contains("ts")) journeys
       else journeys.withColumn("ts", col("timestamp")) // ISO string sorts = time sorts
-    IhcScorer.normalize(IhcScorer.score(withTs))
+    IhcScorer.normalize(IhcScorer.score(withTs, maxSessions))
   }
 
   /** S5 — truncate-once overwrite of the attribution table (⚠B1 intent). */
@@ -128,12 +128,13 @@ object AttributionPipeline {
       sessionCosts: DataFrame,
       outDir: String,
       startDate: Option[String] = None,
-      endDate: Option[String] = None): DataFrame = {
+      endDate: Option[String] = None,
+      maxSessions: Option[Int] = None): DataFrame = {
     val journeys = buildJourneys(conversions, sessions, startDate, endDate).persist()
     try {
       require(nonEmpty(journeys), "no customer journeys built")
       writeCsv(JourneyBuilder.journeyOutput(journeys), s"$outDir/customer_journeys")
-      val attribution = score(journeys).persist()
+      val attribution = score(journeys, maxSessions).persist()
       try {
         require(nonEmpty(attribution), "no attribution records")
         writeAttribution(attribution, s"$outDir/attribution_customer_journey")

@@ -15,6 +15,10 @@ import java.util.Properties
   *   end.date=2024-01-20          # optional, inclusive
   *   max.journeys.per.request=100
   *   max.sessions.per.request=2000
+  *   max.sessions.per.conversion=100000   # optional — skew gate: conversions
+  *                                        # above the cap are skipped before
+  *                                        # the scorer window (C2 semantics;
+  *                                        # AQE cannot split window skew)
   */
 final case class Config(
     dataDir: String,
@@ -22,12 +26,13 @@ final case class Config(
     startDate: Option[String],
     endDate: Option[String],
     maxJourneysPerRequest: Int,
-    maxSessionsPerRequest: Int)
+    maxSessionsPerRequest: Int,
+    maxSessionsPerConversion: Option[Int])
 
 object Config {
 
   val Defaults: Config =
-    Config("/root/testdata/sf0.001", "/tmp/graft-out", None, None, 100, 2000)
+    Config("/root/testdata/sf0.001", "/tmp/graft-out", None, None, 100, 2000, None)
 
   def load(path: String): Config = {
     val p = new Properties()
@@ -43,6 +48,7 @@ object Config {
       maxJourneysPerRequest = opt("max.journeys.per.request").map(_.toInt)
         .getOrElse(Defaults.maxJourneysPerRequest),
       maxSessionsPerRequest = opt("max.sessions.per.request").map(_.toInt)
-        .getOrElse(Defaults.maxSessionsPerRequest))
+        .getOrElse(Defaults.maxSessionsPerRequest),
+      maxSessionsPerConversion = opt("max.sessions.per.conversion").map(_.toInt))
   }
 }

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions.{col, to_timestamp}
   * file contracts, or `all` in one process. Usage:
   *
   *   graft.Main --data-dir /root/testdata/sf0.01 --out-dir /tmp/out \
-  *     [--step build-journeys|score|report|all] \
-  *     [--start-date YYYY-MM-DD] [--end-date YYYY-MM-DD]
+  *     [--step build-journeys|score|score-external|report|all] \
+  *     [--start-date YYYY-MM-DD] [--end-date YYYY-MM-DD] \
+  *     [--max-sessions N]   // skew gate: skip conversions over N sessions
   *
   * `--data-dir` points at the driver testdata (domain mapping in Tables);
   * `--out-dir` receives customer_journeys/ (CSV),
@@ -44,6 +45,9 @@ object Main {
     val step = opts.getOrElse("step", "all")
     val start = opts.get("start-date").orElse(cfg.startDate)
     val end = opts.get("end-date").orElse(cfg.endDate)
+    // skew gate for the scorer window (C2 skip semantics; AQE cannot
+    // split skewed WINDOW partitions) — off unless configured
+    val maxSessions = opts.get("max-sessions").map(_.toInt).orElse(cfg.maxSessionsPerConversion)
 
     val spark = GraftSession.build(s"graft-$step")
     try {
@@ -60,7 +64,7 @@ object Main {
         case "score" =>
           val j = AttributionPipeline.readJourneysCsv(spark, s"$outDir/customer_journeys")
           require(AttributionPipeline.nonEmpty(j), "no journeys to score")
-          val attr = AttributionPipeline.score(j)
+          val attr = AttributionPipeline.score(j, maxSessions)
           AttributionPipeline.writeAttribution(attr, s"$outDir/attribution_customer_journey")
           println(s"[graft] attribution -> $outDir/attribution_customer_journey")
         case "score-external" =>
@@ -70,8 +74,9 @@ object Main {
             .withColumn("ts",
               to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss").cast("long"))
           require(AttributionPipeline.nonEmpty(j), "no journeys to score")
+          val gated = maxSessions.fold(j)(IhcScorer.sessionGate(j, _))
           val attr = IhcScorer.normalize(ExternalScorer.score(
-            j,
+            gated,
             maxJourneysPerRequest = cfg.maxJourneysPerRequest,
             maxSessionsPerRequest = cfg.maxSessionsPerRequest))
           AttributionPipeline.writeAttribution(attr, s"$outDir/attribution_customer_journey")
@@ -83,7 +88,7 @@ object Main {
           println(s"[graft] report -> $outDir/channel_reporting")
           printSummary(spark, outDir)
         case "all" =>
-          AttributionPipeline.runAll(conv, sess, costs, outDir, start, end)
+          AttributionPipeline.runAll(conv, sess, costs, outDir, start, end, maxSessions)
           printSummary(spark, outDir)
           println(s"[graft] pipeline complete -> $outDir")
         case other =>

@@ -154,6 +154,15 @@ class JourneyPipelineSpec extends SparkSpec {
     assert(empty(4) == "No valid ROAS values found")
   }
 
+  test("score with the session gate skips oversize conversions (C2 semantics)") {
+    val j = JourneyBuilder.journeys(conv, sess)
+    // conv 100 has 2 sessions, conv 101 has 3 → cap at 2 keeps only 100
+    val gated = AttributionPipeline.score(j, maxSessions = Some(2))
+    val convs = gated.select("conversion_id").distinct().as[Long].collect().toSet
+    assert(convs == Set(100L))
+    assert(math.abs(gated.agg(sum("ihc")).head().getDouble(0) - 1.0) < 1e-9)
+  }
+
   test("report column order matches the reference channel_reporting.csv") {
     val attribution = AttributionPipeline.score(JourneyBuilder.journeys(conv, sess))
     val rep = AttributionPipeline.report(sess, costs, attribution, conv)
