@@ -37,6 +37,18 @@ object AttributionPipeline {
     StructField("conversion", LongType),
     StructField("impression_interaction", LongType)))
 
+  /** Inclusive optional date bounds on a yyyy-MM-dd-comparable column —
+    * the ONE definition of the Option matrix used by journey build
+    * (conversion date), the report (session date, ⚠B5), and
+    * sources.PartitionedStore (partition column). */
+  private[graft] def dateBounded(
+      df: DataFrame,
+      dateCol: org.apache.spark.sql.Column,
+      startDate: Option[String],
+      endDate: Option[String]): DataFrame =
+    Seq(startDate.map(dateCol >= _), endDate.map(dateCol <= _)).flatten
+      .foldLeft(df)(_ filter _)
+
   /** Step 1 — J1 join with optional inclusive conv-date bounds (P4;
     * reference cj_builder.py:45–53 filters the *conversion* date). */
   def buildJourneys(
@@ -45,13 +57,7 @@ object AttributionPipeline {
       startDate: Option[String] = None,
       endDate: Option[String] = None): DataFrame = {
     val convDate = date_format(Tables.tsMicros("conv_ts"), "yyyy-MM-dd")
-    val bounded = (startDate, endDate) match {
-      case (Some(s), Some(e)) => conversions.filter(convDate >= s && convDate <= e)
-      case (Some(s), None)    => conversions.filter(convDate >= s)
-      case (None, Some(e))    => conversions.filter(convDate <= e)
-      case (None, None)       => conversions
-    }
-    JourneyBuilder.journeys(bounded, sessions)
+    JourneyBuilder.journeys(dateBounded(conversions, convDate, startDate, endDate), sessions)
   }
 
   /** S3 — CSV sink with header; coalesced to one part for the reference's
@@ -97,13 +103,8 @@ object AttributionPipeline {
       conversions: DataFrame,
       startDate: Option[String] = None,
       endDate: Option[String] = None): DataFrame = {
-    val sd0 = ChannelReport.sessionData(sessions, sessionCosts)
-    val sd = (startDate, endDate) match {
-      case (Some(s), Some(e)) => sd0.filter(col("date") >= s && col("date") <= e)
-      case (Some(s), None)    => sd0.filter(col("date") >= s)
-      case (None, Some(e))    => sd0.filter(col("date") <= e)
-      case (None, None)       => sd0
-    }
+    val sd = dateBounded(
+      ChannelReport.sessionData(sessions, sessionCosts), col("date"), startDate, endDate)
     ChannelReport.withKpis(ChannelReport.report(sd, attribution, conversions))
       .select("channel_name", "date", "cost", "ihc", "ihc_revenue", "CPO", "ROAS")
   }

@@ -21,8 +21,21 @@ import org.apache.spark.sql.functions.{col, to_timestamp}
   */
 object Main {
 
-  private def parse(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
+  private val KnownFlags = Set(
+    "config", "data-dir", "out-dir", "step", "start-date", "end-date", "max-sessions")
+
+  /** Strict flag parsing: a typo'd or mispaired flag must fail loudly —
+    * silently ignoring `--max-session 1000` would run WITHOUT the skew
+    * gate the flag exists to enable. */
+  private def parse(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"arguments must be --flag value pairs, got: ${args.mkString(" ")}")
+    args.sliding(2, 2).map {
+      case Array(k, v) if k.startsWith("--") && KnownFlags(k.drop(2)) => k.drop(2) -> v
+      case Array(k, _) =>
+        sys.error(s"unknown flag $k (known: ${KnownFlags.toSeq.sorted.map("--" + _).mkString(", ")})")
+    }.toMap
+  }
 
   /** The summary the reference prints after every report save
     * (channel_reporter.py:133–151). Computed from the artifact just

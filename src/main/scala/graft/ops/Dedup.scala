@@ -81,6 +81,19 @@ object Dedup {
       .join(invC.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
+    jaccardFromCounts(common, sizes, threshold)
+  }
+
+  /** The Jaccard formula tail shared by the exact path and the LSH
+    * re-verification: |∩| / (|A|+|B|−|∩|) from a per-pair common-shingle
+    * count and per-doc sizes, thresholded and 4-dp rounded. ONE
+    * definition — the ext2_minhash_lsh oracle (LSH vs exact ground
+    * truth) is only meaningful while both paths compute the identical
+    * ratio. */
+  private def jaccardFromCounts(
+      common: DataFrame,
+      sizes: DataFrame,
+      threshold: Double): DataFrame =
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
@@ -88,7 +101,6 @@ object Dedup {
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), graft.Num.rnd(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** EXT2a — exact n-gram Jaccard near-dup pairs via an inverted-index
     * self-join on shingles: shingle rows → join on the shingle → count
@@ -109,13 +121,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), graft.Num.rnd(col("jaccard"), 4).as("jaccard"))
+    jaccardFromCounts(common, sizes, threshold)
   }
 
   /** MinHash signature: k seeded hashes; sig_i = min over shingles of
@@ -319,6 +325,9 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
     val width = 64 / bands
+    // JVM shift semantics: (1L << 64) wraps to 1, so a single 64-bit band
+    // would mask to 0 and funnel every doc into one bucket
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val sig = simhash(docs)
     // Same hot-bucket guard as the MinHash path ([[capBuckets]]). NB the
     // pigeonhole recall guarantee holds only for pairs whose agreeing
@@ -331,7 +340,7 @@ object Dedup {
           struct(
             lit(b).as("band_id"),
             shiftrightunsigned(col("simhash"), b * width)
-              .bitwiseAND((1L << width) - 1L).as("band_key"))
+              .bitwiseAND(mask).as("band_key"))
         }: _*)).as("band"))
         .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_key")),
       maxBucket)

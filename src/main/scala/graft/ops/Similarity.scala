@@ -42,6 +42,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The shared top-k tail of every search path: rank scored (q_id,
+    * vec_id, sim) pairs per query — sim descending, vec_id tie-break —
+    * keep the best k, round sim for oracle parity. ONE definition so the
+    * tie-break, the BIGINT rank cast, and the 6-dp rounding (all
+    * oracle-relevant) cannot drift between the four search variants. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
+
   /** Queries = rows with `vec_id % queryMod == 0` (deterministic, valid at
     * any SF); corpus = everything. Top-k by cosine per query, self-match
     * excluded, vec_id tie-break. Norms are precomputed per row BEFORE the
@@ -54,14 +66,11 @@ object Similarity {
     val q = corpus
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val scored = corpus
-      .join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-    scored
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
+    rankTopK(
+      corpus
+        .join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))),
+      k)
   }
 
   /** IVF-style blocked top-k: each query only scans its own coarse cell
@@ -73,13 +82,11 @@ object Similarity {
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    corpus
-      .join(broadcast(q), col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
+    rankTopK(
+      corpus
+        .join(broadcast(q), col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))),
+      k)
   }
 
   /** Sign-random-projection LSH top-k — the hash-bucketed ANN scale path
@@ -164,14 +171,12 @@ object Similarity {
         struct(lit(t).as("table_id"), bucketKey(col("embedding"), t).as("bucket"))): _*)).as("bnd"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("bnd.table_id"), col("bnd.bucket"))
 
-    cB.join(broadcast(qB), Seq("table_id", "bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .dropDuplicates("q_id", "vec_id")
-      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
+    rankTopK(
+      cB.join(broadcast(qB), Seq("table_id", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .dropDuplicates("q_id", "vec_id")
+        .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))),
+      k)
   }
 
   /** Lloyd's k-means over the embedding column — the trained coarse
@@ -275,14 +280,12 @@ object Similarity {
         col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"),
         explode(probeCells(col("embedding"), centroids, nProbe)).as("cell"))
-    corpus
-      .join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
+    rankTopK(
+      corpus
+        .join(broadcast(q), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))),
+      k)
   }
 
   /** [[nearDupPairs]] with TRAINED cells instead of the fixture label —

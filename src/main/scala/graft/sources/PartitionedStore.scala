@@ -40,13 +40,8 @@ object PartitionedStore {
       path: String,
       startDate: Option[String] = None,
       endDate: Option[String] = None): DataFrame = {
-    val base = spark.read.parquet(path)
-    val bounded = (startDate, endDate) match {
-      case (Some(s), Some(e)) => base.filter(col("date") >= s && col("date") <= e)
-      case (Some(s), None)    => base.filter(col("date") >= s)
-      case (None, Some(e))    => base.filter(col("date") <= e)
-      case (None, None)       => base
-    }
+    val bounded = graft.AttributionPipeline.dateBounded(
+      spark.read.parquet(path), col("date"), startDate, endDate)
     bounded.withColumn("date", col("date").cast("string"))
   }
 }

@@ -71,38 +71,61 @@ object StreamingIngest {
     * the rollup (days × event types), never the event stream; a
     * production deployment would upsert into a keyed store (Delta MERGE,
     * JDBC upsert) through this same foreachBatch seam. Verified by the
-    * multi-micro-batch spec. */
+    * multi-micro-batch spec.
+    *
+    * State is keyed by `name` and survives across invocations in this
+    * JVM: update mode only emits groups the NEW files touched, so a
+    * scheduled re-invocation against the same checkpoint must merge into
+    * (not replace) the previous rollup. The accumulated view shares the
+    * JVM's lifetime — like any temp view — so a fresh driver process
+    * starts empty while the checkpoint skips already-processed files;
+    * a deployment that must survive restarts points this seam at a
+    * durable keyed sink instead. */
   def runAvailableNow(
       spark: SparkSession,
       dir: String,
       checkpoint: String,
       name: String,
       maxFilesPerTrigger: Int = 32): StreamingQuery = {
-    val state = scala.collection.mutable.LinkedHashMap.empty[(String, String), (Long, Double)]
-    // Register the (empty) table up front: a zero-micro-batch run (empty
-    // landing dir, or a checkpoint with nothing new) never fires
-    // foreachBatch, and the documented `spark.table(name)` read-back must
-    // still resolve — format("memory") registered at start() too.
-    import spark.implicits._
-    Seq.empty[(String, String, Long, Double)]
-      .toDF("date", "event_type", "n_events", "total_value")
-      .createOrReplaceTempView(name)
+    // (n_events, total_value); total_value is java.lang.Double so an
+    // all-NULL value group round-trips as SQL NULL (getDouble would NPE)
+    val state = StreamingIngest.rollupState
+      .computeIfAbsent(name, _ => new java.util.LinkedHashMap[(String, String), (Long, java.lang.Double)]())
+    def register(): Unit = {
+      import spark.implicits._
+      val rows = state.entrySet().iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, java.lang.Double)]
+      while (rows.hasNext) {
+        val e = rows.next()
+        buf += ((e.getKey._1, e.getKey._2, e.getValue._1, e.getValue._2))
+      }
+      buf.toSeq.toDF("date", "event_type", "n_events", "total_value")
+        .createOrReplaceTempView(name)
+    }
+    // Register up front: a zero-micro-batch run (empty landing dir, or a
+    // checkpoint with nothing new) never fires foreachBatch, and the
+    // documented `spark.table(name)` read-back must still resolve — with
+    // the previous invocations' rollup intact, empty only on first use.
+    register()
     channelDaily(readEvents(spark, dir, maxFilesPerTrigger))
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // foreachBatch invocations are sequential per query — no lock
         batch.collect().foreach { r =>
-          state.put((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))
+          state.put(
+            (r.getString(0), r.getString(1)),
+            (r.getLong(2), if (r.isNullAt(3)) null else Double.box(r.getDouble(3))))
         }
-        import spark.implicits._
-        state.toSeq.map { case ((d, et), (n, v)) => (d, et, n, v) }
-          .toDF("date", "event_type", "n_events", "total_value")
-          .createOrReplaceTempView(name)
-        ()
+        register()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Accumulated rollups per table name (see runAvailableNow). */
+  private val rollupState =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.LinkedHashMap[(String, String), (Long, java.lang.Double)]]()
 }
