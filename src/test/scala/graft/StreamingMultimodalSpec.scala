@@ -64,6 +64,30 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed.toSet == batch)
   }
 
+  test("re-invocation against the same checkpoint merges, not replaces, the rollup") {
+    // Invocation 1 sees only click events; invocation 2 (same checkpoint,
+    // same table name) sees newly-landed view events. Update mode only
+    // emits groups the new files touched, so the second run must MERGE
+    // into the accumulated rollup — a replace would drop every click row.
+    val dir = sf("sf0.001")
+    val ckpt = Files.createTempDirectory("graft-ckpt-reinv").toString
+    val landing = Files.createTempDirectory("graft-landing-reinv")
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "click").coalesce(1)
+      .write.parquet(landing.resolve("first").toString)
+    StreamingIngest.runAvailableNow(spark, s"$landing/*/", ckpt, "stream_rollup_reinv")
+      .awaitTermination(120000)
+    assert(spark.table("stream_rollup_reinv")
+      .select("event_type").distinct().as[String].collect().toSeq == Seq("click"))
+    ev.filter(col("event_type") === "view").coalesce(1)
+      .write.parquet(landing.resolve("second").toString)
+    StreamingIngest.runAvailableNow(spark, s"$landing/*/", ckpt, "stream_rollup_reinv")
+      .awaitTermination(120000)
+    val merged = spark.table("stream_rollup_reinv")
+      .select("event_type").distinct().as[String].collect().toSet
+    assert(merged == Set("click", "view"), s"got $merged")
+  }
+
   test("zero-micro-batch run still registers an empty readable table") {
     val ckpt = Files.createTempDirectory("graft-ckpt-empty").toString
     val landing = Files.createTempDirectory("graft-landing-empty") // no files
