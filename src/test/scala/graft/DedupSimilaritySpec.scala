@@ -87,6 +87,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(survivorsByCluster == Set(1L, 5L, 4L))
   }
 
+  test("components converge on a 200-hop chain (pointer doubling, not diameter rounds)") {
+    // A path graph 0–1–2–…–199: plain neighbor-min propagation needs ~200
+    // rounds (the default maxIter of 30 would abort); pointer doubling
+    // must collapse it within the default budget.
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(comp.length == 200 && comp.forall(_._2 == 0L))
+  }
+
   test("SimHash: planted near-dup pairs are closer than background pairs") {
     val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val pairs = Dedup.jaccardPairs(docs).select("doc_a", "doc_b").as[(Long, Long)].collect()
