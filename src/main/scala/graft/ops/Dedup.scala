@@ -286,10 +286,13 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("component").as("nbr")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("nbr").as("nbr_min"))
+      // `old` rides along so the convergence check is a filter on the
+      // checkpointed frame, not another join
       val stepped = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
+          col("component").as("old"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
       // pointer doubling: component ← label(component); every label value
       // is itself a node id, so the lookup is a self-join on the frame
@@ -299,13 +302,11 @@ object Dedup {
           Seq("component"), "left")
         .select(
           col("doc_id"),
+          col("old"),
           least(col("component"), coalesce(col("parent"), col("component"))).as("component"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("component", "old"), "doc_id")
-        .filter(col("component") =!= col("old"))
-        .count()
-      labels = next
+      changed = next.filter(col("component") =!= col("old")).count()
+      labels = next.select("doc_id", "component")
       iter += 1
     }
     // Unconverged labels are WRONG labels (a node mid-chain can still
