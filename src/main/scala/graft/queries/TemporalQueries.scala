@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.{QueryDef, Sql, Tables}
+import graft.ops.TemporalJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal-join and window-analytics extensions. SURVEY.md §2.3 and §2.5
+  * name the shapes the reference lacks — anti joins, as-of-latest joins,
+  * interval joins, ranking, lag/lead, grouping sets beyond ROLLUP,
+  * pivot, and time-bucketed aggregation. Each gets a registered query
+  * with a DuckDB oracle so the driver's hash gate covers it.
+  *
+  * Determinism discipline: every ranking/as-of pick carries a unique
+  * tie-break key; ranks are cast to BIGINT on the Spark side (Spark's
+  * row_number yields INT, DuckDB's BIGINT — a schema-gate mismatch
+  * otherwise); µs epoch arithmetic uses unix_micros/epoch_us (exact
+  * BIGINT on both engines).
+  */
+object TemporalQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // J6 — anti join: sessions that have NO cost row (the uncosted
+    // quarter). an7 proves EXCEPT on bare ids; this keeps the full row
+    // through a left_anti join, the shape Spark plans as a hash anti.
+    QueryDef(
+      "j6_anti",
+      (s, d) =>
+        Tables.sessions(s, d).join(
+          Tables.sessionCosts(s, d),
+          Seq("session_id"),
+          "left_anti")
+          // fixture ts is ns-long in Spark, µs TIMESTAMP in DuckDB —
+          // convert for schema parity (same truncation as DuckDB's read)
+          .withColumn("ts", Tables.tsMicros("ts")),
+      Some(Sql.CTES +
+        """SELECT s.* FROM sessions s
+          |WHERE NOT EXISTS (SELECT 1 FROM session_costs c
+          |                  WHERE c.session_id = s.session_id)""".stripMargin)),
+
+    // J7 — as-of-latest join: each conversion's most recent session at or
+    // before the conversion time (point-in-time lookup). Union +
+    // cumulative window — one shuffle, |C|+|S| rows; see TemporalJoin.
+    QueryDef(
+      "j7_asof",
+      (s, d) =>
+        TemporalJoin.asOfLatest(
+          Tables.conversions(s, d),
+          Tables.sessions(s, d),
+          key = "user_id",
+          leftTs = "conv_ts",
+          rightTs = "ts",
+          tieCol = "session_id",
+          payload = Seq(
+            "last_session_id" -> "session_id",
+            "last_session_ts" -> "ts",
+            "last_channel" -> "channel_name"))
+          // NULLABLE timestamp columns trip engine unit quirks (a NaT
+          // next to a ns/µs unit mismatch defeats value comparison) —
+          // emit the nullable as-of time as BIGINT epoch-µs instead
+          .select(col("conv_id"), col("user_id"), col("last_session_id"),
+            expr("last_session_ts div 1000").as("last_ts_us"), col("last_channel")),
+      Some(Sql.CTES +
+        """SELECT c.conv_id, c.user_id, s.session_id AS last_session_id,
+          |       epoch_us(s.ts) AS last_ts_us, s.channel_name AS last_channel
+          |FROM conversions c LEFT JOIN sessions s
+          |  ON c.user_id = s.user_id AND s.ts <= c.conv_ts
+          |QUALIFY ROW_NUMBER() OVER (PARTITION BY c.conv_id
+          |  ORDER BY s.ts DESC NULLS LAST, s.session_id DESC NULLS LAST) = 1""".stripMargin),
+      bench = true),
+
+    // J8 — bounded-range (interval) join: session context around each
+    // conversion — how many sessions, distinct channels, any user's —
+    // within ±1 hour. Binned equi-join on hour buckets (TemporalJoin);
+    // the oracle states the same semantics as a bare inequality join.
+    QueryDef(
+      "j8_range",
+      (s, d) =>
+        TemporalJoin.aggInWindow(
+          // all range arithmetic in epoch-µs longs — ns div 1000 is the
+          // same truncation DuckDB applies reading the nanos parquet
+          Tables.conversions(s, d).withColumn("conv_us", expr("conv_ts div 1000")),
+          Tables.sessions(s, d).select("session_id", "ts", "channel_name")
+            .withColumn("ts_us", expr("ts div 1000")),
+          leftId = "conv_id",
+          leftTs = "conv_us",
+          rightTs = "ts_us",
+          widthMicros = 3600L * 1000000L,
+          aggs = Seq(
+            count(lit(1)).as("n_sessions"),
+            countDistinct(col("channel_name")).as("n_channels"))),
+      Some(Sql.CTES +
+        """SELECT c.conv_id, COUNT(*) AS n_sessions,
+          |       COUNT(DISTINCT s.channel_name) AS n_channels
+          |FROM conversions c JOIN sessions s
+          |  ON s.ts >= c.conv_ts - INTERVAL 1 HOUR
+          | AND s.ts <= c.conv_ts + INTERVAL 1 HOUR
+          |GROUP BY 1""".stripMargin),
+      bench = true),
+
+    // an8 — top-N per group via ranking window. Spark rewrites the
+    // rank-filter into WindowGroupLimit (per-partition top-k before the
+    // shuffle) — the scale-right plan for "top N per key".
+    QueryDef(
+      "an8_topn_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 2)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |       ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |FROM orders
+             |QUALIFY rk <= 2""".stripMargin)),
+
+    // an9 — lag/lead: µs gap since the user's previous event. Exact
+    // BIGINT epoch arithmetic on both engines (unix_micros ≡ epoch_us).
+    QueryDef(
+      "an9_lag_delta",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+          .withColumn("gap_us", col("us") - lag(col("us"), 1).over(
+            Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))))
+          .select("user_id", "event_id", "gap_us"),
+      Some("""SELECT user_id, event_id,
+             |       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+             |FROM events""".stripMargin)),
+
+    // an10 — CUBE grouping sets over the raw event stream (an4 covers
+    // ROLLUP through the SQL front door; this exercises the DataFrame
+    // cube API — no join lineage, so DetectAmbiguousSelfJoin is moot).
+    QueryDef(
+      "an10_cube",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("date", date_format(Tables.tsMicros("ts"), "yyyy-MM-dd"))
+          .cube("event_type", "date")
+          .agg(graft.Num.rnd(sum("value"), 2).as("total_value"), count(lit(1)).as("n")),
+      Some(s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
+              |       ${Sql.rnd("SUM(value)", 2)} AS total_value, COUNT(*) AS n
+              |FROM events GROUP BY CUBE (1, 2)""".stripMargin)),
+
+    // an11 — pivot: per-date cost by channel as columns. Fixed value
+    // list (the four non-purchase event types) so the output schema is
+    // static — the only pivot form that scales (a dynamic pivot needs a
+    // driver-side distinct pass first).
+    QueryDef(
+      "an11_pivot",
+      (s, d) => {
+        val channels = Seq("click", "view", "signup", "error")
+        graft.ops.ChannelReport.sessionData(Tables.sessions(s, d), Tables.sessionCosts(s, d))
+          .groupBy("date")
+          .pivot("channel_name", channels)
+          .agg(sum("cost"))
+          .select(col("date") +: channels.map(c => graft.Num.rnd(col(c), 2).as(c)): _*)
+      },
+      Some(Sql.CTES +
+        s"""SELECT date,
+           |       ${Sql.rnd("SUM(CASE WHEN channel_name = 'click' THEN cost END)", 2)} AS "click",
+           |       ${Sql.rnd("SUM(CASE WHEN channel_name = 'view' THEN cost END)", 2)} AS "view",
+           |       ${Sql.rnd("SUM(CASE WHEN channel_name = 'signup' THEN cost END)", 2)} AS "signup",
+           |       ${Sql.rnd("SUM(CASE WHEN channel_name = 'error' THEN cost END)", 2)} AS "error"
+           |FROM session_data GROUP BY 1""".stripMargin)),
+
+    // an12 — tumbling-window aggregation via Spark's window() function.
+    // Both engines bucket on the same grid: Spark windows start at epoch
+    // 0 + k·width; DuckDB time_bucket's origin (2000-01-01) is itself a
+    // multiple of 6h from epoch 0, so the grids coincide (UTC session).
+    QueryDef(
+      "an12_tumbling",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(Tables.tsMicros("ts"), "6 hours"), col("event_type"))
+          .agg(count(lit(1)).as("n"), graft.Num.rnd(sum("value"), 2).as("total_value"))
+          .select(col("window.start").as("win_start"), col("event_type"),
+            col("n"), col("total_value")),
+      Some(s"""SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start, event_type,
+              |       COUNT(*) AS n, ${Sql.rnd("SUM(value)", 2)} AS total_value
+              |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}
