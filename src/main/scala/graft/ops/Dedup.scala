@@ -259,25 +259,41 @@ object Dedup {
     * keeps exactly one representative — the min id — per group of
     * transitively connected near-dups.
     *
-    * Algorithm: min-label propagation with POINTER DOUBLING — every
-    * round each node takes the min of its own, its neighbors', and its
-    * label's label (component ← label(component), the path-compression
-    * step that jumps a chain in half each round), so convergence is
-    * O(log diameter), not O(diameter): a 1000-hop chain settles in ~10
-    * rounds. The doubling step is safe because a node's label is always
-    * a member of its own component and labels only decrease — the
-    * fixpoint is still exactly the component minimum. Each round is two
-    * keyed joins plus a map-side-combined min aggregate (all shuffles on
-    * id-sized keys), and each round's labels are localCheckpoint-ed so
-    * the plan does not double per iteration (the classic Spark
-    * iterative-lineage bug). Driver-side work per round is ONE scalar
-    * count (the convergence check), never the data. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    * Algorithm: min-label propagation with ADAPTIVE POINTER DOUBLING.
+    * Every round each node takes the min of its own and its neighbors'
+    * labels; from round `doubleFrom` on, also its label's label
+    * (component ← label(component), the path-compression step that
+    * jumps a chain in half each round), making convergence O(log
+    * diameter) instead of O(diameter) on deep chains. The doubling
+    * self-join is NOT run in the first rounds: near-dup cluster graphs
+    * are overwhelmingly diameter ≤ 2 (pairs and small cliques), which
+    * plain propagation finishes in 2 rounds — paying an extra shuffle
+    * stage per round to halve "2 rounds" is a net loss (measured ~4×
+    * on the components phase at sf0.1; this regressed BENCH_r03's
+    * ext7_clean_clustered). A graph still unconverged after
+    * `doubleFrom` rounds has real chains, and doubling kicks in with
+    * its asymptotic win intact — a 1000-hop chain still settles in ~12
+    * total rounds. The doubling step is safe because a node's label is
+    * always a member of its own component and labels only decrease —
+    * the fixpoint is still exactly the component minimum. Each round
+    * is one keyed join plus a map-side-combined min aggregate (two
+    * once doubling engages; all shuffles on id-sized keys), and each
+    * round's labels are localCheckpoint-ed so the plan does not double
+    * per iteration (the classic Spark iterative-lineage bug).
+    * Driver-side work per round is ONE scalar count (the convergence
+    * check), never the data. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30, doubleFrom: Int = 2): DataFrame = {
     val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
+    // init already needs one shuffle to enumerate nodes; fold round 0's
+    // propagation into it for free (component = min(self, neighbors)) —
+    // pure pair components (the dominant case) then converge with a
+    // single confirming loop round
+    var labels = edges
+      .groupBy(col("src").as("doc_id"))
+      .agg(min("dst").as("__nbr"))
+      .select(col("doc_id"), least(col("doc_id"), col("__nbr")).as("component"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -295,16 +311,19 @@ object Dedup {
           col("component").as("old"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
       // pointer doubling: component ← label(component); every label value
-      // is itself a node id, so the lookup is a self-join on the frame
-      val next = stepped
-        .join(
-          stepped.select(col("doc_id").as("component"), col("component").as("parent")),
-          Seq("component"), "left")
-        .select(
-          col("doc_id"),
-          col("old"),
-          least(col("component"), coalesce(col("parent"), col("component"))).as("component"))
-        .localCheckpoint(true)
+      // is itself a node id, so the lookup is a self-join on the frame.
+      // Skipped in the first `doubleFrom` rounds — see scaladoc.
+      val doubled =
+        if (iter < doubleFrom) stepped
+        else stepped
+          .join(
+            stepped.select(col("doc_id").as("component"), col("component").as("parent")),
+            Seq("component"), "left")
+          .select(
+            col("doc_id"),
+            col("old"),
+            least(col("component"), coalesce(col("parent"), col("component"))).as("component"))
+      val next = doubled.localCheckpoint(true)
       changed = next.filter(col("component") =!= col("old")).count()
       labels = next.select("doc_id", "component")
       iter += 1
