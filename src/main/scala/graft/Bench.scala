@@ -37,6 +37,13 @@ object Bench {
           false
       }
     val results = names.map { name =>
+      // Drop caches persisted by EARLIER queries (Dedup/CorpusClean pin
+      // corpus-sized frames and never unpersist — by the time the last
+      // bench queries run, leftover blocks + GC pressure inflate their
+      // numbers and make them depend on registry order). Each query's
+      // own caches rebuild during its warm-up and stay hot for the three
+      // timed runs, matching the per-query baseline protocol.
+      spark.catalog.clearCache()
       val warm = run(name)
       val times = (1 to TimedRuns).flatMap { _ =>
         if (!warm) None
