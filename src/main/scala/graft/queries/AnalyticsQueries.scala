@@ -167,6 +167,26 @@ object AnalyticsQueries {
       Some(Sql.CTES +
         """SELECT session_id FROM sessions
           |EXCEPT
-          |SELECT session_id FROM session_costs""".stripMargin))
+          |SELECT session_id FROM session_costs""".stripMargin)),
+
+    // an13 — sketch aggregates: the 100 TB substitutes for exact
+    // distinct/percentile (SURVEY §2.4 lists A4's scale path as
+    // approx_count_distinct). HLL sketches are MERGEABLE — the property
+    // that lets a pre-aggregated per-partition sketch table answer
+    // global distinct questions without re-touching the facts
+    // (AggregateSketchSpec pins estimate accuracy and mergeability).
+    // Estimates are engine-specific (DataSketches HLL / GK quantiles) —
+    // no DuckDB oracle by design, rows-only + ScalaTest like simhash.
+    QueryDef(
+      "an13_sketches",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            approx_count_distinct(col("user_id")).as("n_users_hllpp"),
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n_users_sketch"),
+            graft.Num.rnd(expr("approx_percentile(value, 0.5, 10000)"), 2).as("p50_value"),
+            count(lit(1)).as("n")),
+      None)
   )
 }
