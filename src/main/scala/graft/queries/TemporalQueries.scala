@@ -46,8 +46,12 @@ object TemporalQueries {
       "j7_asof",
       (s, d) =>
         TemporalJoin.asOfLatest(
-          Tables.conversions(s, d),
-          Tables.sessions(s, d),
+          // prune BEFORE the op: asOfLatest carries every left column
+          // through the union struct, and nested-schema pruning does not
+          // reach through the window — an unpruned call would drag
+          // revenue/engagement columns (and their parquet pages) along
+          Tables.conversions(s, d).select("conv_id", "user_id", "conv_ts"),
+          Tables.sessions(s, d).select("user_id", "ts", "session_id", "channel_name"),
           key = "user_id",
           leftTs = "conv_ts",
           rightTs = "ts",

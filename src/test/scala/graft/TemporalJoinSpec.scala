@@ -56,6 +56,13 @@ class TemporalJoinSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("j7 scans prune to the joined columns (no value/props pages read)") {
+    val plan = SparkEntry.queries("j7_asof")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("value:double"), plan)
+    assert(!plan.contains("props:string"), plan)
+  }
+
   test("aggInWindow matches the naive inequality join") {
     val wUs = 3600L * 1000000L
     val got = TemporalJoin.aggInWindow(
