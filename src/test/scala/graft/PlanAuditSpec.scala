@@ -41,6 +41,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("hot attribution queries stay inside whole-stage codegen") {
+    // a CodegenFallback expression in the hot path silently de-optimizes
+    // the whole stage (HOFs are the classic trap) — require codegen
+    // spans in the plans that carry the data volume
+    Seq("j1_journeys", "ihc_score", "an1_pricing_summary", "ext4_term_freq").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      df.collect() // finalize this Dataset's cached AQE plan (a write would build its own)
+      val plan = df.queryExecution.executedPlan.toString
+      // codegen stages render as "*(n) Operator" in the final plan string
+      assert(plan.contains("*("), s"$q lost codegen:\n$plan")
+    }
+  }
+
   test("filters and projection reach the parquet scan") {
     val plan = SparkEntry.queries("s1_scan_prune")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.{Dedup, Sessionize, TemporalJoin}
+import org.apache.spark.sql.functions._
+
+/** Order-of-magnitude stress past the fixture: the fixture tops out at
+  * ~100 k events (sf0.1); these drive the scale-bearing operators at
+  * 10 M synthetic rows (generated with spark.range — synthetic PERF
+  * input only; correctness inputs stay the driver fixtures) and assert
+  * output invariants. The point is not timing (CI boxes vary) but that
+  * nothing in these plans is secretly quadratic, driver-bound, or
+  * memory-proportional-to-partition: a 10 M-row run completes in
+  * seconds on local[4] IF the plan is the shape the scaladocs claim, and
+  * blows the heap or the wall-clock budget if a regression sneaks in a
+  * cross product, an unpartitioned window, or a collect. */
+class ScaleStressSpec extends SparkSpec {
+
+  private val N = 10000000L
+  private val Users = 50000L
+
+  /** 10 M events across 50 k users, ~4.6 days of µs timestamps. */
+  private def bigEvents = {
+    import spark.implicits._
+    spark.range(N).select(
+      col("id").as("event_id"),
+      pmod(hash(col("id")), lit(Users)).cast("long").as("user_id"),
+      (col("id") * 40000000L).as("ts_us"), // one event / 40 s globally
+      pmod(col("id"), lit(97L)).as("payload"))
+  }
+
+  test("as-of join at 10M rows: one row per left key, no pair blow-up") {
+    val left = bigEvents.filter(col("event_id") % 100 === 0)
+      .select(col("event_id").as("probe_id"), col("user_id"), col("ts_us"))
+    val out = TemporalJoin.asOfLatest(
+      left, bigEvents.filter(col("event_id") % 100 =!= 0),
+      key = "user_id", leftTs = "ts_us", rightTs = "ts_us",
+      tieCol = "event_id", payload = Seq("matched_event" -> "event_id"))
+    assert(out.count() === N / 100) // every probe row exactly once
+  }
+
+  test("sessionization at 10M rows keeps one output row per event") {
+    val sessions = Sessionize.sessions(
+      bigEvents.select(
+        col("event_id"), col("user_id"),
+        (col("ts_us") * 1000L).as("ts"))) // epoch-ns, the operator contract
+    assert(sessions.count() === N)
+  }
+
+  test("exact dedup at 10M rows with 97x duplication collapses per key") {
+    val deduped = Dedup.keepFirst(
+      bigEvents.select(col("payload").as("k"), col("ts_us"), col("event_id")),
+      keys = Seq("k"), orderCol = "ts_us", tieCol = "event_id")
+    assert(deduped.count() === 97)
+  }
+}
