@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions.{col, to_timestamp}
   * file contracts, or `all` in one process. Usage:
   *
   *   graft.Main --data-dir /root/testdata/sf0.01 --out-dir /tmp/out \
-  *     [--step build-journeys|score|score-external|report|all] \
+  *     [--step build-journeys|score|score-external|report|clean-corpus|all] \
   *     [--start-date YYYY-MM-DD] [--end-date YYYY-MM-DD] \
   *     [--max-sessions N]   // skew gate: skip conversions over N sessions
+  *     [--min-tokens N] [--max-stopword-ratio X] [--jaccard-threshold X] \
+  *     [--survivor-rule clustered|greedy]   // clean-corpus step only
   *
   * `--data-dir` points at the driver testdata (domain mapping in Tables);
   * `--out-dir` receives customer_journeys/ (CSV),
@@ -22,7 +24,9 @@ import org.apache.spark.sql.functions.{col, to_timestamp}
 object Main {
 
   private val KnownFlags = Set(
-    "config", "data-dir", "out-dir", "step", "start-date", "end-date", "max-sessions")
+    "config", "data-dir", "out-dir", "step", "start-date", "end-date", "max-sessions",
+    // clean-corpus step
+    "min-tokens", "max-stopword-ratio", "jaccard-threshold", "survivor-rule")
 
   /** Strict flag parsing: a typo'd or mispaired flag must fail loudly —
     * silently ignoring `--max-session 1000` would run WITHOUT the skew
@@ -50,6 +54,15 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parse(args)
+    val spark = GraftSession.build(s"graft-${opts.getOrElse("step", "all")}")
+    try run(spark, opts)
+    finally spark.stop()
+  }
+
+  /** Step dispatch, separated from session lifecycle so tests can drive
+    * the CLI against a shared session (main's `finally stop()` would
+    * kill it for every later suite). */
+  def run(spark: org.apache.spark.sql.SparkSession, opts: Map[String, String]): Unit = {
     // --config file supplies defaults (reference config.ini, config.py:17-36);
     // explicit flags override it
     val cfg = opts.get("config").map(Config.load).getOrElse(Config.Defaults)
@@ -62,51 +75,66 @@ object Main {
     // split skewed WINDOW partitions) — off unless configured
     val maxSessions = opts.get("max-sessions").map(_.toInt).orElse(cfg.maxSessionsPerConversion)
 
-    val spark = GraftSession.build(s"graft-$step")
-    try {
-      val conv = Tables.conversions(spark, dataDir)
-      val sess = Tables.sessions(spark, dataDir)
-      val costs = Tables.sessionCosts(spark, dataDir)
+    val conv = Tables.conversions(spark, dataDir)
+    val sess = Tables.sessions(spark, dataDir)
+    val costs = Tables.sessionCosts(spark, dataDir)
 
-      step match {
-        case "build-journeys" =>
-          val j = AttributionPipeline.buildJourneys(conv, sess, start, end)
-          require(AttributionPipeline.nonEmpty(j), "no customer journeys built")
-          AttributionPipeline.writeCsv(JourneyBuilder.journeyOutput(j), s"$outDir/customer_journeys")
-          println(s"[graft] journeys -> $outDir/customer_journeys")
-        case "score" =>
-          val j = AttributionPipeline.readJourneysCsv(spark, s"$outDir/customer_journeys")
-          require(AttributionPipeline.nonEmpty(j), "no journeys to score")
-          val attr = AttributionPipeline.score(j, maxSessions)
-          AttributionPipeline.writeAttribution(attr, s"$outDir/attribution_customer_journey")
-          println(s"[graft] attribution -> $outDir/attribution_customer_journey")
-        case "score-external" =>
-          // the pluggable-boundary path (S6): same contract as `score`,
-          // batched per the config's request limits
-          val j = AttributionPipeline.readJourneysCsv(spark, s"$outDir/customer_journeys")
-            .withColumn("ts",
-              to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss").cast("long"))
-          require(AttributionPipeline.nonEmpty(j), "no journeys to score")
-          val gated = maxSessions.fold(j)(IhcScorer.sessionGate(j, _))
-          val attr = IhcScorer.normalize(ExternalScorer.score(
-            gated,
-            maxJourneysPerRequest = cfg.maxJourneysPerRequest,
-            maxSessionsPerRequest = cfg.maxSessionsPerRequest))
-          AttributionPipeline.writeAttribution(attr, s"$outDir/attribution_customer_journey")
-          println(s"[graft] attribution (external boundary) -> $outDir/attribution_customer_journey")
-        case "report" =>
-          val attr = spark.read.parquet(s"$outDir/attribution_customer_journey")
-          val rep = AttributionPipeline.report(sess, costs, attr, conv, start, end)
-          AttributionPipeline.writeCsv(rep, s"$outDir/channel_reporting")
-          println(s"[graft] report -> $outDir/channel_reporting")
-          printSummary(spark, outDir)
-        case "all" =>
-          AttributionPipeline.runAll(conv, sess, costs, outDir, start, end, maxSessions)
-          printSummary(spark, outDir)
-          println(s"[graft] pipeline complete -> $outDir")
-        case other =>
-          sys.error(s"unknown --step $other (build-journeys|score|score-external|report|all)")
-      }
-    } finally spark.stop()
+    step match {
+      case "build-journeys" =>
+        val j = AttributionPipeline.buildJourneys(conv, sess, start, end)
+        require(AttributionPipeline.nonEmpty(j), "no customer journeys built")
+        AttributionPipeline.writeCsv(JourneyBuilder.journeyOutput(j), s"$outDir/customer_journeys")
+        println(s"[graft] journeys -> $outDir/customer_journeys")
+      case "score" =>
+        val j = AttributionPipeline.readJourneysCsv(spark, s"$outDir/customer_journeys")
+        require(AttributionPipeline.nonEmpty(j), "no journeys to score")
+        val attr = AttributionPipeline.score(j, maxSessions)
+        AttributionPipeline.writeAttribution(attr, s"$outDir/attribution_customer_journey")
+        println(s"[graft] attribution -> $outDir/attribution_customer_journey")
+      case "score-external" =>
+        // the pluggable-boundary path (S6): same contract as `score`,
+        // batched per the config's request limits
+        val j = AttributionPipeline.readJourneysCsv(spark, s"$outDir/customer_journeys")
+          .withColumn("ts",
+            to_timestamp(col("timestamp"), "yyyy-MM-dd HH:mm:ss").cast("long"))
+        require(AttributionPipeline.nonEmpty(j), "no journeys to score")
+        val gated = maxSessions.fold(j)(IhcScorer.sessionGate(j, _))
+        val attr = IhcScorer.normalize(ExternalScorer.score(
+          gated,
+          maxJourneysPerRequest = cfg.maxJourneysPerRequest,
+          maxSessionsPerRequest = cfg.maxSessionsPerRequest))
+        AttributionPipeline.writeAttribution(attr, s"$outDir/attribution_customer_journey")
+        println(s"[graft] attribution (external boundary) -> $outDir/attribution_customer_journey")
+      case "report" =>
+        val attr = spark.read.parquet(s"$outDir/attribution_customer_journey")
+        val rep = AttributionPipeline.report(sess, costs, attr, conv, start, end)
+        AttributionPipeline.writeCsv(rep, s"$outDir/channel_reporting")
+        println(s"[graft] report -> $outDir/channel_reporting")
+        printSummary(spark, outDir)
+      case "all" =>
+        AttributionPipeline.runAll(conv, sess, costs, outDir, start, end, maxSessions)
+        printSummary(spark, outDir)
+        println(s"[graft] pipeline complete -> $outDir")
+      case "clean-corpus" =>
+        // the training-data flow as a product step: quality gate →
+        // exact dedup → LSH near-dup dedup over documents.parquet;
+        // survivor rule `clustered` (default, one survivor per
+        // connected near-dup component) or `greedy` (pairwise drop)
+        val docs = Tables.documents(spark, dataDir)
+        val minTokens = opts.get("min-tokens").map(_.toInt).getOrElse(10)
+        val maxStop = opts.get("max-stopword-ratio").map(_.toDouble).getOrElse(0.5)
+        val thresh = opts.get("jaccard-threshold").map(_.toDouble).getOrElse(0.5)
+        val cleaned = opts.getOrElse("survivor-rule", "clustered") match {
+          case "clustered" => ops.CorpusClean.cleanClustered(docs, minTokens, maxStop, thresh)
+          case "greedy" => ops.CorpusClean.clean(docs, minTokens, maxStop, thresh)
+          case other => sys.error(s"unknown --survivor-rule $other (clustered|greedy)")
+        }
+        cleaned.write.mode("overwrite").parquet(s"$outDir/clean_corpus")
+        val s = ops.CorpusClean.stats(spark.read.parquet(s"$outDir/clean_corpus")).head()
+        println(s"[graft] clean corpus -> $outDir/clean_corpus " +
+          s"(docs=${s.getLong(0)}, tokens=${s.getLong(1)}, avg_tokens=${s.getDouble(2)})")
+      case other =>
+        sys.error(s"unknown --step $other (build-journeys|score|score-external|report|clean-corpus|all)")
+    }
   }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+/** Drives the CLI dispatcher (Main.run) end-to-end against sf0.001 —
+  * the product surface a reference user actually invokes. */
+class CliSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-cli").toString
+
+  test("clean-corpus step writes survivors matching the operator output") {
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "clean-corpus",
+      "data-dir" -> sf("sf0.001"),
+      "out-dir" -> out))
+    val written = spark.read.parquet(s"$out/clean_corpus")
+    val direct = ops.CorpusClean.cleanClustered(Tables.documents(spark, sf("sf0.001")))
+    assert(written.count() === direct.count())
+    assert(written.columns.toSeq ===
+      Seq("doc_id", "n_chars", "n_tokens", "stopword_ratio"))
+    // survivor sets identical, not just same size
+    assert(written.select("doc_id").except(direct.select("doc_id")).count() === 0)
+  }
+
+  test("greedy survivor rule drops at least as many docs as clustering") {
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "clean-corpus", "data-dir" -> sf("sf0.001"),
+      "out-dir" -> out, "survivor-rule" -> "greedy"))
+    val greedy = spark.read.parquet(s"$out/clean_corpus").count()
+    val clustered = ops.CorpusClean.cleanClustered(
+      Tables.documents(spark, sf("sf0.001"))).count()
+    assert(greedy <= clustered) // greedy over-drops on transitive chains
+  }
+
+  test("the full attribution pipeline runs through the CLI dispatcher") {
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "all", "data-dir" -> sf("sf0.001"), "out-dir" -> out))
+    assert(spark.read.parquet(s"$out/attribution_customer_journey").count() > 0)
+    assert(spark.read.option("header", "true").csv(s"$out/channel_reporting").count() > 0)
+  }
+
+  test("unknown steps and flags fail loudly") {
+    intercept[RuntimeException] {
+      Main.run(spark, Map("step" -> "clean-corpse", "data-dir" -> sf("sf0.001")))
+    }
+    intercept[RuntimeException] {
+      Main.run(spark, Map(
+        "step" -> "clean-corpus", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "survivor-rule" -> "fastest"))
+    }
+  }
+}
