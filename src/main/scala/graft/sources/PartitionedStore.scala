@@ -29,6 +29,73 @@ object PartitionedStore {
       .partitionBy("date")
       .parquet(path)
 
+  /** Incremental keyed UPSERT of a batch into an existing date-partitioned
+    * store — the daily-load merge pattern. Semantics: within each
+    * (date, keyCol), a batch row replaces the stored row; stored rows
+    * with no batch counterpart survive; partitions the batch does not
+    * touch are NOT rewritten (their files stay byte-identical).
+    *
+    * Scale shape: the merge reads back ONLY the partitions the batch
+    * touches (partition-pruned via an isin on the batch's distinct dates
+    * — a tiny driver-side list, dates not keys), unions them with the
+    * batch, keeps the batch row per key via a min-struct aggregate on a
+    * precedence tag, and writes with DYNAMIC partition overwrite so the
+    * commit replaces exactly the touched partitions. No full-table
+    * rewrite, no row-at-a-time path (the reference's merge is a DELETE +
+    * per-row INSERT loop, api_client.py:138–149). Not transactional
+    * across concurrent writers — that needs a table format with a
+    * transaction log; single-writer daily loads (the reference's DAG
+    * topology) are exactly the supported contract.
+    *
+    * CONTRACT — `batch` must carry at most one row per (date, keyCol):
+    * with duplicates, payload values would decide the winner (same
+    * min-struct caveat as Dedup.keepFirst). Pre-aggregate upstream. */
+  def upsertByDate(
+      spark: SparkSession,
+      batch: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      path: String,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val dated = batch.withColumn(
+      "date", date_format(graft.Tables.tsMicros(tsCol), "yyyy-MM-dd"))
+    val exists = try {
+      spark.read.parquet(path).schema.nonEmpty
+    } catch { case _: org.apache.spark.sql.AnalysisException => false }
+    val merged =
+      if (!exists) dated
+      else {
+        val touched = dated.select("date").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val current = spark.read.parquet(path)
+          .filter(col("date").cast("string").isin(touched: _*))
+          .withColumn("date", col("date").cast("string"))
+          .select(dated.columns.map(col): _*) // align column order
+        // precedence 0 = batch wins; min-struct keeps one row per key
+        // with map-side combine (same shape as Dedup.keepFirst)
+        val all = dated.withColumn("__prec", lit(0L))
+          .unionByName(current.withColumn("__prec", lit(1L)))
+        val payload = all.columns.filterNot(c => c == keyCol || c == "date")
+        all.groupBy(col("date"), col(keyCol))
+          .agg(min(struct(("__prec" +: payload.filterNot(_ == "__prec")).map(col): _*)).as("__r"))
+          .select(
+            col("date") +: col(keyCol) +:
+              payload.filterNot(_ == "__prec").map(c => col(s"__r.$c").as(c)): _*)
+          .select(dated.columns.map(col): _*)
+      }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("date")
+      .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Read back with optional inclusive date bounds — the filter lands in
     * `PartitionFilters` (pruned before IO), not as a row-level scan
     * predicate. The partition column comes back as DateType (partition

@@ -28,6 +28,45 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(dates.sameElements(Array("2024-01-10", "2024-01-11", "2024-01-12")))
   }
 
+  test("keyed upsert merges touched partitions and leaves the rest byte-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/store"
+    val day = 86400L * 1000000000L // epoch-ns per day
+    def row(key: Long, dayN: Long, v: Double) = (key, dayN * day + key * 1000L, v)
+
+    // initial store: day 0 (keys 1,2) and day 1 (keys 3,4)
+    PartitionedStore.upsertByDate(
+      spark,
+      Seq(row(1, 0, 1.0), row(2, 0, 2.0), row(3, 1, 3.0), row(4, 1, 4.0))
+        .toDF("k", "ts", "v"),
+      tsCol = "ts", keyCol = "k", path = dir)
+
+    def files(date: String) = {
+      val d = new java.io.File(s"$dir/date=$date")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    }
+    val day0Before = files("1970-01-01")
+
+    // batch: update key 3, add key 5 (both day 1), open day 2 with key 6
+    PartitionedStore.upsertByDate(
+      spark,
+      Seq(row(3, 1, 30.0), row(5, 1, 5.0), row(6, 2, 6.0)).toDF("k", "ts", "v"),
+      tsCol = "ts", keyCol = "k", path = dir)
+
+    // untouched partition: same files, byte-for-byte
+    assert(files("1970-01-01") === day0Before)
+    val got = spark.read.parquet(dir)
+      .select(col("k"), col("v"), col("date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got === Set(
+      (1L, 1.0, "1970-01-01"), (2L, 2.0, "1970-01-01"),
+      (3L, 30.0, "1970-01-02"), // batch wins
+      (4L, 4.0, "1970-01-02"), // stored row with no batch counterpart survives
+      (5L, 5.0, "1970-01-02"),
+      (6L, 6.0, "1970-01-03")))
+  }
+
   test("journey contract round-trips through JSON and ORC with the explicit schema") {
     val journeys = ops.JourneyBuilder.journeyOutput(
       ops.JourneyBuilder.journeys(
