@@ -129,6 +129,35 @@ object AttributionQueries {
       },
       Some(Sql.CTES + "SELECT conversion_id, session_id, ihc FROM scored")),
 
+    // S5b — the incremental keyed upsert as an oracle row: load the base
+    // events into a date-partitioned store, upsert a batch that bumps
+    // value for event_id % 7 == 0, read the store back. Hash-matches
+    // only if batch rows replaced stored rows, untouched rows survived,
+    // and the dynamic partition overwrite replaced exactly the touched
+    // partitions. Idempotent across repeated verify/bench invocations:
+    // run 1's base load resets any leftover store state (batch wins per
+    // key), so the final state is deterministic.
+    QueryDef(
+      "s8_upsert_readback",
+      (s, d) => {
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-s8-upsert"
+        val events = Tables.events(s, d)
+        graft.sources.PartitionedStore.upsertByDate(
+          s, events.select("event_id", "ts", "value"),
+          tsCol = "ts", keyCol = "event_id", path = out)
+        graft.sources.PartitionedStore.upsertByDate(
+          s,
+          events.filter(col("event_id") % 7 === 0)
+            .select(col("event_id"), col("ts"), (col("value") + 1.0).as("value")),
+          tsCol = "ts", keyCol = "event_id", path = out)
+        s.read.parquet(out)
+          .select(col("event_id"), col("value"), col("date").cast("string").as("date"))
+      },
+      Some("""SELECT event_id,
+             |       CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END AS value,
+             |       strftime(ts, '%Y-%m-%d') AS date
+             |FROM events""".stripMargin)),
+
     // J2 + F4 — sessions ⟕ costs with COALESCE (channel_reporter.py:36-45).
     QueryDef(
       "j2_session_costs",
