@@ -35,6 +35,20 @@ class AggregateSketchSpec extends SparkSpec {
     assert(math.abs(merged - exact) / exact <= 0.05, s"merged=$merged exact=$exact")
   }
 
+  test("sketches survive a parquet round-trip and still merge (sketch TABLE pattern)") {
+    // the real 100 TB flow: per-shard sketches land in a table, later
+    // queries aggregate the stored binaries without touching the facts
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch").toString
+    events.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/sketches")
+    val merged = spark.read.parquet(s"$dir/sketches")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0).toDouble
+    val exact = events.select(countDistinct(col("user_id"))).head().getLong(0).toDouble
+    assert(math.abs(merged - exact) / exact <= 0.05, s"merged=$merged exact=$exact")
+  }
+
   test("approx_percentile tracks the exact percentile within 2%") {
     val r = events.agg(
       expr("approx_percentile(value, 0.5, 10000)").as("approx"),
