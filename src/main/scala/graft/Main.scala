@@ -75,9 +75,11 @@ object Main {
     // split skewed WINDOW partitions) — off unless configured
     val maxSessions = opts.get("max-sessions").map(_.toInt).orElse(cfg.maxSessionsPerConversion)
 
-    val conv = Tables.conversions(spark, dataDir)
-    val sess = Tables.sessions(spark, dataDir)
-    val costs = Tables.sessionCosts(spark, dataDir)
+    // lazy: clean-corpus runs against a corpus-only data dir where
+    // events.parquet (and these readers' schema reads) may not exist
+    lazy val conv = Tables.conversions(spark, dataDir)
+    lazy val sess = Tables.sessions(spark, dataDir)
+    lazy val costs = Tables.sessionCosts(spark, dataDir)
 
     step match {
       case "build-journeys" =>

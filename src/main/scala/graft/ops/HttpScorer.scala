@@ -4,8 +4,10 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.time.Duration
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import graft.ops.ExternalScorer.{Scored, Touch}
-import graft.ops.WireJson._
+
+import scala.jdk.CollectionConverters._
 
 /** S6 — the real HTTP transport for the external-scorer boundary
   * (ExternalScorer.ScoreFn). The reference POSTs journey chunks to an
@@ -14,15 +16,16 @@ import graft.ops.WireJson._
   * HTTP client, shaped to run INSIDE `mapPartitions`:
   *
   *  - one instance is serialized into the task closure; the underlying
-  *    `HttpClient` is `@transient lazy`, so each executor JVM builds its
-  *    own client on first use (a client is not serializable and must not
-  *    cross the driver/executor boundary);
-  *  - a thrown error (non-2xx, timeout, connect refused) propagates to
-  *    ExternalScorer's retry loop — backoff, bounded attempts, and the
-  *    partial-failure channel live THERE, not here, so every transport
-  *    shares one failure contract;
-  *  - ids ride through BigDecimal-backed JSON (WireJson), so 64-bit keys
-  *    survive the wire exactly.
+  *    `HttpClient` and Jackson mapper are `@transient lazy`, so each
+  *    executor JVM builds its own on first use (neither is serializable
+  *    and neither may cross the driver/executor boundary);
+  *  - a thrown error (non-2xx, timeout, connect refused, malformed
+  *    body) propagates to ExternalScorer's retry loop — backoff, bounded
+  *    attempts, and the partial-failure channel live THERE, not here, so
+  *    every transport shares one failure contract;
+  *  - JSON rides on Jackson (Spark's own classpath dependency — present
+  *    on every executor at the same version); integer ids parse as
+  *    LongNode, so 64-bit keys survive the wire exactly.
   *
   * Wire contract (one request per batch):
   * {{{
@@ -42,24 +45,27 @@ final class HttpScoreFn(
 
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(connectTimeout).build()
+  @transient private lazy val mapper = new ObjectMapper()
 
   override def apply(batch: Seq[Seq[Touch]]): Seq[Scored] = {
-    val journeysJson = arr(batch.map { journey =>
-      arr(journey.map { t =>
-        obj(
-          "conversion_id" -> num(t.conversion_id),
-          "session_id" -> num(t.session_id),
-          "timestamp" -> num(t.ts),
-          "holder_engagement" -> num(t.holder_engagement),
-          "closer_engagement" -> num(t.closer_engagement),
-          "impression_interaction" -> num(t.impression_interaction))
-      })
-    })
-    val body = render(obj("customer_journeys" -> journeysJson))
+    val root = mapper.createObjectNode()
+    val journeys = root.putArray("customer_journeys")
+    batch.foreach { journey =>
+      val jArr = journeys.addArray()
+      journey.foreach { t =>
+        val o = jArr.addObject()
+        o.put("conversion_id", t.conversion_id)
+        o.put("session_id", t.session_id)
+        o.put("timestamp", t.ts)
+        o.put("holder_engagement", t.holder_engagement)
+        o.put("closer_engagement", t.closer_engagement)
+        o.put("impression_interaction", t.impression_interaction): Unit
+      }
+    }
     val request = HttpRequest.newBuilder(URI.create(url))
       .timeout(requestTimeout)
       .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(root)))
       .build()
     val response = client.send(request, HttpResponse.BodyHandlers.ofString())
     if (response.statusCode() / 100 != 2) {
@@ -68,11 +74,13 @@ final class HttpScoreFn(
       throw new RuntimeException(
         s"scorer API returned HTTP ${response.statusCode()}: ${response.body().take(200)}")
     }
-    parse(response.body())("values").arr.map { v =>
+    val values = mapper.readTree(response.body()).path("values")
+    require(values.isArray, s"scorer response has no 'values' array: ${response.body().take(200)}")
+    values.elements().asScala.map { v =>
       Scored(
-        v("conversion_id").num.toLongExact,
-        v("session_id").num.toLongExact,
-        v("ihc").num.toDouble)
-    }
+        v.path("conversion_id").asLong(),
+        v.path("session_id").asLong(),
+        v.path("ihc").asDouble())
+    }.toSeq
   }
 }

@@ -41,7 +41,13 @@ object TemporalJoin {
     * `payload` maps output name -> right-side column.
     *
     * `tieCol` must be unique within (key, rightTs) groups on the right —
-    * satisfied by construction when it is the right side's primary key. */
+    * satisfied by construction when it is the right side's primary key.
+    *
+    * NULL keys follow equi-join semantics (SQL NULL matches nothing):
+    * null-key right rows are filtered out, so a null-key left row
+    * surfaces with NULL payload — without the filter, the window would
+    * group all null keys into ONE partition and hand left rows a match
+    * a join would never produce. */
   def asOfLatest(
       left: DataFrame,
       right: DataFrame,
@@ -61,7 +67,7 @@ object TemporalJoin {
       lit(0L).as("__tie"), // only orders right rows; left ties are payload-null
       lit(null).cast(pType).as("__p"),
       struct(left.columns.map(col): _*).as("__left"))
-    val r = right.select(
+    val r = right.filter(col(key).isNotNull).select(
       col(key).as("__key"),
       col(rightTs).as("__ts"),
       lit(0).as("__side"),

@@ -134,13 +134,21 @@ object AttributionQueries {
     // value for event_id % 7 == 0, read the store back. Hash-matches
     // only if batch rows replaced stored rows, untouched rows survived,
     // and the dynamic partition overwrite replaced exactly the touched
-    // partitions. Idempotent across repeated verify/bench invocations:
-    // run 1's base load resets any leftover store state (batch wins per
-    // key), so the final state is deterministic.
+    // partitions. The store starts EMPTY every invocation (deleted
+    // below) and the path is per-data-dir: upsert survivor semantics
+    // keep stored keys absent from the current batch, so leftover state
+    // from another scale factor (whose event_ids and dates overlap)
+    // would otherwise leak extra rows into the readback.
     QueryDef(
       "s8_upsert_readback",
       (s, d) => {
-        val out = s"${System.getProperty("java.io.tmpdir")}/graft-s8-upsert"
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-s8-upsert-" +
+          java.lang.Integer.toHexString(d.hashCode)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(out))
         val events = Tables.events(s, d)
         graft.sources.PartitionedStore.upsertByDate(
           s, events.select("event_id", "ts", "value"),

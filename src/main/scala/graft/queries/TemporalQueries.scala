@@ -49,22 +49,29 @@ object TemporalQueries {
           // prune BEFORE the op: asOfLatest carries every left column
           // through the union struct, and nested-schema pruning does not
           // reach through the window — an unpruned call would drag
-          // revenue/engagement columns (and their parquet pages) along
-          Tables.conversions(s, d).select("conv_id", "user_id", "conv_ts"),
-          Tables.sessions(s, d).select("user_id", "ts", "session_id", "channel_name"),
+          // revenue/engagement columns (and their parquet pages) along.
+          // Compare in epoch-µs (div 1000), NOT raw ns: the oracle sees
+          // the parquet µs-truncated, and fixture ns have real sub-µs
+          // components, so a same-µs-larger-ns session would be <=-
+          // excluded here but included by the oracle (same trap j8's
+          // bucket arithmetic avoids; latent until same-user same-µs
+          // rows exist, but the discipline is all-arithmetic-in-µs)
+          Tables.conversions(s, d).select(
+            col("conv_id"), col("user_id"), expr("conv_ts div 1000").as("conv_us")),
+          Tables.sessions(s, d).select(
+            col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("session_id"), col("channel_name")),
           key = "user_id",
-          leftTs = "conv_ts",
-          rightTs = "ts",
+          leftTs = "conv_us",
+          rightTs = "ts_us",
           tieCol = "session_id",
           payload = Seq(
             "last_session_id" -> "session_id",
-            "last_session_ts" -> "ts",
+            // BIGINT epoch-µs, not TIMESTAMP: a NULLABLE timestamp next
+            // to a ns/µs unit mismatch defeats downstream comparison
+            "last_ts_us" -> "ts_us",
             "last_channel" -> "channel_name"))
-          // NULLABLE timestamp columns trip engine unit quirks (a NaT
-          // next to a ns/µs unit mismatch defeats value comparison) —
-          // emit the nullable as-of time as BIGINT epoch-µs instead
-          .select(col("conv_id"), col("user_id"), col("last_session_id"),
-            expr("last_session_ts div 1000").as("last_ts_us"), col("last_channel")),
+          .select("conv_id", "user_id", "last_session_id", "last_ts_us", "last_channel"),
       Some(Sql.CTES +
         """SELECT c.conv_id, c.user_id, s.session_id AS last_session_id,
           |       epoch_us(s.ts) AS last_ts_us, s.channel_name AS last_channel

@@ -3,11 +3,13 @@ package graft
 import java.net.InetSocketAddress
 import java.util.concurrent.atomic.AtomicInteger
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import graft.ops.{ExternalScorer, HttpScoreFn}
 import graft.ops.ExternalScorer.Touch
-import graft.ops.WireJson._
 import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
 
 /** End-to-end check of the HTTP transport: a live in-process scorer API
   * (JDK HttpServer) implementing the wire contract with the IHC formula,
@@ -16,6 +18,8 @@ import org.apache.spark.sql.functions._
   * that the serialized-closure + per-executor-client + retry plumbing
   * works against an actual socket, not just the in-JVM stub. */
 class HttpScorerSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
 
   /** Scorer API: parse the posted journeys, apply ExternalScorer.localIhc
     * (the reference formula), respond with the contract's values array.
@@ -30,18 +34,23 @@ class HttpScorerSpec extends SparkSpec {
           if (failures.getAndDecrement() > 0) ("""{"error":"warming up"}""", 503)
           else {
             val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
-            val journeys = parse(body)("customer_journeys").arr.map(_.arr.map(j => Touch(
-              j("conversion_id").num.toLongExact,
-              j("session_id").num.toLongExact,
-              j("timestamp").num.toLongExact,
-              j("holder_engagement").num.toLongExact,
-              j("closer_engagement").num.toLongExact,
-              j("impression_interaction").num.toLongExact)))
-            val scored = ExternalScorer.localIhc(journeys.map(_.toSeq))
-            (render(obj("values" -> arr(scored.map(s => obj(
-              "conversion_id" -> num(s.conversion_id),
-              "session_id" -> num(s.session_id),
-              "ihc" -> num(s.ihc)))))), 200)
+            val journeys = mapper.readTree(body).path("customer_journeys")
+              .elements().asScala.map(_.elements().asScala.map(j => Touch(
+                j.path("conversion_id").asLong(),
+                j.path("session_id").asLong(),
+                j.path("timestamp").asLong(),
+                j.path("holder_engagement").asLong(),
+                j.path("closer_engagement").asLong(),
+                j.path("impression_interaction").asLong())).toSeq).toSeq
+            val root = mapper.createObjectNode()
+            val values = root.putArray("values")
+            ExternalScorer.localIhc(journeys).foreach { s =>
+              val o = values.addObject()
+              o.put("conversion_id", s.conversion_id)
+              o.put("session_id", s.session_id)
+              o.put("ihc", s.ihc): Unit
+            }
+            (mapper.writeValueAsString(root), 200)
           }
         } catch {
           case e: Throwable => (s"""{"error":"${e.getMessage}"}""", 400)
@@ -93,11 +102,11 @@ class HttpScorerSpec extends SparkSpec {
     assert(out.filter(col("error").isNotNull).count() === 10)
   }
 
-  test("wire json round-trips 64-bit ids exactly") {
+  test("64-bit ids survive the wire exactly (Jackson LongNode, not double)") {
     val big = Long.MaxValue - 7
-    val v = parse(render(obj("id" -> num(big), "s" -> JStr("a\"b\\c\nd"), "x" -> JNull)))
-    assert(v("id").num.toLongExact === big)
-    assert(v("s").str === "a\"b\\c\nd")
-    assert(v("x") === JNull)
+    val node = mapper.readTree(s"""{"conversion_id": $big}""")
+    assert(node.path("conversion_id").asLong() === big)
+    // the double path would corrupt it: 2^63-ish is not representable
+    assert(node.path("conversion_id").asDouble().toLong !== big)
   }
 }

@@ -63,6 +63,18 @@ class TemporalJoinSpec extends SparkSpec {
     assert(!plan.contains("props:string"), plan)
   }
 
+  test("asOfLatest NULL keys follow equi-join semantics: no match, row kept") {
+    import spark.implicits._
+    val left = Seq((1L, Some(10L), 100L), (2L, None, 100L))
+      .toDF("id", "k", "lts")
+    val right = Seq((Some(10L), 50L, 7L), (None, 50L, 8L), (None, 99L, 9L))
+      .toDF("k", "rts", "rid")
+    val out = TemporalJoin.asOfLatest(left, right, "k", "lts", "rts", "rid",
+      Seq("m" -> "rid"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out === Map(1L -> Some(7L), 2L -> None)) // null key matches NOTHING
+  }
+
   test("aggInWindow matches the naive inequality join") {
     val wUs = 3600L * 1000000L
     val got = TemporalJoin.aggInWindow(
