@@ -15,7 +15,6 @@ run / fork := true
 // Bench's contract is ONE machine-parseable JSON line on stdout, and the
 // logger prefix broke the driver's parser in rounds 1-3 (BENCH_r*.json
 // "parsed": null — the numbers were only recoverable from the log tail).
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

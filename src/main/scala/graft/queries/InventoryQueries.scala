@@ -473,6 +473,39 @@ object InventoryQueries {
       Some(Sql.CTES +
         s"""SELECT session_id,
            |       ${Sql.rnd("COALESCE(cost / NULLIF(CAST(session_id % 3 AS DOUBLE), CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE))", 4)} AS cost_ratio
-           |FROM session_data""".stripMargin))
+           |FROM session_data""".stripMargin)),
+
+    // ── F11 — core string functions over the documents corpus (the text
+    //    lane uses these internally; this puts the primitives themselves
+    //    under the hash gate: 1-based substring, codepoint length, case
+    //    mapping, concatenation).
+    QueryDef(
+      "f11_strings",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          lower(substring(col("text"), 1, 24)).as("head"),
+          length(col("text")).as("len"),
+          upper(col("lang")).as("lang_uc"),
+          concat(col("source"), lit(":"), col("lang")).as("src_lang")),
+      Some("""SELECT doc_id, lower(substring(text, 1, 24)) AS head,
+             |       length(text) AS len, upper(lang) AS lang_uc,
+             |       source || ':' || lang AS src_lang
+             |FROM documents""".stripMargin)),
+
+    // ── F12 — regex extraction/counting. Patterns stay in the
+    //    class-and-quantifier subset where Java regex (Spark) and RE2
+    //    (DuckDB) agree; fancier constructs (backrefs, lookarounds) are
+    //    NOT portable across the engines and have no oracle-able form.
+    QueryDef(
+      "f12_regex",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+          size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_numbers")),
+      Some("""SELECT doc_id, regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+             |       len(regexp_extract_all(text, '[0-9]+', 0)) AS n_numbers
+             |FROM documents""".stripMargin))
   )
 }
