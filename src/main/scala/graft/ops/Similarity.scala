@@ -233,7 +233,7 @@ object Similarity {
         (dot(emb, typedLit(c)) - lit(c2 / 2.0)).as("score"),
         lit(-i).as("neg_cell"))
     }
-    (-array_max(array(scored: _*)).getField("neg_cell")).cast("int")
+    (-array_max(array(scored.toSeq: _*)).getField("neg_cell")).cast("int")
   }
 
   /** Per-row TOP-`nProbe` cells (for query-side multi-cell probing):
@@ -250,7 +250,7 @@ object Similarity {
       struct((dot(emb, typedLit(c)) - lit(c2 / 2.0)).as("score"), lit(-i).as("neg_cell"))
     }
     transform(
-      slice(reverse(sort_array(array(scored: _*))), 1, nProbe),
+      slice(reverse(sort_array(array(scored.toSeq: _*))), 1, nProbe),
       s => -s.getField("neg_cell"))
   }
 

@@ -66,7 +66,7 @@ object TemporalJoin {
       lit(1).as("__side"),
       lit(0L).as("__tie"), // only orders right rows; left ties are payload-null
       lit(null).cast(pType).as("__p"),
-      struct(left.columns.map(col): _*).as("__left"))
+      struct(left.columns.toSeq.map(col): _*).as("__left"))
     val r = right.filter(col(key).isNotNull).select(
       col(key).as("__key"),
       col(rightTs).as("__ts"),
@@ -84,7 +84,7 @@ object TemporalJoin {
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(
-        left.columns.map(c => col(s"__left.$c").as(c)) ++
+        left.columns.toSeq.map(c => col(s"__left.$c").as(c)) ++
           payload.map { case (out, _) => col(s"__m.$out").as(out) }: _*)
   }
 

@@ -70,18 +70,18 @@ object PartitionedStore {
         val current = spark.read.parquet(path)
           .filter(col("date").cast("string").isin(touched: _*))
           .withColumn("date", col("date").cast("string"))
-          .select(dated.columns.map(col): _*) // align column order
+          .select(dated.columns.toSeq.map(col): _*) // align column order
         // precedence 0 = batch wins; min-struct keeps one row per key
         // with map-side combine (same shape as Dedup.keepFirst)
         val all = dated.withColumn("__prec", lit(0L))
           .unionByName(current.withColumn("__prec", lit(1L)))
         val payload = all.columns.filterNot(c => c == keyCol || c == "date")
         all.groupBy(col("date"), col(keyCol))
-          .agg(min(struct(("__prec" +: payload.filterNot(_ == "__prec")).map(col): _*)).as("__r"))
+          .agg(min(struct(("__prec" +: payload.filterNot(_ == "__prec")).toSeq.map(col): _*)).as("__r"))
           .select(
-            col("date") +: col(keyCol) +:
-              payload.filterNot(_ == "__prec").map(c => col(s"__r.$c").as(c)): _*)
-          .select(dated.columns.map(col): _*)
+            (col("date") +: col(keyCol) +:
+              payload.filterNot(_ == "__prec").map(c => col(s"__r.$c").as(c))).toSeq: _*)
+          .select(dated.columns.toSeq.map(col): _*)
       }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
