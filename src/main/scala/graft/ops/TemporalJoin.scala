@@ -90,9 +90,13 @@ object TemporalJoin {
 
   /** Bounded-range (interval) join, aggregated: for each left row, the
     * given aggregates over right rows whose `rightTs` falls inside
-    * [leftTs − widthMicros, leftTs + widthMicros] (inclusive). No key
-    * column — this is the pure interval join Spark would otherwise plan
-    * as a nested loop. `leftTs` / `rightTs` must be LONG epoch-µs
+    * [leftTs − widthMicros, leftTs + widthMicros] (inclusive).
+    * `keyCols` optionally adds equi-key conjuncts (the per-entity
+    * context window — "this user's events around each conversion"):
+    * the join key becomes (bucket, keys…), so each group shrinks from
+    * bucket density to per-key bucket density. With `keyCols` empty
+    * this is the pure interval join Spark would otherwise plan as a
+    * nested loop. `leftTs` / `rightTs` must be LONG epoch-µs
     * columns (the fixture's ns-long timestamps convert with `div 1000`,
     * the same truncation the DuckDB oracle applies reading the parquet —
     * doing the arithmetic on mixed ns/µs representations would disagree
@@ -109,19 +113,19 @@ object TemporalJoin {
       leftTs: String,
       rightTs: String,
       widthMicros: Long,
-      aggs: Seq[Column]): DataFrame = {
+      aggs: Seq[Column],
+      keyCols: Seq[String] = Nil): DataFrame = {
     // integer `div` keeps the bucket math exact; timestamps are positive
     // epochs so floor == truncation
     val intervals = left.select(
-      col(leftId),
-      col(leftTs),
-      explode(sequence(
-        expr(s"($leftTs - ${widthMicros}L) div ${widthMicros}L"),
-        expr(s"($leftTs + ${widthMicros}L) div ${widthMicros}L"))).as("__bucket"))
+      (col(leftId) +: col(leftTs) +: keyCols.map(col)) :+
+        explode(sequence(
+          expr(s"($leftTs - ${widthMicros}L) div ${widthMicros}L"),
+          expr(s"($leftTs + ${widthMicros}L) div ${widthMicros}L"))).as("__bucket"): _*)
     val bucketed = right
       .withColumn("__bucket", expr(s"$rightTs div ${widthMicros}L"))
     intervals
-      .join(bucketed, "__bucket")
+      .join(bucketed, "__bucket" +: keyCols)
       // a right row lives in exactly one bucket, so each (interval, row)
       // pair meets at most once — no post-join dedup needed
       .filter(col(rightTs) >= col(leftTs) - lit(widthMicros) &&

@@ -110,6 +110,32 @@ object TemporalQueries {
           |GROUP BY 1""".stripMargin),
       bench = true),
 
+    // J9 — KEYED bounded-range join: the per-entity context window
+    // ("this user's sessions within ±1 h of each of their
+    // conversions") — the join key is (bucket, user_id), so groups
+    // shrink from global bucket density to per-user bucket density.
+    QueryDef(
+      "j9_keyed_range",
+      (s, d) =>
+        TemporalJoin.aggInWindow(
+          Tables.conversions(s, d).select(
+            col("conv_id"), col("user_id"), expr("conv_ts div 1000").as("conv_us")),
+          Tables.sessions(s, d).select(
+            col("user_id"), col("session_id"), expr("ts div 1000").as("ts_us")),
+          leftId = "conv_id",
+          leftTs = "conv_us",
+          rightTs = "ts_us",
+          widthMicros = 3600L * 1000000L,
+          aggs = Seq(count(lit(1)).as("n_own_sessions")),
+          keyCols = Seq("user_id")),
+      Some(Sql.CTES +
+        """SELECT c.conv_id, COUNT(*) AS n_own_sessions
+          |FROM conversions c JOIN sessions s
+          |  ON s.user_id = c.user_id
+          | AND s.ts >= c.conv_ts - INTERVAL 1 HOUR
+          | AND s.ts <= c.conv_ts + INTERVAL 1 HOUR
+          |GROUP BY 1""".stripMargin)),
+
     // an8 — top-N per group via ranking window. Spark rewrites the
     // rank-filter into WindowGroupLimit (per-partition top-k before the
     // shuffle) — the scale-right plan for "top N per key".
