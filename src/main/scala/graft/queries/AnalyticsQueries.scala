@@ -169,6 +169,20 @@ object AnalyticsQueries {
           |EXCEPT
           |SELECT session_id FROM session_costs""".stripMargin)),
 
+    // an14 — fixed-width histogram: bucket = floor(price / width). One
+    // hash aggregate; the bucketing projection is exact IEEE divide +
+    // floor on both engines.
+    QueryDef(
+      "an14_histogram",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(floor(col("l_extendedprice") / 1000.0).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            graft.Num.rnd(sum("l_extendedprice"), 2).as("total")),
+      Some(s"""SELECT CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS bucket,
+              |       COUNT(*) AS n, ${Sql.rnd("SUM(l_extendedprice)", 2)} AS total
+              |FROM lineitem GROUP BY 1""".stripMargin)),
+
     // an13 — sketch aggregates: the 100 TB substitutes for exact
     // distinct/percentile (SURVEY §2.4 lists A4's scale path as
     // approx_count_distinct). HLL sketches are MERGEABLE — the property

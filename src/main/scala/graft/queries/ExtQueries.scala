@@ -421,6 +421,29 @@ object ExtQueries {
              |    SELECT event_id, user_id, ts,
              |           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
              |    FROM events) l) f""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ── EXT4f — token redaction/masking: the regexp_replace scrub every
+    //    pre-training pipeline runs (PII patterns, boilerplate, banned
+    //    vocab). The fixture corpus has no digits/emails, so the masked
+    //    class here is the determiner tokens — same mechanism, observable
+    //    effect. Word-boundary alternation stays in the Java-regex/RE2
+    //    common subset; DuckDB needs the explicit 'g' flag for the
+    //    global replace Spark does by default.
+    QueryDef(
+      "ext4_redact",
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          regexp_replace(col("text"), "\\ba\\b|\\bthe\\b", "<mask>").as("masked"),
+          // pattern as a lit() Column, NOT inside expr(): a SQL string
+          // literal treats \b as a backspace ESCAPE, silently turning
+          // the word-boundary regex into a never-matching literal
+          size(regexp_extract_all(col("text"), lit("\\ba\\b|\\bthe\\b"), lit(0)))
+            .cast("long").as("n_masked")),
+      Some("""SELECT doc_id,
+             |       regexp_replace(text, '\ba\b|\bthe\b', '<mask>', 'g') AS masked,
+             |       len(regexp_extract_all(text, '\ba\b|\bthe\b', 0)) AS n_masked
+             |FROM documents""".stripMargin))
   )
 }
