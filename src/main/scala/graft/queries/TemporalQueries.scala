@@ -170,6 +170,72 @@ object TemporalQueries {
              |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
              |FROM events""".stripMargin)),
 
+    // an15 — ordered-frame window suite: running totals, quartile
+    // assignment, relative rank. The running money sum accumulates
+    // BIGINT cents, not doubles: a running double sum is
+    // order-dependent in the engine's internal tree (DuckDB windows
+    // aggregate via segment tree, Spark incrementally — different fp
+    // addition orders), while integer addition is associative and
+    // hash-exact. percent_rank is (rank-1)/(n-1) on identical int
+    // operands — exact on both engines.
+    QueryDef(
+      "an15_window_suite",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          // explicit floor: DuckDB's double->BIGINT cast ROUNDS while
+          // Spark's truncates — floor() agrees everywhere
+          .withColumn("cents", floor(col("value") * 100.0).cast("long"))
+          .withColumn("running_cents",
+            sum("cents").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("running_n",
+            count(lit(1)).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("quartile", ntile(4).over(byUser).cast("long"))
+          .withColumn("pct_rank", percent_rank().over(byUser))
+          .select("user_id", "event_id", "running_cents", "running_n", "quartile", "pct_rank")
+      },
+      Some("""SELECT user_id, event_id,
+             |       SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w_run AS running_cents,
+             |       COUNT(*) OVER w_run AS running_n,
+             |       NTILE(4) OVER w AS quartile,
+             |       PERCENT_RANK() OVER w AS pct_rank
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             |       w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // an16 — FULL OUTER join: both-sides-preserved merge of the session
+    // and cost tables (every other join type is covered elsewhere:
+    // inner J3/J4, left J2, semi J5, anti J6, as-of J7, interval J8/J9).
+    // Full outer cannot broadcast — it must plan a shuffle join with
+    // both sides streamed; null indicators mark the unmatched sides.
+    QueryDef(
+      "an16_full_outer",
+      (s, d) =>
+        Tables.sessions(s, d).select("session_id", "channel_name")
+          .join(
+            Tables.sessionCosts(s, d)
+              // shift ids to manufacture right-only rows (every cost id
+              // otherwise has a session): %4 sessions keep no cost, +1
+              // shifted ids land on missing ids for right-only rows
+              .select((col("session_id") * 2L).as("session_id"), col("cost")),
+            Seq("session_id"), "full_outer")
+          .select(
+            col("session_id"),
+            col("channel_name"),
+            graft.Num.rnd(col("cost"), 2).as("cost"),
+            col("channel_name").isNull.as("right_only"),
+            col("cost").isNull.as("left_only")),
+      Some(Sql.CTES +
+        s"""SELECT COALESCE(s.session_id, c.session_id) AS session_id,
+           |       s.channel_name,
+           |       ${Sql.rnd("c.cost", 2)} AS cost,
+           |       s.channel_name IS NULL AS right_only,
+           |       c.cost IS NULL AS left_only
+           |FROM sessions s FULL JOIN
+           |     (SELECT session_id * 2 AS session_id, cost FROM session_costs) c
+           |  ON s.session_id = c.session_id""".stripMargin)),
+
     // an10 — CUBE grouping sets over the raw event stream (an4 covers
     // ROLLUP through the SQL front door; this exercises the DataFrame
     // cube API — no join lineage, so DetectAmbiguousSelfJoin is moot).
