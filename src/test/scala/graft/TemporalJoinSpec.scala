@@ -75,6 +75,21 @@ class TemporalJoinSpec extends SparkSpec {
     assert(out === Map(1L -> Some(7L), 2L -> None)) // null key matches NOTHING
   }
 
+  test("empty inputs: as-of keeps left rows with null payload; range join yields no rows") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("id", "k", "lts")
+    val emptyRight = Seq.empty[(Long, Long, Long)].toDF("k", "rts", "rid")
+    val asOfOut = TemporalJoin.asOfLatest(left, emptyRight, "k", "lts", "rts", "rid",
+      Seq("m" -> "rid")).collect()
+    assert(asOfOut.length === 1 && asOfOut.head.isNullAt(3))
+    val rangeOut = TemporalJoin.aggInWindow(
+      left, emptyRight, "id", "lts", "rts", 1000L, Seq(count(lit(1)).as("n"))).collect()
+    assert(rangeOut.isEmpty) // inner semantics: empty window -> no row
+    val emptyLeft = Seq.empty[(Long, Long, Long)].toDF("id", "k", "lts")
+    assert(TemporalJoin.asOfLatest(emptyLeft, emptyRight, "k", "lts", "rts", "rid",
+      Seq("m" -> "rid")).collect().isEmpty)
+  }
+
   test("aggInWindow matches the naive inequality join") {
     val wUs = 3600L * 1000000L
     val got = TemporalJoin.aggInWindow(
