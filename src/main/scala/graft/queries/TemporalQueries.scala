@@ -181,7 +181,11 @@ object TemporalQueries {
     QueryDef(
       "an15_window_suite",
       (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        // order by µs-truncated time like the oracle (epoch_us), not raw
+        // ns — a same-user same-µs pair would otherwise sort by sub-µs
+        // ns here but by event_id there (the j7 discipline)
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(expr("ts div 1000"), col("event_id"))
         Tables.events(s, d)
           // explicit floor: DuckDB's double->BIGINT cast ROUNDS while
           // Spark's truncates — floor() agrees everywhere
@@ -200,8 +204,8 @@ object TemporalQueries {
              |       NTILE(4) OVER w AS quartile,
              |       PERCENT_RANK() OVER w AS pct_rank
              |FROM events
-             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-             |       w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+             |       w_run AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
 
     // an16 — FULL OUTER join: both-sides-preserved merge of the session
@@ -215,9 +219,10 @@ object TemporalQueries {
         Tables.sessions(s, d).select("session_id", "channel_name")
           .join(
             Tables.sessionCosts(s, d)
-              // shift ids to manufacture right-only rows (every cost id
-              // otherwise has a session): %4 sessions keep no cost, +1
-              // shifted ids land on missing ids for right-only rows
+              // double the cost ids to manufacture right-only rows
+              // (every cost id otherwise has a session): ids past the
+              // event range match nothing, and un-costed sessions
+              // supply the left-only side
               .select((col("session_id") * 2L).as("session_id"), col("cost")),
             Seq("session_id"), "full_outer")
           .select(

@@ -26,13 +26,18 @@ object StreamingDedup {
       .withColumn("event_ts", graft.Tables.tsMicros("ts"))
       .withWatermark("event_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+      // schema-stable: the watermark helper column is an implementation
+      // detail; callers get exactly the input schema back
+      .drop("event_ts")
 
   /** Stream-static enrichment: attach dimension attributes to the event
     * stream. The static side is re-read per micro-batch (picking up dim
-    * updates) and broadcast when small — no stateful join machinery, no
-    * watermark requirement; this is THE pattern for decorating a stream
-    * with reference data (channel groups, language families, media
-    * codecs). */
+    * updates); no forced broadcast hint — Spark's size threshold
+    * decides, so a small dim broadcasts and an oversized one degrades
+    * to a shuffle instead of OOMing the ingest path. No stateful join
+    * machinery, no watermark requirement; this is THE pattern for
+    * decorating a stream with reference data (channel groups, language
+    * families, media codecs). */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+    events.join(dim, Seq(key), "left")
 }

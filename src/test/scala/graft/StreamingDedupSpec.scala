@@ -13,8 +13,7 @@ class StreamingDedupSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def runToMemory(
-      df: org.apache.spark.sql.DataFrame, name: String, maxFiles: Int): Unit = {
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
     val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
     val q = df.writeStream
       .format("memory")
@@ -23,7 +22,7 @@ class StreamingDedupSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000): Unit
+    assert(q.awaitTermination(120000), "stream timed out")
   }
 
   test("cross-micro-batch duplicates are suppressed with bounded state") {
@@ -37,7 +36,7 @@ class StreamingDedupSpec extends SparkSpec {
     runToMemory(
       StreamingDedup.dedupedEvents(
         StreamingIngest.readEvents(spark, landing.toString, maxFilesPerTrigger = 1)),
-      "dedup_stream", maxFiles = 1)
+      "dedup_stream")
     val streamed = spark.table("dedup_stream").select("event_id")
       .as[Long].collect().sorted
     val batch = Tables.events(spark, dir).select("event_id")
@@ -58,7 +57,7 @@ class StreamingDedupSpec extends SparkSpec {
       StreamingDedup.enrich(
         StreamingIngest.readEvents(spark, landing.toString), dim, "event_type")
         .select("event_id", "event_group"),
-      "enrich_stream", maxFiles = 32)
+      "enrich_stream")
     val streamed = spark.table("enrich_stream")
       .as[(Long, String)].collect().toSet
     val batch = Tables.events(spark, dir).join(dim, Seq("event_type"), "left")
