@@ -115,6 +115,9 @@ object TemporalJoin {
       widthMicros: Long,
       aggs: Seq[Column],
       keyCols: Seq[String] = Nil): DataFrame = {
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must have distinct names (both '$leftTs'): the exact " +
+        "interval filter references both sides post-join and a shared name is ambiguous")
     // integer `div` keeps the bucket math exact; timestamps are positive
     // epochs so floor == truncation
     val intervals = left.select(

@@ -46,6 +46,22 @@ class ScaleStressSpec extends SparkSpec {
     assert(sessions.count() === N)
   }
 
+  test("keyed range join at 10M rows stays binned (no pair blow-up)") {
+    val hour = 3600L * 1000000L
+    val probes = bigEvents.filter(col("event_id") % 100 === 0)
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        col("ts_us").as("probe_us")) // leftTs must not share rightTs's name
+    val out = TemporalJoin.aggInWindow(
+      probes, bigEvents.select(col("user_id"), col("ts_us"), col("payload")),
+      leftId = "probe_id", leftTs = "probe_us", rightTs = "ts_us",
+      widthMicros = hour,
+      aggs = Seq(count(lit(1)).as("n")),
+      keyCols = Seq("user_id"))
+    // every probe matches at least itself (the probe row is in the right
+    // side too, zero distance), so the result covers all probes
+    assert(out.count() === N / 100)
+  }
+
   test("exact dedup at 10M rows with 97x duplication collapses per key") {
     val deduped = Dedup.keepFirst(
       bigEvents.select(col("payload").as("k"), col("ts_us"), col("event_id")),
