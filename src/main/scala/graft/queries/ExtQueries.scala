@@ -177,13 +177,36 @@ object ExtQueries {
            |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95""".stripMargin)),
 
     // ── EXT2d-ivf — embedding near-dup over TRAINED cells (no blocking
-    //    column needed; multi-assignment covers cell boundaries). Trained
-    //    floats ⇒ rows-only; planted-duplicate exactness pinned in
-    //    DedupSimilaritySpec.
+    //    column needed; multi-assignment covers cell boundaries). The
+    //    fixture alone has NO pairs at cosine ≥ 0.95 (all-pairs max is
+    //    ≈ 0.513), which would make this a vacuous 0-row check — so the
+    //    query plants exact duplicates (every 10th vector re-inserted
+    //    under vec_id + 10⁷) and the oracle recomputes the EXACT
+    //    all-pairs ground truth over the same planted corpus. Identical
+    //    vectors probe identical cells whatever the trained centroids
+    //    converge to, so IVF recall on the planted pairs is 100% by
+    //    construction and the hash compare is exact — the same
+    //    LSH-vs-exact-ground-truth pattern as ext2_minhash_lsh.
     QueryDef(
       "ext2_embed_neardup_ivf",
-      (s, d) => Similarity.nearDupPairsIvf(Tables.embeddings(s, d)),
-      None),
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val planted = e.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(10000000L))
+        Similarity.nearDupPairsIvf(e.unionByName(planted))
+      },
+      Some(s"""WITH pe AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id % 10 = 0
+              |), e AS (
+              |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM pe
+              |)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |       ${Sql.rnd("list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)", 6)} AS sim
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95""".stripMargin)),
 
     // ── EXT2c-pairs — SimHash banded near-dup pairs (engine-hash-based ⇒
     //    rows-only; guaranteed-recall property tested in DedupSpec).

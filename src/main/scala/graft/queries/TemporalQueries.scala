@@ -198,8 +198,12 @@ object TemporalQueries {
           .withColumn("pct_rank", percent_rank().over(byUser))
           .select("user_id", "event_id", "running_cents", "running_n", "quartile", "pct_rank")
       },
+      // The window SUM must be cast back to BIGINT: DuckDB's SUM(BIGINT)
+      // yields HUGEINT, which lands in the driver's pandas compare as
+      // float64 while Spark's stays int64 — same values, different typed
+      // hashes (the one hash_match failure of round 4).
       Some("""SELECT user_id, event_id,
-             |       SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w_run AS running_cents,
+             |       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) OVER w_run AS BIGINT) AS running_cents,
              |       COUNT(*) OVER w_run AS running_n,
              |       NTILE(4) OVER w AS quartile,
              |       PERCENT_RANK() OVER w AS pct_rank
