@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, AttributionQueries, ExtQueries, InventoryQueries, TemporalQueries}
+import graft.queries.{AnalyticsQueries, AttributionQueries, ExtQueries, InventoryQueries, StorageQueries, TemporalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -9,7 +9,7 @@ object SparkEntry {
   /** Every registered query (Spark fn + optional DuckDB oracle). */
   def registry: Seq[QueryDef] =
     AttributionQueries.all ++ InventoryQueries.all ++ ExtQueries.all ++
-      AnalyticsQueries.all ++ TemporalQueries.all
+      AnalyticsQueries.all ++ TemporalQueries.all ++ StorageQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryDef, Sql, Tables}
+import graft.ops.Skew
+import graft.sources.Compaction
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.functions._
+
+/** Round-5 storage & physical-layout surface: text source/sink formats
+  * beyond CSV/parquet (JSON lines, ORC), the small-file compactor, and the
+  * explicit skew-salted join. Every query here is a full oracle row — the
+  * sinks are verified by writing through the REAL writer, reading back
+  * through the REAL reader, and hash-comparing the round-trip against the
+  * source-of-truth SQL over the original table.
+  */
+object StorageQueries {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$name"
+
+  /** The identity readback oracle for an events subset. The µs
+    * discipline: the fixture's ns timestamps are NOT µs-aligned and
+    * DuckDB truncates TIMESTAMP(NANOS) to µs on read, so the comparable
+    * column is `ts div 1000` ≡ `epoch_us(ts)` — the round-trip still
+    * carries the full ns long through the sink and source; only the
+    * COMPARISON truncates. */
+  private def eventsSql(where: String): String =
+    s"""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+       |FROM events$where""".stripMargin
+
+  /** Spark twin of [[eventsSql]]'s projection, applied after readback. */
+  private def eventsCols(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("event_id"), expr("ts div 1000").as("ts_us"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── S9 — JSON-lines sink + source round-trip. JSON is the one text
+    //    format every labeling/annotation tool speaks, so the engine must
+    //    round-trip it LOSSLESSLY: longs stay longs, doubles survive via
+    //    shortest-roundtrip rendering (Jackson both ways), nulls are
+    //    omitted-and-restored, and the `props` column — a JSON document
+    //    already — survives as an escaped string, not re-parsed. The
+    //    read side applies the explicit landing schema (never inference:
+    //    on a 100 TB lake, schema inference is a full extra scan).
+    QueryDef(
+      "s9_json_roundtrip",
+      (s, d) => {
+        // fixed path + overwrite mode — see s3_csv_roundtrip
+        val out = tmp("s9-json")
+        Tables.events(s, d).filter(col("event_id") % 20 === 0)
+          .write.mode("overwrite").json(out)
+        eventsCols(s.read.schema(StreamingIngest.eventsSchema).json(out))
+      },
+      Some(eventsSql(" WHERE event_id % 20 = 0"))),
+
+    // ── S10 — ORC sink + source round-trip: the second columnar format
+    //    (Hive-ecosystem interchange). Binary-exact by construction —
+    //    the round-trip proves the engine's type mapping, not the codec.
+    QueryDef(
+      "s10_orc_roundtrip",
+      (s, d) => {
+        val out = tmp("s10-orc")
+        Tables.events(s, d).filter(col("event_id") % 20 === 1)
+          .write.mode("overwrite").orc(out)
+        eventsCols(s.read.orc(out))
+      },
+      Some(eventsSql(" WHERE event_id % 20 = 1"))),
+
+    // ── S11 — small-file compaction: scatter events into 64 tiny files
+    //    (the shape a per-trigger streaming writer leaves behind), compact
+    //    to size-targeted files, hash-compare the readback against the
+    //    original table. File-count/layout assertions live in
+    //    CompactionSpec; the oracle pins that compaction moved BYTES, not
+    //    meaning.
+    QueryDef(
+      "s11_compact_readback",
+      (s, d) => {
+        val in = tmp("s11-scattered")
+        val out = tmp("s11-compacted")
+        Tables.events(s, d).repartition(64).write.mode("overwrite").parquet(in)
+        eventsCols(Compaction.compact(s, in, out))
+      },
+      Some(eventsSql(""))),
+
+    // ── S12 — sorted compaction: same contract through the
+    //    repartitionByRange + sortWithinPartitions path (disjoint key
+    //    ranges per file for min/max data skipping — layout asserted in
+    //    CompactionSpec, content pinned here).
+    QueryDef(
+      "s12_compact_sorted",
+      (s, d) => {
+        val in = tmp("s12-scattered")
+        val out = tmp("s12-sorted")
+        Tables.events(s, d).repartition(64).write.mode("overwrite").parquet(in)
+        eventsCols(Compaction.compactSorted(s, in, out, Seq("user_id", "event_id")))
+      },
+      Some(eventsSql(""))),
+
+    // ── J10 — skew-salted fact⋈dim join. The oracle is the PLAIN join:
+    //    salting must be a pure physical rewrite (finer join key, dim
+    //    replicated), invisible in the result. Sums accumulate exact
+    //    integer cents; the outer CAST keeps DuckDB's HUGEINT sum BIGINT.
+    QueryDef(
+      "j10_salted_join",
+      (s, d) =>
+        Skew.saltedJoin(
+            Tables.lineitem(s, d).select("l_partkey", "l_quantity"),
+            Tables.part(s, d).select(col("p_partkey").as("l_partkey"), col("p_brand")),
+            key = "l_partkey",
+            salt = 8)
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(floor(col("l_quantity") * 100.0).cast("long")).as("qty_cents")),
+      Some("""SELECT p_brand, COUNT(*) AS n_items,
+             |       CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1""".stripMargin)))
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.ops.Skew
+import graft.sources.Compaction
+import graft.streaming.{StreamingIngest, StreamingJoin}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.nio.file.Files
+
+/** Round-5 surface: salted join (result-invariance + spread), compaction
+  * (file sizing, identity, disjoint sorted ranges), and the stream-stream
+  * interval join (stream == batch across micro-batch boundaries). */
+class StorageSkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(s"graft-$prefix").toString
+
+  // ── Skew.saltedJoin ────────────────────────────────────────────────
+
+  test("salted join result is identical to the plain join (inner and left)") {
+    val dir = sf("sf0.001")
+    val facts = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity")
+    val dim = Tables.part(spark, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      // drop some dim keys so inner loses rows and left manufactures nulls
+      .filter(col("l_partkey") % 5 =!= 0)
+    for (jt <- Seq("inner", "left")) {
+      val plain = facts.join(dim, Seq("l_partkey"), jt)
+        .groupBy("p_brand").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val salted = Skew.saltedJoin(facts, dim, "l_partkey", salt = 8, joinType = jt)
+        .groupBy("p_brand").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(salted === plain, s"joinType=$jt")
+    }
+  }
+
+  test("salting spreads a hot key across sub-keys") {
+    // one key carrying 96% of the rows — the shape AQE can't fix before
+    // runtime stats exist
+    val hot = spark.range(96000).select(lit(7L).as("k"), col("id").as("v"))
+      .union(spark.range(4000).select((col("id") % 100).as("k"), col("id").as("v")))
+    val dim = spark.range(100).select(col("id").as("k"), concat(lit("d"), col("id")).as("attr"))
+    val salt = 16
+    val joined = Skew.saltedJoin(hot, dim, "k", salt)
+    assert(joined.count() === 100000L)
+    // measure the spray itself: the hot key's rows must land in all
+    // `salt` sub-keys, with no sub-key holding more than ~2× its share
+    val spread = hot
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+      .filter(col("k") === 7).groupBy("__salt").count()
+      .collect().map(_.getLong(1))
+    assert(spread.length === salt, s"hot key only reached ${spread.length}/$salt sub-keys")
+    assert(spread.max < 2L * 96000 / salt,
+      s"spray is lopsided: max sub-key ${spread.max} rows")
+  }
+
+  test("salted join rejects dim-preserving join types") {
+    val df = spark.range(2).select(col("id").as("k"))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, "k", 4, joinType = "right")
+    }
+  }
+
+  // ── Compaction ─────────────────────────────────────────────────────
+
+  test("compact merges a scattered directory into size-targeted files") {
+    val in = tmpDir("compact-in")
+    val out = tmpDir("compact-out")
+    Tables.events(spark, sf("sf0.001")).repartition(32)
+      .write.mode("overwrite").parquet(in)
+    val (filesIn, bytesIn) = Compaction.dirStats(spark, in)
+    assert(filesIn === 32L)
+    // target ~¼ of the input ⇒ expect exactly ceil(bytes/target) = 4 files
+    val target = bytesIn / 4 + 1
+    val back = Compaction.compact(spark, in, out, targetBytes = target)
+    val (filesOut, _) = Compaction.dirStats(spark, out)
+    assert(filesOut === 4L, s"expected 4 compacted files, found $filesOut")
+    // identity: same multiset of rows
+    assert(back.count() === 1000L)
+    assert(back.select(sum("event_id")).as[Long].head() ===
+      Tables.events(spark, sf("sf0.001")).select(sum("event_id")).as[Long].head())
+  }
+
+  test("compactSorted produces files with disjoint key ranges") {
+    val in = tmpDir("sorted-in")
+    val out = tmpDir("sorted-out")
+    Tables.events(spark, sf("sf0.001")).repartition(32)
+      .write.mode("overwrite").parquet(in)
+    val (_, bytes) = Compaction.dirStats(spark, in)
+    Compaction.compactSorted(spark, in, out, Seq("user_id", "event_id"),
+      targetBytes = bytes / 4 + 1)
+    // each output file owns a disjoint (user_id, event_id) slice ⇒ parquet
+    // min/max footers prune files for user_id predicates
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min(struct(col("user_id"), col("event_id"))).as("lo"),
+        max(struct(col("user_id"), col("event_id"))).as("hi"))
+      .select(col("lo.user_id"), col("lo.event_id"), col("hi.user_id"), col("hi.event_id"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(implicitly[Ordering[(Long, Long)]].lt(hi, lo),
+          s"overlapping file ranges: $hi vs $lo")
+      case _ =>
+    }
+  }
+
+  // ── StreamingJoin ──────────────────────────────────────────────────
+
+  test("stream-stream interval join equals the batch range join across micro-batches") {
+    val dir = sf("sf0.001")
+    val landing = tmpDir("ssjoin-landing")
+    // split the fixture into two landing files so maxFilesPerTrigger=1
+    // forces conversions and sessions to meet ACROSS micro-batches —
+    // only the join's state store can produce those matches
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/a")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/b")
+    val stream = StreamingIngest.readEvents(
+      spark, s"$landing/*", maxFilesPerTrigger = 1)
+    val joined = StreamingJoin.convSessionInterval(
+      stream.filter(col("event_type") === "purchase"),
+      stream.filter(col("event_type") =!= "purchase"))
+    val ckpt = tmpDir("ssjoin-ckpt")
+    val q = joined.writeStream
+      .format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream timed out")
+    val streamed = spark.table("ssjoin")
+      .select("conv_id", "session_id").as[(Long, Long)].collect().toSet
+
+    val conv = Tables.conversions(spark, dir)
+    val sess = Tables.sessions(spark, dir)
+    val batch = sess.join(conv,
+        sess("user_id") === conv("user_id") &&
+          sess("ts") >= conv("conv_ts") - lit(3600L * 1000000000L) &&
+          sess("ts") <= conv("conv_ts"))
+      .select(col("conv_id"), col("session_id")).as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+}
