@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data assembly: train/val/test
+  * splitting and per-source mixture weighting.
+  *
+  * Everything here is HASH-deterministic, never RNG-based: `df.sample` and
+  * `rand()` draw from per-task RNG streams, so membership changes with the
+  * partition layout, the run, and the executor count — unacceptable for a
+  * split that must stay frozen across reruns, engines, and backfills (a
+  * document that migrates from test to train silently contaminates every
+  * future evaluation). A stable function of a row KEY gives the same
+  * verdict everywhere, forever, and needs no split-assignment table.
+  *
+  * The bucketer is pluggable: the default mixes the key through xxhash64
+  * (sequential ids would otherwise stripe systematically across buckets —
+  * doc 0,100,200… all landing in bucket 0 correlates membership with
+  * crawl/ingest order). Callers needing cross-engine arithmetic parity
+  * (the oracle queries) pass a portable bucketer like `key % 100`; the
+  * default hashed path is pinned by determinism/fraction/disjointness
+  * tests instead.
+  */
+object Sampling {
+
+  /** Stable percent bucket in [0, 100): xxhash64-mixed by default. */
+  def hashBucket(key: Column): Column = pmod(xxhash64(key), lit(100L))
+
+  /** Portable bucketer for non-negative integer keys — identical
+    * arithmetic in any SQL engine (used by the oracle twins). */
+  def modBucket(key: Column): Column = pmod(key, lit(100L))
+
+  /** Adds a `split` column assigning each row to the first split whose
+    * cumulative weight exceeds the row's bucket. `splits` are
+    * (name, percent) with percents summing to 100 — e.g.
+    * Seq(("train", 80), ("val", 10), ("test", 10)): buckets 0–79 train,
+    * 80–89 val, 90–99 test. Disjoint and exhaustive by construction. */
+  def hashSplit(
+      df: DataFrame,
+      key: Column,
+      splits: Seq[(String, Int)],
+      bucketFn: Column => Column = hashBucket): DataFrame = {
+    require(splits.map(_._2).sum == 100, s"split percents must sum to 100: $splits")
+    require(splits.forall(_._2 > 0), s"split percents must be positive: $splits")
+    val b = bucketFn(key)
+    val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val expr = splits.zip(cuts).tail.foldLeft(
+      when(b < cuts.head, splits.head._1)) { case (acc, ((name, _), hi)) =>
+      acc.when(b < hi, name)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Mixture weighting: keep each row with the per-source percentage in
+    * `rates` (0–100; sources absent from the map use `defaultRate`).
+    * This is the corpus-mixing primitive — "2 parts web crawl, 1 part
+    * books, a pinch of forum" — done by deterministic downsampling so the
+    * SAME mixture reproduces on every run and engine. Rows keep all
+    * columns; re-weighting upward (duplication) is a separate concern. */
+  def sampleByRates(
+      df: DataFrame,
+      sourceCol: Column,
+      rates: Map[String, Int],
+      key: Column,
+      defaultRate: Int = 0,
+      bucketFn: Column => Column = hashBucket): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 100),
+      s"rates must be percentages in [0,100]: $rates default=$defaultRate")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(sourceCol === src, r).otherwise(acc)
+    }
+    df.filter(bucketFn(key) < rate)
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Sql, Tables}
-import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Profiling, Sampling, Sessionize, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** EXT1–EXT6 (SURVEY.md §2.11) — the LLM-training-data-pipeline operators,
@@ -467,6 +467,82 @@ object ExtQueries {
       Some("""SELECT doc_id,
              |       regexp_replace(text, '\ba\b|\bthe\b', '<mask>', 'g') AS masked,
              |       len(regexp_extract_all(text, '\ba\b|\bthe\b', 0)) AS n_masked
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ── EXT17a — deterministic train/val/test split. The op's default
+    //    bucketer is xxhash64 (pinned by fraction/determinism tests in
+    //    StorageSkewSpec); the oracle twin runs the portable `doc_id %
+    //    100` bucketer so both engines compute identical membership —
+    //    what the hash gate then proves is the split SEMANTICS:
+    //    cumulative cut-points, disjoint, exhaustive.
+    QueryDef(
+      "ext17_split",
+      (s, d) =>
+        Sampling.hashSplit(
+            Tables.documents(s, d), col("doc_id"),
+            Seq(("train", 80), ("val", 10), ("test", 10)), Sampling.modBucket)
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")),
+      Some("""SELECT CASE WHEN doc_id % 100 < 80 THEN 'train'
+             |            WHEN doc_id % 100 < 90 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |       lang, COUNT(*) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY 1, 2""".stripMargin)),
+
+    // ── EXT17b — corpus mixture weighting: deterministic per-source
+    //    downsampling ("2 parts src0, 1 part src1, a pinch of the rest").
+    QueryDef(
+      "ext17_mixture",
+      (s, d) =>
+        Sampling.sampleByRates(
+            Tables.documents(s, d), col("source"),
+            Map("src0" -> 100, "src1" -> 50, "src2" -> 25), col("doc_id"),
+            defaultRate = 10, bucketFn = Sampling.modBucket)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE doc_id % 100 < CASE source WHEN 'src0' THEN 100
+             |                                 WHEN 'src1' THEN 50
+             |                                 WHEN 'src2' THEN 25 ELSE 10 END
+             |GROUP BY 1""".stripMargin)),
+
+    // ── EXT18 — one-pass column profiling over the sessions⟕costs frame
+    //    (cost is genuinely nullable: every 4th session has no cost row).
+    //    Typed min/max lanes: numerics stay DOUBLE, strings stay VARCHAR —
+    //    a shared stringified column would drag engine float-formatting
+    //    into the hash.
+    QueryDef(
+      "ext18_profile",
+      (s, d) =>
+        Profiling.profile(
+          Tables.sessions(s, d)
+            .join(Tables.sessionCosts(s, d), Seq("session_id"), "left"),
+          numCols = Seq("session_id", "user_id", "cost"),
+          strCols = Seq("channel_name")),
+      Some {
+        val frame =
+          """(SELECT s.session_id, s.user_id, s.channel_name, c.cost
+            |   FROM sessions s LEFT JOIN session_costs c USING (session_id)) j""".stripMargin
+        def numRow(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |       COUNT(DISTINCT $c) AS n_distinct,
+             |       CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+             |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             |FROM $frame""".stripMargin
+        def strRow(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |       COUNT(DISTINCT $c) AS n_distinct,
+             |       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             |       MIN($c) AS min_str, MAX($c) AS max_str
+             |FROM $frame""".stripMargin
+        Sql.CTES +
+          Seq(numRow("session_id"), numRow("user_id"), numRow("cost"),
+            strRow("channel_name")).mkString("\nUNION ALL\n")
+      })
   )
 }

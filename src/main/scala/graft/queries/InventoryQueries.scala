@@ -434,9 +434,12 @@ object InventoryQueries {
            |) r""".stripMargin)),
 
     // ── F9 — row → JSON record (api_client.py:204, 229): the wire shape a
-    //    pluggable external-scorer boundary (S6) would POST. JSON text
-    //    differs cosmetically between engines (key spacing) ⇒ rows-only
-    //    check; the from_json(to_json(x)) == x roundtrip is unit-tested.
+    //    pluggable external-scorer boundary (S6) would POST. The payload
+    //    carries only strings and BIGINTs, where Spark's to_json and
+    //    DuckDB's render byte-identically ({"k":v, no spaces, struct
+    //    field order, no float formatting in sight}) — so the wire TEXT
+    //    itself sits under the hash gate; the from_json(to_json(x)) == x
+    //    roundtrip stays unit-tested.
     QueryDef(
       "f9_row_json",
       (s, d) =>
@@ -445,7 +448,16 @@ object InventoryQueries {
             to_json(struct(col("timestamp"), col("channel_label"),
               col("holder_engagement"), col("closer_engagement"),
               col("conversion"), col("impression_interaction"))).as("payload")),
-      None),
+      Some(Sql.CTES +
+        """SELECT conversion_id, session_id,
+          |       to_json(struct_pack(
+          |         "timestamp" := strftime(ts, '%Y-%m-%d %H:%M:%S'),
+          |         channel_label := channel_label,
+          |         holder_engagement := holder_engagement,
+          |         closer_engagement := closer_engagement,
+          |         conversion := conversion,
+          |         impression_interaction := impression_interaction)) AS payload
+          |FROM journeys""".stripMargin)),
 
     // ── F7 — abs + tolerance as a surfaced boolean (api_client.py:95).
     QueryDef(

@@ -113,6 +113,66 @@ class StorageSkewSpec extends SparkSpec {
     }
   }
 
+  // ── Sampling (the DEFAULT xxhash bucketer — the oracle twins pin the
+  //    portable modBucket path) ─────────────────────────────────────────
+
+  test("hash split is disjoint, exhaustive, near the weights, and frozen") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val split = graft.ops.Sampling.hashSplit(
+      docs, col("doc_id"), Seq(("train", 80), ("val", 10), ("test", 10)))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(n === docs.count(), "split must be exhaustive")
+    assert(counts.keySet === Set("train", "val", "test"))
+    // xxhash spreads uniformly: each split within ±35% of its weight
+    assert(math.abs(counts("train") - 0.8 * n) < 0.35 * 0.8 * n, counts.toString)
+    assert(math.abs(counts("val") - 0.1 * n) < 0.35 * 0.1 * n, counts.toString)
+    // frozen: the same doc gets the same verdict on re-evaluation and
+    // under a different partition layout (rand()-based splits fail this)
+    val a = split.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.ops.Sampling.hashSplit(
+        docs.repartition(7), col("doc_id"), Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b, "split membership must not depend on layout or run")
+  }
+
+  test("mixture rates downsample per source deterministically") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val mixed = graft.ops.Sampling.sampleByRates(
+      docs, col("source"), Map("src0" -> 100, "src1" -> 0), col("doc_id"), defaultRate = 50)
+    val bySource = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") === totals("src0"), "rate 100 keeps everything")
+    assert(!bySource.contains("src1"), "rate 0 drops everything")
+    val others = totals.filterNot(kv => kv._1 == "src0" || kv._1 == "src1").values.sum
+    val keptOthers = bySource.filterNot(kv => kv._1 == "src0" || kv._1 == "src1").values.sum
+    assert(math.abs(keptOthers - 0.5 * others) < 0.35 * 0.5 * others,
+      s"default rate 50 kept $keptOthers of $others")
+  }
+
+  // ── Profiling ──────────────────────────────────────────────────────
+
+  test("profile computes exact per-column stats in one aggregate") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val prof = graft.ops.Profiling.profile(docs, Seq("doc_id"), Seq("lang"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = docs.count()
+    assert(prof("doc_id").getLong(1) === n)
+    assert(prof("doc_id").getLong(2) === 0L) // no null ids
+    assert(prof("doc_id").getLong(3) === n)  // ids unique
+    assert(prof("lang").getLong(3) ===
+      docs.select("lang").distinct().count())
+    assert(prof("lang").getString(6) !== null) // min_str populated
+    assert(prof("doc_id").isNullAt(6))         // num col: no str lane
+    // approx mode agrees within HLL++ tolerance
+    val approx = graft.ops.Profiling.profile(docs, Seq("doc_id"), Seq("lang"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(approx("doc_id") - n) < 0.1 * n)
+  }
+
   // ── StreamingJoin ──────────────────────────────────────────────────
 
   test("stream-stream interval join equals the batch range join across micro-batches") {
