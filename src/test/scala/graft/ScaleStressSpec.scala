@@ -62,6 +62,37 @@ class ScaleStressSpec extends SparkSpec {
     assert(out.count() === N / 100)
   }
 
+  test("salted join at 10M rows with a 90%-hot key completes and matches") {
+    // 9 M rows on ONE key — the shape where a plain shuffle join puts
+    // 90% of the probe side in a single task. Salting (16×) bounds the
+    // largest task at ~1/16 of the hot key; the result must be
+    // bit-identical to the unsalted join (here: checked via counts per
+    // dim attribute, which a lost/duplicated row would shift).
+    val facts = spark.range(N).select(
+      when(col("id") % 10 =!= 0, lit(13L)).otherwise(pmod(col("id"), lit(1000L)))
+        .as("k"),
+      col("id").as("v"))
+    val dim = spark.range(1000).select(
+      col("id").as("k"), pmod(col("id"), lit(7L)).as("attr"))
+    val out = graft.ops.Skew.saltedJoin(facts, dim, "k", salt = 16)
+      .groupBy("attr").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // key 13 (attr 6) carries the 9M hot rows plus its 1-in-10 stripe
+    val hot = out(13L % 7)
+    assert(out.values.sum === N)
+    assert(hot > (N * 9) / 10, s"hot-key rows missing: $out")
+  }
+
+  test("one-pass profile at 10M rows (exact distinct via single Expand scan)") {
+    val prof = graft.ops.Profiling.profile(
+        bigEvents, numCols = Seq("event_id", "user_id"), strCols = Seq())
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof("event_id").getLong(1) === N)
+    assert(prof("event_id").getLong(3) === N)
+    assert(prof("user_id").getLong(3) === Users)
+    assert(prof("user_id").getDouble(5) === (Users - 1).toDouble)
+  }
+
   test("exact dedup at 10M rows with 97x duplication collapses per key") {
     val deduped = Dedup.keepFirst(
       bigEvents.select(col("payload").as("k"), col("ts_us"), col("event_id")),
