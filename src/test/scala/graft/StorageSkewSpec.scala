@@ -113,6 +113,53 @@ class StorageSkewSpec extends SparkSpec {
     }
   }
 
+  // ── Malformed input + schema drift (the two ways a lake bites) ──────
+
+  test("JSON source captures corrupt records instead of failing the job") {
+    val dir = tmpDir("corrupt-json")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part.json"),
+      """{"event_id": 1, "user_id": 10, "event_type": "click"}
+        |{"event_id": oops not json
+        |{"event_id": 3, "user_id": 30, "event_type": "view"}
+        |""".stripMargin)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("_corrupt_record", StringType)))
+    // PERMISSIVE (the default): bad lines become one row with the raw
+    // text in _corrupt_record — at 100 TB a single bad line must never
+    // kill the ingest; it lands in a quarantine filter instead
+    val rows = spark.read.schema(schema).json(dir)
+      .cache() // corrupt-record column can't be queried alone without it
+    assert(rows.count() === 3)
+    assert(rows.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(rows.filter(col("_corrupt_record").isNull).count() === 2)
+    // DROPMALFORMED: quarantine-free variant keeps only parseable rows
+    val dropped = spark.read
+      .schema(StructType(schema.dropRight(1)))
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 2)
+    rows.unpersist()
+  }
+
+  test("parquet schema evolution: mergeSchema unifies drifting file schemas") {
+    import spark.implicits._
+    val dir = tmpDir("schema-drift")
+    // v1 files lack the column a later producer added
+    Seq((1L, "a")).toDF("event_id", "event_type")
+      .write.parquet(s"$dir/v=1")
+    Seq((2L, "b", 0.5)).toDF("event_id", "event_type", "quality")
+      .write.parquet(s"$dir/v=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("event_id", "event_type", "quality", "v"))
+    val byId = merged.select("event_id", "quality").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byId(1L).isEmpty, "pre-drift rows surface NULL for the new column")
+    assert(byId(2L).contains(0.5))
+  }
+
   // ── Sampling (the DEFAULT xxhash bucketer — the oracle twins pin the
   //    portable modBucket path) ─────────────────────────────────────────
 
