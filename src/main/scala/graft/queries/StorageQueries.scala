@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QueryDef, Sql, Tables}
+import graft.{QueryDef, Tables}
 import graft.ops.Skew
 import graft.sources.Compaction
 import graft.streaming.StreamingIngest
