@@ -518,6 +518,35 @@ object InventoryQueries {
           size(expr("regexp_extract_all(text, '[0-9]+', 0)")).cast("long").as("n_numbers")),
       Some("""SELECT doc_id, regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
              |       len(regexp_extract_all(text, '[0-9]+', 0)) AS n_numbers
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ── F13 — calendar field extraction + date arithmetic (the
+    //    incremental-processing primitives behind P4's date-range
+    //    contract): year/month/day/hour fields, +30-day date shift,
+    //    day-count since a fixed epoch date. All fields cast BIGINT on
+    //    both engines; the shifted date travels as a formatted string so
+    //    no engine DATE-type rendering enters the hash. UTC session
+    //    timezone keeps field extraction identical (GraftSession).
+    QueryDef(
+      "f13_datetime",
+      (s, d) => {
+        val tsm = timestamp_micros(expr("ts div 1000"))
+        Tables.events(s, d).select(
+          col("event_id"),
+          year(tsm).cast("long").as("y"),
+          month(tsm).cast("long").as("m"),
+          dayofmonth(tsm).cast("long").as("dom"),
+          hour(tsm).cast("long").as("h"),
+          date_format(date_add(to_date(tsm), 30), "yyyy-MM-dd").as("d30"),
+          datediff(to_date(tsm), to_date(lit("2024-01-01"))).cast("long").as("days_since"))
+      },
+      Some("""SELECT event_id,
+             |       CAST(year(ts) AS BIGINT) AS y,
+             |       CAST(month(ts) AS BIGINT) AS m,
+             |       CAST(day(ts) AS BIGINT) AS dom,
+             |       CAST(hour(ts) AS BIGINT) AS h,
+             |       strftime(CAST(ts AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS d30,
+             |       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since
+             |FROM events""".stripMargin))
   )
 }

@@ -54,6 +54,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("shuffle counts hold the audited bounds (exchange creep guard)") {
+    // Every groupBy/join/window that loses its exchange-sharing or gains
+    // a stage shows up here before it shows up in the bench. Bounds are
+    // the measured AQE-final counts at sf0.001 — a regression ADDS a
+    // shuffle and fails; an improvement passes and the bound should then
+    // be ratcheted down.
+    val bounds = Map(
+      "flagship_report" -> 7, // journey join + 4 shared-exchange windows + report agg chain
+      "j1_journeys" -> 0,     // broadcast at this SF; SMJ (2 exchanges) at scale
+      "ihc_score" -> 2,
+      "an1_pricing_summary" -> 2,
+      "ext6_sessionize" -> 2, // lag + running-sum share one user_id exchange
+      "j7_asof" -> 2,         // union + ONE cumulative window (no join node)
+      "j8_range" -> 4,
+      "ext4_term_freq" -> 2,
+      "an3_nation_revenue" -> 2, // dims broadcast — only fact⋈fact + agg shuffle
+      "j10_salted_join" -> 2)    // salted dim broadcasts; agg partial+final
+    bounds.foreach { case (name, maxShuffles) =>
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      df.collect() // finalize the AQE plan
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = "(?<![a-zA-Z])Exchange (hash|range|Single)".r.findAllIn(plan).size
+      assert(shuffles <= maxShuffles,
+        s"$name now plans $shuffles shuffles (audited bound $maxShuffles):\n$plan")
+    }
+  }
+
   test("filters and projection reach the parquet scan") {
     val plan = SparkEntry.queries("s1_scan_prune")(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
