@@ -34,7 +34,10 @@ object Profiling {
     val aggs =
       all.flatMap { c =>
         Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          // coalesce: SUM over ZERO rows is NULL, and an empty drop is
+          // exactly what an ingest gate profiles — n_nulls must read 0
+          // there, not NULL
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}__nulls"),
           nd(c).as(s"${c}__nd"))
       } ++
         numCols.flatMap { c =>

@@ -35,7 +35,11 @@ object Sampling {
     * cumulative weight exceeds the row's bucket. `splits` are
     * (name, percent) with percents summing to 100 — e.g.
     * Seq(("train", 80), ("val", 10), ("test", 10)): buckets 0–79 train,
-    * 80–89 val, 90–99 test. Disjoint and exhaustive by construction. */
+    * 80–89 val, 90–99 test. Disjoint and exhaustive by construction —
+    * including NULL keys, which bucket to 0 (the first split)
+    * deterministically rather than falling out of every split (a NULL
+    * bucket would make each `when` NULL and the row would vanish from
+    * any groupBy("split")). */
   def hashSplit(
       df: DataFrame,
       key: Column,
@@ -43,7 +47,7 @@ object Sampling {
       bucketFn: Column => Column = hashBucket): DataFrame = {
     require(splits.map(_._2).sum == 100, s"split percents must sum to 100: $splits")
     require(splits.forall(_._2 > 0), s"split percents must be positive: $splits")
-    val b = bucketFn(key)
+    val b = coalesce(bucketFn(key), lit(0L))
     val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     val expr = splits.zip(cuts).tail.foldLeft(
       when(b < cuts.head, splits.head._1)) { case (acc, ((name, _), hi)) =>
@@ -70,6 +74,10 @@ object Sampling {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
       when(sourceCol === src, r).otherwise(acc)
     }
-    df.filter(bucketFn(key) < rate)
+    // NULL keys bucket to 0 (kept at any rate ≥ 1) instead of silently
+    // failing every `bucket < rate` comparison — same discipline as
+    // hashSplit; an unmatched NULL source falls to defaultRate via the
+    // when-chain's otherwise.
+    df.filter(coalesce(bucketFn(key), lit(0L)) < rate)
   }
 }

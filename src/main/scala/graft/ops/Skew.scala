@@ -32,11 +32,18 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner/left equi-join of a skewed `facts` side against a small `dim`
-    * side on using-column `key`, salted `salt`×. The spray hashes a
-    * per-row physical id — deterministic within a run, uniform within a
-    * partition, and never influencing the result (any spray yields the
-    * same joined rows, because every (key, s) on the fact side meets the
-    * replicated dim row (key, s)). */
+    * side on using-column `key`, salted `salt`×. The spray hashes the
+    * row's VALUES (all fact columns), never a physical row id: a
+    * `monotonically_increasing_id`-style spray is not stable under task
+    * retry (a recomputed map partition re-numbers rows, and an
+    * INDETERMINATE stage forces Spark to roll back and re-run every
+    * downstream task on fetch failure), while a value hash assigns the
+    * same row the same sub-key on every attempt. The spray never
+    * influences the result either way — every (key, s) fact row meets
+    * the replicated dim row (key, s) — the choice only affects retry
+    * cost and spread quality. Caveat: exact duplicate fact rows share a
+    * sub-key; remove exact dups first (keepFirst) if the hot key is
+    * dominated by identical rows. */
   def saltedJoin(
       facts: DataFrame,
       dim: DataFrame,
@@ -48,7 +55,7 @@ object Skew {
       s"salting replicates the DIM side only — join type '$joinType' would " +
         "duplicate dim-preserved rows (use inner/left, or salt the other side)")
     val sprayed = facts.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)).cast("int"))
+      pmod(xxhash64(facts.columns.map(col).toSeq: _*), lit(salt.toLong)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
     sprayed.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")

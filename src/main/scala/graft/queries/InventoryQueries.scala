@@ -530,7 +530,7 @@ object InventoryQueries {
     QueryDef(
       "f13_datetime",
       (s, d) => {
-        val tsm = timestamp_micros(expr("ts div 1000"))
+        val tsm = Tables.tsMicros("ts")
         Tables.events(s, d).select(
           col("event_id"),
           year(tsm).cast("long").as("y"),

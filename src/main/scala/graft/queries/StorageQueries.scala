@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object StorageQueries {
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-$name"
+  /** Fixed path per (query, data dir) + overwrite mode: repeated
+    * invocations replace the artifact instead of accumulating temp dirs,
+    * and the data-dir suffix keeps CONCURRENT harness processes at
+    * different scale factors (the driver's bench vs verify) from
+    * overwriting each other's in-flight round-trip — the s8 discipline. */
+  private def tmp(name: String, dataDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$name-" +
+      java.lang.Integer.toHexString(dataDir.hashCode)
 
   /** The identity readback oracle for an events subset. The µs
     * discipline: the fixture's ns timestamps are NOT µs-aligned and
@@ -47,7 +53,7 @@ object StorageQueries {
       "s9_json_roundtrip",
       (s, d) => {
         // fixed path + overwrite mode — see s3_csv_roundtrip
-        val out = tmp("s9-json")
+        val out = tmp("s9-json", d)
         Tables.events(s, d).filter(col("event_id") % 20 === 0)
           .write.mode("overwrite").json(out)
         eventsCols(s.read.schema(StreamingIngest.eventsSchema).json(out))
@@ -60,7 +66,7 @@ object StorageQueries {
     QueryDef(
       "s10_orc_roundtrip",
       (s, d) => {
-        val out = tmp("s10-orc")
+        val out = tmp("s10-orc", d)
         Tables.events(s, d).filter(col("event_id") % 20 === 1)
           .write.mode("overwrite").orc(out)
         eventsCols(s.read.orc(out))
@@ -76,8 +82,8 @@ object StorageQueries {
     QueryDef(
       "s11_compact_readback",
       (s, d) => {
-        val in = tmp("s11-scattered")
-        val out = tmp("s11-compacted")
+        val in = tmp("s11-scattered", d)
+        val out = tmp("s11-compacted", d)
         Tables.events(s, d).repartition(64).write.mode("overwrite").parquet(in)
         eventsCols(Compaction.compact(s, in, out))
       },
@@ -90,8 +96,8 @@ object StorageQueries {
     QueryDef(
       "s12_compact_sorted",
       (s, d) => {
-        val in = tmp("s12-scattered")
-        val out = tmp("s12-sorted")
+        val in = tmp("s12-scattered", d)
+        val out = tmp("s12-sorted", d)
         Tables.events(s, d).repartition(64).write.mode("overwrite").parquet(in)
         eventsCols(Compaction.compactSorted(s, in, out, Seq("user_id", "event_id")))
       },

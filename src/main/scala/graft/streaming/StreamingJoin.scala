@@ -28,7 +28,13 @@ object StreamingJoin {
   /** `conv ⋈ sess`: same `user_id`, session event-time within
     * [conv_time − windowSeconds, conv_time]. Inputs use the
     * StreamingIngest.readEvents schema (ns-long `ts`); both may be fed
-    * from the SAME landing stream, filtered two ways. */
+    * from the SAME landing stream, filtered two ways.
+    *
+    * Resolution contract: the interval is evaluated at MICROSECOND
+    * precision (Spark event-time/TimestampType is µs — watermarks
+    * cannot run on raw ns longs), so a pair within 1 µs of a boundary
+    * classifies by its µs-truncated times. A batch twin must compare
+    * `ts div 1000` values, not raw ns, to match exactly. */
   def convSessionInterval(
       conv: DataFrame,
       sess: DataFrame,

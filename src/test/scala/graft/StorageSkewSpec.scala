@@ -47,10 +47,11 @@ class StorageSkewSpec extends SparkSpec {
     val salt = 16
     val joined = Skew.saltedJoin(hot, dim, "k", salt)
     assert(joined.count() === 100000L)
-    // measure the spray itself: the hot key's rows must land in all
+    // measure the spray itself (same value-hash the op uses — retry-stable,
+    // never a physical row id): the hot key's rows must land in all
     // `salt` sub-keys, with no sub-key holding more than ~2× its share
     val spread = hot
-      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salt.toLong)))
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("v")), lit(salt.toLong)))
       .filter(col("k") === 7).groupBy("__salt").count()
       .collect().map(_.getLong(1))
     assert(spread.length === salt, s"hot key only reached ${spread.length}/$salt sub-keys")
@@ -200,6 +201,21 @@ class StorageSkewSpec extends SparkSpec {
       s"default rate 50 kept $keptOthers of $others")
   }
 
+  test("NULL keys stay deterministic: bucket 0, first split, kept in mixtures") {
+    import spark.implicits._
+    val df = Seq(Some(5L), None, Some(42L)).toDF("k")
+    val split = graft.ops.Sampling.hashSplit(
+      df, col("k"), Seq(("train", 80), ("val", 10), ("test", 10)),
+      graft.ops.Sampling.modBucket)
+    assert(split.filter(col("split").isNull).count() === 0,
+      "a NULL key must not fall out of every split")
+    assert(split.filter(col("k").isNull).select("split").head().getString(0) === "train")
+    val kept = graft.ops.Sampling.sampleByRates(
+      df.withColumn("src", lit("s")), col("src"), Map("s" -> 50), col("k"),
+      bucketFn = graft.ops.Sampling.modBucket)
+    assert(kept.filter(col("k").isNull).count() === 1, "NULL key dropped from mixture")
+  }
+
   // ── Profiling ──────────────────────────────────────────────────────
 
   test("profile computes exact per-column stats in one aggregate") {
@@ -218,6 +234,19 @@ class StorageSkewSpec extends SparkSpec {
     val approx = graft.ops.Profiling.profile(docs, Seq("doc_id"), Seq("lang"), exact = false)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(math.abs(approx("doc_id") - n) < 0.1 * n)
+  }
+
+  test("profiling an empty drop reads zeros, not NULLs") {
+    // the ingest-gate case: an empty landing directory must profile as
+    // n_rows=0 / n_nulls=0 / n_distinct=0, never NULL counters
+    val empty = Tables.documents(spark, sf("sf0.001")).filter(col("doc_id") < 0)
+    val prof = graft.ops.Profiling.profile(empty, Seq("doc_id"), Seq("lang"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("doc_id", "lang")) {
+      assert(prof(c).getLong(1) === 0L)
+      assert(!prof(c).isNullAt(2) && prof(c).getLong(2) === 0L, s"$c n_nulls must be 0")
+      assert(prof(c).getLong(3) === 0L)
+    }
   }
 
   // ── StreamingJoin ──────────────────────────────────────────────────
@@ -249,12 +278,17 @@ class StorageSkewSpec extends SparkSpec {
     val streamed = spark.table("ssjoin")
       .select("conv_id", "session_id").as[(Long, Long)].collect().toSet
 
+    // batch twin at the operator's µs resolution contract (event time in
+    // Spark streaming is TimestampType = µs; raw-ns comparison would
+    // disagree on pairs within 1 µs of a boundary)
     val conv = Tables.conversions(spark, dir)
+      .withColumn("conv_us", expr("conv_ts div 1000"))
     val sess = Tables.sessions(spark, dir)
+      .withColumn("sess_us", expr("ts div 1000"))
     val batch = sess.join(conv,
         sess("user_id") === conv("user_id") &&
-          sess("ts") >= conv("conv_ts") - lit(3600L * 1000000000L) &&
-          sess("ts") <= conv("conv_ts"))
+          sess("sess_us") >= conv("conv_us") - lit(3600L * 1000000L) &&
+          sess("sess_us") <= conv("conv_us"))
       .select(col("conv_id"), col("session_id")).as[(Long, Long)].collect().toSet
     assert(streamed === batch)
     assert(batch.nonEmpty)
