@@ -397,6 +397,44 @@ object ExtQueries {
           |WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)""".stripMargin),
       bench = true),
 
+    // ── EXT19 — the composed ASSEMBLY pipeline: quality gate → exact
+    //    dedup → LSH near-dup clustering → survivors → deterministic
+    //    train/val/test split → per-split corpus stats. One query runs
+    //    the whole training-data path, and the oracle recomputes every
+    //    stage from first principles (recursive-CTE transitive closure
+    //    for the clustering; modulo cut-points for the split) — the
+    //    end-to-end version of the per-stage gates.
+    QueryDef(
+      "ext19_assembly",
+      (s, d) =>
+        Sampling.hashSplit(
+            graft.ops.CorpusClean.cleanClustered(Tables.documents(s, d)),
+            col("doc_id"),
+            Seq(("train", 80), ("val", 10), ("test", 10)), Sampling.modBucket)
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens")),
+      Some(CleanCorpusCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5
+          |), reach(doc_id, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+          |), comp AS (
+          |  SELECT doc_id, MIN(r) AS component FROM reach GROUP BY 1
+          |)
+          |SELECT CASE WHEN e.doc_id % 100 < 80 THEN 'train'
+          |            WHEN e.doc_id % 100 < 90 THEN 'val'
+          |            ELSE 'test' END AS split,
+          |       COUNT(*) AS n_docs,
+          |       CAST(SUM(q.n_tokens) AS BIGINT) AS sum_tokens
+          |FROM exact e
+          |JOIN quality q ON e.doc_id = q.doc_id
+          |WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
+          |GROUP BY 1""".stripMargin)),
+
     // ── EXT6b — session-level rollup (the session_sources table the
     //    reference assumes pre-exists, derived from raw events).
     QueryDef(
