@@ -35,11 +35,22 @@ object StreamingJoin {
     * cannot run on raw ns longs), so a pair within 1 µs of a boundary
     * classifies by its µs-truncated times. A batch twin must compare
     * `ts div 1000` values, not raw ns, to match exactly. */
+  /** `joinType`: "inner" emits on match; "left_outer" additionally emits
+    * conversions with NO in-window session as (conv_id, session_id =
+    * NULL) — but only once the SESSION-side watermark proves no match
+    * can still arrive, i.e. after it passes conv_time. A query that
+    * stops (AvailableNow) before the watermark clears a conversion's
+    * window never emits that conversion's null row — the outer rows
+    * near the stream's tail stay pending for the next incremental run
+    * (state lives in the checkpoint). That is watermark semantics, not
+    * data loss; the spec pins exactly this. */
   def convSessionInterval(
       conv: DataFrame,
       sess: DataFrame,
       windowSeconds: Long = 3600L,
-      delay: String = "1 hour"): DataFrame = {
+      delay: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_outer").contains(joinType), s"unsupported: $joinType")
     val c = conv.select(
       col("event_id").as("conv_id"),
       col("user_id").as("conv_user"),
@@ -55,7 +66,7 @@ object StreamingJoin {
         col("conv_user") === col("sess_user") &&
           col("sess_time") >= col("conv_time") - expr(s"INTERVAL $windowSeconds SECONDS") &&
           col("sess_time") <= col("conv_time"),
-        "inner")
+        joinType)
       .select(col("conv_id"), col("session_id"), col("conv_user").as("user_id"))
   }
 }

@@ -293,4 +293,79 @@ class StorageSkewSpec extends SparkSpec {
     assert(streamed === batch)
     assert(batch.nonEmpty)
   }
+
+  test("left-outer stream-stream join: matches equal batch, null rows only for truly sessionless conversions") {
+    val dir = sf("sf0.001")
+    val landing = tmpDir("ssjoin-outer-landing")
+    Tables.events(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/a")
+    val stream = StreamingIngest.readEvents(spark, s"$landing/*")
+    val joined = StreamingJoin.convSessionInterval(
+      stream.filter(col("event_type") === "purchase"),
+      stream.filter(col("event_type") =!= "purchase"),
+      joinType = "left_outer")
+    val ckpt = tmpDir("ssjoin-outer-ckpt")
+    val q = joined.writeStream
+      .format("memory").queryName("ssjoin_outer")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream timed out")
+    val out = spark.table("ssjoin_outer").collect()
+    val matched = out.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nullRows = out.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+
+    val conv = Tables.conversions(spark, dir).withColumn("conv_us", expr("conv_ts div 1000"))
+    val sess = Tables.sessions(spark, dir).withColumn("sess_us", expr("ts div 1000"))
+    val batchInner = sess.join(conv,
+        sess("user_id") === conv("user_id") &&
+          sess("sess_us") >= conv("conv_us") - lit(3600L * 1000000L) &&
+          sess("sess_us") <= conv("conv_us"))
+      .select(col("conv_id"), col("session_id")).as[(Long, Long)].collect().toSet
+    // matched side must be exactly the batch inner join
+    assert(matched === batchInner)
+    // null rows: ONLY for conversions with no in-window session at all —
+    // and only those the final watermark could already prove sessionless
+    // (AvailableNow stops with tail conversions still pending in state,
+    // carried by the checkpoint into the next incremental run)
+    val sessionless = conv.select("conv_id").as[Long].collect().toSet --
+      batchInner.map(_._1)
+    assert(nullRows.subsetOf(sessionless),
+      s"null rows for conversions that HAVE sessions: ${nullRows -- sessionless}")
+    assert((nullRows & matched.map(_._1)).isEmpty,
+      "a conversion must not appear both matched and null")
+  }
+
+  test("streaming foreachBatch into the partitioned upsert store converges to exactly-once") {
+    val dir = sf("sf0.001")
+    val landing = tmpDir("sink-landing")
+    val store = tmpDir("sink-store") + "/tbl"
+    // the same file lands twice (at-least-once upstream): the KEYED
+    // upsert sink absorbs redelivery — the durable twin of the memory
+    // rollup in StreamingIngest
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(landing, "a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(landing, "b.parquet"))
+    val ckpt = tmpDir("sink-ckpt")
+    val q = StreamingIngest.readEvents(spark, landing, maxFilesPerTrigger = 1)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.PartitionedStore.upsertByDate(
+          spark, batch.select("event_id", "ts", "value"),
+          tsCol = "ts", keyCol = "event_id", path = store)
+      }
+      .start()
+    assert(q.awaitTermination(180000), "stream timed out")
+    val stored = spark.read.parquet(store)
+    assert(stored.count() === 1000L, "redelivered micro-batch must upsert, not append")
+    assert(stored.select(sum("event_id")).as[Long].head() ===
+      Tables.events(spark, dir).select(sum("event_id")).as[Long].head())
+  }
 }
