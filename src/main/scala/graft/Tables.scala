@@ -22,7 +22,6 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
-  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")

@@ -29,6 +29,9 @@ object Profiling {
       exact: Boolean = true): DataFrame = {
     val all = numCols ++ strCols
     require(all.nonEmpty, "profile needs at least one column")
+    require(all.distinct.size == all.size,
+      s"duplicate columns across numCols/strCols would collide on their " +
+        s"aggregate aliases: ${all.diff(all.distinct).distinct.mkString(", ")}")
     def nd(c: String): Column =
       if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
     val aggs =

@@ -47,6 +47,9 @@ object Sampling {
       bucketFn: Column => Column = hashBucket): DataFrame = {
     require(splits.map(_._2).sum == 100, s"split percents must sum to 100: $splits")
     require(splits.forall(_._2 > 0), s"split percents must be positive: $splits")
+    require(!df.columns.contains("split"),
+      "input already carries a split column — re-splitting would silently " +
+        "destroy the frozen membership; drop or rename it explicitly first")
     val b = coalesce(bucketFn(key), lit(0L))
     val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     val expr = splits.zip(cuts).tail.foldLeft(

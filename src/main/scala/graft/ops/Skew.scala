@@ -54,6 +54,9 @@ object Skew {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"salting replicates the DIM side only — join type '$joinType' would " +
         "duplicate dim-preserved rows (use inner/left, or salt the other side)")
+    require(!facts.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input already carries a __salt column — it would be silently " +
+        "overwritten and dropped; rename it first")
     val sprayed = facts.withColumn("__salt",
       pmod(xxhash64(facts.columns.map(col).toSeq: _*), lit(salt.toLong)).cast("int"))
     val replicated = dim.withColumn("__salt",

@@ -69,7 +69,9 @@ object StorageQueries {
         val out = tmp("s10-orc", d)
         Tables.events(s, d).filter(col("event_id") % 20 === 1)
           .write.mode("overwrite").orc(out)
-        eventsCols(s.read.orc(out))
+        // explicit landing schema, same discipline as s9: inference would
+        // let writer-side type drift pass the round-trip silently re-typed
+        eventsCols(s.read.schema(StreamingIngest.eventsSchema).orc(out))
       },
       Some(eventsSql(" WHERE event_id % 20 = 1"))),
 

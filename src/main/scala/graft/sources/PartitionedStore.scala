@@ -83,17 +83,19 @@ object PartitionedStore {
               payload.filterNot(_ == "__prec").map(c => col(s"__r.$c").as(c))).toSeq: _*)
           .select(dated.columns.toSeq.map(col): _*)
       }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write
+    // Dynamic overwrite as a PER-WRITE option, never a session conf: the
+    // write executes under merged.sparkSession, which is NOT necessarily
+    // the passed-in session — inside foreachBatch the batch frame belongs
+    // to the stream's CLONED session, whose conf snapshot would still say
+    // STATIC, and a static overwrite + partitionBy truncates the ENTIRE
+    // store path (every untouched date partition gone). The writer option
+    // binds the mode to this write regardless of which session runs it.
+    merged.write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("date")
       .parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
   }
 
   /** Read back with optional inclusive date bounds — the filter lands in

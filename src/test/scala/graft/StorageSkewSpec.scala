@@ -341,15 +341,31 @@ class StorageSkewSpec extends SparkSpec {
     val dir = sf("sf0.001")
     val landing = tmpDir("sink-landing")
     val store = tmpDir("sink-store") + "/tbl"
-    // the same file lands twice (at-least-once upstream): the KEYED
-    // upsert sink absorbs redelivery — the durable twin of the memory
-    // rollup in StreamingIngest
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(landing, "a.parquet"))
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(landing, "b.parquet"))
+    // three micro-batches: days 1–15, days 16–30, then days 1–15 AGAIN
+    // (at-least-once redelivery). The store must end with all 30 date
+    // partitions — a batch touching only later dates must NOT wipe the
+    // earlier partitions (the static-overwrite failure mode when the
+    // write runs under foreachBatch's CLONED session), and the
+    // redelivered batch must upsert, not append.
+    val ev = Tables.events(spark, dir)
+    val cut = "2024-01-16"
+    val firstHalf = ev.filter(
+      date_format(Tables.tsMicros("ts"), "yyyy-MM-dd") < cut)
+    val secondHalf = ev.filter(
+      date_format(Tables.tsMicros("ts"), "yyyy-MM-dd") >= cut)
+    // land as FLAT files (the file source does not recurse): write each
+    // batch to scratch, move its single part file into the landing dir
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmpDir(s"sink-scratch-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = new java.io.File(scratch).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, java.nio.file.Paths.get(landing, s"$name.parquet"))
+    }
+    land(firstHalf, "a")
+    land(secondHalf, "b")
+    land(firstHalf, "c")
     val ckpt = tmpDir("sink-ckpt")
     val q = StreamingIngest.readEvents(spark, landing, maxFilesPerTrigger = 1)
       .writeStream
@@ -364,6 +380,8 @@ class StorageSkewSpec extends SparkSpec {
       .start()
     assert(q.awaitTermination(180000), "stream timed out")
     val stored = spark.read.parquet(store)
+    assert(stored.select(countDistinct("date")).as[Long].head() === 30L,
+      "a later-dates batch wiped earlier date partitions (static overwrite)")
     assert(stored.count() === 1000L, "redelivered micro-batch must upsert, not append")
     assert(stored.select(sum("event_id")).as[Long].head() ===
       Tables.events(spark, dir).select(sum("event_id")).as[Long].head())
