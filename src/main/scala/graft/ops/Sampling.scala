@@ -59,6 +59,27 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Exact-quota stratified sampling: keeps the FIRST
+    * ceil(n_g · percent/100) rows of each stratum in `orderCol` order.
+    * Bucket sampling ([[hashSplit]]/[[sampleByRates]]) hits the fraction
+    * only in expectation — a small stratum can come back empty; quota
+    * sampling guarantees every stratum its exact share (the "keep 20% of
+    * EVERY language" contract). `orderCol` must be a total order (use a
+    * unique id) or membership is nondeterministic under ties. One window
+    * pass: rank and stratum size share the stratum's exchange. */
+  def stratifiedHead(
+      df: DataFrame,
+      strata: Column,
+      orderCol: Column,
+      percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100, s"percent must be in [0,100]: $percent")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number().over(Window.partitionBy(strata).orderBy(orderCol)))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(strata)))
+      .filter(col("__rn") <= ceil(col("__n") * lit(percent) / lit(100.0)))
+      .drop("__rn", "__n")
+  }
+
   /** Mixture weighting: keep each row with the per-source percentage in
     * `rates` (0–100; sources absent from the map use `defaultRate`).
     * This is the corpus-mixing primitive — "2 parts web crawl, 1 part

@@ -547,6 +547,26 @@ object ExtQueries {
              |                                 WHEN 'src2' THEN 25 ELSE 10 END
              |GROUP BY 1""".stripMargin)),
 
+    // ── EXT17c — exact-quota stratified sampling: 20% of EVERY language,
+    //    guaranteed per stratum (bucket sampling only hits fractions in
+    //    expectation — a rare language could come back empty). Ordered by
+    //    doc_id, so membership is the same on both engines.
+    QueryDef(
+      "ext17_stratified",
+      (s, d) =>
+        Sampling.stratifiedHead(
+            Tables.documents(s, d), col("lang"), col("doc_id"), percent = 20)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars")),
+      Some("""SELECT lang, COUNT(*) AS n_kept,
+             |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM (SELECT lang, n_chars,
+             |             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+             |             COUNT(*) OVER (PARTITION BY lang) AS n
+             |      FROM documents) t
+             |WHERE rn <= CEIL(n * 20 / 100.0)
+             |GROUP BY 1""".stripMargin)),
+
     // ── EXT18 — one-pass column profiling over the sessions⟕costs frame
     //    (cost is genuinely nullable: every 4th session has no cost row).
     //    Typed min/max lanes: numerics stay DOUBLE, strings stay VARCHAR —

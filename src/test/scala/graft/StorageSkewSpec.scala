@@ -216,6 +216,24 @@ class StorageSkewSpec extends SparkSpec {
     assert(kept.filter(col("k").isNull).count() === 1, "NULL key dropped from mixture")
   }
 
+  test("stratified quota sampling keeps the exact per-stratum share") {
+    val docs = Tables.documents(spark, sf("sf0.01"))
+    val kept = graft.ops.Sampling.stratifiedHead(docs, col("lang"), col("doc_id"), 20)
+    val keptBy = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalBy = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keptBy.keySet === totalBy.keySet, "every stratum must be represented")
+    totalBy.foreach { case (lang, n) =>
+      assert(keptBy(lang) === math.ceil(n * 0.2).toLong, s"lang=$lang n=$n kept=${keptBy(lang)}")
+    }
+    // membership is frozen under a different layout
+    val a = kept.select("doc_id").as[Long].collect().sorted
+    val b = graft.ops.Sampling.stratifiedHead(docs.repartition(7), col("lang"), col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
   // ── Profiling ──────────────────────────────────────────────────────
 
   test("profile computes exact per-column stats in one aggregate") {
