@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable percent bucket in [0, 100): xxhash64-mixed by default. */
-  def hashBucket(key: Column): Column = pmod(xxhash64(key), lit(100L))
+  /** Stable percent bucket in [0, 100): xxhash64-mixed by default. NULL
+    * keys map to bucket 0 explicitly — xxhash64(NULL) returns the
+    * seed-derived hash (non-NULL), so without this branch a NULL key
+    * would land in whatever bucket the seed hashes to, not the bucket 0
+    * the split contract documents. */
+  def hashBucket(key: Column): Column =
+    when(key.isNull, lit(0L)).otherwise(pmod(xxhash64(key), lit(100L)))
 
   /** Portable bucketer for non-negative integer keys — identical
     * arithmetic in any SQL engine (used by the oracle twins). */
@@ -73,6 +78,9 @@ object Sampling {
       orderCol: Column,
       percent: Int): DataFrame = {
     require(percent >= 0 && percent <= 100, s"percent must be in [0,100]: $percent")
+    require(!df.columns.contains("__rn") && !df.columns.contains("__n"),
+      "input already carries a __rn/__n column — withColumn would silently " +
+        "replace it and drop it on the way out; rename it first")
     import org.apache.spark.sql.expressions.Window
     df.withColumn("__rn", row_number().over(Window.partitionBy(strata).orderBy(orderCol)))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(strata)))

@@ -15,14 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object StorageQueries {
 
-  /** Fixed path per (query, data dir) + overwrite mode: repeated
-    * invocations replace the artifact instead of accumulating temp dirs,
-    * and the data-dir suffix keeps CONCURRENT harness processes at
-    * different scale factors (the driver's bench vs verify) from
-    * overwriting each other's in-flight round-trip — the s8 discipline. */
+  /** Fixed path per (query, data dir, process) + overwrite mode: repeated
+    * invocations within a process replace the artifact instead of
+    * accumulating temp dirs; the data-dir suffix separates scale factors
+    * and the PID separates CONCURRENT harness processes pointed at the
+    * SAME data dir (driver bench vs verify), which would otherwise race
+    * on one round-trip path — one overwriting while the other reads back.
+    * String.hashCode collisions across dirs are covered by the PID too. */
+  private val procToken = java.lang.ProcessHandle.current().pid()
   private def tmp(name: String, dataDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft-$name-" +
-      java.lang.Integer.toHexString(dataDir.hashCode)
+      java.lang.Integer.toHexString(dataDir.hashCode) + s"-p$procToken"
 
   /** The identity readback oracle for an events subset. The µs
     * discipline: the fixture's ns timestamps are NOT µs-aligned and

@@ -40,12 +40,19 @@ object Compaction {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
+    val root = p.toUri.getPath
+    // A data file must have no hidden component anywhere under the root:
+    // a bare leaf check would still count files inside a stale
+    // _temporary/ tree left by a crashed write and skew the file sizing.
+    def hidden(path: Path): Boolean = {
+      val rel = path.toUri.getPath.stripPrefix(root).stripPrefix("/")
+      rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+    }
     var files = 0L
     var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      // _SUCCESS markers and checksums are not data files
-      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
+      if (!hidden(f.getPath)) {
         files += 1
         bytes += f.getLen
       }
