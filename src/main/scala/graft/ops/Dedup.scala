@@ -250,6 +250,76 @@ object Dedup {
     verifyJaccard(candidates, docs, w, threshold)
   }
 
+  /** EXT20 — benchmark decontamination: which eval-set documents leak into
+    * the training corpus? For every (train doc, eval doc) pair sharing
+    * w-token shingles, reports `overlap` = |shingles(eval) ∩
+    * shingles(train)| / |shingles(eval)| — CONTAINMENT of the eval doc in
+    * the train doc, not Jaccard: a 50-token eval question buried inside a
+    * 5 000-token train page has tiny Jaccard but is still fully leaked,
+    * and containment is what the published decontamination procedures
+    * (n-gram overlap against the eval sets) measure. Pairs at or above
+    * `minOverlap` are returned as (eval_doc, train_doc, overlap).
+    *
+    * Scale shape — deliberately NOT MinHash-LSH: MinHash collision
+    * probability tracks Jaccard, so it systematically misses exactly the
+    * asymmetric small-eval-in-big-train containments this operator exists
+    * to find. Instead: eval sets are small and bounded (thousands of
+    * docs) while the train corpus is the 100 TB side, so the eval shingle
+    * index is built once (and is broadcast-sized in practice), the train
+    * corpus is shingled in a single streaming pass, and the only shuffle
+    * of train-scale data is the keyed semi-join+count on the shingle.
+    * Nothing self-joins; no all-pairs anywhere.
+    *
+    * `maxTrainDf` (0 = off) drops shingles appearing in more than that
+    * many TRAIN documents before the join — the standard boilerplate
+    * guard: a header shingle shared by millions of train pages would fan
+    * the join out ×df without indicating leakage. Capping can only lower
+    * measured overlap, and only for n-grams too common to identify a
+    * document — for the oracle row the cap stays off. */
+  def decontamPairs(
+      train: DataFrame,
+      eval: DataFrame,
+      w: Int = 3,
+      minOverlap: Double = 0.5,
+      maxTrainDf: Long = 0L): DataFrame = {
+    // Eval index feeds two consumers (the join and the size aggregate);
+    // persist so the small side shingles once.
+    val invE = TextOps.shingleRows(eval, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEval = invE.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
+    val invT = TextOps.shingleRows(train, w)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val guarded =
+      if (maxTrainDf <= 0L) invT
+      else invT
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("__df") <= maxTrainDf)
+        .drop("__df")
+    val common = guarded
+      .join(invE.select(col("doc_id").as("eval_doc"), col("shingle")), "shingle")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(nEval.select(col("doc_id").as("eval_doc"), col("n_eval")), "eval_doc")
+      .withColumn("overlap", col("common").cast("double") / col("n_eval").cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("eval_doc"), col("train_doc"), graft.Num.rnd(col("overlap"), 4).as("overlap"))
+  }
+
+  /** Per-eval-doc rollup of [[decontamPairs]]: how many train docs
+    * contaminate each eval doc, and how badly. The "can I trust this
+    * benchmark" view — an eval doc with any row here needs excluding (or
+    * its train twins need dropping) before the score means anything. */
+  def decontamReport(
+      train: DataFrame,
+      eval: DataFrame,
+      w: Int = 3,
+      minOverlap: Double = 0.5,
+      maxTrainDf: Long = 0L): DataFrame =
+    decontamPairs(train, eval, w, minOverlap, maxTrainDf)
+      .groupBy("eval_doc")
+      .agg(count(lit(1)).as("n_train_docs"), max("overlap").as("max_overlap"))
+
   /** EXT2e — connected components over an undirected near-dup pair graph
     * (doc_a, doc_b): returns (doc_id, component) for every doc appearing
     * in ≥ 1 pair, where component = the smallest doc_id transitively

@@ -41,6 +41,30 @@ object ExtQueries {
       |)
       |""".stripMargin
 
+  /** EXT20 ground truth: the same shingling as [[DocShinglesCte]], split
+    * into train (doc_id % 5 ≠ 0) / eval (doc_id % 5 = 0) corpora, with
+    * `ov` = per-pair containment of the eval doc's shingle set. */
+  private val DecontamCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), shing AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                FOR i IN range(1, len(t) - 1)]) AS sh
+      |  FROM toks WHERE len(t) >= 3
+      |), inv AS (
+      |  SELECT doc_id, unnest(sh) AS shingle FROM shing
+      |), common AS (
+      |  SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc, COUNT(*) AS common
+      |  FROM (SELECT * FROM inv WHERE doc_id % 5 <> 0) tr
+      |  JOIN (SELECT * FROM inv WHERE doc_id % 5 = 0) ev ON tr.shingle = ev.shingle
+      |  GROUP BY 1, 2
+      |), ov AS (
+      |  SELECT eval_doc, train_doc,
+      |         CAST(common AS DOUBLE) / len(sh) AS overlap
+      |  FROM common JOIN shing ON eval_doc = shing.doc_id
+      |)
+      |""".stripMargin
+
   private val JaccardSelect: String =
     s"""SELECT doc_a, doc_b, ${Sql.rnd("jaccard", 4)} AS jaccard
        |FROM jac WHERE jaccard >= 0.5""".stripMargin
@@ -434,6 +458,36 @@ object ExtQueries {
           |JOIN quality q ON e.doc_id = q.doc_id
           |WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
           |GROUP BY 1""".stripMargin)),
+
+    // ── EXT20 — benchmark decontamination: the documents table split
+    //    into a train corpus (doc_id % 5 ≠ 0) and an eval corpus
+    //    (doc_id % 5 = 0); report the (eval, train) pairs whose 3-gram
+    //    CONTAINMENT of the eval doc reaches 0.5. The oracle recomputes
+    //    the exact shingle intersection over the same two-way split.
+    QueryDef(
+      "ext20_decontam",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontamPairs(
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
+      },
+      Some(DecontamCtes +
+        s"""SELECT eval_doc, train_doc, ${Sql.rnd("overlap", 4)} AS overlap
+           |FROM ov WHERE overlap >= 0.5""".stripMargin)),
+
+    // ── EXT20b — the per-eval-doc contamination report (how many train
+    //    docs leak each eval doc, and the worst overlap).
+    QueryDef(
+      "ext20_decontam_report",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontamReport(
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
+      },
+      Some(DecontamCtes +
+        s"""SELECT eval_doc, COUNT(*) AS n_train_docs,
+           |       MAX(${Sql.rnd("overlap", 4)}) AS max_overlap
+           |FROM ov WHERE overlap >= 0.5 GROUP BY 1""".stripMargin)),
 
     // ── EXT6b — session-level rollup (the session_sources table the
     //    reference assumes pre-exists, derived from raw events).

@@ -199,4 +199,48 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(id => (id - 1000000L, id)).toSet
     assert(pairs == expected, s"got $pairs, expected $expected")
   }
+
+  test("decontamination measures containment of the eval doc, not Jaccard") {
+    // eval doc 10 is fully contained in train doc 1 (tiny Jaccard — the
+    // train page is much longer); eval doc 20 shares nothing.
+    val train = Seq(
+      (1L, ("lorem ipsum dolor sit amet " * 20) + "the secret eval question text here"),
+      (2L, "completely unrelated train page about something else entirely")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "the secret eval question text here"),
+      (20L, "nothing in common with any training page at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontamPairs(train, eval)
+      .select("eval_doc", "train_doc", "overlap")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((10L, 1L, 1.0)), s"got $got")
+    val report = Dedup.decontamReport(train, eval)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(report == Set((10L, 1L, 1.0)), s"got $report")
+  }
+
+  test("decontamination boilerplate cap drops only too-common shingles") {
+    // "header text repeated on every page" appears in all 3 train docs;
+    // the genuine leak shingles appear in exactly one. With maxTrainDf=2
+    // the boilerplate-only eval doc 11 falls below threshold while the
+    // genuine leak (eval 10 ⊂ train 1) keeps overlap 1.0.
+    val boiler = "standard header text repeated on every page"
+    val train = Seq(
+      (1L, s"$boiler the secret eval question text here"),
+      (2L, s"$boiler unrelated body one"),
+      (3L, s"$boiler unrelated body two")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "the secret eval question text here"),
+      (11L, boiler)
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.decontamPairs(train, eval)
+      .select("eval_doc").as[Long].collect().toSet
+    assert(uncapped == Set(10L, 11L), s"got $uncapped")
+    val capped = Dedup.decontamPairs(train, eval, maxTrainDf = 2L)
+      .select("eval_doc", "train_doc", "overlap")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == Set((10L, 1L, 1.0)), s"got $capped")
+  }
 }
