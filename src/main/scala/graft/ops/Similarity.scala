@@ -54,21 +54,39 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("rk"), graft.Num.rnd(col("sim"), 6).as("sim"))
 
+  /** (vec_id, embedding, nrm) — the scored-corpus shape every search
+    * variant starts from. */
+  private def prepCorpus(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+
+  /** Caller query frame → (q_id, q_emb, q_nrm). The contract for every
+    * caller-supplied overload: `queries` carries `vec_id` + `embedding`
+    * (extra columns ignored); rows whose vec_id appears in the corpus are
+    * excluded from their own result (self-match rule). */
+  private def prepQueries(queries: DataFrame): DataFrame =
+    queries.select(
+      col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_nrm"))
+
   /** Queries = rows with `vec_id % queryMod == 0` (deterministic, valid at
     * any SF); corpus = everything. Top-k by cosine per query, self-match
-    * excluded, vec_id tie-break. Norms are precomputed per row BEFORE the
-    * pair join — computed inside it they would be re-derived per pair
-    * (|Q|× for the corpus side), and the fold is interpreted
-    * (CodegenFallback), so that costs real time. */
-  def topK(embeddings: DataFrame, k: Int = 10, queryMod: Int = 50): DataFrame = {
-    val corpus = embeddings
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val q = corpus
-      .filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    * excluded, vec_id tie-break. NOTE the fixture filter makes |Q| grow
+    * linearly with the corpus — fine for the oracle rows, wrong for
+    * production serving; pass an explicit query frame (the overload below)
+    * to keep the broadcast side sized to the actual query workload. */
+  def topK(embeddings: DataFrame, k: Int = 10, queryMod: Int = 50): DataFrame =
+    topK(embeddings, embeddings.filter(col("vec_id") % queryMod === 0), k)
+
+  /** Caller-supplied query set (columns `vec_id`, `embedding`): top-k by
+    * cosine per query over the corpus. The query side is broadcast — the
+    * |Q| ≪ |C| serving shape — so it must stay driver-broadcastable;
+    * norms are precomputed per row BEFORE the pair join (computed inside
+    * it they would be re-derived per pair, |Q|× for the corpus side). */
+  def topK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = prepCorpus(embeddings)
     rankTopK(
       corpus
-        .join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .join(broadcast(prepQueries(queries)), col("vec_id") =!= col("q_id"))
         .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))),
       k)
   }
@@ -119,7 +137,22 @@ object Similarity {
       planes: Int = 4,
       tables: Int = 16,
       dim: Int = 64,
-      probeBits: Int = 4): DataFrame = {
+      probeBits: Int = 4): DataFrame =
+    topKLsh(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
+      k, planes, tables, dim, probeBits)
+
+  /** [[topKLsh]] with a caller-supplied query frame (columns `vec_id`,
+    * `embedding`) — same contract as the [[topK]] overload: the query
+    * side (keys × tables × (1+probeBits) probe rows) is the broadcast
+    * side and must stay small; the corpus side is untouched by probing. */
+  def topKLsh(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int,
+      tables: Int,
+      dim: Int,
+      probeBits: Int): DataFrame = {
     require(probeBits >= 0 && probeBits <= planes, "probeBits in [0, planes]")
     // deterministic hyperplanes: component (t,p,d) from a splitmix-style mix
     def component(t: Int, p: Int, d: Int): Float = {
@@ -143,11 +176,8 @@ object Similarity {
         when(dot(emb, plane) >= 0.0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
 
-    val corpus = embeddings
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val q = corpus
-      .filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val corpus = prepCorpus(embeddings)
+    val q = prepQueries(queries)
 
     // Multi-probe (query side only): materialize each table's base key
     // once, THEN explode the probe set from the materialized column — the
@@ -269,13 +299,26 @@ object Similarity {
       queryMod: Int = 50,
       nCells: Int = 16,
       nProbe: Int = 4,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5): DataFrame =
+    topKIvf(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
+      k, nCells, nProbe, iters)
+
+  /** [[topKIvf]] with a caller-supplied query frame (columns `vec_id`,
+    * `embedding`). The quantizer is still trained on the CORPUS (queries
+    * need not be drawn from it); only the nProbe-exploded query side is
+    * broadcast. */
+  def topKIvf(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      iters: Int): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nCells, iters)
     val corpus = embeddings.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
       assignCell(col("embedding"), centroids).as("cell"))
-    val q = embeddings
-      .filter(col("vec_id") % queryMod === 0)
+    val q = queries
       .select(
         col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("q_nrm"),
@@ -318,6 +361,25 @@ object Similarity {
       .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), graft.Num.rnd(col("sim"), 6).as("sim"))
+  }
+
+  /** Per-query recall of an approximate top-k result against the exact
+    * top-k (both in the (q_id, vec_id, …) shape [[rankTopK]] emits):
+    * one row per exact-result query with `n_exact`, `n_hit`, `recall`.
+    * The join is per-(q_id, vec_id) — k×|Q| rows, trivially small next
+    * to the searches themselves — so an engine can afford to score every
+    * index build/refresh this way and gate deployment on it. */
+  def recallPerQuery(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("q_id"), col("vec_id"))
+    val hits = e
+      .join(approx.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
   }
 
   /** Embedding-cosine near-dup pairs (EXT2's vector flavor): pairs with

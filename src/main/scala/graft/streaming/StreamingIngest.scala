@@ -40,11 +40,21 @@ object StreamingIngest {
     * watermark then actually evicts finalized windows from state (in
     * `complete` mode Spark must retain every group forever), so a
     * long-running deployment stays bounded; the sink receives upserts
-    * per (day, channel). */
-  def channelDaily(events: DataFrame): DataFrame = {
+    * per (day, channel).
+    *
+    * ARRIVAL-ORDER CONTRACT: update mode does NOT filter late input —
+    * it evicts finalized state at each batch boundary, so a row landing
+    * more than `watermarkDelay` after the stream's max event time
+    * re-aggregates ITS KEY FROM ZERO (measured: a 3-micro-batch run with
+    * files split by hash instead of by time emits reset counts for every
+    * evicted key — and a keyed upsert sink would overwrite good totals
+    * with them). Land files in event-time order (the daily-load pattern
+    * this operator mirrors) or widen `watermarkDelay` to cover the
+    * disorder, e.g. the full backfill span for an unordered backfill. */
+  def channelDaily(events: DataFrame, watermarkDelay: String = "1 day"): DataFrame = {
     val withTs = events.withColumn("event_ts", graft.Tables.tsMicros("ts"))
     withTs
-      .withWatermark("event_ts", "1 day")
+      .withWatermark("event_ts", watermarkDelay)
       .groupBy(window(col("event_ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
       .select(
@@ -123,6 +133,50 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** The durable twin of [[runAvailableNow]]: the same watermarked
+    * channel/day rollup, upserted per micro-batch into a date-partitioned
+    * parquet store keyed by (date, event_type) via
+    * [[graft.sources.PartitionedStore.upsertByDateCol]] — so the rollup
+    * SURVIVES driver restarts, unlike the JVM-lifetime temp view.
+    *
+    * Exactly-once table state from at-least-once machinery: foreachBatch
+    * may REPLAY a micro-batch after a crash (the checkpoint commits after
+    * the sink runs), but update-mode stateful aggregation emits CUMULATIVE
+    * per-key values and the upsert is keyed last-write-wins — so replaying
+    * a batch rewrites the same rows instead of double-counting, and a
+    * resumed query continues merging into the same store. Verified by the
+    * kill-mid-run/resume spec (StreamingMultimodalSpec).
+    *
+    * Read back with `PartitionedStore.read(spark, storePath)`; rows are
+    * (date, event_type, n_events, total_value) like the in-memory twin.
+    * The [[channelDaily]] arrival-order contract applies — out-of-order
+    * landings beyond `watermarkDelay` would UPSERT reset counts over
+    * good ones; widen the delay for unordered backfills. */
+  def runAvailableNowDurable(
+      spark: SparkSession,
+      dir: String,
+      checkpoint: String,
+      storePath: String,
+      maxFilesPerTrigger: Int = 32,
+      watermarkDelay: String = "1 day"): StreamingQuery =
+    channelDaily(readEvents(spark, dir, maxFilesPerTrigger), watermarkDelay)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch(upsertRollup(spark, storePath) _)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The durable sink seam — public so tests can wrap it with fault
+    * injection (kill after batch N, then resume). Empty micro-batches
+    * are skipped: a zero-row dynamic overwrite is harmless but pointless
+    * IO on the store path. */
+  def upsertRollup(spark: SparkSession, storePath: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    if (!batch.isEmpty)
+      graft.sources.PartitionedStore.upsertByDateCol(
+        spark, batch, keyCol = "event_type", path = storePath)
 
   /** Accumulated rollups per table name (see runAvailableNow). */
   private val rollupState =

@@ -172,6 +172,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r8 > r2, s"recall must rise with nProbe: r2=$r2 r8=$r8")
   }
 
+  test("caller-supplied query frame matches the fixture filter and takes external queries") {
+    // 1) handing the % filter in explicitly reproduces the default rows
+    //    exactly, for all three search paths
+    val qFrame = embs.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id", "rk").as[(Long, Long, Long)].collect().toSet
+    assert(rows(Similarity.topK(embs, qFrame, 10)) == rows(Similarity.topK(embs)))
+    assert(rows(Similarity.topKLsh(embs, qFrame, 10, 4, 16, 64, 4)) ==
+      rows(Similarity.topKLsh(embs)))
+    // IVF trains per call (float summation order) — compare recall-vs-
+    // exact instead of row sets
+    val brute = rows(Similarity.topK(embs)).map(r => (r._1, r._2))
+    val ivfExt = Similarity.topKIvf(embs, qFrame, 10, 16, 8, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert((ivfExt & brute).size.toDouble / brute.size >= 0.7)
+    // 2) a genuinely external query frame (vectors NOT in the corpus):
+    //    shift ids out of range; every corpus row is eligible (no
+    //    self-match), each query returns exactly k rows
+    val external = embs.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val nq = external.count()
+    val ext = Similarity.topK(embs, external, 7)
+    assert(ext.count() == nq * 7)
+    assert(ext.groupBy("q_id").count().filter(col("count") =!= 7).isEmpty)
+  }
+
+  test("recallPerQuery scores hits per query with zero-hit queries kept") {
+    val exact = Similarity.topK(embs, k = 10, queryMod = 50)
+    // approx = exact ⇒ recall 1.0 everywhere
+    val perfect = Similarity.recallPerQuery(exact, exact)
+      .select("recall").as[Double].collect()
+    assert(perfect.nonEmpty && perfect.forall(_ == 1.0))
+    // approx missing one query entirely ⇒ that query scores 0.0, not a
+    // dropped row
+    val someQ = exact.select("q_id").distinct().as[Long].head()
+    val partial = Similarity.recallPerQuery(exact, exact.filter(col("q_id") =!= someQ))
+    val byQ = partial.select("q_id", "recall").as[(Long, Double)].collect().toMap
+    assert(byQ(someQ) == 0.0)
+    assert(byQ.size == perfect.length)
+    assert(byQ.filter(_._1 != someQ).values.forall(_ == 1.0))
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = embs.limit(3).select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
     df.as[Double].collect().foreach(c => assert(math.abs(c - 1.0) < 1e-12))

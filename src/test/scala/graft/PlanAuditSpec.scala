@@ -13,7 +13,10 @@ class PlanAuditSpec extends SparkSpec {
   // Brute-force similarity IS a deliberate broadcast scan of corpus ×
   // query set (PLANS.md), and tf-idf cross-joins a SINGLE-ROW broadcast
   // scalar (the corpus doc count); everything else must equi-join.
-  private val intendedBnlj = Set("ext3_topk_cosine", "ext4_tfidf")
+  // ext3_topk_ivf emits a recall scorecard whose ground-truth side is
+  // that same deliberate brute-force scan (the IVF side itself
+  // equi-joins on the cell id).
+  private val intendedBnlj = Set("ext3_topk_cosine", "ext3_topk_ivf", "ext4_tfidf")
 
   test("no cartesian products or unintended nested-loop joins anywhere") {
     SparkEntry.registry.foreach { q =>

@@ -39,6 +39,10 @@ class StreamingMultimodalSpec extends SparkSpec {
     // micro-batches, so the old memory sink kept each batch's row and
     // spark.table double-counted. The foreachBatch upsert must converge
     // to exactly the batch rollup, one row per key.
+    // NB the hash split violates channelDaily's arrival-order contract,
+    // which is safe HERE only because eviction first bites at the third
+    // micro-batch of a run — keep this at exactly two files (the
+    // chronological kill/resume spec below covers ≥3 batches).
     val dir = sf("sf0.001")
     val ckpt = Files.createTempDirectory("graft-ckpt-mb").toString
     val landing = Files.createTempDirectory("graft-landing-mb")
@@ -86,6 +90,86 @@ class StreamingMultimodalSpec extends SparkSpec {
     val merged = spark.table("stream_rollup_reinv")
       .select("event_type").distinct().as[String].collect().toSet
     assert(merged == Set("click", "view"), s"got $merged")
+  }
+
+  test("durable rollup survives a mid-run kill and resumes with no double-count") {
+    // Three landing files, one per trigger, split CHRONOLOGICALLY (days
+    // 1–10 / 11–20 / 21–30) — the daily-load arrival order channelDaily's
+    // watermark contract requires (a hash split here would trip state
+    // eviction: update mode re-aggregates late keys from zero, and the
+    // upsert would overwrite good totals with reset counts). Run 1 uses
+    // the SAME plan and sink seam as runAvailableNowDurable but throws
+    // right AFTER the batch-0 upsert — the sink ran, the checkpoint
+    // commit did not: the exact at-least-once replay window. The resumed
+    // query must replay batch 0 into the store (keyed last-write-wins ⇒
+    // idempotent), then finish batches 1–2, landing on exactly the batch
+    // rollup.
+    val dir = sf("sf0.001")
+    val ckpt = Files.createTempDirectory("graft-ckpt-kill").toString
+    val landing = Files.createTempDirectory("graft-landing-kill")
+    val store = Files.createTempDirectory("graft-store-kill").toString + "/rollup"
+    val ev = Tables.events(spark, dir)
+    val day = date_format(Tables.tsMicros("ts"), "yyyy-MM-dd")
+    Seq(("f0", day < "2024-01-11"),
+        ("f1", day >= "2024-01-11" && day < "2024-01-21"),
+        ("f2", day >= "2024-01-21")).zipWithIndex.foreach { case ((name, pred), i) =>
+      val out = landing.resolve(name)
+      ev.filter(pred).coalesce(1).write.parquet(out.toString)
+      // the file source triggers oldest-mtime-first: pin distinct mtimes
+      // so batch order == chronological order deterministically
+      java.nio.file.Files.list(out).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+    }
+    val q1 = StreamingIngest
+      .channelDaily(StreamingIngest.readEvents(spark, s"$landing/*/", maxFilesPerTrigger = 1))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingIngest.upsertRollup(spark, store)(batch, id)
+        if (id == 0) throw new RuntimeException("injected kill after batch-0 sink")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000)
+    }
+    assert(spark.read.parquet(store).count() > 0, "batch-0 upsert must have landed")
+
+    // resume: the production runner, same checkpoint, same store
+    val q2 = StreamingIngest.runAvailableNowDurable(
+      spark, s"$landing/*/", ckpt, store, maxFilesPerTrigger = 1)
+    assert(q2.awaitTermination(120000), "resumed stream timed out")
+
+    val stored = graft.sources.PartitionedStore.read(spark, store)
+    val got = stored.select("date", "event_type", "n_events")
+      .as[(String, String, Long)].collect()
+    assert(got.length == got.map(r => (r._1, r._2)).distinct.length,
+      "duplicate (date, event_type) rows — replay double-appended")
+    val batch = Tables.events(spark, dir)
+      .groupBy(
+        date_format(Tables.tsMicros("ts"), "yyyy-MM-dd").as("date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got.toSet == batch,
+      "resumed durable rollup must equal the batch rollup over all events")
+    // total_value: incremental state sums in a different order than the
+    // batch plan — equal to float tolerance, not bit-equal
+    val gotVal = stored.select(sum("total_value")).as[Double].head()
+    val batchVal = Tables.events(spark, dir).select(sum("value")).as[Double].head()
+    assert(math.abs(gotVal - batchVal) <= 1e-6 * math.abs(batchVal))
+
+    // a third invocation with nothing new landed: zero micro-batches,
+    // store byte-for-byte readable and unchanged in content
+    val q3 = StreamingIngest.runAvailableNowDurable(
+      spark, s"$landing/*/", ckpt, store, maxFilesPerTrigger = 1)
+    assert(q3.awaitTermination(120000))
+    assert(graft.sources.PartitionedStore.read(spark, store)
+      .select("date", "event_type", "n_events")
+      .as[(String, String, Long)].collect().toSet == batch)
   }
 
   test("zero-micro-batch run still registers an empty readable table") {
