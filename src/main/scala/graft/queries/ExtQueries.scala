@@ -489,7 +489,8 @@ object ExtQueries {
           |FROM exact e
           |JOIN quality q ON e.doc_id = q.doc_id
           |WHERE e.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
-          |GROUP BY 1""".stripMargin)),
+          |GROUP BY 1""".stripMargin),
+      bench = true),
 
     // ── EXT20 — benchmark decontamination: the documents table split
     //    into a train corpus (doc_id % 5 ≠ 0) and an eval corpus
@@ -505,7 +506,8 @@ object ExtQueries {
       },
       Some(DecontamCtes +
         s"""SELECT eval_doc, train_doc, ${Sql.rnd("overlap", 4)} AS overlap
-           |FROM ov WHERE overlap >= 0.5""".stripMargin)),
+           |FROM ov WHERE overlap >= 0.5""".stripMargin),
+      bench = true),
 
     // ── EXT20b — the per-eval-doc contamination report (how many train
     //    docs leak each eval doc, and the worst overlap).

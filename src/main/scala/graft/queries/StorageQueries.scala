@@ -92,7 +92,8 @@ object StorageQueries {
         Tables.events(s, d).repartition(64).write.mode("overwrite").parquet(in)
         eventsCols(Compaction.compact(s, in, out))
       },
-      Some(eventsSql(""))),
+      Some(eventsSql("")),
+      bench = true),
 
     // ── S12 — sorted compaction: same contract through the
     //    repartitionByRange + sortWithinPartitions path (disjoint key
@@ -106,7 +107,8 @@ object StorageQueries {
         Tables.events(s, d).repartition(64).write.mode("overwrite").parquet(in)
         eventsCols(Compaction.compactSorted(s, in, out, Seq("user_id", "event_id")))
       },
-      Some(eventsSql(""))),
+      Some(eventsSql("")),
+      bench = true),
 
     // ── J10 — skew-salted fact⋈dim join. The oracle is the PLAIN join:
     //    salting must be a pure physical rewrite (finer join key, dim
@@ -127,5 +129,6 @@ object StorageQueries {
       Some("""SELECT p_brand, COUNT(*) AS n_items,
              |       CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents
              |FROM lineitem JOIN part ON l_partkey = p_partkey
-             |GROUP BY 1""".stripMargin)))
+             |GROUP BY 1""".stripMargin),
+      bench = true))
 }
