@@ -99,11 +99,26 @@ object ScaleUp {
 
     // events: stride multiple of 60 = lcm(2,3,4,5) — engagement flags and
     // the cost-coverage quarter (event_id % {2,3,4,5}) keep exact rates.
-    val evS = stride(in("events"), "event_id", 60L)
-    val userS = stride(in("events"), "user_id", 100L)
-    write("events", replicate(in("events"), factor) { (df, i) =>
+    // Timestamps shift by a whole-day multiple of the base span per
+    // replica: a 10×-bigger event stream covers a 10×-longer timeline at
+    // the SAME temporal density, the way a production stream grows. Naive
+    // replication into the base window would 10× the density instead, and
+    // every time-window operator (interval join, sessionize, tumbling
+    // windows) would see ~100× the overlapping pairs — a quadratic
+    // blow-up that measures the generator, not the engine. Whole days
+    // (UTC) keep per-date volumes and any date-boundary behavior intact.
+    val ev = in("events")
+    val evS = stride(ev, "event_id", 60L)
+    val userS = stride(ev, "user_id", 100L)
+    val dayNs = 86400L * 1000000000L
+    val tsSpanDays: Long = {
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head
+      (r.getLong(1) - r.getLong(0)) / dayNs + 1
+    }
+    write("events", replicate(ev, factor) { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * evS))
         .withColumn("user_id", col("user_id") + lit(i * userS))
+        .withColumn("ts", col("ts") + lit(i * tsSpanDays * dayNs))
     }, factor)
 
     val docS = stride(in("documents"), "doc_id", 100L)

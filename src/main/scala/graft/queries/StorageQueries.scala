@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.Skew
-import graft.sources.Compaction
+import graft.sources.{Compaction, TxStore}
 import graft.streaming.StreamingIngest
 import org.apache.spark.sql.functions._
 
@@ -130,5 +130,29 @@ object StorageQueries {
              |       CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY 1""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ── S13 — transactional table format, full lifecycle under one
+    //    oracle: two transactional appends build the events table, a
+    //    transactional compaction rewrites it, and the snapshot read
+    //    must still hash-match the source of truth. Concurrency /
+    //    time-travel / vacuum semantics live in TxStoreSpec; this row
+    //    pins that the commit-log plumbing never drops or duplicates a
+    //    row through the append→compact→read path.
+    QueryDef(
+      "s13_txlog_readback",
+      (s, d) => {
+        val store = tmp("s13-txlog", d)
+        // fresh table per invocation — a reused log would accumulate the
+        // previous run's appends and (correctly) fail the readback oracle
+        val p = new org.apache.hadoop.fs.Path(store)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0), store)
+        TxStore.append(ev.filter(col("event_id") % 2 =!= 0), store)
+        TxStore.compact(s, store, target = 4)
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(""))))
 }

@@ -1,0 +1,299 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+/** Minimal transactional table format — the multi-writer story
+  * [[PartitionedStore]] explicitly does not have (its scaladoc documents
+  * the single-writer contract; this is the "table format with a
+  * transaction log" it points at).
+  *
+  * Layout (the standard lakehouse shape — cf. the Delta Lake paper,
+  * VLDB 2020, and Iceberg's spec; re-derived here, no code in common):
+  *
+  * {{{
+  *   <path>/data/<uuid>.parquet      immutable data files (Spark-written)
+  *   <path>/_txlog/<v>%020d.json     one commit per version, atomic create
+  * }}}
+  *
+  * A commit file lists `add` and `remove` data-file names; the snapshot at
+  * version V = replay of commits 1..V (adds minus removes). Readers never
+  * list `data/` — a crashed writer's orphan files are invisible until a
+  * commit names them, which is what makes writes all-or-nothing.
+  *
+  * Concurrency: OPTIMISTIC. A writer stages data files, then tries to
+  * create `_txlog/<latest+1>.json` with `FileSystem.create(overwrite =
+  * false)` — atomic on HDFS and on local filesystems, so exactly one of N
+  * racing writers wins a version; losers re-read the log, re-check for
+  * conflicts, and retry at the next version:
+  *
+  *  - `append` conflicts with nothing — it blindly retries at V+1 (same
+  *    rule as Delta's blind-append).
+  *  - `overwrite`/`compact` remove files, so they conflict with any
+  *    concurrent commit that removed one of the SAME files (the snapshot
+  *    they decided on is gone) — they fail loudly rather than resurrect
+  *    or double-delete data. Compaction additionally re-checks that its
+  *    inputs are still live and aborts as a no-op if a concurrent
+  *    overwrite replaced them.
+  *
+  * Scale notes: the log is driver-side — one tiny JSON per commit, replay
+  * is O(commits) string parsing (the same shape as Delta's pre-checkpoint
+  * replay; a checkpoint file every N commits is the known growth path and
+  * `checkpoint()` below writes one, collapsing replay to O(1) + tail).
+  * Data-file IO is fully distributed. On S3-like stores without atomic
+  * create-no-overwrite, the commit step needs an external lock/CAS service
+  * (exactly Delta's documented S3 story) — out of scope here.
+  */
+object TxStore {
+
+  private val LogDir = "_txlog"
+  private val DataDir = "data"
+  private val MaxRetries = 20
+
+  /** One log entry: the files this commit added/removed plus the op name
+    * (history/debugging only). Hand-rolled JSON on both ends — the names
+    * are UUIDs and ops are fixed tokens, so no escaping is needed. */
+  final case class Commit(version: Long, op: String, add: Seq[String], remove: Seq[String])
+
+  final case class Snapshot(version: Long, files: Seq[String])
+
+  // ── log primitives ─────────────────────────────────────────────────
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logPath(path: String, v: Long): Path =
+    new Path(s"$path/$LogDir/${"%020d".format(v)}.json")
+
+  private def render(c: Commit): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}}"""
+  }
+
+  private def parse(s: String): Commit = {
+    def field(name: String): String = {
+      val i = s.indexOf("\"" + name + "\":")
+      require(i >= 0, s"corrupt commit entry: missing $name in $s")
+      s.substring(i + name.length + 3)
+    }
+    def strArr(body: String): Seq[String] = {
+      val inner = body.substring(body.indexOf('[') + 1, body.indexOf(']'))
+      if (inner.isEmpty) Nil
+      else inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    Commit(
+      version = field("version").takeWhile(c => c.isDigit).toLong,
+      op = field("op").drop(1).takeWhile(_ != '"'),
+      add = strArr(field("add")),
+      remove = strArr(field("remove")))
+  }
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** All commits in version order. A checkpoint (see [[checkpoint]]) is a
+    * commit whose `add` is the full live set at its version — replay can
+    * start there, so only it plus the tail is parsed. */
+  private def commits(f: FileSystem, path: String): Seq[Commit] = {
+    val dir = new Path(s"$path/$LogDir")
+    if (!f.exists(dir)) return Nil
+    val all = f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .sorted
+      .map(n => parse(readText(f, new Path(dir, n))))
+    val lastCk = all.lastIndexWhere(_.op == "checkpoint")
+    if (lastCk <= 0) all else all.drop(lastCk)
+  }
+
+  private def replay(cs: Seq[Commit]): Snapshot = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    cs.foreach { c => c.remove.foreach(n => live -= n); c.add.foreach(n => live += n) }
+    Snapshot(if (cs.isEmpty) 0L else cs.last.version, live.toSeq)
+  }
+
+  /** Current snapshot (version 0 = empty table, no log yet). */
+  def snapshot(spark: SparkSession, path: String): Snapshot =
+    replay(commits(fs(spark, path), path))
+
+  /** Snapshot as of an historical version — time travel. */
+  def snapshotAt(spark: SparkSession, path: String, version: Long): Snapshot = {
+    val cs = commits(fs(spark, path), path).filter(_.version <= version)
+    require(cs.nonEmpty || version == 0, s"version $version predates the retained log at $path")
+    replay(cs)
+  }
+
+  /** Commit history, oldest first (op + files per version). */
+  def history(spark: SparkSession, path: String): Seq[Commit] =
+    commits(fs(spark, path), path)
+
+  // ── writes ─────────────────────────────────────────────────────────
+
+  /** Stage `df` as new immutable data files; returns their names. Staged
+    * files are invisible until a commit lists them. */
+  private def stage(df: DataFrame, path: String): Seq[String] = {
+    val tmp = s"$path/$DataDir/_stage-${UUID.randomUUID()}"
+    df.write.mode("error").parquet(tmp)
+    val f = fs(df.sparkSession, path)
+    val staged = f.listStatus(new Path(tmp)).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    val named = staged.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      require(f.rename(p, new Path(s"$path/$DataDir/$name")), s"rename failed for $p")
+      name
+    }
+    f.delete(new Path(tmp), true)
+    named
+  }
+
+  /** Try to own version `v`; true iff this writer created the commit file.
+    * Losing the race MUST be detectable, so the create has to be atomic
+    * create-if-absent: on HDFS `FileSystem.create(overwrite = false)` is
+    * exactly that; Hadoop's LOCAL filesystem implements it as a
+    * check-then-create (a TOCTOU window two racing threads can both slip
+    * through), so local paths go through NIO `CREATE_NEW`, which is atomic
+    * at the syscall level. */
+  private def tryCommit(f: FileSystem, path: String, c: Commit): Boolean = {
+    val p = logPath(path, c.version)
+    val bytes = render(c).getBytes(StandardCharsets.UTF_8)
+    if (f.getScheme == "file") {
+      val local = java.nio.file.Paths.get(f.makeQualified(p).toUri)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try {
+        java.nio.file.Files.write(local, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else
+      try {
+        val out = f.create(p, /* overwrite = */ false)
+        try out.write(bytes)
+        finally out.close()
+        true
+      } catch {
+        case _: FileAlreadyExistsException => false
+        case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.contains("exist") => false
+      }
+  }
+
+  /** Optimistic-commit loop shared by every write op. `attempt` sees the
+    * latest snapshot and returns the commit to try at its version + 1, or
+    * None to abort as a no-op (e.g. compaction inputs vanished). */
+  private def commitLoop(
+      spark: SparkSession, path: String, op: String)(
+      attempt: Snapshot => Option[(Seq[String], Seq[String])]): Option[Commit] = {
+    val f = fs(spark, path)
+    var tries = 0
+    while (tries < MaxRetries) {
+      val snap = replay(commits(f, path))
+      attempt(snap) match {
+        case None => return None
+        case Some((add, remove)) =>
+          val c = Commit(snap.version + 1, op, add, remove)
+          if (tryCommit(f, path, c)) return Some(c)
+      }
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"$op at $path lost $MaxRetries optimistic-commit races — livelocked table?")
+  }
+
+  /** Transactional append. Conflicts with nothing: data files are staged
+    * once, then the commit retries under contention until a version slot
+    * is won. Returns the committed version. */
+  def append(df: DataFrame, path: String): Long = {
+    val files = stage(df, path)
+    commitLoop(df.sparkSession, path, "append")(_ => Some((files, Nil))).get.version
+  }
+
+  /** Transactional full overwrite: one commit removes every currently-live
+    * file and adds the replacement set. Fails (cleaning up its staged
+    * files) if a concurrent overwrite/compact removed any file it decided
+    * to remove — the snapshot it targeted no longer exists. */
+  def overwrite(df: DataFrame, path: String): Long = {
+    val files = stage(df, path)
+    val base = snapshot(df.sparkSession, path)
+    val f = fs(df.sparkSession, path)
+    try {
+      commitLoop(df.sparkSession, path, "overwrite") { snap =>
+        val vanished = base.files.toSet -- snap.files.toSet
+        if (snap.version > base.version && vanished.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"overwrite at $path conflicts: files removed concurrently: " +
+              vanished.take(3).mkString(", "))
+        // removing the files live NOW (a concurrent append's rows are
+        // legitimately clobbered by a later full overwrite — same
+        // semantics as Delta's overwrite after a racing append)
+        Some((files, snap.files))
+      }.get.version
+    } catch {
+      case e: Throwable =>
+        files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+        throw e
+    }
+  }
+
+  /** Transactional compaction: rewrite the current file set as `target`
+    * files in one commit. Pure physical — the read-back is row-identical.
+    * Aborts as a no-op (returning None) if a concurrent commit removed
+    * any input file, so it never resurrects overwritten data. */
+  def compact(spark: SparkSession, path: String, target: Int = 1): Option[Long] = {
+    val base = snapshot(spark, path)
+    if (base.files.isEmpty) return None
+    val compacted = stage(readFiles(spark, path, base.files).repartition(target), path)
+    val f = fs(spark, path)
+    val committed = commitLoop(spark, path, "compact") { snap =>
+      if (!base.files.forall(snap.files.contains)) None
+      else Some((compacted, base.files))
+    }
+    if (committed.isEmpty)
+      compacted.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+    committed.map(_.version)
+  }
+
+  /** Write a checkpoint commit: the full live set as one log entry, so
+    * replay afterwards parses O(1) entries + the tail instead of the whole
+    * history. Contends like any commit (it removes nothing, adds nothing
+    * logically — `add` restates the live set). */
+  def checkpoint(spark: SparkSession, path: String): Long =
+    commitLoop(spark, path, "checkpoint")(snap => Some((snap.files, Nil))).get.version
+
+  // ── reads ──────────────────────────────────────────────────────────
+
+  private def readFiles(spark: SparkSession, path: String, files: Seq[String]): DataFrame = {
+    require(files.nonEmpty, s"empty snapshot at $path")
+    spark.read.parquet(files.map(n => s"$path/$DataDir/$n"): _*)
+  }
+
+  /** Read the current snapshot. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readFiles(spark, path, snapshot(spark, path).files)
+
+  /** Read an historical snapshot — time travel. */
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
+    readFiles(spark, path, snapshotAt(spark, path, version).files)
+
+  /** Delete data files no snapshot references (crashed-writer debris and
+    * files removed by overwrite/compact). Safe only when no writer is
+    * mid-stage; like Delta's VACUUM this is an offline maintenance op. */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    val dataDir = new Path(s"$path/$DataDir")
+    if (!f.exists(dataDir)) return 0
+    // every file named by ANY retained commit stays (time travel works
+    // for the whole retained log, not just the live set)
+    val referenced = commits(f, path).flatMap(_.add).toSet
+    val victims = f.listStatus(dataDir).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !referenced.contains(p.getName))
+    victims.foreach(f.delete(_, false))
+    victims.size
+  }
+}

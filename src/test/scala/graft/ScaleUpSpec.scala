@@ -53,6 +53,32 @@ class ScaleUpSpec extends SparkSpec {
     }
   }
 
+  test("replica event streams occupy disjoint time windows at base density") {
+    // temporal density must stay constant as the stream grows — replica
+    // windows may not overlap (else interval joins measure the generator's
+    // artificial pile-up, not the engine)
+    val evS = {
+      val mx = base("events").agg(max("event_id")).head.getLong(0)
+      (mx / 60 + 1) * 60
+    }
+    val windows = out("events")
+      .groupBy((col("event_id") / evS).cast("long").as("replica"))
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .orderBy("replica")
+      .collect()
+    assert(windows.length === 3)
+    windows.sliding(2).foreach { w =>
+      assert(w(0).getLong(2) < w(1).getLong(1),
+        s"replica ${w(0).getLong(0)} window overlaps replica ${w(1).getLong(0)}")
+    }
+    // each replica spans the base window's width (same density, longer timeline)
+    val baseSpan = {
+      val r = base("events").agg(min("ts"), max("ts")).head
+      r.getLong(1) - r.getLong(0)
+    }
+    windows.foreach(w => assert(w.getLong(2) - w.getLong(1) === baseSpan))
+  }
+
   test("replica documents preserve the word multiset but not the word order") {
     val docS = {
       val mx = base("documents").agg(max("doc_id")).head.getLong(0)

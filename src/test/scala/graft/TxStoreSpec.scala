@@ -1,0 +1,145 @@
+package graft
+
+import graft.sources.TxStore
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+/** TxStore — the transactional commit-log table format. Covers the
+  * guarantees PartitionedStore's single-writer contract can't give:
+  * atomic visibility, optimistic multi-writer appends with no lost
+  * updates, snapshot isolation + time travel, transactional compaction,
+  * conflict detection on competing overwrites, and vacuum of unreferenced
+  * debris. */
+class TxStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-tx").toString
+
+  private def rows(n: Int, from: Int = 0) =
+    (from until from + n).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+
+  test("append then read round-trips; versions and history accumulate") {
+    val t = tmpDir()
+    assert(TxStore.append(rows(10), t) === 1L)
+    assert(TxStore.append(rows(5, from = 10), t) === 2L)
+    val got = TxStore.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got === (0 until 15).map(i => (i.toLong, s"v$i")).toSet)
+    assert(TxStore.history(spark, t).map(_.op) === Seq("append", "append"))
+  }
+
+  test("overwrite replaces content; time travel still reads the old snapshot") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t)
+    val v2 = TxStore.overwrite(rows(3, from = 100), t)
+    assert(v2 === 2L)
+    assert(TxStore.read(spark, t).count() === 3)
+    // snapshot isolation backwards: version 1 is intact
+    assert(TxStore.readAt(spark, t, 1L).as[(Long, String)].collect().toSet ===
+      (0 until 10).map(i => (i.toLong, s"v$i")).toSet)
+  }
+
+  test("N racing appenders all commit, with distinct versions and no lost rows") {
+    val t = tmpDir()
+    val writers = 6
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val done = (0 until writers).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { start.await(); TxStore.append(rows(10, from = w * 10), t) }
+      })
+    }
+    start.countDown()
+    val versions = done.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // every writer won SOME version, all distinct, densely 1..N
+    assert(versions.toSet === (1L to writers.toLong).toSet)
+    // and no append was lost: all 60 rows present exactly once
+    val got = TxStore.read(spark, t).as[(Long, String)].collect()
+    assert(got.length === writers * 10)
+    assert(got.toSet.size === writers * 10)
+  }
+
+  test("uncommitted data files are invisible; vacuum deletes them") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t)
+    // a crashed writer's orphan: a data file no commit references
+    rows(99).write.mode("append").parquet(s"$t/data/orphan.parquet-dir")
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // flatten one parquet part into data/ under a .parquet name
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(s"$t/data/orphan.parquet-dir"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    f.rename(part, new org.apache.hadoop.fs.Path(s"$t/data/orphan.parquet"))
+    f.delete(new org.apache.hadoop.fs.Path(s"$t/data/orphan.parquet-dir"), true)
+
+    assert(TxStore.read(spark, t).count() === 10, "orphan must be invisible to readers")
+    assert(TxStore.vacuum(spark, t) === 1, "exactly the orphan gets vacuumed")
+    assert(TxStore.read(spark, t).count() === 10)
+  }
+
+  test("compact is a pure physical rewrite and preserves time travel") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t)
+    TxStore.append(rows(10, from = 10), t)
+    val before = TxStore.read(spark, t).as[(Long, String)].collect().toSet
+    val filesBefore = TxStore.snapshot(spark, t).files.size
+    val v = TxStore.compact(spark, t, target = 1)
+    assert(v === Some(3L))
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.files.size === 1 && filesBefore > 1)
+    assert(TxStore.read(spark, t).as[(Long, String)].collect().toSet === before)
+    // pre-compact version still readable (files retained until vacuum+checkpoint)
+    assert(TxStore.readAt(spark, t, 2L).as[(Long, String)].collect().toSet === before)
+  }
+
+  test("racing overwrites: one commits, the other either chains or aborts — never merges") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t)
+    val a = rows(5, from = 100)
+    val b = rows(7, from = 200)
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def submit(df: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          start.await()
+          try Right(TxStore.overwrite(df, t))
+          catch { case e: Throwable => Left(e) }
+        }
+      })
+    val (ra, rb) = (submit(a), submit(b))
+    start.countDown()
+    val outcomes = Seq(ra.get(120, TimeUnit.SECONDS), rb.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    val failures = outcomes.collect { case Left(e) => e }
+    failures.foreach(e =>
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException], e.toString))
+    // whatever interleaving happened, the table equals exactly ONE of the
+    // two frames — a merged/partial state would be a serializability hole
+    val finalRows = TxStore.read(spark, t).as[(Long, String)].collect().toSet
+    val aSet = a.as[(Long, String)].collect().toSet
+    val bSet = b.as[(Long, String)].collect().toSet
+    assert(finalRows === aSet || finalRows === bSet,
+      s"final table must be one writer's frame, got ${finalRows.size} rows")
+  }
+
+  test("checkpoint collapses replay; vacuum then reclaims pre-checkpoint files") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t)
+    TxStore.overwrite(rows(5, from = 50), t) // v2: v1's files now dead
+    val ckv = TxStore.checkpoint(spark, t)   // v3
+    assert(ckv === 3L)
+    // replay now starts at the checkpoint — history is truncated to it
+    assert(TxStore.history(spark, t).head.op === "checkpoint")
+    val reclaimed = TxStore.vacuum(spark, t)
+    assert(reclaimed > 0, "v1's overwritten files must be reclaimable")
+    assert(TxStore.read(spark, t).as[(Long, String)].collect().toSet ===
+      (50 until 55).map(i => (i.toLong, s"v$i")).toSet)
+    // time travel before the checkpoint is now explicitly refused
+    val e = intercept[IllegalArgumentException](TxStore.readAt(spark, t, 1L))
+    assert(e.getMessage.contains("predates"))
+  }
+}
