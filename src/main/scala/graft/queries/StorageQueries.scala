@@ -142,17 +142,80 @@ object StorageQueries {
     QueryDef(
       "s13_txlog_readback",
       (s, d) => {
-        val store = tmp("s13-txlog", d)
-        // fresh table per invocation — a reused log would accumulate the
-        // previous run's appends and (correctly) fail the readback oracle
-        val p = new org.apache.hadoop.fs.Path(store)
-        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (f.exists(p)) f.delete(p, true)
+        val store = freshStore(s, "s13-txlog", d)
         val ev = Tables.events(s, d)
         TxStore.append(ev.filter(col("event_id") % 2 === 0), store)
         TxStore.append(ev.filter(col("event_id") % 2 =!= 0), store)
         TxStore.compact(s, store, target = 4)
         eventsCols(TxStore.read(s, store))
       },
-      Some(eventsSql(""))))
+      Some(eventsSql(""))),
+
+    // ── S14 — time travel. Version 3 OVERWRITES the table down to the
+    //    %7 slice, then the read rolls back to version 1: the log must
+    //    reconstruct a pre-overwrite snapshot exactly, byte-for-byte
+    //    against SQL over the original table — i.e. overwrite removed
+    //    the old files from the LIVE set without destroying them.
+    QueryDef(
+      "s14_tx_timetravel",
+      (s, d) => {
+        val store = freshStore(s, "s14-txtravel", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0), store) // v1
+        TxStore.append(ev.filter(col("event_id") % 2 =!= 0), store) // v2
+        TxStore.overwrite(ev.filter(col("event_id") % 7 === 0), store) // v3
+        eventsCols(TxStore.readAt(s, store, version = 1L))
+      },
+      Some(eventsSql(" WHERE event_id % 2 = 0"))),
+
+    // ── S15 — copy-on-write DELETE, then checkpoint + vacuum: the
+    //    surviving snapshot must still hash-match after the physical
+    //    cleanup reclaimed the pre-delete files (vacuum keeps every file
+    //    a RETAINED commit references; the checkpoint is what retires
+    //    the old history and makes them reclaimable).
+    QueryDef(
+      "s15_tx_delete",
+      (s, d) => {
+        val store = freshStore(s, "s15-txdelete", d)
+        TxStore.append(Tables.events(s, d), store) // v1
+        TxStore.delete(s, store, col("event_id") % 3 === 0) // v2
+        TxStore.checkpoint(s, store) // v3
+        TxStore.vacuum(s, store)
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(" WHERE event_id % 3 <> 0"))),
+
+    // ── S16 — keyed MERGE (upsert). The table starts without the %10
+    //    rows; the update frame carries every %5 row with `value`
+    //    negated (IEEE sign flip — bit-exact in both engines). Matched
+    //    keys must be REPLACED (not duplicated), unmatched keys
+    //    INSERTED — the oracle's CASE/WHERE pins both paths at once,
+    //    since %10==0 ⊂ %5==0 makes the inserts the %10 slice.
+    QueryDef(
+      "s16_tx_merge",
+      (s, d) => {
+        val store = freshStore(s, "s16-txmerge", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 10 =!= 0), store) // v1
+        val updates = ev.filter(col("event_id") % 5 === 0)
+          .withColumn("value", -col("value"))
+        TxStore.merge(s, store, updates, keys = Seq("event_id")) // v2
+        eventsCols(TxStore.read(s, store))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             |       CASE WHEN event_id % 5 = 0 THEN -value ELSE value END AS value, props
+             |FROM events
+             |WHERE event_id % 10 <> 0 OR event_id % 5 = 0""".stripMargin)))
+
+  /** A per-(query, dir, process) TxStore path, wiped before use — a
+    * reused log would replay the previous run's commits on top of this
+    * one's and (correctly) fail the readback oracle. */
+  private def freshStore(
+      s: org.apache.spark.sql.SparkSession, name: String, dataDir: String): String = {
+    val store = tmp(name, dataDir)
+    val p = new org.apache.hadoop.fs.Path(store)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    store
+  }
 }

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, not}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -38,6 +39,10 @@ import java.util.UUID
   *    or double-delete data. Compaction additionally re-checks that its
   *    inputs are still live and aborts as a no-op if a concurrent
   *    overwrite replaced them.
+  *  - `delete` is write-serializable (concurrent appends commute with
+  *    it); `merge` is serializable (any concurrent commit conflicts,
+  *    since a racing append may insert a matching key) — see each
+  *    method's scaladoc.
   *
   * Scale notes: the log is driver-side — one tiny JSON per commit, replay
   * is O(commits) string parsing (the same shape as Delta's pre-checkpoint
@@ -257,6 +262,123 @@ object TxStore {
       compacted.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
     committed.map(_.version)
   }
+
+  /** Copy-on-write DELETE. Two phases, both distributed:
+    *
+    *  1. PROBE — scan the snapshot for files that contain a matching row.
+    *     `predicate` is pushed into the parquet scan, so row-group min/max
+    *     stats prune most files before a row is read; at lake scale a
+    *     selective delete probes cheaply and touches a handful of files.
+    *  2. REWRITE — only the hit files are re-read and rewritten without
+    *     their matching rows; every other file is carried over untouched
+    *     (never read twice, never rewritten).
+    *
+    * Kept rows are those where the predicate is NOT TRUE — a NULL
+    * predicate result keeps the row (SQL DELETE semantics; a plain
+    * `!predicate` filter would silently drop NULL-valued rows too).
+    *
+    * Isolation is write-serializable (the Delta default): rows appended
+    * concurrently with the probe are not deleted (they were not in the
+    * decided snapshot); a concurrent overwrite/compact that removed one of
+    * the files this delete decided to rewrite fails loudly — re-running
+    * against the new snapshot is the caller's decision, never an implicit
+    * retry that could delete rows the caller never saw. Returns None (and
+    * writes no commit) when nothing matched. */
+  def delete(spark: SparkSession, path: String, predicate: Column): Option[Long] = {
+    val base = snapshot(spark, path)
+    if (base.files.isEmpty) return None
+    val hit = readFiles(spark, path, base.files)
+      .filter(predicate)
+      .select(input_file_name().as("__f"))
+      .distinct()
+      .collect()
+      .map(r => fileName(r.getString(0)))
+      .toSeq
+    if (hit.isEmpty) return None
+    val kept = readFiles(spark, path, hit).filter(not(predicate <=> lit(true)))
+    val staged = stage(kept, path)
+    val f = fs(spark, path)
+    try
+      commitLoop(spark, path, "delete") { snap =>
+        val vanished = hit.filterNot(snap.files.contains)
+        if (vanished.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"delete at $path conflicts: rewrite inputs removed concurrently: " +
+              vanished.take(3).mkString(", "))
+        Some((staged, hit))
+      }.map(_.version)
+    catch {
+      case e: Throwable =>
+        staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+        throw e
+    }
+  }
+
+  /** Keyed MERGE (upsert): rows of `updates` replace current rows with the
+    * same key; keys not present insert. Same copy-on-write shape as
+    * [[delete]]: a distributed semi-join probe finds the files holding a
+    * matching key (the `__f` column is captured BEFORE the join —
+    * `input_file_name()` is only meaningful on the scan side of a
+    * shuffle), then only those files are rewritten, anti-joined against
+    * the update keys, with `updates` unioned in.
+    *
+    * `updates` must be unique per key — two updates for one key have no
+    * defined winner, so that's rejected up front rather than written.
+    *
+    * Isolation is SERIALIZABLE, stricter than [[delete]]'s: ANY commit
+    * landing after the decided snapshot conflicts, because even a plain
+    * concurrent append may have inserted one of these keys (making the
+    * "not matched → insert" decision stale). Detecting that post-hoc
+    * would require re-probing, which is the retry the caller owns. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(!updates.columns.contains("__f"), "updates must not carry the reserved __f column")
+    val base = snapshot(spark, path)
+    val keyCols = keys.map(col)
+    val nUpdates = updates.count()
+    if (nUpdates == 0) return base.version
+    val distinctKeys = updates.select(keyCols: _*).distinct()
+    require(
+      distinctKeys.count() == nUpdates,
+      s"updates must be unique per key (${keys.mkString(", ")}) — ambiguous winners")
+    val hit =
+      if (base.files.isEmpty) Nil
+      else {
+        val cur = readFiles(spark, path, base.files)
+        require(!cur.columns.contains("__f"), "table must not carry the reserved __f column")
+        cur
+          .withColumn("__f", input_file_name())
+          .join(distinctKeys, keys, "left_semi")
+          .select("__f")
+          .distinct()
+          .collect()
+          .map(r => fileName(r.getString(0)))
+          .toSeq
+      }
+    val kept =
+      if (hit.isEmpty) None
+      else Some(readFiles(spark, path, hit).join(distinctKeys, keys, "left_anti"))
+    val out = kept.fold(updates)(_.unionByName(updates))
+    val staged = stage(out, path)
+    val f = fs(spark, path)
+    try
+      commitLoop(spark, path, "merge") { snap =>
+        if (snap.version != base.version)
+          throw new java.util.ConcurrentModificationException(
+            s"merge at $path conflicts: table advanced from v${base.version} " +
+              s"to v${snap.version} after the probe")
+        Some((staged, hit))
+      }.get.version
+    catch {
+      case e: Throwable =>
+        staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+        throw e
+    }
+  }
+
+  /** `input_file_name()` yields a full URI; commits store bare names. */
+  private def fileName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
 
   /** Write a checkpoint commit: the full live set as one log entry, so
     * replay afterwards parses O(1) entries + the tail instead of the whole

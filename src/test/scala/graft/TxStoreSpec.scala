@@ -126,6 +126,90 @@ class TxStoreSpec extends SparkSpec {
       s"final table must be one writer's frame, got ${finalRows.size} rows")
   }
 
+  test("delete is copy-on-write: non-hit files survive by name; time travel intact") {
+    val t = tmpDir()
+    TxStore.append(rows(10).repartition(1), t) // one file: ids 0–9
+    TxStore.append(rows(10, from = 10).repartition(1), t) // one file: ids 10–19
+    val before = TxStore.snapshot(spark, t).files
+    assert(before.size === 2)
+    val v = TxStore.delete(spark, t, col("id") < 10)
+    assert(v === Some(3L))
+    val after = TxStore.snapshot(spark, t).files
+    // the ids-10–19 file had no matches: carried over UNREWRITTEN (same name)
+    assert(after.intersect(before).size === 1)
+    assert(TxStore.read(spark, t).as[(Long, String)].collect().toSet ===
+      (10 until 20).map(i => (i.toLong, s"v$i")).toSet)
+    // pre-delete snapshot still reconstructable
+    assert(TxStore.readAt(spark, t, 2L).count() === 20)
+  }
+
+  test("delete keeps rows where the predicate is NULL; no-match delete writes no commit") {
+    val t = tmpDir()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", DoubleType, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, 1.0), Row(2L, java.lang.Double.valueOf(9.0)), Row(3L, null)),
+      schema)
+    TxStore.append(df, t)
+    // amount > 5 is NULL for id=3 — SQL DELETE must keep it
+    assert(TxStore.delete(spark, t, col("amount") > 5.0) === Some(2L))
+    assert(TxStore.read(spark, t).select("id").as[Long].collect().toSet === Set(1L, 3L))
+    // nothing matches now: no-op, no commit, version unchanged
+    assert(TxStore.delete(spark, t, col("amount") > 5.0) === None)
+    assert(TxStore.snapshot(spark, t).version === 2L)
+  }
+
+  test("merge replaces matched keys, inserts unmatched, rejects ambiguous updates") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t) // ids 0–9
+    val updates = (5 until 13).map(i => (i.toLong, s"u$i")).toDF("id", "payload")
+    assert(TxStore.merge(spark, t, updates, keys = Seq("id")) === 2L)
+    val got = TxStore.read(spark, t).as[(Long, String)].collect().toSet
+    val expect = (0 until 5).map(i => (i.toLong, s"v$i")).toSet ++
+      (5 until 13).map(i => (i.toLong, s"u$i")).toSet
+    assert(got === expect)
+    // two updates for one key have no defined winner — rejected up front
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "payload")
+    val e = intercept[IllegalArgumentException](TxStore.merge(spark, t, dup, Seq("id")))
+    assert(e.getMessage.contains("unique per key"))
+    // empty updates: no commit at all
+    assert(TxStore.merge(spark, t, updates.limit(0), Seq("id")) === 2L)
+    assert(TxStore.snapshot(spark, t).version === 2L)
+  }
+
+  test("racing merges serialize: each either commits against the latest snapshot or conflicts") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t)
+    val ua = Seq((0L, "A")).toDF("id", "payload")
+    val ub = Seq((9L, "B")).toDF("id", "payload")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def submit(df: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          start.await()
+          try Right(TxStore.merge(spark, t, df, Seq("id")))
+          catch { case e: Throwable => Left(e) }
+        }
+      })
+    val (ra, rb) = (submit(ua), submit(ub))
+    start.countDown()
+    val outcomes = Seq(ra.get(120, TimeUnit.SECONDS), rb.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    outcomes.collect { case Left(e) => e }.foreach(e =>
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException], e.toString))
+    val got = TxStore.read(spark, t).as[(Long, String)].collect().toMap
+    val winners = outcomes.collect { case Right(_) => () }.size
+    assert(winners >= 1, "at least one merge must commit")
+    // every committed merge's effect is present; no duplicates ever
+    assert(TxStore.read(spark, t).count() === 10)
+    if (outcomes(0).isRight) assert(got(0L) === "A")
+    if (outcomes(1).isRight) assert(got(9L) === "B")
+  }
+
   test("checkpoint collapses replay; vacuum then reclaims pre-checkpoint files") {
     val t = tmpDir()
     TxStore.append(rows(10), t)
