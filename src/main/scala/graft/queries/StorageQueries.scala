@@ -110,6 +110,25 @@ object StorageQueries {
       Some(eventsSql("")),
       bench = true),
 
+    // ── S17 — Z-ORDER clustered rewrite. Multi-dimensional data
+    //    skipping: bit-interleaved rank buckets make every output file a
+    //    hyper-rectangle in (user_id, event_id) space, so footer stats
+    //    prune files for predicates on EITHER column (quantified against
+    //    the lexicographic layout in StorageSkewSpec). Clustering must be
+    //    a pure physical rewrite — the readback hash pins that.
+    QueryDef(
+      "s17_zorder_readback",
+      (s, d) => {
+        val in = tmp("s17-scattered", d)
+        val out = tmp("s17-zorder", d)
+        Tables.events(s, d).repartition(64).write.mode("overwrite").parquet(in)
+        val (_, bytes) = Compaction.dirStats(s, in)
+        eventsCols(Compaction.compactZOrder(
+          s, in, out, Seq("user_id", "event_id"), targetBytes = bytes / 8 + 1))
+      },
+      Some(eventsSql("")),
+      bench = true),
+
     // ── J10 — skew-salted fact⋈dim join. The oracle is the PLAIN join:
     //    salting must be a pure physical rewrite (finer join key, dim
     //    replicated), invisible in the result. Sums accumulate exact

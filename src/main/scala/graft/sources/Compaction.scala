@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Small-file compaction — the maintenance operator every long-running
@@ -75,6 +75,69 @@ object Compaction {
     val n = nFiles(spark, inPath, targetBytes)
     spark.read.parquet(inPath)
       .repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
+  /** Rewrite clustered on a Z-ORDER (Morton) curve over `zCols` — the
+    * multi-dimensional data-skipping layout [[compactSorted]] cannot give:
+    * a lexicographic sort prunes files only for predicates on its LEADING
+    * key (the second key's per-file min/max spans nearly the full domain),
+    * while interleaving the keys' bits makes every output file a small
+    * hyper-rectangle in (k1, k2, …) space, so parquet min/max footers
+    * prune files for predicates on ANY of the z-columns (asserted
+    * quantitatively in StorageSkewSpec).
+    *
+    * Shape (the same scheme Delta's OPTIMIZE ZORDER BY documents): each
+    * column is first RANK-normalized into 2^`bits` equi-depth buckets via
+    * `approxQuantile` boundaries — raw values interleave badly when the
+    * columns' scales or distributions differ (a skewed column would own
+    * all the high bits); equi-depth bucketing makes every bit carry the
+    * same selectivity regardless of distribution. The per-column
+    * boundaries are ≤(2^bits−1) doubles on the driver (tiny); bucket
+    * lookup and bit-interleave are pure Column arithmetic over a literal
+    * array — distributed, no UDF. NULL buckets to 0, clustering NULLs
+    * together at the curve origin. One range exchange on the z-value +
+    * in-file sort, identical cost shape to [[compactSorted]].
+    *
+    * `bits` trades curve resolution against quantile work: 8 bits/column
+    * (256 buckets) already gives file-level pruning down to ~n_files
+    * granularity — finer bits only matter once files ≫ 2^(bits·k). */
+  def compactZOrder(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      zCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024,
+      bits: Int = 8): DataFrame = {
+    require(zCols.size >= 2, "z-order needs ≥2 columns (use compactSorted for 1)")
+    require(zCols.size * bits <= 62, s"${zCols.size} cols × $bits bits overflows a signed long")
+    val n = nFiles(spark, inPath, targetBytes)
+    val df = spark.read.parquet(inPath)
+    require(!df.columns.contains("__z"), "input must not carry the reserved __z column")
+    val buckets = 1 << bits
+    // equi-depth boundaries per column; relativeError ≪ bucket width so
+    // adjacent buckets stay comparable in population
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bucketOf: Map[String, Column] = zCols.map { c =>
+      val bs = df.stat.approxQuantile(c, probs, 1.0 / (4.0 * buckets))
+      // bucket = #boundaries ≤ x: a NULL comparison yields NULL → counts 0
+      c -> aggregate(
+        lit(bs),
+        lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+    }.toMap
+    // Morton interleave: bit p of column j lands at position p·k + j
+    val k = zCols.size
+    val zval = (0 until bits).flatMap { p =>
+      zCols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(bucketOf(c), p).bitwiseAND(lit(1L)), p * k + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("__z", zval)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath)
   }

@@ -114,6 +114,44 @@ class StorageSkewSpec extends SparkSpec {
     }
   }
 
+  test("compactZOrder clusters BOTH dimensions; lexicographic sort only the first") {
+    val in = tmpDir("zorder-in")
+    val zOut = tmpDir("zorder-out")
+    val sOut = tmpDir("zorder-sorted-out")
+    Tables.events(spark, sf("sf0.001")).repartition(32)
+      .write.mode("overwrite").parquet(in)
+    val (_, bytes) = Compaction.dirStats(spark, in)
+    val target = bytes / 16 + 1 // ~16 files → 4 curve bits → 2 bits per dim
+    val zBack = Compaction.compactZOrder(spark, in, zOut, Seq("user_id", "event_id"), target)
+    Compaction.compactSorted(spark, in, sOut, Seq("user_id", "event_id"), target)
+
+    // identity first: clustering is a pure physical rewrite
+    val before = spark.read.parquet(in).select("event_id").as[Long].collect().toSet
+    assert(zBack.select("event_id").as[Long].collect().toSet === before)
+
+    // per-file min/max envelope width, normalized by the column's domain —
+    // exactly the statistic parquet footer pruning runs on
+    def avgWidth(path: String, c: String): Double = {
+      val domain = spark.read.parquet(path).agg(min(col(c)), max(col(c))).head()
+      val span = (domain.getLong(1) - domain.getLong(0)).toDouble
+      val w = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .select(((col("hi") - col("lo")) / span).as("w"))
+        .agg(avg("w")).head().getDouble(0)
+      w
+    }
+    // lexicographic: the SECOND key's envelopes span ~the whole domain
+    // (no pruning for event_id-only predicates); z-order: both dims'
+    // envelopes shrink to a fraction, at the cost of the first dim no
+    // longer being near-zero width
+    val zU = avgWidth(zOut, "user_id"); val zE = avgWidth(zOut, "event_id")
+    val sE = avgWidth(sOut, "event_id")
+    assert(sE > 0.8, s"lexicographic second-key envelope should be ~full domain, got $sE")
+    assert(zU < 0.6 && zE < 0.6,
+      s"z-order envelopes must shrink on BOTH dims, got user_id=$zU event_id=$zE")
+    assert(zE < sE / 2, s"z-order must at least halve the second-key envelope: $zE vs $sE")
+  }
+
   // ── Malformed input + schema drift (the two ways a lake bites) ──────
 
   test("JSON source captures corrupt records instead of failing the job") {
