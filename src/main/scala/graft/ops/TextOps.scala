@@ -81,6 +81,70 @@ object TextOps {
       graft.Num.rnd(nStop.cast("double") / nTok.cast("double"), 4).as("stopword_ratio"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", §A1.1
+    * quality filters), adapted to word n-grams — the fixture text is
+    * newline-free, so the line/paragraph variants are degenerate; the
+    * n-gram family is the load-bearing one for training corpora anyway:
+    *
+    *  - `repetition_ratio` — 1 − distinct/total tokens (vocabulary
+    *    collapse: boilerplate, keyword stuffing)
+    *  - `frac_top2gram` — occurrences of the single most frequent 2-gram
+    *    over 2-gram slots (one chanted phrase dominating the document)
+    *  - `frac_dup5gram` — fraction of token positions covered by a
+    *    5-gram that occurs 2+ times (long-span copy-paste loops)
+    *
+    * Shape: ONE posexplode + ONE doc_id window builds all lead columns
+    * (2- and 5-grams share the pass; same codegen-friendly plan as
+    * [[shingleRows]]), then keyed (doc_id, gram) groupBys with map-side
+    * combine; the coverage step re-explodes positions for DUPLICATED
+    * grams only. Every shuffle is keyed by doc/gram — corpus-scale like
+    * [[tfIdf]]. Ratios are exact-count divisions rounded via Num.rnd for
+    * oracle parity. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val base = docs.select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"))
+
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val leads = (1 to 4).foldLeft(toks) { (df, o) =>
+      df.withColumn(s"t_$o", lead("tok", o).over(win))
+    }
+    val g2 = leads.filter(col("t_1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t_1")).as("g"))
+    val g5 = leads.filter(col("t_4").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("tok"), col("t_1"), col("t_2"), col("t_3"), col("t_4")).as("g"))
+
+    val top2 = g2.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top2"))
+    val dup5 = g5.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("doc_id", "g")
+    val cov = g5.join(dup5, Seq("doc_id", "g"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("cp"))
+      .groupBy("doc_id").agg(count_distinct(col("cp")).as("n_cov"))
+
+    base
+      .join(top2, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        graft.Num.rnd(
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("repetition_ratio"),
+        graft.Num.rnd(
+          coalesce(col("top2"), lit(0L)).cast("double") /
+            greatest(col("n_tokens") - lit(1L), lit(1L)).cast("double"), 4)
+          .as("frac_top2gram"),
+        graft.Num.rnd(
+          coalesce(col("n_cov"), lit(0L)).cast("double") / col("n_tokens").cast("double"), 4)
+          .as("frac_dup5gram"))
+  }
+
   /** Rolling polynomial fingerprint of the token sequence, mod 1e9+7 so the
     * accumulator never overflows BIGINT in either engine (DuckDB raises on
     * 64-bit overflow; Spark would silently wrap). Per-token atom =

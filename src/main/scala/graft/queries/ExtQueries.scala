@@ -353,6 +353,46 @@ object ExtQueries {
              |SELECT doc_id, labeled_lang, cand AS predicted_lang, hits AS marker_hits
              |FROM ranked WHERE rk = 1""".stripMargin)),
 
+    // ── EXT4h — Gopher-style repetition signals (most-frequent-2-gram
+    //    share, duplicated-5-gram coverage, distinct-token collapse).
+    //    The oracle rebuilds the n-grams positionally in SQL; coverage
+    //    counts DISTINCT covered positions, so overlapping duplicated
+    //    5-grams never double-count.
+    QueryDef(
+      "ext4_repetition",
+      (s, d) => TextOps.repetitionSignals(Tables.documents(s, d)),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, string_split(text, ' ') AS ws,
+              |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+              |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+              |  FROM documents
+              |), g2 AS (
+              |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+              |  FROM base, unnest(range(1, CAST(n AS BIGINT))) AS t(i)
+              |), top2 AS (
+              |  SELECT doc_id, MAX(c) AS top2
+              |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+              |), g5 AS (
+              |  SELECT doc_id, i AS p,
+              |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+              |  FROM base, unnest(range(1, CAST(n - 3 AS BIGINT))) AS t(i)
+              |), dup AS (
+              |  SELECT doc_id, g
+              |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2) WHERE c > 1
+              |), cov AS (
+              |  SELECT doc_id, COUNT(DISTINCT cp) AS n_cov
+              |  FROM (SELECT g5.doc_id, g5.p + o AS cp
+              |        FROM g5 JOIN dup USING (doc_id, g), unnest(range(0, 5)) AS t(o))
+              |  GROUP BY 1
+              |)
+              |SELECT b.doc_id, b.n AS n_tokens,
+              |       ${Sql.rnd("1.0 - CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)", 4)} AS repetition_ratio,
+              |       ${Sql.rnd("CAST(COALESCE(top2, 0) AS DOUBLE) / CAST(GREATEST(n - 1, 1) AS DOUBLE)", 4)} AS frac_top2gram,
+              |       ${Sql.rnd("CAST(COALESCE(n_cov, 0) AS DOUBLE) / CAST(n AS DOUBLE)", 4)} AS frac_dup5gram
+              |FROM base b
+              |LEFT JOIN top2 USING (doc_id)
+              |LEFT JOIN cov USING (doc_id)""".stripMargin)),
+
     // ── EXT5 — JSON column extraction (events.props).
     QueryDef(
       "ext5_json_extract",

@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.TextOps
+
+/** Hand-computed fixtures for the repetition quality signals — the oracle
+  * row (ext4_repetition) pins engine parity at corpus scale; this pins the
+  * DEFINITIONS on documents small enough to verify by eye. Signals come
+  * back rounded to 4dp (Num.rnd), so expectations are the rounded exact
+  * ratios. */
+class TextOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def signals(texts: (Long, String)*): Map[Long, (Long, Double, Double, Double)] =
+    TextOps.repetitionSignals(texts.toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+
+  test("repetition signals on hand-checked documents") {
+    val got = signals(
+      // 6 tokens, 3 distinct → ratio 1−3/6 = 0.5; 2-grams: "a b"×2,
+      // "b a"×2, "a c"×1 → top2 = 2 of 5 slots = 0.4; the two 5-grams
+      // are distinct → no dup coverage
+      1L -> "a b a b a c",
+      // one 5-gram chanted twice: "p q r s t" at positions 0 and 5 covers
+      // all 10 positions; 5 distinct tokens in 10 → ratio 0.5; top 2-gram
+      // ("p q" et al.) occurs 2 of 9 slots = 0.2222
+      2L -> "p q r s t p q r s t",
+      // no repetition at all: 6 distinct tokens, every 2-gram unique →
+      // top2 = 1 of 5 slots = 0.2
+      3L -> "u v w x y z")
+
+    assert(got(1L) === ((6L, 0.5, 0.4, 0.0)))
+    assert(got(2L) === ((10L, 0.5, 0.2222, 1.0)))
+    assert(got(3L) === ((6L, 0.0, 0.2, 0.0)))
+  }
+
+  test("repetition signals: degenerate short documents don't divide by zero") {
+    val got = signals(1L -> "solo", 2L -> "two tokens")
+    // 1 token: no 2-gram slots (denominator guarded to 1), no 5-grams
+    assert(got(1L) === ((1L, 0.0, 0.0, 0.0)))
+    // 2 tokens: the one 2-gram fills its one slot → frac_top2gram = 1.0
+    assert(got(2L) === ((2L, 0.0, 1.0, 0.0)))
+  }
+}
