@@ -43,6 +43,9 @@ import java.util.UUID
   *    it); `merge` is serializable (any concurrent commit conflicts,
   *    since a racing append may insert a matching key) — see each
   *    method's scaladoc.
+  *  - `appendOnce` stamps the commit with a (writer, batch) txn id for
+  *    exactly-once foreachBatch sinks; `readAppendsSince` exposes the
+  *    log as file-level append CDC.
   *
   * Scale notes: the log is driver-side — one tiny JSON per commit, replay
   * is O(commits) string parsing (the same shape as Delta's pre-checkpoint
@@ -61,7 +64,12 @@ object TxStore {
   /** One log entry: the files this commit added/removed plus the op name
     * (history/debugging only). Hand-rolled JSON on both ends — the names
     * are UUIDs and ops are fixed tokens, so no escaping is needed. */
-  final case class Commit(version: Long, op: String, add: Seq[String], remove: Seq[String])
+  final case class Commit(
+      version: Long,
+      op: String,
+      add: Seq[String],
+      remove: Seq[String],
+      txn: Option[String] = None)
 
   final case class Snapshot(version: Long, files: Seq[String])
 
@@ -75,14 +83,19 @@ object TxStore {
 
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}}"""
+    val txn = c.txn.fold("")(t => s""","txn":"$t"""")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn}"""
   }
 
   private def parse(s: String): Commit = {
-    def field(name: String): String = {
+    def fieldOpt(name: String): Option[String] = {
       val i = s.indexOf("\"" + name + "\":")
-      require(i >= 0, s"corrupt commit entry: missing $name in $s")
-      s.substring(i + name.length + 3)
+      if (i < 0) None else Some(s.substring(i + name.length + 3))
+    }
+    def field(name: String): String = {
+      val v = fieldOpt(name)
+      require(v.isDefined, s"corrupt commit entry: missing $name in $s")
+      v.get
     }
     def strArr(body: String): Seq[String] = {
       val inner = body.substring(body.indexOf('[') + 1, body.indexOf(']'))
@@ -93,7 +106,8 @@ object TxStore {
       version = field("version").takeWhile(c => c.isDigit).toLong,
       op = field("op").drop(1).takeWhile(_ != '"'),
       add = strArr(field("add")),
-      remove = strArr(field("remove")))
+      remove = strArr(field("remove")),
+      txn = fieldOpt("txn").map(_.drop(1).takeWhile(_ != '"')))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -192,7 +206,7 @@ object TxStore {
     * latest snapshot and returns the commit to try at its version + 1, or
     * None to abort as a no-op (e.g. compaction inputs vanished). */
   private def commitLoop(
-      spark: SparkSession, path: String, op: String)(
+      spark: SparkSession, path: String, op: String, txn: Option[String] = None)(
       attempt: Snapshot => Option[(Seq[String], Seq[String])]): Option[Commit] = {
     val f = fs(spark, path)
     var tries = 0
@@ -201,7 +215,7 @@ object TxStore {
       attempt(snap) match {
         case None => return None
         case Some((add, remove)) =>
-          val c = Commit(snap.version + 1, op, add, remove)
+          val c = Commit(snap.version + 1, op, add, remove, txn)
           if (tryCommit(f, path, c)) return Some(c)
       }
       tries += 1
@@ -261,6 +275,76 @@ object TxStore {
     if (committed.isEmpty)
       compacted.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
     committed.map(_.version)
+  }
+
+  /** Idempotent append for EXACTLY-ONCE streaming sinks. The commit is
+    * stamped with (writerId, batchId); re-delivering the same batch — the
+    * at-least-once contract of `foreachBatch` across crash/restart — finds
+    * the stamp in the log and becomes a no-op returning the original
+    * version, so retries never double-append (the same mechanism as
+    * Delta's `txn` action). The stamp is re-checked inside the commit
+    * race loop, so even two CONCURRENT deliveries of one batch commit it
+    * exactly once (the loser's staged files are deleted).
+    *
+    * Retention contract: [[checkpoint]] truncates replay, dropping stamps
+    * older than the checkpoint — run it only once the upstream redelivery
+    * window has passed, or a very late replay of a pre-checkpoint batch
+    * would append again. */
+  def appendOnce(df: DataFrame, path: String, writerId: String, batchId: Long): Long = {
+    require(
+      writerId.nonEmpty && !writerId.exists(c => c == '"' || c == '\\' || c == ':'),
+      "writerId must be non-empty and free of quotes, backslashes and colons")
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val stamp = s"$writerId:$batchId"
+    def committed: Option[Long] = commits(f, path).find(_.txn.contains(stamp)).map(_.version)
+    committed match {
+      case Some(v) => v
+      case None =>
+        val files = stage(df, path)
+        commitLoop(spark, path, "append", txn = Some(stamp)) { _ =>
+          if (committed.isDefined) None else Some((files, Nil))
+        } match {
+          case Some(c) => c.version
+          case None => // a concurrent delivery of THIS batch won the race
+            files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+            committed.get
+        }
+    }
+  }
+
+  /** Append-only CDC: the rows appended after `sinceVersion` plus the
+    * version this read is current to — the incremental-consumption seam a
+    * downstream job polls instead of re-scanning the table. File-level:
+    * only `add`-commits' files are read, never the whole snapshot.
+    *
+    * Fails loudly (rather than answering wrong) in the two cases file
+    * adds cannot represent the delta: a rewrite commit in range
+    * (delete/merge/overwrite/compact — row-level changes aren't
+    * derivable from added files), and history truncated past
+    * `sinceVersion` by a [[checkpoint]]. Both mean: re-read the full
+    * snapshot and resume CDC from its version. */
+  def readAppendsSince(
+      spark: SparkSession, path: String, sinceVersion: Long): (Long, DataFrame) = {
+    val cs = commits(fs(spark, path), path)
+    val latest = if (cs.isEmpty) 0L else cs.last.version
+    if (cs.nonEmpty)
+      require(
+        cs.head.version <= sinceVersion + 1,
+        s"appends since v$sinceVersion are not derivable: the retained log starts at " +
+          s"v${cs.head.version} (checkpoint truncated history) — re-read the snapshot")
+    val tail = cs.filter(c => c.version > sinceVersion && c.op != "checkpoint")
+    val rewrites = tail.filter(_.remove.nonEmpty)
+    require(
+      rewrites.isEmpty,
+      s"($sinceVersion, $latest] contains rewrite commits " +
+        s"(${rewrites.map(c => s"v${c.version}:${c.op}").mkString(", ")}) — file-level CDC " +
+        "tracks appends only; re-read the snapshot")
+    val added = tail.flatMap(_.add)
+    val df =
+      if (added.isEmpty) read(spark, path).where(lit(false))
+      else readFiles(spark, path, added)
+    (latest, df)
   }
 
   /** Copy-on-write DELETE. Two phases, both distributed:

@@ -210,6 +210,59 @@ class TxStoreSpec extends SparkSpec {
     if (outcomes(1).isRight) assert(got(9L) === "B")
   }
 
+  test("appendOnce is idempotent per (writer, batch) — including under a concurrent race") {
+    val t = tmpDir()
+    val v1 = TxStore.appendOnce(rows(10), t, writerId = "q", batchId = 0L)
+    // foreachBatch redelivery: same stamp → no-op returning the original version
+    assert(TxStore.appendOnce(rows(10), t, "q", 0L) === v1)
+    assert(TxStore.read(spark, t).count() === 10)
+    // next batch appends normally; a different writer has its own stamps
+    assert(TxStore.appendOnce(rows(5, from = 10), t, "q", 1L) === v1 + 1)
+    assert(TxStore.appendOnce(rows(3, from = 100), t, "other", 0L) === v1 + 2)
+    assert(TxStore.read(spark, t).count() === 18)
+
+    // concurrent duplicate delivery of ONE batch: exactly one commit
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val fs = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { start.await(); TxStore.appendOnce(rows(7, from = 50), t, "q", 2L) }
+      })
+    }
+    start.countDown()
+    val versions = fs.map(_.get(120, TimeUnit.SECONDS)).toSet
+    pool.shutdown()
+    assert(versions.size === 1, s"both deliveries must land on one version, got $versions")
+    assert(TxStore.read(spark, t).count() === 25)
+    // the loser's staged files were cleaned up: nothing for vacuum
+    assert(TxStore.vacuum(spark, t) === 0)
+  }
+
+  test("readAppendsSince returns only the delta and refuses ranges it can't represent") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t) // v1
+    TxStore.append(rows(5, from = 10), t) // v2
+    val (v, delta) = TxStore.readAppendsSince(spark, t, sinceVersion = 1L)
+    assert(v === 2L)
+    assert(delta.as[(Long, String)].collect().toSet ===
+      (10 until 15).map(i => (i.toLong, s"v$i")).toSet)
+    // caught up: empty delta at the same version
+    val (v2, none) = TxStore.readAppendsSince(spark, t, sinceVersion = 2L)
+    assert(v2 === 2L && none.count() === 0L)
+    // a rewrite commit in range is refused — file adds can't express it
+    TxStore.delete(spark, t, col("id") < 2) // v3
+    val e1 = intercept[IllegalArgumentException](TxStore.readAppendsSince(spark, t, 2L))
+    assert(e1.getMessage.contains("rewrite"))
+    // history truncated by a checkpoint is refused too
+    TxStore.checkpoint(spark, t) // v4
+    TxStore.append(rows(2, from = 90), t) // v5
+    val e2 = intercept[IllegalArgumentException](TxStore.readAppendsSince(spark, t, 2L))
+    assert(e2.getMessage.contains("truncated"))
+    // but post-checkpoint CDC works
+    val (v5, tail) = TxStore.readAppendsSince(spark, t, 4L)
+    assert(v5 === 5L && tail.count() === 2L)
+  }
+
   test("checkpoint collapses replay; vacuum then reclaims pre-checkpoint files") {
     val t = tmpDir()
     TxStore.append(rows(10), t)
