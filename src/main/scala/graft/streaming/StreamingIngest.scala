@@ -168,6 +168,37 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Exactly-once RAW ingest into a transactional table — the
+    * append-landing ("bronze") pattern: each micro-batch lands as one
+    * atomic [[graft.sources.TxStore.appendOnce]] commit stamped with
+    * (writerId, batchId). foreachBatch's at-least-once redelivery after
+    * a crash (checkpoint commits AFTER the sink runs) therefore never
+    * double-appends: the replay finds its stamp in the commit log and
+    * no-ops. Unlike [[runAvailableNowDurable]] — which gets idempotence
+    * from cumulative upserts — this sink preserves every raw row, and
+    * the idempotence lives in the TABLE's log, so it also holds across
+    * driver restarts and even checkpoint deletion (the stamps, not the
+    * checkpoint, are the source of truth; TxStore's checkpoint-retention
+    * caveat applies). Downstream consumers follow incrementally via
+    * `TxStore.readAppendsSince`. */
+  def runAppendToTxStore(
+      spark: SparkSession,
+      dir: String,
+      checkpoint: String,
+      tablePath: String,
+      writerId: String = "graft-ingest",
+      maxFilesPerTrigger: Int = 32): StreamingQuery =
+    readEvents(spark, dir, maxFilesPerTrigger)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.TxStore.appendOnce(batch, tablePath, writerId, batchId): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The durable sink seam — public so tests can wrap it with fault
     * injection (kill after batch N, then resume). Empty micro-batches
     * are skipped: a zero-row dynamic overwrite is harmless but pointless

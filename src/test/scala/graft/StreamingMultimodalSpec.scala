@@ -33,6 +33,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("txstore bronze ingest: two waves, restart from checkpoint, redelivery no-ops") {
+    val dir = sf("sf0.001")
+    val ckpt = Files.createTempDirectory("graft-ckpt-tx").toString
+    val landing = Files.createTempDirectory("graft-landing-tx")
+    val table = Files.createTempDirectory("graft-txtable").toString
+    val ev = Tables.events(spark, dir)
+    val total = ev.count()
+
+    // wave 1 lands, first AvailableNow run ingests it
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/w1")
+    StreamingIngest.runAppendToTxStore(spark, s"$landing/*/", ckpt, table)
+      .awaitTermination(120000)
+    val afterW1 = graft.sources.TxStore.read(spark, table).count()
+    assert(afterW1 === ev.filter(col("event_id") % 2 === 0).count())
+    val v1 = graft.sources.TxStore.snapshot(spark, table).version
+
+    // wave 2 lands; a RESTARTED query (same checkpoint) ingests only it
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/w2")
+    StreamingIngest.runAppendToTxStore(spark, s"$landing/*/", ckpt, table)
+      .awaitTermination(120000)
+    assert(graft.sources.TxStore.read(spark, table).count() === total)
+
+    // crash-redelivery of an ALREADY-COMMITTED batch: replaying batch 0
+    // under the query's writer id finds its stamp and no-ops — the
+    // table is unchanged even though the caller handed it rows again
+    val redelivered = graft.sources.TxStore.appendOnce(
+      ev.limit(500), table, writerId = "graft-ingest", batchId = 0L)
+    assert(redelivered === v1, "replay must return the original batch-0 version")
+    assert(graft.sources.TxStore.read(spark, table).count() === total)
+
+    // downstream incremental consumer: the wave-2 delta alone
+    val (_, delta) = graft.sources.TxStore.readAppendsSince(spark, table, v1)
+    assert(delta.count() === ev.filter(col("event_id") % 2 =!= 0).count())
+  }
+
   test("multi-micro-batch rollup upserts per key instead of appending stale rows") {
     // Split the same events across two landing files and force one file
     // per trigger: every (date, event_type) key is updated in BOTH
