@@ -224,7 +224,26 @@ object StorageQueries {
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
              |       CASE WHEN event_id % 5 = 0 THEN -value ELSE value END AS value, props
              |FROM events
-             |WHERE event_id % 10 <> 0 OR event_id % 5 = 0""".stripMargin)))
+             |WHERE event_id % 10 <> 0 OR event_id % 5 = 0""".stripMargin)),
+
+    // ── S18 — schema evolution through the commit log. The first wave
+    //    lands WITHOUT `props`; the second wave adds it, evolving the
+    //    table schema additively. The read must surface the evolved
+    //    schema with pre-evolution rows reading NULL — from the schema
+    //    carried in the LOG, never a footer-merge scan (the reader's
+    //    plan touches zero extra metadata regardless of file count).
+    QueryDef(
+      "s18_tx_schema_evolution",
+      (s, d) => {
+        val store = freshStore(s, "s18-txschema", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0).drop("props"), store) // v1
+        TxStore.append(ev.filter(col("event_id") % 2 =!= 0), store) // v2 evolves
+        eventsCols(TxStore.read(s, store))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+             |       CASE WHEN event_id % 2 = 0 THEN NULL ELSE props END AS props
+             |FROM events""".stripMargin)))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

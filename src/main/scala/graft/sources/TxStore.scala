@@ -20,7 +20,8 @@ import java.util.UUID
   *   <path>/_txlog/<v>%020d.json     one commit per version, atomic create
   * }}}
   *
-  * A commit file lists `add` and `remove` data-file names; the snapshot at
+  * A commit file lists `add` and `remove` data-file names (plus the
+  * table schema and an optional exactly-once txn stamp); the snapshot at
   * version V = replay of commits 1..V (adds minus removes). Readers never
   * list `data/` — a crashed writer's orphan files are invisible until a
   * commit names them, which is what makes writes all-or-nothing.
@@ -69,9 +70,57 @@ object TxStore {
       op: String,
       add: Seq[String],
       remove: Seq[String],
-      txn: Option[String] = None)
+      txn: Option[String] = None,
+      schema: Option[String] = None)
 
-  final case class Snapshot(version: Long, files: Seq[String])
+  final case class Snapshot(
+      version: Long,
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+
+  // ── schema in the log ──────────────────────────────────────────────
+  // The table schema travels in commit entries (base64 of Spark's schema
+  // JSON — the hand-rolled commit JSON stays escape-free), so readers
+  // NEVER derive schema from data-file footers: at lake scale "merge N
+  // million footers" is a full metadata scan, and schema-on-log is what
+  // makes an old file's missing column read as NULL instead of breaking
+  // the scan. The schema at version V = the latest commit ≤ V carrying
+  // one — so time travel reads with the HISTORICAL schema. All fields
+  // are stored nullable: evolution means old files lack new columns.
+
+  private def encodeSchema(s: org.apache.spark.sql.types.StructType): String =
+    java.util.Base64.getEncoder.encodeToString(s.json.getBytes(StandardCharsets.UTF_8))
+
+  private def decodeSchema(b64: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType
+      .fromJson(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def normalize(
+      s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+
+  /** Additive evolution: incoming may ADD columns; a column both sides
+    * know must keep its type (compared ignoring nullability) — silent
+    * type drift is how a lake corrupts. Returns table ++ new columns. */
+  private def evolve(
+      cur: Option[org.apache.spark.sql.types.StructType],
+      incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    cur match {
+      case None => normalize(incoming)
+      case Some(t) =>
+        val byName = t.fields.map(f => f.name -> f).toMap
+        incoming.fields.foreach { f =>
+          byName.get(f.name).foreach { old =>
+            require(
+              old.dataType.catalogString == f.dataType.catalogString,
+              s"schema conflict on '${f.name}': table has ${old.dataType.catalogString}, " +
+                s"incoming has ${f.dataType.catalogString}")
+          }
+        }
+        normalize(org.apache.spark.sql.types.StructType(
+          t.fields ++ incoming.fields.filterNot(f => byName.contains(f.name))))
+    }
 
   // ── log primitives ─────────────────────────────────────────────────
 
@@ -84,7 +133,8 @@ object TxStore {
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val txn = c.txn.fold("")(t => s""","txn":"$t"""")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn}"""
+    val sch = c.schema.fold("")(s => s""","schema":"$s"""")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch}"""
   }
 
   private def parse(s: String): Commit = {
@@ -107,7 +157,8 @@ object TxStore {
       op = field("op").drop(1).takeWhile(_ != '"'),
       add = strArr(field("add")),
       remove = strArr(field("remove")),
-      txn = fieldOpt("txn").map(_.drop(1).takeWhile(_ != '"')))
+      txn = fieldOpt("txn").map(_.drop(1).takeWhile(_ != '"')),
+      schema = fieldOpt("schema").map(_.drop(1).takeWhile(_ != '"')))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -133,8 +184,12 @@ object TxStore {
 
   private def replay(cs: Seq[Commit]): Snapshot = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    cs.foreach { c => c.remove.foreach(n => live -= n); c.add.foreach(n => live += n) }
-    Snapshot(if (cs.isEmpty) 0L else cs.last.version, live.toSeq)
+    var schema: Option[String] = None
+    cs.foreach { c =>
+      c.remove.foreach(n => live -= n); c.add.foreach(n => live += n)
+      if (c.schema.isDefined) schema = c.schema
+    }
+    Snapshot(if (cs.isEmpty) 0L else cs.last.version, live.toSeq, schema.map(decodeSchema))
   }
 
   /** Current snapshot (version 0 = empty table, no log yet). */
@@ -203,19 +258,21 @@ object TxStore {
   }
 
   /** Optimistic-commit loop shared by every write op. `attempt` sees the
-    * latest snapshot and returns the commit to try at its version + 1, or
-    * None to abort as a no-op (e.g. compaction inputs vanished). */
+    * latest snapshot and returns (add, remove, schema) for the commit to
+    * try at its version + 1, or None to abort as a no-op (e.g. compaction
+    * inputs vanished). Schema is decided per attempt so a retry restates
+    * it against the freshest snapshot. */
   private def commitLoop(
       spark: SparkSession, path: String, op: String, txn: Option[String] = None)(
-      attempt: Snapshot => Option[(Seq[String], Seq[String])]): Option[Commit] = {
+      attempt: Snapshot => Option[(Seq[String], Seq[String], Option[String])]): Option[Commit] = {
     val f = fs(spark, path)
     var tries = 0
     while (tries < MaxRetries) {
       val snap = replay(commits(f, path))
       attempt(snap) match {
         case None => return None
-        case Some((add, remove)) =>
-          val c = Commit(snap.version + 1, op, add, remove, txn)
+        case Some((add, remove, schema)) =>
+          val c = Commit(snap.version + 1, op, add, remove, txn, schema)
           if (tryCommit(f, path, c)) return Some(c)
       }
       tries += 1
@@ -229,7 +286,8 @@ object TxStore {
     * is won. Returns the committed version. */
   def append(df: DataFrame, path: String): Long = {
     val files = stage(df, path)
-    commitLoop(df.sparkSession, path, "append")(_ => Some((files, Nil))).get.version
+    commitLoop(df.sparkSession, path, "append")(snap =>
+      Some((files, Nil, Some(encodeSchema(evolve(snap.schema, df.schema)))))).get.version
   }
 
   /** Transactional full overwrite: one commit removes every currently-live
@@ -249,8 +307,9 @@ object TxStore {
               vanished.take(3).mkString(", "))
         // removing the files live NOW (a concurrent append's rows are
         // legitimately clobbered by a later full overwrite — same
-        // semantics as Delta's overwrite after a racing append)
-        Some((files, snap.files))
+        // semantics as Delta's overwrite after a racing append). An
+        // overwrite may change the schema freely — it replaces the table.
+        Some((files, snap.files, Some(encodeSchema(normalize(df.schema)))))
       }.get.version
     } catch {
       case e: Throwable =>
@@ -266,11 +325,14 @@ object TxStore {
   def compact(spark: SparkSession, path: String, target: Int = 1): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
-    val compacted = stage(readFiles(spark, path, base.files).repartition(target), path)
+    val compacted =
+      stage(readFiles(spark, path, base.files, base.schema).repartition(target), path)
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "compact") { snap =>
       if (!base.files.forall(snap.files.contains)) None
-      else Some((compacted, base.files))
+      // restate the LATEST schema (an append may have evolved it since
+      // base — its files stay live, so its columns must stay declared)
+      else Some((compacted, base.files, snap.schema.map(encodeSchema)))
     }
     if (committed.isEmpty)
       compacted.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
@@ -302,8 +364,9 @@ object TxStore {
       case Some(v) => v
       case None =>
         val files = stage(df, path)
-        commitLoop(spark, path, "append", txn = Some(stamp)) { _ =>
-          if (committed.isDefined) None else Some((files, Nil))
+        commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
+          if (committed.isDefined) None
+          else Some((files, Nil, Some(encodeSchema(evolve(snap.schema, df.schema)))))
         } match {
           case Some(c) => c.version
           case None => // a concurrent delivery of THIS batch won the race
@@ -343,7 +406,7 @@ object TxStore {
     val added = tail.flatMap(_.add)
     val df =
       if (added.isEmpty) read(spark, path).where(lit(false))
-      else readFiles(spark, path, added)
+      else readFiles(spark, path, added, replay(cs).schema)
     (latest, df)
   }
 
@@ -371,7 +434,7 @@ object TxStore {
   def delete(spark: SparkSession, path: String, predicate: Column): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
-    val hit = readFiles(spark, path, base.files)
+    val hit = readFiles(spark, path, base.files, base.schema)
       .filter(predicate)
       .select(input_file_name().as("__f"))
       .distinct()
@@ -379,7 +442,8 @@ object TxStore {
       .map(r => fileName(r.getString(0)))
       .toSeq
     if (hit.isEmpty) return None
-    val kept = readFiles(spark, path, hit).filter(not(predicate <=> lit(true)))
+    val kept =
+      readFiles(spark, path, hit, base.schema).filter(not(predicate <=> lit(true)))
     val staged = stage(kept, path)
     val f = fs(spark, path)
     try
@@ -389,7 +453,7 @@ object TxStore {
           throw new java.util.ConcurrentModificationException(
             s"delete at $path conflicts: rewrite inputs removed concurrently: " +
               vanished.take(3).mkString(", "))
-        Some((staged, hit))
+        Some((staged, hit, snap.schema.map(encodeSchema)))
       }.map(_.version)
     catch {
       case e: Throwable =>
@@ -428,7 +492,7 @@ object TxStore {
     val hit =
       if (base.files.isEmpty) Nil
       else {
-        val cur = readFiles(spark, path, base.files)
+        val cur = readFiles(spark, path, base.files, base.schema)
         require(!cur.columns.contains("__f"), "table must not carry the reserved __f column")
         cur
           .withColumn("__f", input_file_name())
@@ -439,10 +503,22 @@ object TxStore {
           .map(r => fileName(r.getString(0)))
           .toSeq
       }
+    // updates are FULL rows (they must carry every table column — a
+    // missing column would silently null existing data) but may ADD
+    // columns, evolving the schema like append does; kept rows read the
+    // new columns as NULL through allowMissingColumns.
+    val evolved = evolve(base.schema, updates.schema)
+    base.schema.foreach { t =>
+      val missing = t.fieldNames.filterNot(updates.columns.contains)
+      require(
+        missing.isEmpty,
+        s"updates must carry every table column (full-row upsert); missing: " +
+          missing.mkString(", "))
+    }
     val kept =
       if (hit.isEmpty) None
-      else Some(readFiles(spark, path, hit).join(distinctKeys, keys, "left_anti"))
-    val out = kept.fold(updates)(_.unionByName(updates))
+      else Some(readFiles(spark, path, hit, base.schema).join(distinctKeys, keys, "left_anti"))
+    val out = kept.fold(updates)(_.unionByName(updates, allowMissingColumns = true))
     val staged = stage(out, path)
     val f = fs(spark, path)
     try
@@ -451,7 +527,7 @@ object TxStore {
           throw new java.util.ConcurrentModificationException(
             s"merge at $path conflicts: table advanced from v${base.version} " +
               s"to v${snap.version} after the probe")
-        Some((staged, hit))
+        Some((staged, hit, Some(encodeSchema(evolved))))
       }.get.version
     catch {
       case e: Throwable =>
@@ -469,22 +545,37 @@ object TxStore {
     * history. Contends like any commit (it removes nothing, adds nothing
     * logically — `add` restates the live set). */
   def checkpoint(spark: SparkSession, path: String): Long =
-    commitLoop(spark, path, "checkpoint")(snap => Some((snap.files, Nil))).get.version
+    commitLoop(spark, path, "checkpoint")(snap =>
+      Some((snap.files, Nil, snap.schema.map(encodeSchema)))).get.version
 
   // ── reads ──────────────────────────────────────────────────────────
 
-  private def readFiles(spark: SparkSession, path: String, files: Seq[String]): DataFrame = {
+  /** The log schema (when present) is APPLIED, never inferred from
+    * footers: files predating an added column read it as NULL, and the
+    * reader costs zero metadata IO regardless of file count. Logs
+    * written before schema tracking fall back to footer inference. */
+  private def readFiles(
+      spark: SparkSession,
+      path: String,
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     require(files.nonEmpty, s"empty snapshot at $path")
-    spark.read.parquet(files.map(n => s"$path/$DataDir/$n"): _*)
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(files.map(n => s"$path/$DataDir/$n"): _*)
   }
 
   /** Read the current snapshot. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    readFiles(spark, path, snapshot(spark, path).files)
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val snap = snapshot(spark, path)
+    readFiles(spark, path, snap.files, snap.schema)
+  }
 
-  /** Read an historical snapshot — time travel. */
-  def readAt(spark: SparkSession, path: String, version: Long): DataFrame =
-    readFiles(spark, path, snapshotAt(spark, path, version).files)
+  /** Read an historical snapshot — time travel, with the schema AS OF
+    * that version (a later-added column does not haunt the past). */
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val snap = snapshotAt(spark, path, version)
+    readFiles(spark, path, snap.files, snap.schema)
+  }
 
   /** Delete data files no snapshot references (crashed-writer debris and
     * files removed by overwrite/compact). Safe only when no writer is

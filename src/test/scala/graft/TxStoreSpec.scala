@@ -263,6 +263,37 @@ class TxStoreSpec extends SparkSpec {
     assert(v5 === 5L && tail.count() === 2L)
   }
 
+  test("schema evolves additively through the log; time travel keeps the old schema") {
+    val t = tmpDir()
+    TxStore.append(rows(5), t) // v1: (id, payload)
+    val wide = (5 until 8).map(i => (i.toLong, s"v$i", i * 10.0)).toDF("id", "payload", "score")
+    TxStore.append(wide, t) // v2 evolves: (id, payload, score)
+    val cur = TxStore.read(spark, t)
+    assert(cur.columns.toSeq === Seq("id", "payload", "score"))
+    // pre-evolution files read the new column as NULL — no footer merge,
+    // the schema comes from the log
+    val scores = cur.select("id", "score").as[(Long, Option[Double])].collect().toMap
+    assert((0L until 5L).forall(scores(_).isEmpty))
+    assert(scores(6L) === Some(60.0))
+    // the past is read with the schema AS OF that version
+    assert(TxStore.readAt(spark, t, 1L).columns.toSeq === Seq("id", "payload"))
+    // compaction carries the evolved schema forward
+    TxStore.compact(spark, t)
+    assert(TxStore.read(spark, t).columns.toSeq === Seq("id", "payload", "score"))
+    assert(TxStore.read(spark, t).count() === 8)
+  }
+
+  test("schema type drift is rejected; overwrite may replace the schema freely") {
+    val t = tmpDir()
+    TxStore.append(rows(3), t)
+    val drifted = Seq(("1", "x")).toDF("id", "payload") // id: string now
+    val e = intercept[IllegalArgumentException](TxStore.append(drifted, t))
+    assert(e.getMessage.contains("schema conflict on 'id'"))
+    // overwrite replaces the table, schema included
+    TxStore.overwrite(Seq((1L, 2L)).toDF("a", "b"), t)
+    assert(TxStore.read(spark, t).columns.toSeq === Seq("a", "b"))
+  }
+
   test("checkpoint collapses replay; vacuum then reclaims pre-checkpoint files") {
     val t = tmpDir()
     TxStore.append(rows(10), t)
