@@ -112,4 +112,54 @@ object Sampling {
     // when-chain's otherwise.
     df.filter(coalesce(bucketFn(key), lit(0L)) < rate)
   }
+
+  /** Temperature-flattened corpus mixing — the standard multilingual/LLM
+    * data-mixing rule p_i ∝ n_i^α (exponentiated smoothing, cf. the
+    * XLM-R/mBERT sampling scheme) at α = 1/2, realized as deterministic
+    * per-source keep rates under a total row budget T:
+    *
+    *   rate_i = min(100%, ⌊100·T·q_i / (S·n_i)⌋),  q_i = ⌊√n_i⌋, S = Σq_j
+    *
+    * Over-represented sources downsample toward the flattened share
+    * T·q_i/S; a source whose flattened share exceeds its size keeps
+    * everything (rates cap at 100% — no replication — so the realized
+    * mix renormalizes over the capped sources: the standard
+    * waterfilling caveat, deliberately NOT redistributed to stay
+    * one-pass deterministic; the rates are inspectable via
+    * [[temperatureRates]]).
+    *
+    * Arithmetic discipline: q_i is ⌊IEEE-sqrt(n_i)⌋ (correctly rounded,
+    * so identical in any engine) and everything after is exact BigInt
+    * division — the rates, and therefore MEMBERSHIP, are bit-reproducible
+    * cross-engine, which is what puts this under the DuckDB hash gate.
+    * Cost: one count pass (per-source counts, source-cardinality driver
+    * state — the same scale contract as the `rates` map itself) + the
+    * narrow [[sampleByRates]] filter. NULL sources get no computed rate
+    * and drop (defaultRate = 0). */
+  def temperatureMixture(
+      df: DataFrame,
+      sourceCol: Column,
+      key: Column,
+      targetRows: Long,
+      bucketFn: Column => Column = hashBucket): DataFrame =
+    sampleByRates(df, sourceCol, temperatureRates(df, sourceCol, targetRows), key,
+      defaultRate = 0, bucketFn)
+
+  /** The per-source rates [[temperatureMixture]] applies — exposed so a
+    * pipeline can log/audit its mixing decision. */
+  def temperatureRates(
+      df: DataFrame, sourceCol: Column, targetRows: Long): Map[String, Int] = {
+    require(targetRows >= 0, s"targetRows must be ≥ 0: $targetRows")
+    val counts = df
+      .groupBy(sourceCol.as("__src")).agg(count(lit(1)).as("__n"))
+      .collect()
+      .collect { case r if !r.isNullAt(0) => r.getString(0) -> r.getLong(1) }
+    val qs = counts.map { case (s, n) => (s, n, math.floor(math.sqrt(n.toDouble)).toLong) }
+    val total = qs.map(x => BigInt(x._3)).sum
+    if (total == 0) return Map.empty
+    qs.map { case (s, n, q) =>
+      val r = (BigInt(100) * targetRows * q) / (total * n)
+      s -> r.min(100).toInt
+    }.toMap
+  }
 }

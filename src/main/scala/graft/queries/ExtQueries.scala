@@ -675,6 +675,37 @@ object ExtQueries {
              |                                 WHEN 'src2' THEN 25 ELSE 10 END
              |GROUP BY 1""".stripMargin)),
 
+    // ── EXT17d — temperature-flattened mixing (p_i ∝ √n_i under a row
+    //    budget): the oracle recomputes the per-source rates from the
+    //    same integer discipline — ⌊IEEE-sqrt⌋ then HUGEINT floor
+    //    division, bit-identical to the Scala BigInt path — and applies
+    //    the same modulo membership, so the WHOLE decision (rates +
+    //    membership) sits under the hash gate, not just the filter.
+    QueryDef(
+      "ext17_temperature",
+      (s, d) =>
+        Sampling.temperatureMixture(
+            Tables.documents(s, d), col("source"), col("doc_id"),
+            targetRows = 300L, bucketFn = Sampling.modBucket)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars")),
+      Some("""WITH counts AS (
+             |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+             |), w AS (
+             |  SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS q FROM counts
+             |), tot AS (
+             |  SELECT SUM(q) AS s FROM w
+             |), rates AS (
+             |  SELECT source,
+             |         LEAST(CAST(100 AS HUGEINT),
+             |               (CAST(100 AS HUGEINT) * 300 * q) // (s * n)) AS rate
+             |  FROM w, tot
+             |)
+             |SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents d JOIN rates r ON d.source = r.source
+             |WHERE d.doc_id % 100 < r.rate
+             |GROUP BY 1""".stripMargin)),
+
     // ── EXT17c — exact-quota stratified sampling: 20% of EVERY language,
     //    guaranteed per stratum (bucket sampling only hits fractions in
     //    expectation — a rare language could come back empty). Ordered by

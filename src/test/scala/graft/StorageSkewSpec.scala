@@ -254,6 +254,27 @@ class StorageSkewSpec extends SparkSpec {
     assert(kept.filter(col("k").isNull).count() === 1, "NULL key dropped from mixture")
   }
 
+  test("temperature mixing flattens toward √n shares under the row budget") {
+    import spark.implicits._
+    // hand-sized corpus: n = (400, 100, 25) → q = (20, 10, 5), S = 35.
+    // With T = 175 the flattened shares T·q/S are exactly (100, 50, 25),
+    // i.e. rates (25%, 50%, 100%) — the big source downsamples 4×, the
+    // middle 2×, the small one is taken whole (cap).
+    val df = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (0 until 100).map(i => (i.toLong, "mid")) ++
+      (0 until 25).map(i => (i.toLong, "small"))).toDF("k", "src")
+    val rates = graft.ops.Sampling.temperatureRates(df, col("src"), targetRows = 175L)
+    assert(rates === Map("big" -> 25, "mid" -> 50, "small" -> 100))
+    // modBucket with dense 0..n keys realizes the rates exactly
+    val kept = graft.ops.Sampling.temperatureMixture(
+        df, col("src"), col("k"), 175L, graft.ops.Sampling.modBucket)
+      .groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept === Map("big" -> 100L, "mid" -> 50L, "small" -> 25L))
+    // α=1/2 flattening, visibly: natural shares 76/19/5% → mixed 57/29/14%
+    assert(kept("big") < 400 * 175 / 525, "big source must be under its natural share")
+  }
+
   test("stratified quota sampling keeps the exact per-stratum share") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val kept = graft.ops.Sampling.stratifiedHead(docs, col("lang"), col("doc_id"), 20)
