@@ -243,7 +243,23 @@ object StorageQueries {
       },
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
              |       CASE WHEN event_id % 2 = 0 THEN NULL ELSE props END AS props
-             |FROM events""".stripMargin)))
+             |FROM events""".stripMargin)),
+
+    // ── S19 — file-level append CDC: after two appends, the delta since
+    //    version 1 must be EXACTLY the second wave — the incremental
+    //    consumer never re-reads the v1 files (only added files are
+    //    scanned), which is the whole point of log-driven consumption.
+    QueryDef(
+      "s19_tx_cdc",
+      (s, d) => {
+        val store = freshStore(s, "s19-txcdc", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0), store) // v1
+        TxStore.append(ev.filter(col("event_id") % 2 =!= 0), store) // v2
+        val (_, delta) = TxStore.readAppendsSince(s, store, sinceVersion = 1L)
+        eventsCols(delta)
+      },
+      Some(eventsSql(" WHERE event_id % 2 <> 0"))))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this
