@@ -84,7 +84,10 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._1)}""" +
         s""","queries_median":${jsonMap(_._2)},"timed_runs":$TimedRuns""" +
-        f""","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f""" +
+        // NOT f"%.2f": the interpolator is default-locale-sensitive and a
+        // comma-decimal locale would emit invalid JSON (0,52)
+        s""","load_avg_start":${math.rint(loadStart * 100) / 100}""" +
+        s""","load_avg_end":${math.rint(loadEnd * 100) / 100}""" +
         s""","cores":$cores,"load_warning":$loadWarning,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -23,9 +23,30 @@ object StorageQueries {
     * on one round-trip path — one overwriting while the other reads back.
     * String.hashCode collisions across dirs are covered by the PID too. */
   private val procToken = java.lang.ProcessHandle.current().pid()
-  private def tmp(name: String, dataDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-$name-" +
+
+  /** PID-suffixed paths stop concurrent processes racing, but they also
+    * mean no later process ever reuses (= overwrites) this one's dirs —
+    * without cleanup every bench/verify run would strand table-sized
+    * copies in /tmp until the disk fills. One shutdown hook reaps
+    * exactly the paths this process minted. */
+  private val scratch = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(rm)
+        f.delete(): Unit
+      }
+      scratch.forEach(p => rm(new java.io.File(p)))
+    }))
+  }
+
+  private def tmp(name: String, dataDir: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft-$name-" +
       java.lang.Integer.toHexString(dataDir.hashCode) + s"-p$procToken"
+    scratch.add(p)
+    p
+  }
 
   /** The identity readback oracle for an events subset. The µs
     * discipline: the fixture's ns timestamps are NOT µs-aligned and

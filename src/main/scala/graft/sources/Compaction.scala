@@ -119,21 +119,31 @@ object Compaction {
     // equi-depth boundaries per column; relativeError ≪ bucket width so
     // adjacent buckets stay comparable in population
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bucketOf: Map[String, Column] = zCols.map { c =>
-      val bs = df.stat.approxQuantile(c, probs, 1.0 / (4.0 * buckets))
-      // bucket = #boundaries ≤ x: a NULL comparison yields NULL → counts 0
-      c -> aggregate(
-        lit(bs),
-        lit(0L),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
-    }.toMap
-    // Morton interleave: bit p of column j lands at position p·k + j
     val k = zCols.size
-    val zval = (0 until bits).flatMap { p =>
-      zCols.zipWithIndex.map { case (c, j) =>
-        shiftleft(shiftright(bucketOf(c), p).bitwiseAND(lit(1L)), p * k + j)
-      }
-    }.reduce(_.bitwiseOR(_))
+    // Morton interleave in ONE array fold per column. The naive shape —
+    // fold to a bucket index, then extract `bits` bits from it — would
+    // re-evaluate the (interpreted, CodegenFallback, no-CSE) 255-step
+    // fold once per extracted bit. Instead each boundary carries its
+    // PRE-INTERLEAVED increment: crossing boundary i moves the bucket
+    // from i to i+1, so it contributes spread(i+1) − spread(i), where
+    // spread places bucket-bit p of column j at curve position p·k + j.
+    // Summing the increments for every crossed boundary yields
+    // spread(bucket) directly — one 255-step pass per column per row,
+    // independent of `bits`. A NULL comparison contributes 0 everywhere,
+    // clustering NULLs at the curve origin.
+    def spread(v: Long, j: Int): Long =
+      (0 until bits).map(p => ((v >> p) & 1L) << (p * k + j)).sum
+    val zParts = zCols.zipWithIndex.map { case (c, j) =>
+      val bs = df.stat.approxQuantile(c, probs, 1.0 / (4.0 * buckets))
+      val deltas = bs.indices.map(i => spread(i + 1L, j) - spread(i.toLong, j)).toArray
+      aggregate(
+        zip_with(lit(bs), lit(deltas),
+          (b, dlt) => when(col(c).cast("double") >= b, dlt).otherwise(0L)),
+        lit(0L),
+        (acc, x) => acc + x)
+    }
+    // columns occupy disjoint bit positions, so plain addition assembles z
+    val zval = zParts.reduce(_ + _)
     df.withColumn("__z", zval)
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")

@@ -27,10 +27,13 @@ import java.util.UUID
   * commit names them, which is what makes writes all-or-nothing.
   *
   * Concurrency: OPTIMISTIC. A writer stages data files, then tries to
-  * create `_txlog/<latest+1>.json` with `FileSystem.create(overwrite =
-  * false)` — atomic on HDFS and on local filesystems, so exactly one of N
-  * racing writers wins a version; losers re-read the log, re-check for
-  * conflicts, and retry at the next version:
+  * publish `_txlog/<latest+1>.json` by writing a private temp file and
+  * hard-linking (local) / renaming (HDFS) it into the final name — one
+  * metadata operation that atomically settles BOTH who owns the version
+  * (link/rename fail if the target exists) and content visibility (a
+  * reader never sees a half-written commit). Exactly one of N racing
+  * writers wins; losers re-read the log, re-check for conflicts, and
+  * retry at the next version:
   *
   *  - `append` conflicts with nothing — it blindly retries at V+1 (same
   *    rule as Delta's blind-append).
@@ -227,34 +230,44 @@ object TxStore {
     named
   }
 
-  /** Try to own version `v`; true iff this writer created the commit file.
-    * Losing the race MUST be detectable, so the create has to be atomic
-    * create-if-absent: on HDFS `FileSystem.create(overwrite = false)` is
-    * exactly that; Hadoop's LOCAL filesystem implements it as a
-    * check-then-create (a TOCTOU window two racing threads can both slip
-    * through), so local paths go through NIO `CREATE_NEW`, which is atomic
-    * at the syscall level. */
+  /** Try to own version `v`; true iff this writer published the commit
+    * file — atomically in both existence AND content (see inline). */
   private def tryCommit(f: FileSystem, path: String, c: Commit): Boolean = {
     val p = logPath(path, c.version)
     val bytes = render(c).getBytes(StandardCharsets.UTF_8)
+    // Two atomicity requirements at once: EXISTENCE (exactly one of N
+    // racing writers may own the version — create-if-absent) and CONTENT
+    // (a concurrent reader must never observe a partially-written commit
+    // — replay would die on the truncated JSON). A bare exclusive
+    // create-then-write gives only the first, so both branches write the
+    // full content to a writer-private temp name and then make it appear
+    // under the final name in one metadata operation:
+    //  - local: hard-link — link(2) fails atomically if the target
+    //    exists (POSIX rename would silently overwrite, losing a race
+    //    undetectably);
+    //  - Hadoop FS: rename — HDFS rename is atomic and returns false if
+    //    the destination exists.
     if (f.getScheme == "file") {
       val local = java.nio.file.Paths.get(f.makeQualified(p).toUri)
       java.nio.file.Files.createDirectories(local.getParent)
+      val tmp = local.resolveSibling(s".${local.getFileName}.${UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmp, bytes)
       try {
-        java.nio.file.Files.write(local, bytes, java.nio.file.StandardOpenOption.CREATE_NEW)
+        java.nio.file.Files.createLink(local, tmp)
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else
-      try {
-        val out = f.create(p, /* overwrite = */ false)
-        try out.write(bytes)
-        finally out.close()
-        true
-      } catch {
-        case _: FileAlreadyExistsException => false
-        case e: java.io.IOException if e.getMessage != null &&
-          e.getMessage.contains("exist") => false
-      }
+      finally java.nio.file.Files.deleteIfExists(tmp): Unit
+    } else {
+      val tmp = new Path(p.getParent, s".${p.getName}.${UUID.randomUUID()}.tmp")
+      val out = f.create(tmp, /* overwrite = */ true)
+      try out.write(bytes)
+      finally out.close()
+      val won =
+        try f.rename(tmp, p)
+        catch { case _: FileAlreadyExistsException => false }
+      if (!won) f.delete(tmp, false)
+      won
+    }
   }
 
   /** Optimistic-commit loop shared by every write op. `attempt` sees the
@@ -390,7 +403,7 @@ object TxStore {
   def readAppendsSince(
       spark: SparkSession, path: String, sinceVersion: Long): (Long, DataFrame) = {
     val cs = commits(fs(spark, path), path)
-    val latest = if (cs.isEmpty) 0L else cs.last.version
+    val snap = replay(cs)
     if (cs.nonEmpty)
       require(
         cs.head.version <= sinceVersion + 1,
@@ -400,14 +413,23 @@ object TxStore {
     val rewrites = tail.filter(_.remove.nonEmpty)
     require(
       rewrites.isEmpty,
-      s"($sinceVersion, $latest] contains rewrite commits " +
+      s"($sinceVersion, ${snap.version}] contains rewrite commits " +
         s"(${rewrites.map(c => s"v${c.version}:${c.op}").mkString(", ")}) — file-level CDC " +
         "tracks appends only; re-read the snapshot")
     val added = tail.flatMap(_.add)
     val df =
-      if (added.isEmpty) read(spark, path).where(lit(false))
-      else readFiles(spark, path, added, replay(cs).schema)
-    (latest, df)
+      if (added.nonEmpty) readFiles(spark, path, added, snap.schema)
+      else
+        // caught up (or the table has no commits yet): an EMPTY delta,
+        // never an error — a poll loop must be able to run ahead of the
+        // producer. With no schema on the log yet there is nothing to
+        // type the frame with, so it is the zero-column empty frame.
+        snap.schema match {
+          case Some(s) =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          case None => spark.emptyDataFrame
+        }
+    (snap.version, df)
   }
 
   /** Copy-on-write DELETE. Two phases, both distributed:
@@ -587,10 +609,16 @@ object TxStore {
     // every file named by ANY retained commit stays (time travel works
     // for the whole retained log, not just the live set)
     val referenced = commits(f, path).flatMap(_.add).toSet
-    val victims = f.listStatus(dataDir).toSeq
-      .map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !referenced.contains(p.getName))
+    val listed = f.listStatus(dataDir).toSeq.map(_.getPath)
+    val victims =
+      listed.filter(p => p.getName.endsWith(".parquet") && !referenced.contains(p.getName))
     victims.foreach(f.delete(_, false))
-    victims.size
+    // a writer that died inside stage() leaves a _stage-<uuid>/ directory
+    // of never-renamed part files — exactly the "crashed-writer debris"
+    // this op promises to reclaim (safe under the same no-writer-mid-stage
+    // contract as the rest of vacuum)
+    val staleStages = listed.filter(_.getName.startsWith("_stage-"))
+    staleStages.foreach(f.delete(_, true))
+    victims.size + staleStages.size
   }
 }

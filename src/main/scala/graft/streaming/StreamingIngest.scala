@@ -180,34 +180,56 @@ object StreamingIngest {
     * driver restarts and even checkpoint deletion (the stamps, not the
     * checkpoint, are the source of truth; TxStore's checkpoint-retention
     * caveat applies). Downstream consumers follow incrementally via
-    * `TxStore.readAppendsSince`. */
+    * `TxStore.readAppendsSince`.
+    *
+    * `writerId` defaults to a hash of the CHECKPOINT path, because the
+    * stamp identifies (writer, batchId), not content: two pipelines — or
+    * one pipeline whose checkpoint was deleted and restarted — sharing a
+    * writerId would find each other's batch-0 stamp and silently DROP
+    * their own batch 0. Distinct checkpoints get distinct writers by
+    * default; after deleting a checkpoint (batch numbering restarts),
+    * pass a fresh explicit writerId. */
   def runAppendToTxStore(
       spark: SparkSession,
       dir: String,
       checkpoint: String,
       tablePath: String,
-      writerId: String = "graft-ingest",
-      maxFilesPerTrigger: Int = 32): StreamingQuery =
+      writerId: String = null,
+      maxFilesPerTrigger: Int = 32): StreamingQuery = {
+    val writer = Option(writerId).getOrElse(
+      "graft-ingest-" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(checkpoint).toLong & 0xffffffffL))
     readEvents(spark, dir, maxFilesPerTrigger)
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
-          graft.sources.TxStore.appendOnce(batch, tablePath, writerId, batchId): Unit
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            graft.sources.TxStore.appendOnce(batch, tablePath, writer, batchId): Unit
+        } finally batch.unpersist(): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** The durable sink seam — public so tests can wrap it with fault
     * injection (kill after batch N, then resume). Empty micro-batches
     * are skipped: a zero-row dynamic overwrite is harmless but pointless
-    * IO on the store path. */
+    * IO on the store path. The batch is persisted across the emptiness
+    * probe + write — foreachBatch frames re-run their whole plan per
+    * action, so an unpersisted probe would compute the stateful
+    * aggregation twice. */
   def upsertRollup(spark: SparkSession, storePath: String)(
-      batch: DataFrame, batchId: Long): Unit =
-    if (!batch.isEmpty)
-      graft.sources.PartitionedStore.upsertByDateCol(
-        spark, batch, keyCol = "event_type", path = storePath)
+      batch: DataFrame, batchId: Long): Unit = {
+    batch.persist()
+    try
+      if (!batch.isEmpty)
+        graft.sources.PartitionedStore.upsertByDateCol(
+          spark, batch, keyCol = "event_type", path = storePath)
+    finally batch.unpersist(): Unit
+  }
 
   /** Accumulated rollups per table name (see runAvailableNow). */
   private val rollupState =

@@ -44,7 +44,7 @@ class StreamingMultimodalSpec extends SparkSpec {
     // wave 1 lands, first AvailableNow run ingests it
     ev.filter(col("event_id") % 2 === 0).coalesce(1)
       .write.mode("overwrite").parquet(s"$landing/w1")
-    StreamingIngest.runAppendToTxStore(spark, s"$landing/*/", ckpt, table)
+    StreamingIngest.runAppendToTxStore(spark, s"$landing/*/", ckpt, table, writerId = "bronze")
       .awaitTermination(120000)
     val afterW1 = graft.sources.TxStore.read(spark, table).count()
     assert(afterW1 === ev.filter(col("event_id") % 2 === 0).count())
@@ -53,7 +53,7 @@ class StreamingMultimodalSpec extends SparkSpec {
     // wave 2 lands; a RESTARTED query (same checkpoint) ingests only it
     ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
       .write.mode("overwrite").parquet(s"$landing/w2")
-    StreamingIngest.runAppendToTxStore(spark, s"$landing/*/", ckpt, table)
+    StreamingIngest.runAppendToTxStore(spark, s"$landing/*/", ckpt, table, writerId = "bronze")
       .awaitTermination(120000)
     assert(graft.sources.TxStore.read(spark, table).count() === total)
 
@@ -61,7 +61,7 @@ class StreamingMultimodalSpec extends SparkSpec {
     // under the query's writer id finds its stamp and no-ops — the
     // table is unchanged even though the caller handed it rows again
     val redelivered = graft.sources.TxStore.appendOnce(
-      ev.limit(500), table, writerId = "graft-ingest", batchId = 0L)
+      ev.limit(500), table, writerId = "bronze", batchId = 0L)
     assert(redelivered === v1, "replay must return the original batch-0 version")
     assert(graft.sources.TxStore.read(spark, table).count() === total)
 

@@ -76,7 +76,11 @@ class TxStoreSpec extends SparkSpec {
     f.delete(new org.apache.hadoop.fs.Path(s"$t/data/orphan.parquet-dir"), true)
 
     assert(TxStore.read(spark, t).count() === 10, "orphan must be invisible to readers")
-    assert(TxStore.vacuum(spark, t) === 1, "exactly the orphan gets vacuumed")
+    // plus a crashed writer's _stage-<uuid>/ directory — never renamed,
+    // never committed — which vacuum must also reclaim
+    rows(7).write.mode("overwrite").parquet(s"$t/data/_stage-deadbeef")
+    assert(TxStore.vacuum(spark, t) === 2, "the orphan AND the stale stage dir get vacuumed")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$t/data/_stage-deadbeef")))
     assert(TxStore.read(spark, t).count() === 10)
   }
 
@@ -240,6 +244,10 @@ class TxStoreSpec extends SparkSpec {
 
   test("readAppendsSince returns only the delta and refuses ranges it can't represent") {
     val t = tmpDir()
+    // a consumer polling AHEAD of the producer sees an empty delta at
+    // version 0, not an error
+    val (v0, pre) = TxStore.readAppendsSince(spark, t, 0L)
+    assert(v0 === 0L && pre.count() === 0L)
     TxStore.append(rows(10), t) // v1
     TxStore.append(rows(5, from = 10), t) // v2
     val (v, delta) = TxStore.readAppendsSince(spark, t, sinceVersion = 1L)
