@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Sql, Tables}
-import graft.ops.{Dedup, Multimodal, Profiling, Sampling, Sessionize, Similarity, TextOps}
+import graft.ops.{Dedup, Diff, Multimodal, Profiling, Sampling, Sessionize, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** EXT1–EXT6 (SURVEY.md §2.11) — the LLM-training-data-pipeline operators,
@@ -562,6 +562,32 @@ object ExtQueries {
         s"""SELECT eval_doc, COUNT(*) AS n_train_docs,
            |       MAX(${Sql.rnd("overlap", 4)}) AS max_overlap
            |FROM ov WHERE overlap >= 0.5 GROUP BY 1""".stripMargin)),
+
+    // ── EXT24 — keyed table diff (migration validation). Left = the %2
+    //    slice, right = the %3 slice with user_id shifted on %4 keys, so
+    //    every class is exercised: left-only → removed, right-only →
+    //    added, overlap (%6) split into changed (%4, the shifted rows)
+    //    and unchanged. The oracle derives the classification
+    //    analytically from the same modular structure.
+    QueryDef(
+      "ext24_table_diff",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val before = ev.filter(col("event_id") % 2 === 0)
+        val after = ev.filter(col("event_id") % 3 === 0)
+          .withColumn(
+            "user_id",
+            when(col("event_id") % 4 === 0, col("user_id") + 1000000000L)
+              .otherwise(col("user_id")))
+        Diff.diffTables(before, after, keys = Seq("event_id"))
+      },
+      Some("""SELECT event_id,
+             |       CASE WHEN event_id % 3 <> 0 THEN 'removed'
+             |            WHEN event_id % 2 <> 0 THEN 'added'
+             |            WHEN event_id % 4 = 0 THEN 'changed'
+             |            ELSE 'unchanged' END AS change
+             |FROM events
+             |WHERE event_id % 2 = 0 OR event_id % 3 = 0""".stripMargin)),
 
     // ── EXT6b — session-level rollup (the session_sources table the
     //    reference assumes pre-exists, derived from raw events).

@@ -295,6 +295,42 @@ object TemporalQueries {
             col("n"), col("total_value")),
       Some(s"""SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start, event_type,
               |       COUNT(*) AS n, ${Sql.rnd("SUM(value)", 2)} AS total_value
-              |FROM events GROUP BY 1, 2""".stripMargin))
+              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ── AN17 — RANGE-framed rolling window (trailing 7 days BY VALUE,
+    //    not by row count): the frame must handle CALENDAR GAPS — a
+    //    (type, day) series with missing days still sums exactly the
+    //    trailing week, which a ROWS BETWEEN 6 PRECEDING frame gets
+    //    wrong the moment one day has no events. Spark needs a numeric
+    //    order column for rangeBetween → epoch days; DuckDB mirrors with
+    //    integer date subtraction. Cents accumulate as BIGINT: a rolling
+    //    DOUBLE sum would be engine-internal-order-dependent (same
+    //    discipline as an15).
+    QueryDef(
+      "an17_rolling_range",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(
+            date_format(Tables.tsMicros("ts"), "yyyy-MM-dd").as("date"),
+            col("event_type"))
+          .agg(sum(floor(col("value") * 100.0).cast("long")).as("cents"))
+          .withColumn("epoch_day", datediff(col("date"), lit("1970-01-01")))
+        val w = Window.partitionBy("event_type").orderBy("epoch_day").rangeBetween(-6, 0)
+        daily
+          .withColumn("rolling_7d_cents", sum("cents").over(w))
+          .select("date", "event_type", "cents", "rolling_7d_cents")
+      },
+      Some("""WITH daily AS (
+             |  SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+             |         CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS cents,
+             |         CAST(ts AS DATE) - DATE '1970-01-01' AS epoch_day
+             |  FROM events GROUP BY 1, 2, 4
+             |)
+             |SELECT date, event_type, cents,
+             |       CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY epoch_day
+             |                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |            AS BIGINT) AS rolling_7d_cents
+             |FROM daily""".stripMargin))
   )
 }

@@ -275,6 +275,28 @@ class StorageSkewSpec extends SparkSpec {
     assert(kept("big") < 400 * 175 / 525, "big source must be under its natural share")
   }
 
+  test("table diff classifies added/removed/changed/unchanged; NULL fields compare equal") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    def frame(rows: Row*) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val before = frame(Row(1L, "a", 10L), Row(2L, null, 20L), Row(3L, "c", 30L))
+    val after = frame(Row(2L, null, 20L), Row(3L, "c", 31L), Row(4L, "d", 40L))
+    val got = graft.ops.Diff.diffTables(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "removed",
+      // a NULL name on both sides must read UNCHANGED, not changed —
+      // the struct comparison is null-safe field-wise
+      2L -> "unchanged",
+      3L -> "changed",
+      4L -> "added"))
+  }
+
   test("stratified quota sampling keeps the exact per-stratum share") {
     val docs = Tables.documents(spark, sf("sf0.01"))
     val kept = graft.ops.Sampling.stratifiedHead(docs, col("lang"), col("doc_id"), 20)

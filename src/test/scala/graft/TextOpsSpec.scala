@@ -43,4 +43,5 @@ class TextOpsSpec extends SparkSpec {
     // 2 tokens: the one 2-gram fills its one slot → frac_top2gram = 1.0
     assert(got(2L) === ((2L, 0.0, 1.0, 0.0)))
   }
+
 }
