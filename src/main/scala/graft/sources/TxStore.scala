@@ -265,7 +265,17 @@ object TxStore {
       val won =
         try f.rename(tmp, p)
         catch { case _: FileAlreadyExistsException => false }
-      if (!won) f.delete(tmp, false)
+      if (!won) {
+        f.delete(tmp, false)
+        // Hadoop's boolean rename conflates "destination exists" (a lost
+        // commit race — expected) with every other failure; only the
+        // former may be swallowed, or a genuine IO problem would
+        // masquerade as 20 lost races and a bogus livelock diagnosis.
+        if (!f.exists(p))
+          throw new java.io.IOException(
+            s"commit rename $tmp -> $p failed but $p does not exist — " +
+              "not a lost race; underlying filesystem error")
+      }
       won
     }
   }
@@ -404,6 +414,13 @@ object TxStore {
       spark: SparkSession, path: String, sinceVersion: Long): (Long, DataFrame) = {
     val cs = commits(fs(spark, path), path)
     val snap = replay(cs)
+    // a position AHEAD of the log is a consumer pointed at the wrong /
+    // wiped / recreated table — answering (0, empty) would silently
+    // reset its position and re-deliver everything it already consumed
+    require(
+      sinceVersion <= snap.version,
+      s"consumer position v$sinceVersion is ahead of the log at $path " +
+        s"(latest v${snap.version}) — wrong path, or the table was recreated")
     if (cs.nonEmpty)
       require(
         cs.head.version <= sinceVersion + 1,
@@ -619,6 +636,14 @@ object TxStore {
     // contract as the rest of vacuum)
     val staleStages = listed.filter(_.getName.startsWith("_stage-"))
     staleStages.foreach(f.delete(_, true))
-    victims.size + staleStages.size
+    // ...and one that died inside tryCommit leaves a never-linked
+    // .<v>.json.<uuid>.tmp in the log dir (same no-writer contract)
+    val logDir = new Path(s"$path/$LogDir")
+    val staleTmps =
+      if (!f.exists(logDir)) Nil
+      else f.listStatus(logDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(".") && p.getName.endsWith(".tmp"))
+    staleTmps.foreach(f.delete(_, false))
+    victims.size + staleStages.size + staleTmps.size
   }
 }

@@ -186,9 +186,13 @@ object StreamingIngest {
     * stamp identifies (writer, batchId), not content: two pipelines — or
     * one pipeline whose checkpoint was deleted and restarted — sharing a
     * writerId would find each other's batch-0 stamp and silently DROP
-    * their own batch 0. Distinct checkpoints get distinct writers by
-    * default; after deleting a checkpoint (batch numbering restarts),
-    * pass a fresh explicit writerId. */
+    * their own batch 0. The path is fully QUALIFIED before hashing
+    * (scheme + absolute form), so respelling the same directory across
+    * restarts ("/x/ckpt" vs "/x/ckpt/" vs a relative form) keeps the
+    * same writer; the hash is 128-bit SHA-256-derived, so distinct
+    * checkpoints colliding into one writer is not a practical concern.
+    * After DELETING a checkpoint (batch numbering restarts), pass a
+    * fresh explicit writerId. */
   def runAppendToTxStore(
       spark: SparkSession,
       dir: String,
@@ -196,18 +200,26 @@ object StreamingIngest {
       tablePath: String,
       writerId: String = null,
       maxFilesPerTrigger: Int = 32): StreamingQuery = {
-    val writer = Option(writerId).getOrElse(
-      "graft-ingest-" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(checkpoint).toLong & 0xffffffffL))
+    val writer = Option(writerId).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(checkpoint)
+      val qualified = p
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p)
+        .toUri
+        .toString
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      "graft-ingest-" + digest.take(16).map("%02x".format(_)).mkString
+    }
     readEvents(spark, dir, maxFilesPerTrigger)
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.persist()
-        try {
-          if (!batch.isEmpty)
-            graft.sources.TxStore.appendOnce(batch, tablePath, writer, batchId): Unit
-        } finally batch.unpersist(): Unit
+        // no persist here (unlike upsertRollup): this plan is a bare
+        // file scan, so the isEmpty probe's limit-1 recompute is far
+        // cheaper than caching the whole micro-batch
+        if (!batch.isEmpty)
+          graft.sources.TxStore.appendOnce(batch, tablePath, writer, batchId): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

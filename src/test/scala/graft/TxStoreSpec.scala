@@ -76,10 +76,15 @@ class TxStoreSpec extends SparkSpec {
     f.delete(new org.apache.hadoop.fs.Path(s"$t/data/orphan.parquet-dir"), true)
 
     assert(TxStore.read(spark, t).count() === 10, "orphan must be invisible to readers")
-    // plus a crashed writer's _stage-<uuid>/ directory — never renamed,
-    // never committed — which vacuum must also reclaim
+    // plus a crashed writer's _stage-<uuid>/ directory (never renamed,
+    // never committed) and a never-linked commit temp file — both
+    // classes of crashed-writer debris vacuum must reclaim
     rows(7).write.mode("overwrite").parquet(s"$t/data/_stage-deadbeef")
-    assert(TxStore.vacuum(spark, t) === 2, "the orphan AND the stale stage dir get vacuumed")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_txlog", ".00000000000000000099.json.dead.tmp"),
+      "{\"version\":99}")
+    assert(TxStore.vacuum(spark, t) === 3,
+      "the orphan, the stale stage dir AND the commit temp get vacuumed")
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$t/data/_stage-deadbeef")))
     assert(TxStore.read(spark, t).count() === 10)
   }
@@ -269,6 +274,10 @@ class TxStoreSpec extends SparkSpec {
     // but post-checkpoint CDC works
     val (v5, tail) = TxStore.readAppendsSince(spark, t, 4L)
     assert(v5 === 5L && tail.count() === 2L)
+    // a position AHEAD of the log (wrong path / recreated table) fails
+    // loudly instead of silently resetting the consumer to version 0
+    val e3 = intercept[IllegalArgumentException](TxStore.readAppendsSince(spark, t, 99L))
+    assert(e3.getMessage.contains("ahead of the log"))
   }
 
   test("schema evolves additively through the log; time travel keeps the old schema") {
