@@ -331,6 +331,34 @@ object TemporalQueries {
              |       CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY epoch_day
              |                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
              |            AS BIGINT) AS rolling_7d_cents
-             |FROM daily""".stripMargin))
+             |FROM daily""".stripMargin)),
+
+    // ── AN18 — per-entity event-sequence extraction (the behavioral-
+    //    path primitive: attribution path analysis, session n-grams,
+    //    user-journey features for training data). One keyed hash
+    //    aggregate on user_id; the in-group order is imposed AFTER
+    //    collection (array_sort on (ts, event_id, type) structs — the
+    //    event_id tie-break makes same-timestamp paths deterministic,
+    //    which the hash gate requires), never by a pre-sort the
+    //    aggregation would destroy. Path length is bounded by per-user
+    //    activity — a whale entity concentrates its own key only (no
+    //    cross-key skew); cap upstream with a per-user limit if a
+    //    domain has unbounded actors.
+    QueryDef(
+      "an18_user_paths",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            array_join(
+              transform(
+                array_sort(
+                  collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+                e => e.getField("event_type")),
+              "->").as("path")),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+             |       string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+             |FROM events GROUP BY 1""".stripMargin))
   )
 }
