@@ -275,7 +275,18 @@ object Dedup {
     * guard: a header shingle shared by millions of train pages would fan
     * the join out ×df without indicating leakage. Capping can only lower
     * measured overlap, and only for n-grams too common to identify a
-    * document — for the oracle row the cap stays off. */
+    * document. The guard's own plan must not recreate the skew it
+    * removes, so it is NOT a count-over-shingle window (that shuffles
+    * every raw row of the hottest shingle into one task): doc
+    * frequencies come from a map-side-combined groupBy (one row per
+    * shingle per mapper crosses the wire), the over-cap shingles become
+    * a small exclusion list (≤ rows/cap entries by pigeonhole, and
+    * boilerplate df is zipfian so in practice far fewer), and the train
+    * side anti-joins against it — AQE sees the runtime size and turns
+    * the anti-join into a broadcast. The registered ext20 lanes run
+    * with the cap ENGAGED (chosen above the fixtures' max train df, so
+    * the DuckDB oracle stays exact); the planted-boilerplate case is
+    * DedupSimilaritySpec's hot-shingle test. */
   def decontamPairs(
       train: DataFrame,
       eval: DataFrame,
@@ -291,10 +302,14 @@ object Dedup {
       .select(col("doc_id").as("train_doc"), col("shingle"))
     val guarded =
       if (maxTrainDf <= 0L) invT
-      else invT
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
-        .filter(col("__df") <= maxTrainDf)
-        .drop("__df")
+      else {
+        val hot = invT
+          .groupBy("shingle")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxTrainDf)
+          .select("shingle")
+        invT.join(hot, Seq("shingle"), "left_anti")
+      }
     val common = guarded
       .join(invE.select(col("doc_id").as("eval_doc"), col("shingle")), "shingle")
       .groupBy("train_doc", "eval_doc")

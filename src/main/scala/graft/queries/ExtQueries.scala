@@ -65,6 +65,14 @@ object ExtQueries {
       |)
       |""".stripMargin
 
+  /** EXT20's hot-shingle cap. Measured fixture max train doc-frequency:
+    * 6 at sf0.01, 21 at sf0.1; ScaleUp's per-replica word permutation
+    * keeps shingles replica-local, so sf1 stays in the same decade. 200
+    * clears all of those with an order of magnitude to spare — the cap
+    * never binds on driver data (oracle stays the exact intersection)
+    * while the registered plan is the guarded production shape. */
+  private val DecontamTrainDfCap = 200L
+
   private val JaccardSelect: String =
     s"""SELECT doc_a, doc_b, ${Sql.rnd("jaccard", 4)} AS jaccard
        |FROM jac WHERE jaccard >= 0.5""".stripMargin
@@ -537,12 +545,20 @@ object ExtQueries {
     //    (doc_id % 5 = 0); report the (eval, train) pairs whose 3-gram
     //    CONTAINMENT of the eval doc reaches 0.5. The oracle recomputes
     //    the exact shingle intersection over the same two-way split.
+    //    The hot-shingle guard runs ENGAGED (the production shape — a
+    //    boilerplate shingle must never fan the join out ×df): the cap
+    //    sits above the fixtures' max train doc-frequency (21 at sf0.1,
+    //    ~same per ScaleUp replica at sf1 — word permutation keeps
+    //    shingles replica-local), so it drops nothing here and the
+    //    exact-intersection oracle still hash-matches; the binding case
+    //    is the planted-boilerplate test in DedupSimilaritySpec.
     QueryDef(
       "ext20_decontam",
       (s, d) => {
         val docs = Tables.documents(s, d)
         Dedup.decontamPairs(
-          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+          maxTrainDf = DecontamTrainDfCap)
       },
       Some(DecontamCtes +
         s"""SELECT eval_doc, train_doc, ${Sql.rnd("overlap", 4)} AS overlap
@@ -556,7 +572,8 @@ object ExtQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         Dedup.decontamReport(
-          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+          maxTrainDf = DecontamTrainDfCap)
       },
       Some(DecontamCtes +
         s"""SELECT eval_doc, COUNT(*) AS n_train_docs,

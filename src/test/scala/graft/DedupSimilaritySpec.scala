@@ -285,4 +285,33 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(capped == Set((10L, 1L, 1.0)), s"got $capped")
   }
+
+  test("decontamination cap survives a pathological hot bucket without a window") {
+    // One boilerplate shingle planted in EVERY train doc (df = 500) while
+    // each genuine leak shingle has df = 1. Uncapped, the boilerplate
+    // alone fans the shingle join out 500 × |eval| rows; capped it
+    // vanishes before the join and only the honest pair survives. The
+    // registered ext20 lanes run exactly this guarded shape.
+    val boiler = "standard header text repeated on every page"
+    val train = spark.range(1, 501)
+      .select(col("id").as("doc_id"),
+        concat(lit(s"$boiler filler body "), col("id"),
+          when(col("id") === 1, lit(" the secret eval question text here"))
+            .otherwise(lit(""))).as("text"))
+    val eval = Seq(
+      (1000L, "the secret eval question text here"),
+      (1001L, boiler)).toDF("doc_id", "text")
+    val capped = Dedup.decontamPairs(train, eval, maxTrainDf = 100L)
+    // plan guard: the hot-shingle filter must be the groupBy + anti-join
+    // shape, never a count-over-shingle window (that funnels the whole
+    // hot bucket through one task — the skew the cap exists to remove).
+    // The shingler's own lead() windows are keyed by doc_id and fine;
+    // what must not appear is a window PARTITIONED BY the shingle.
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(shingle"),
+      s"guard planned a count-over-shingle window:\n$plan")
+    val got = capped.select("eval_doc", "train_doc", "overlap")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1000L, 1L, 1.0)), s"got $got")
+  }
 }
