@@ -312,20 +312,43 @@ object InventoryQueries {
           |GROUP BY 1 HAVING COUNT(*) > 30""".stripMargin)),
 
     // ── C1 — chunk assignment over distinct conversion ids
-    //    (api_client.py:179-187): windows of 50 ids in id order. The rank
-    //    window runs over the (small) distinct-id set, not the journey fact
-    //    table; at 100 TB the physical batching is `repartition(n, key)`,
-    //    this query preserves the reference's *logical* chunk numbering.
+    //    (api_client.py:179-187): windows of 50 ids in id order. The
+    //    reference's chunk numbering is inherently a global sequence, but
+    //    the PLAN no longer is: Chunking.globalRank range-partitions the
+    //    id set and composes per-partition ranks with metadata-scale
+    //    offsets — identical numbering, no Exchange SinglePartition
+    //    anywhere (PlanAuditSpec pins that registry-wide).
     QueryDef(
       "c1_chunks",
       (s, d) =>
-        Tables.conversions(s, d)
-          .select(col("conv_id").as("conversion_id")).distinct()
-          .withColumn("rn", row_number().over(Window.orderBy("conversion_id")).cast("long"))
+        graft.ops.Chunking.globalRank(
+            Tables.conversions(s, d)
+              .select(col("conv_id").as("conversion_id")).distinct(),
+            key = "conversion_id")
           .select(col("conversion_id"), ((col("rn") - 1L) / 50L).cast("long").as("chunk_id")),
       Some(Sql.CTES +
         """SELECT conv_id AS conversion_id,
           |       CAST((ROW_NUMBER() OVER (ORDER BY conv_id) - 1) // 50 AS BIGINT) AS chunk_id
+          |FROM conversions""".stripMargin)),
+
+    // ── C1b — the zero-sequence variant: when batches only need to be
+    //    deterministic and size-bounded (any id may go to any request),
+    //    `id mod ceil(n/50)` assigns chunks in a single narrow projection
+    //    — no shuffle, no ordering, no second pass. This is the shape
+    //    you'd actually run at 100 TB when the reference's exact
+    //    numbering doesn't matter, only the ≤-size contract does.
+    QueryDef(
+      "c1_chunks_scaled",
+      (s, d) =>
+        graft.ops.Chunking.arithmeticChunks(
+          Tables.conversions(s, d)
+            .select(col("conv_id").as("conversion_id")).distinct(),
+          key = "conversion_id", chunkSize = 50L),
+      Some(Sql.CTES +
+        """SELECT conv_id AS conversion_id,
+          |       CAST(conv_id % GREATEST(1, CAST(CEIL(
+          |         (SELECT COUNT(DISTINCT conv_id) FROM conversions) / 50.0) AS BIGINT))
+          |         AS BIGINT) AS chunk_id
           |FROM conversions""".stripMargin)),
 
     // ── U1 — union-all of the two touchpoint streams (§2.6,

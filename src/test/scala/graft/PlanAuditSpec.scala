@@ -18,17 +18,27 @@ class PlanAuditSpec extends SparkSpec {
   // equi-joins on the cell id).
   private val intendedBnlj = Set("ext3_topk_cosine", "ext3_topk_ivf", "ext4_tfidf")
 
-  test("no cartesian products or unintended nested-loop joins anywhere") {
+  test("no cartesians, unintended nested-loop joins, or global windows anywhere") {
     SparkEntry.registry.foreach { q =>
       // through SparkEntry.queries so the sweep exercises the same tuned
       // path every production consumer gets
-      val plan = SparkEntry.queries(q.name)(spark, sf("sf0.001"))
-        .queryExecution.executedPlan.toString
+      val qe = SparkEntry.queries(q.name)(spark, sf("sf0.001")).queryExecution
+      val plan = qe.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name} plans a cartesian:\n$plan")
       if (!intendedBnlj(q.name)) {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"${q.name} plans an unintended BNLJ:\n$plan")
       }
+      // No window may run unpartitioned: an empty partitionSpec is an
+      // Exchange SinglePartition — the whole input through one task.
+      // (c1_chunks was the one exception until round 7; Chunking.globalRank
+      // removed it, so the guard is now unconditional.)
+      val globalWindows = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"${q.name} plans a global single-partition window:\n${qe.sparkPlan}")
     }
   }
 
