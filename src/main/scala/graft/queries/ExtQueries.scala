@@ -165,7 +165,11 @@ object ExtQueries {
            |WHERE rk <= 10""".stripMargin),
       bench = true),
 
-    // ── EXT3b — IVF-style blocked top-k (label = coarse cell).
+    // ── EXT3b — IVF-style blocked top-k (label = coarse cell). In the
+    //    headline bench since round 7: this is the ANN shape you'd run
+    //    at 100 TB (equi-join on the cell, never corpus × queries), so a
+    //    perf regression here must be driver-visible, not only the
+    //    brute-force ground-truth lane's.
     QueryDef(
       "ext3_topk_blocked",
       (s, d) => Similarity.topKBlocked(Tables.embeddings(s, d)),
@@ -177,7 +181,8 @@ object ExtQueries {
            |                                     e.vec_id) AS rk,
            |         list_dot_product(q.q_emb, e.emb) / (q.q_nrm * e.nrm) AS sim
            |  FROM q JOIN e ON e.label = q.q_label AND e.vec_id <> q.q_id) t
-           |WHERE rk <= 5""".stripMargin)),
+           |WHERE rk <= 5""".stripMargin),
+      bench = true),
 
     // ── EXT3c — sign-random-projection LSH ANN (hash-bucketed scale
     //    path). The hyperplanes are deterministic Scala arithmetic DuckDB
