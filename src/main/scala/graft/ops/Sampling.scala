@@ -150,8 +150,11 @@ object Sampling {
   def temperatureRates(
       df: DataFrame, sourceCol: Column, targetRows: Long): Map[String, Int] = {
     require(targetRows >= 0, s"targetRows must be ≥ 0: $targetRows")
+    // cast to string so a non-string source column (an int source id,
+    // say) yields its rate under the same key sampleByRates' === will
+    // match, instead of a ClassCastException at collect time
     val counts = df
-      .groupBy(sourceCol.as("__src")).agg(count(lit(1)).as("__n"))
+      .groupBy(sourceCol.cast("string").as("__src")).agg(count(lit(1)).as("__n"))
       .collect()
       .collect { case r if !r.isNullAt(0) => r.getString(0) -> r.getLong(1) }
     val qs = counts.map { case (s, n) => (s, n, math.floor(math.sqrt(n.toDouble)).toLong) }

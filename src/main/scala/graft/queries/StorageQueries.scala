@@ -266,6 +266,33 @@ object StorageQueries {
              |       CASE WHEN event_id % 2 = 0 THEN NULL ELSE props END AS props
              |FROM events""".stripMargin)),
 
+    // ── S18b — TYPE-WIDENING evolution through the commit log. The
+    //    first wave lands NARROW (value as float32, user_id as int32);
+    //    the second wave carries the original double/bigint types, so
+    //    the log schema widens along the safe chains (INT→BIGINT,
+    //    FLOAT→DOUBLE) and the read promotes the v1 files through the
+    //    widened schema (Spark 4 parquet widening, SPARK-40876). The
+    //    oracle mirrors the one lossy step — double→float in wave 1 —
+    //    with an explicit round-trip cast; the int narrowing is
+    //    lossless at fixture id ranges, so plain user_id matches.
+    QueryDef(
+      "s18b_tx_widening",
+      (s, d) => {
+        val store = freshStore(s, "s18b-txwiden", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(
+          ev.filter(col("event_id") % 2 === 0)
+            .withColumn("value", col("value").cast("float"))
+            .withColumn("user_id", col("user_id").cast("int")), store) // v1 narrow
+        TxStore.append(ev.filter(col("event_id") % 2 =!= 0), store) // v2 widens
+        eventsCols(TxStore.read(s, store))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             |       CASE WHEN event_id % 2 = 0
+             |            THEN CAST(CAST(value AS FLOAT) AS DOUBLE)
+             |            ELSE value END AS value, props
+             |FROM events""".stripMargin)),
+
     // ── S19 — file-level append CDC: after two appends, the delta since
     //    version 1 must be EXACTLY the second wave — the incremental
     //    consumer never re-reads the v1 files (only added files are

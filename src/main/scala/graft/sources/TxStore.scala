@@ -103,27 +103,78 @@ object TxStore {
       s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
 
-  /** Additive evolution: incoming may ADD columns; a column both sides
-    * know must keep its type (compared ignoring nullability) — silent
-    * type drift is how a lake corrupts. Returns table ++ new columns. */
+  /** Rank in the safe widening chains: every step up a chain is exact
+    * (no value an INT holds is unrepresentable as BIGINT; every FLOAT
+    * widens to the same DOUBLE bit-for-bit), and Spark 4's parquet
+    * readers perform exactly these promotions when the read schema is
+    * wider than the file (SPARK-40876) — which is what lets old files
+    * stay untouched when the log schema widens. Everything outside the
+    * two chains is NOT widening (string↔int, double→float, …) and keeps
+    * being rejected as type drift. */
+  private def widenRank(dt: org.apache.spark.sql.types.DataType): Option[(Char, Int)] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => Some(('i', 0))
+      case ShortType => Some(('i', 1))
+      case IntegerType => Some(('i', 2))
+      case LongType => Some(('i', 3))
+      case FloatType => Some(('f', 0))
+      case DoubleType => Some(('f', 1))
+      case _ => None
+    }
+  }
+
+  /** The wider of two types when they sit on one widening chain. */
+  private def widened(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] =
+    if (a == b) Some(a)
+    else (widenRank(a), widenRank(b)) match {
+      case (Some((ca, ra)), Some((cb, rb))) if ca == cb => Some(if (ra >= rb) a else b)
+      case _ => None
+    }
+
+  /** Schema evolution: incoming may ADD columns, and a column both sides
+    * know may WIDEN along a safe chain (INT→BIGINT, FLOAT→DOUBLE — the
+    * log carries the widest type ever seen, readback promotes narrower
+    * files); any other type change is drift and rejected — silent type
+    * drift is how a lake corrupts. Name matching follows the session's
+    * `spark.sql.caseSensitive` (default false, like Spark's own column
+    * resolution): case-insensitively, an incoming 'ID' IS the table's
+    * 'id' — the table's original spelling is kept — rather than a
+    * silent duplicate column that would break every subsequent
+    * schema-applied read. Returns table (with widenings applied) ++ new
+    * columns. */
   private def evolve(
       cur: Option[org.apache.spark.sql.types.StructType],
-      incoming: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+      incoming: org.apache.spark.sql.types.StructType,
+      caseSensitive: Boolean): org.apache.spark.sql.types.StructType = {
+    def key(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val dupes = incoming.fields.groupBy(f => key(f.name)).filter(_._2.length > 1)
+    require(dupes.isEmpty,
+      s"incoming schema has columns colliding under spark.sql.caseSensitive=$caseSensitive: " +
+        dupes.values.map(_.map(_.name).mkString("/")).mkString(", "))
     cur match {
       case None => normalize(incoming)
       case Some(t) =>
-        val byName = t.fields.map(f => f.name -> f).toMap
-        incoming.fields.foreach { f =>
-          byName.get(f.name).foreach { old =>
-            require(
-              old.dataType.catalogString == f.dataType.catalogString,
-              s"schema conflict on '${f.name}': table has ${old.dataType.catalogString}, " +
-                s"incoming has ${f.dataType.catalogString}")
+        val byName = t.fields.map(f => key(f.name) -> f).toMap
+        val evolvedExisting = t.fields.map { old =>
+          incoming.fields.find(f => key(f.name) == key(old.name)) match {
+            case None => old
+            case Some(f) =>
+              val w = widened(old.dataType, f.dataType).getOrElse(throw new IllegalArgumentException(
+                s"schema conflict on '${old.name}': table has ${old.dataType.catalogString}, " +
+                  s"incoming has ${f.dataType.catalogString} — not a safe widening"))
+              old.copy(dataType = w)
           }
         }
         normalize(org.apache.spark.sql.types.StructType(
-          t.fields ++ incoming.fields.filterNot(f => byName.contains(f.name))))
+          evolvedExisting ++ incoming.fields.filterNot(f => byName.contains(key(f.name)))))
     }
+  }
+
+  private def sessionCaseSensitive(spark: SparkSession): Boolean =
+    spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
 
   // ── log primitives ─────────────────────────────────────────────────
 
@@ -174,15 +225,22 @@ object TxStore {
     * commit whose `add` is the full live set at its version — replay can
     * start there, so only it plus the tail is parsed. */
   private def commits(f: FileSystem, path: String): Seq[Commit] = {
+    val all = allCommits(f, path)
+    val lastCk = all.lastIndexWhere(_.op == "checkpoint")
+    if (lastCk <= 0) all else all.drop(lastCk)
+  }
+
+  /** The FULL physical log, ignoring checkpoint truncation — commit files
+    * are never deleted, so pre-checkpoint history stays reconstructible
+    * for [[vacuum]]'s retention window. */
+  private def allCommits(f: FileSystem, path: String): Seq[Commit] = {
     val dir = new Path(s"$path/$LogDir")
     if (!f.exists(dir)) return Nil
-    val all = f.listStatus(dir).toSeq
+    f.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .filter(_.endsWith(".json"))
       .sorted
       .map(n => parse(readText(f, new Path(dir, n))))
-    val lastCk = all.lastIndexWhere(_.op == "checkpoint")
-    if (lastCk <= 0) all else all.drop(lastCk)
   }
 
   private def replay(cs: Seq[Commit]): Snapshot = {
@@ -199,7 +257,11 @@ object TxStore {
   def snapshot(spark: SparkSession, path: String): Snapshot =
     replay(commits(fs(spark, path), path))
 
-  /** Snapshot as of an historical version — time travel. */
+  /** Snapshot as of an historical version — time travel. Works for any
+    * version in the retained (post-checkpoint) log; the files behind it
+    * are guaranteed against [[vacuum]] while the version is within
+    * vacuum's `retainVersions` window (see the retention contract
+    * there). */
   def snapshotAt(spark: SparkSession, path: String, version: Long): Snapshot = {
     val cs = commits(fs(spark, path), path).filter(_.version <= version)
     require(cs.nonEmpty || version == 0, s"version $version predates the retained log at $path")
@@ -255,7 +317,13 @@ object TxStore {
       try {
         java.nio.file.Files.createLink(local, tmp)
         true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // the tmp vanished under us — a concurrent vacuum reclaimed it as
+        // debris. Not a filesystem fault: treat it as a lost race; the
+        // retry writes a fresh tmp (and may well win the same version).
+        case _: java.nio.file.NoSuchFileException => false
+      }
       finally java.nio.file.Files.deleteIfExists(tmp): Unit
     } else {
       val tmp = new Path(p.getParent, s".${p.getName}.${UUID.randomUUID()}.tmp")
@@ -306,11 +374,21 @@ object TxStore {
 
   /** Transactional append. Conflicts with nothing: data files are staged
     * once, then the commit retries under contention until a version slot
-    * is won. Returns the committed version. */
+    * is won. Returns the committed version. If the loop throws (schema
+    * drift, livelock) the staged files are deleted rather than orphaned
+    * until a vacuum. */
   def append(df: DataFrame, path: String): Long = {
+    val cs = sessionCaseSensitive(df.sparkSession)
     val files = stage(df, path)
-    commitLoop(df.sparkSession, path, "append")(snap =>
-      Some((files, Nil, Some(encodeSchema(evolve(snap.schema, df.schema)))))).get.version
+    val f = fs(df.sparkSession, path)
+    try
+      commitLoop(df.sparkSession, path, "append")(snap =>
+        Some((files, Nil, Some(encodeSchema(evolve(snap.schema, df.schema, cs)))))).get.version
+    catch {
+      case e: Throwable =>
+        files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+        throw e
+    }
   }
 
   /** Transactional full overwrite: one commit removes every currently-live
@@ -386,15 +464,22 @@ object TxStore {
     committed match {
       case Some(v) => v
       case None =>
+        val cs = sessionCaseSensitive(spark)
         val files = stage(df, path)
-        commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
-          if (committed.isDefined) None
-          else Some((files, Nil, Some(encodeSchema(evolve(snap.schema, df.schema)))))
-        } match {
-          case Some(c) => c.version
-          case None => // a concurrent delivery of THIS batch won the race
+        try
+          commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
+            if (committed.isDefined) None
+            else Some((files, Nil, Some(encodeSchema(evolve(snap.schema, df.schema, cs)))))
+          } match {
+            case Some(c) => c.version
+            case None => // a concurrent delivery of THIS batch won the race
+              files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+              committed.get
+          }
+        catch {
+          case e: Throwable =>
             files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
-            committed.get
+            throw e
         }
     }
   }
@@ -546,7 +631,7 @@ object TxStore {
     // missing column would silently null existing data) but may ADD
     // columns, evolving the schema like append does; kept rows read the
     // new columns as NULL through allowMissingColumns.
-    val evolved = evolve(base.schema, updates.schema)
+    val evolved = evolve(base.schema, updates.schema, sessionCaseSensitive(spark))
     base.schema.foreach { t =>
       val missing = t.fieldNames.filterNot(updates.columns.contains)
       require(
@@ -616,33 +701,82 @@ object TxStore {
     readFiles(spark, path, snap.files, snap.schema)
   }
 
-  /** Delete data files no snapshot references (crashed-writer debris and
-    * files removed by overwrite/compact). Safe only when no writer is
-    * mid-stage; like Delta's VACUUM this is an offline maintenance op. */
-  def vacuum(spark: SparkSession, path: String): Int = {
+  /** Default age an unreferenced file must reach before vacuum reclaims
+    * it: an hour is orders of magnitude past any healthy stage→commit
+    * latency, so anything unreferenced AND that old is debris, not work
+    * in flight. */
+  val DefaultAgeGraceMs: Long = 60L * 60 * 1000
+
+  /** Delete files outside the retention window: data files removed by
+    * overwrite/compact/delete more than `retainVersions` versions ago,
+    * and crashed-writer debris, both only past `ageGraceMs` of age.
+    *
+    * Version retention (the concurrent-READER contract): a reader that
+    * pinned a [[snapshot]]/[[snapshotAt]] at version v keeps all its
+    * files as long as `latest − v < retainVersions` when vacuum runs —
+    * kept = every file of every snapshot in the last `retainVersions`
+    * versions (reconstructed from the FULL physical log, across
+    * checkpoint truncation), plus every add in the retained log (so
+    * time travel over the retained log never loses a file, same as
+    * before). A reader older than the window can have its files
+    * reclaimed mid-scan — that is the trade a longer window exists
+    * for, the same one Delta's VACUUM retention period makes.
+    *
+    * Age grace (the concurrent-WRITER contract): an unreferenced file
+    * younger than `ageGraceMs` is left alone, because "unreferenced
+    * and young" describes a live writer's in-flight work exactly — data
+    * files staged ahead of their commit, a mid-commit log tmp, a
+    * `_stage-*` dir mid-rename. With both guards, vacuum is safe to
+    * run next to live traffic; even the pathological case — a commit
+    * tmp reclaimed under a mid-commit writer — degrades to a lost
+    * commit race (retried), not a failure. Tests pass `ageGraceMs = 0`
+    * to reclaim deterministically. */
+  def vacuum(
+      spark: SparkSession,
+      path: String,
+      retainVersions: Int = 2,
+      ageGraceMs: Long = DefaultAgeGraceMs): Int = {
+    require(retainVersions >= 1, s"retainVersions must be ≥ 1: $retainVersions")
     val f = fs(spark, path)
     val dataDir = new Path(s"$path/$DataDir")
     if (!f.exists(dataDir)) return 0
-    // every file named by ANY retained commit stays (time travel works
-    // for the whole retained log, not just the live set)
-    val referenced = commits(f, path).flatMap(_.add).toSet
-    val listed = f.listStatus(dataDir).toSeq.map(_.getPath)
-    val victims =
-      listed.filter(p => p.getName.endsWith(".parquet") && !referenced.contains(p.getName))
+    val all = allCommits(f, path)
+    val latest = if (all.isEmpty) 0L else all.last.version
+    val cutoff = latest - retainVersions + 1
+    // one incremental replay over the full log; union the live set at
+    // every version inside the window
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val keep = scala.collection.mutable.HashSet.empty[String]
+    all.foreach { c =>
+      c.remove.foreach(n => live -= n); c.add.foreach(n => live += n)
+      if (c.version >= cutoff) keep ++= live
+    }
+    // the retained-log contract is unchanged: every add after the last
+    // checkpoint stays referencable for time travel
+    keep ++= commits(f, path).flatMap(_.add)
+    val now = System.currentTimeMillis()
+    def aged(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - s.getModificationTime >= ageGraceMs
+    val listed = f.listStatus(dataDir).toSeq
+    val victims = listed
+      .filter(s => s.getPath.getName.endsWith(".parquet") &&
+        !keep.contains(s.getPath.getName) && aged(s))
+      .map(_.getPath)
     victims.foreach(f.delete(_, false))
     // a writer that died inside stage() leaves a _stage-<uuid>/ directory
-    // of never-renamed part files — exactly the "crashed-writer debris"
-    // this op promises to reclaim (safe under the same no-writer-mid-stage
-    // contract as the rest of vacuum)
-    val staleStages = listed.filter(_.getName.startsWith("_stage-"))
+    // of never-renamed part files; one that died inside tryCommit leaves
+    // a never-linked .<v>.json.<uuid>.tmp in the log dir
+    val staleStages = listed
+      .filter(s => s.getPath.getName.startsWith("_stage-") && aged(s))
+      .map(_.getPath)
     staleStages.foreach(f.delete(_, true))
-    // ...and one that died inside tryCommit leaves a never-linked
-    // .<v>.json.<uuid>.tmp in the log dir (same no-writer contract)
     val logDir = new Path(s"$path/$LogDir")
     val staleTmps =
       if (!f.exists(logDir)) Nil
-      else f.listStatus(logDir).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith(".") && p.getName.endsWith(".tmp"))
+      else f.listStatus(logDir).toSeq
+        .filter(s => s.getPath.getName.startsWith(".") && s.getPath.getName.endsWith(".tmp") &&
+          aged(s))
+        .map(_.getPath)
     staleTmps.foreach(f.delete(_, false))
     victims.size + staleStages.size + staleTmps.size
   }

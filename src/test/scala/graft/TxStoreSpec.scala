@@ -83,7 +83,14 @@ class TxStoreSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(t, "_txlog", ".00000000000000000099.json.dead.tmp"),
       "{\"version\":99}")
-    assert(TxStore.vacuum(spark, t) === 3,
+    // default age grace: everything here is seconds old, so a vacuum
+    // running next to what COULD be a live writer's in-flight work
+    // reclaims nothing…
+    assert(TxStore.vacuum(spark, t) === 0,
+      "young unreferenced files are a live writer's in-flight work until proven stale")
+    // …and with the grace waived (what an offline maintenance run with
+    // no writers does) all three classes of debris go
+    assert(TxStore.vacuum(spark, t, ageGraceMs = 0) === 3,
       "the orphan, the stale stage dir AND the commit temp get vacuumed")
     assert(!f.exists(new org.apache.hadoop.fs.Path(s"$t/data/_stage-deadbeef")))
     assert(TxStore.read(spark, t).count() === 10)
@@ -319,12 +326,103 @@ class TxStoreSpec extends SparkSpec {
     assert(ckv === 3L)
     // replay now starts at the checkpoint — history is truncated to it
     assert(TxStore.history(spark, t).head.op === "checkpoint")
-    val reclaimed = TxStore.vacuum(spark, t)
+    val reclaimed = TxStore.vacuum(spark, t, ageGraceMs = 0)
     assert(reclaimed > 0, "v1's overwritten files must be reclaimable")
     assert(TxStore.read(spark, t).as[(Long, String)].collect().toSet ===
       (50 until 55).map(i => (i.toLong, s"v$i")).toSet)
     // time travel before the checkpoint is now explicitly refused
     val e = intercept[IllegalArgumentException](TxStore.readAt(spark, t, 1L))
     assert(e.getMessage.contains("predates"))
+  }
+
+  test("vacuum retention window protects a reader pinned at an old version") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t) // v1
+    TxStore.append(rows(10, from = 10), t) // v2
+    // reader pins the v2 snapshot (plan + file list fixed now, scan later)
+    val pinnedFiles = TxStore.snapshotAt(spark, t, 2L).files
+    val reader = TxStore.readAt(spark, t, 2L)
+    TxStore.compact(spark, t, target = 1) // v3: v1/v2 files dereferenced
+    TxStore.checkpoint(spark, t) // v4: log truncates, adds restate only v3's file
+    // v2 is 2 versions behind v4 — inside a retainVersions=3 window, so
+    // vacuum must keep every file the pinned reader needs…
+    TxStore.vacuum(spark, t, retainVersions = 3, ageGraceMs = 0)
+    assert(reader.as[(Long, String)].collect().toSet ===
+      (0 until 20).map(i => (i.toLong, s"v$i")).toSet,
+      "a reader inside the retention window finishes after vacuum")
+    // …and an aggressive window reclaims them (the documented trade: a
+    // reader older than the window loses its files)
+    TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0)
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(pinnedFiles.forall(n =>
+      !f.exists(new org.apache.hadoop.fs.Path(s"$t/data/$n"))),
+      "outside the retention window the old snapshot's files are reclaimed")
+    assert(TxStore.read(spark, t).count() === 20, "the live snapshot is untouched")
+  }
+
+  test("schema widens along safe chains; old files read through the widened type") {
+    val t = tmpDir()
+    val narrow = Seq((1, 1.5f), (2, 2.5f)).toDF("id", "score") // int, float
+    TxStore.append(narrow, t) // v1
+    val wide = Seq((3000000000L, 3.5d)).toDF("id", "score") // bigint, double
+    TxStore.append(wide, t) // v2: widens both columns in the log
+    val cur = TxStore.read(spark, t)
+    assert(cur.schema("id").dataType === org.apache.spark.sql.types.LongType)
+    assert(cur.schema("score").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(cur.as[(Long, Double)].collect().toSet ===
+      Set((1L, 1.5), (2L, 2.5), (3000000000L, 3.5)),
+      "v1's int32/float files promote losslessly under the widened log schema")
+    // a narrower late wave is fine too — the log keeps the widest type
+    TxStore.append(Seq((4, 4.5f)).toDF("id", "score"), t) // v3
+    assert(TxStore.read(spark, t).schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(TxStore.read(spark, t).count() === 4)
+    // time travel reads v1 with the HISTORICAL narrow schema
+    assert(TxStore.readAt(spark, t, 1L).schema("id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // cross-chain changes are still drift
+    val t2 = tmpDir()
+    TxStore.append(Seq((1L, 1.5d)).toDF("id", "score"), t2)
+    val e2 = intercept[IllegalArgumentException](
+      TxStore.append(Seq(("x", 1.0d)).toDF("id", "score"), t2))
+    assert(e2.getMessage.contains("not a safe widening"))
+  }
+
+  test("column names resolve per spark.sql.caseSensitive, not byte equality") {
+    val t = tmpDir()
+    TxStore.append(rows(3), t)
+    // case-insensitive session (the Spark default): 'ID' IS 'id' — no
+    // silent duplicate column; the table keeps its original spelling
+    TxStore.append(Seq((100L, "up")).toDF("ID", "PAYLOAD"), t)
+    val cur = TxStore.read(spark, t)
+    assert(cur.columns.toSeq === Seq("id", "payload"),
+      "the table's original spelling wins under case-insensitive resolution")
+    assert(cur.count() === 4)
+    // same name different case with a DIFFERENT type is still drift
+    val e = intercept[IllegalArgumentException](
+      TxStore.append(Seq(("x", "y")).toDF("ID", "payload"), t))
+    assert(e.getMessage.contains("not a safe widening"))
+    // an incoming frame whose own columns collide case-insensitively is
+    // rejected loudly — by Spark's parquet writer at staging (append
+    // stages first) or by evolve's own collision guard (merge evolves
+    // first); either way it never reaches the log schema
+    val clash = Seq((1L, "a", "b")).toDF("id", "payload", "PAYLOAD")
+    val e2 = intercept[Exception](TxStore.append(clash, t))
+    val msg = e2.getMessage.toLowerCase(java.util.Locale.ROOT)
+    assert(msg.contains("colliding") || msg.contains("duplicate") ||
+      msg.contains("already exists"), e2.getMessage)
+  }
+
+  test("a failed append leaves no orphaned staged files behind") {
+    val t = tmpDir()
+    TxStore.append(rows(3), t)
+    // drifted schema: stage happens first, then evolve throws — the
+    // staged files must be deleted on the way out, not orphaned
+    intercept[IllegalArgumentException](
+      TxStore.append(Seq(("oops", "x")).toDF("id", "payload"), t))
+    assert(TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0) === 0,
+      "nothing unreferenced survives a failed append")
+    assert(TxStore.read(spark, t).count() === 3)
   }
 }
