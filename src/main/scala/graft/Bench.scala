@@ -23,10 +23,16 @@ package graft
   * than silently inflating it.
   *
   * Optional args: a subset of query names to bench (default: all of
-  * SparkEntry.benchQueries) — used for profiling a single query.
+  * SparkEntry.benchQueries) — used for profiling a single query. Or
+  * `--all`: EVERY registered query, one warm-up + one timed run each —
+  * the registry-wide tier that surfaces a plan regression in a
+  * non-headline lane as a driver-readable artifact instead of only a
+  * PlanAuditSpec failure. One run, not five: with ~120 queries the
+  * point is coverage, not estimator quality, and the headline set
+  * keeps the min-of-5 protocol.
   */
 object Bench {
-  private val TimedRuns = 5
+  private val DefaultTimedRuns = 5
   private val LoadWarnPerCore = 0.5
 
   def main(args: Array[String]): Unit = {
@@ -41,11 +47,17 @@ object Bench {
           "at start — timings below include co-tenant machine load")
     val spark = GraftSession.build("graft-bench")
     val fns = SparkEntry.queries
-    val unknown = args.toSeq.filterNot(fns.contains)
+    val allMode = args.contains("--all")
+    val named = args.toSeq.filterNot(_ == "--all")
+    val unknown = named.filterNot(fns.contains)
     require(unknown.isEmpty,
       s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")} " +
         "— a typo here would silently bench the empty set")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.benchQueries
+    val names =
+      if (allMode) SparkEntry.registry.map(_.name)
+      else if (named.nonEmpty) named
+      else SparkEntry.benchQueries
+    val TimedRuns = if (allMode) 1 else DefaultTimedRuns
     def run(name: String): Boolean =
       try {
         fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
