@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Global sequence / chunk assignment without a single-partition window.
@@ -20,8 +19,13 @@ import org.apache.spark.sql.functions._
   *  1. range-repartition on the key, so partitions hold DISJOINT,
   *     ORDERED key ranges (partition i's keys all sort before partition
   *     i+1's);
-  *  2. rank WITHIN each partition — a window keyed by the partition id,
-  *     fully parallel;
+  *  2. rank WITHIN each partition — a partition-local sort plus a
+  *     per-partition counter (mapPartitions). NOT a window keyed by the
+  *     partition id: the rows are already physically clustered by
+  *     partition, but Catalyst cannot see that through a column, so a
+  *     `Window [..], [__pid]` would re-shuffle the whole set on __pid —
+  *     a full avoidable exchange (measured in the round-7 plan audit).
+  *     The counter is the one place an iterator beats an expression;
   *  3. collect the per-partition row COUNTS (metadata-scale: one long
   *     per partition, never data) and add each partition's cumulative
   *     offset as a literal map lookup.
@@ -70,9 +74,16 @@ object Chunking {
     val off =
       if (counts.isEmpty) lit(0L)
       else element_at(typedLit(cumulative), col("__pid"))
-    parted
-      .withColumn("__lrn",
-        row_number().over(Window.partitionBy("__pid").orderBy(key)).cast("long"))
+    val sorted = parted.sortWithinPartitions(col(key))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "__lrn", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = sorted.mapPartitions { it =>
+      var i = 0L
+      it.map { r => i += 1; org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    ranked
       .withColumn(rankCol, off + col("__lrn"))
       .drop("__pid", "__lrn")
   }
