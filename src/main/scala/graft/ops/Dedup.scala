@@ -298,11 +298,19 @@ object Dedup {
     val invE = TextOps.shingleRows(eval, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEval = invE.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
-    val invT = TextOps.shingleRows(train, w)
+    val invT0 = TextOps.shingleRows(train, w)
       .select(col("doc_id").as("train_doc"), col("shingle"))
     val guarded =
-      if (maxTrainDf <= 0L) invT
+      if (maxTrainDf <= 0L) invT0
       else {
+        // the guard makes the train shingle set a TWO-consumer lineage
+        // (the df aggregate and the anti-join left side) — persist it so
+        // the corpus shingles once, the same multi-consumer rule the
+        // cleaning lanes follow (round-3 fix). MEMORY_AND_DISK: at lake
+        // scale this spills rather than recomputing two full corpus
+        // passes, which is the cheaper side of the trade for a
+        // shingle-sized projection of the corpus.
+        val invT = invT0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val hot = invT
           .groupBy("shingle")
           .agg(count(lit(1)).as("__df"))
