@@ -82,9 +82,11 @@ object ExternalScorer {
       maxJourneysPerRequest: Int = 100,
       maxSessionsPerRequest: Int = 2000,
       maxRetries: Int = 3,
-      backoffMs: Long = 100L): DataFrame =
+      backoffMs: Long = 100L,
+      minRequestIntervalMs: Long = 0L): DataFrame =
     scoreWithFailures(
-      journeys, fn, maxJourneysPerRequest, maxSessionsPerRequest, maxRetries, backoffMs)
+      journeys, fn, maxJourneysPerRequest, maxSessionsPerRequest, maxRetries, backoffMs,
+      minRequestIntervalMs)
       .filter(col("error").isNull)
       .select(col("conversion_id"), col("session_id"), col("ihc").cast("double"))
 
@@ -95,14 +97,27 @@ object ExternalScorer {
     * transport faults are retried inside the executor with exponential
     * backoff (backoffMs · 2^attempt), so a flaky request never re-runs
     * the whole Spark task, and a poisoned batch costs its own
-    * conversions only. */
+    * conversions only.
+    *
+    * `minRequestIntervalMs` (0 = off) paces transport calls — the
+    * reference's inter-request rate-limit pause (api_client.py:219,
+    * 244), generalized from its hard-coded 1 s. Pacing is per PARTITION
+    * (each executor thread spaces its own calls), so the aggregate rate
+    * against the service is parallelism × (1000/interval) req/s — size
+    * the interval for the service's budget divided by
+    * `spark.sql.shuffle.partitions`, or cap parallelism with a
+    * `coalesce` before scoring. A genuinely global limiter needs a
+    * shared token service, which is outside a shared-nothing engine's
+    * truthful contract (the reference gets "global" for free only by
+    * being single-threaded). */
   def scoreWithFailures(
       journeys: DataFrame,
       fn: ScoreFn = localIhc,
       maxJourneysPerRequest: Int = 100,
       maxSessionsPerRequest: Int = 2000,
       maxRetries: Int = 3,
-      backoffMs: Long = 100L): DataFrame = {
+      backoffMs: Long = 100L,
+      minRequestIntervalMs: Long = 0L): DataFrame = {
     val spark = journeys.sparkSession
     import spark.implicits._
     val touches: Dataset[Touch] = journeys
@@ -150,11 +165,22 @@ object ExternalScorer {
             b.toSeq
           }
         }
+        // C3 pacing state — one clock per partition iterator, so each
+        // executor thread spaces its own requests
+        var lastRequestAt = Long.MinValue
+        def paced(): Unit = {
+          if (minRequestIntervalMs > 0L && lastRequestAt != Long.MinValue) {
+            val wait = lastRequestAt + minRequestIntervalMs - System.currentTimeMillis()
+            if (wait > 0) Thread.sleep(wait)
+          }
+          lastRequestAt = System.currentTimeMillis()
+        }
         def attempt(batch: Seq[Seq[Touch]]): Seq[ScoredResult] = {
           var tryNum = 0
           var out: Seq[ScoredResult] = null
           while (out == null) {
             try {
+              paced()
               out = fn(batch).map(s =>
                 ScoredResult(s.conversion_id, s.session_id, Some(s.ihc), None))
             } catch {

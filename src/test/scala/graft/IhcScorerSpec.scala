@@ -11,6 +11,13 @@ import scala.util.Random
   * weights (reference api_client.py:92–107, 132–136, 254–268). Property
   * cases are generated with a fixed seed (no scalatest-scalacheck bridge
   * in the offline dependency set). */
+/** Static call recorder for the pacing test: referenced via class
+  * loading (never serialized into the closure), so local-mode executor
+  * threads and the test see ONE instance. */
+object PacingRecorder {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+}
+
 class IhcScorerSpec extends SparkSpec {
 
   import spark.implicits._
@@ -128,6 +135,34 @@ class IhcScorerSpec extends SparkSpec {
       j, poison, maxJourneysPerRequest = 1, maxRetries = 1, backoffMs = 1L)
       .select("conversion_id").distinct().as[Long].collect().toSet
     assert(kept == Set(1L, 3L))
+  }
+
+  test("inter-request pacing spaces transport calls within a partition (C3)") {
+    PacingRecorder.calls.clear()
+    val recording: graft.ops.ExternalScorer.ScoreFn = batch => {
+      PacingRecorder.calls.add(
+        (org.apache.spark.TaskContext.getPartitionId(), System.currentTimeMillis()))
+      graft.ops.ExternalScorer.localIhc(batch)
+    }
+    // 12 single-touch conversions, 1 journey per request → ≥ 2 calls land
+    // in SOME partition even spread across local[32]
+    val j = journeysDf((1L to 12L).map(c => (c, c * 10, c, 1L, 0L, 0L)))
+    graft.ops.ExternalScorer
+      .score(j, recording, maxJourneysPerRequest = 1, minRequestIntervalMs = 80L)
+      .count()
+    import scala.jdk.CollectionConverters._
+    val byPartition = PacingRecorder.calls.asScala.toSeq.groupBy(_._1).values.toSeq
+    assert(byPartition.map(_.size).sum === 12, "one call per single-journey batch")
+    assert(byPartition.exists(_.size >= 2), "need a partition with 2+ calls to observe pacing")
+    byPartition.foreach { ps =>
+      ps.map(_._2).sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          // Thread.sleep can wake a hair early; 70 ms still proves the
+          // pause (un-paced consecutive local calls are < 5 ms apart)
+          assert(b - a >= 70L, s"consecutive calls ${b - a} ms apart, expected ≥ 80")
+        case _ => ()
+      }
+    }
   }
 
   test("session gate excludes a million-session conversion before the window") {
