@@ -709,7 +709,9 @@ object TxStore {
 
   /** Delete files outside the retention window: data files removed by
     * overwrite/compact/delete more than `retainVersions` versions ago,
-    * and crashed-writer debris, both only past `ageGraceMs` of age.
+    * crashed-writer debris (both only past `ageGraceMs` of age), and
+    * commit-log files that are both pre-checkpoint and outside the
+    * window — so neither the data dir nor the log grows forever.
     *
     * Version retention (the concurrent-READER contract): a reader that
     * pinned a [[snapshot]]/[[snapshotAt]] at version v keeps all its
@@ -778,6 +780,22 @@ object TxStore {
           aged(s))
         .map(_.getPath)
     staleTmps.foreach(f.delete(_, false))
-    victims.size + staleStages.size + staleTmps.size
+    // LOG truncation — the log must not grow forever either. A commit
+    // file is prunable once it is BOTH behind the latest checkpoint
+    // (replay never starts before one, and pre-checkpoint time travel
+    // is already refused) AND outside the retention window (its
+    // snapshot no longer protects any reader vacuum promises to
+    // protect). Everything from min(checkpoint, window start) on stays,
+    // so the full-log replay above keeps working for the whole window.
+    val lastCk = all.filter(_.op == "checkpoint").lastOption.map(_.version)
+    val prunedLogs = lastCk match {
+      case None => Nil
+      case Some(ck) =>
+        val keepFrom = math.min(ck, cutoff)
+        all.filter(_.version < keepFrom)
+          .map(c => logPath(path, c.version))
+    }
+    prunedLogs.foreach(f.delete(_, false))
+    victims.size + staleStages.size + staleTmps.size + prunedLogs.size
   }
 }

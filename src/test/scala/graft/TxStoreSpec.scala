@@ -414,6 +414,32 @@ class TxStoreSpec extends SparkSpec {
       msg.contains("already exists"), e2.getMessage)
   }
 
+  test("vacuum prunes pre-checkpoint log files outside the retention window") {
+    val t = tmpDir()
+    TxStore.append(rows(5), t) // v1
+    TxStore.append(rows(5, from = 5), t) // v2
+    TxStore.checkpoint(spark, t) // v3
+    TxStore.append(rows(5, from = 10), t) // v4
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def logFiles =
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$t/_txlog")).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".json")).sorted
+    assert(logFiles.size === 4)
+    // retainVersions=2 at latest v4: window starts at v3 = the
+    // checkpoint, so v1 and v2's commit files are prunable
+    TxStore.vacuum(spark, t, retainVersions = 2, ageGraceMs = 0)
+    assert(logFiles.size === 2, "v1/v2 log entries pruned; checkpoint + tail stay")
+    assert(TxStore.read(spark, t).count() === 15, "replay from the checkpoint is intact")
+    // without a checkpoint nothing is ever pruned — replay would break
+    val t2 = tmpDir()
+    TxStore.append(rows(3), t2)
+    TxStore.append(rows(3, from = 3), t2)
+    TxStore.vacuum(spark, t2, retainVersions = 1, ageGraceMs = 0)
+    assert(TxStore.read(spark, t2).count() === 6)
+    assert(TxStore.history(spark, t2).size === 2)
+  }
+
   test("a failed append leaves no orphaned staged files behind") {
     val t = tmpDir()
     TxStore.append(rows(3), t)
