@@ -12,24 +12,35 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * the latter — extensions config only applies at session construction). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.dotFunction)
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
 
-  private val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-    (children: Seq[Expression]) => {
-      require(children.size == 2, s"graft_dot takes 2 arguments, got ${children.size}")
-      DotProduct(children.head, children.last)
-    })
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (
+        FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, s"graft_dot takes 2 arguments, got ${children.size}")
+          DotProduct(children.head, children.last)
+        }),
+      (
+        FunctionIdentifier("graft_lsh_keys"),
+        new ExpressionInfo(classOf[LshBucketKeys].getName, "graft_lsh_keys"),
+        (children: Seq[Expression]) => {
+          require(children.size == 4,
+            s"graft_lsh_keys takes (vector, planesFlat, tables, planes), got ${children.size}")
+          LshBucketKeys(children(0), children(1), children(2), children(3))
+        }))
 
   /** Idempotent late registration on an already-built session. */
   def register(spark: SparkSession): SparkSession = {
-    val (id, info, builder) = dotFunction
-    if (!spark.catalog.functionExists(id.funcName)) {
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    functions.foreach { case (id, info, builder) =>
+      if (!spark.catalog.functionExists(id.funcName)) {
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
     }
     spark
   }
@@ -41,4 +52,10 @@ object GraftExtensions {
     * guarantees. */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+
+  /** DataFrame-API handle for the packed LSH bucket keys (same registry
+    * contract as [[dot]]). */
+  def lshKeys(vector: Column, planesFlat: Column, tables: Column, planes: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_lsh_keys", vector, planesFlat, tables, planes)
 }

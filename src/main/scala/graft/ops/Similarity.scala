@@ -162,19 +162,20 @@ object Similarity {
       z = z ^ (z >>> 31)
       (z.toDouble / Long.MaxValue.toDouble).toFloat // in [-1, 1]
     }
-    // Bucket key for table t: planes sign bits of the projections. Each
-    // projection is graft_dot against a LITERAL hyperplane vector — the
-    // element_at formulation built a tables×planes×dim (4 096-node)
-    // expression tree that blew past whole-stage codegen's method-size
-    // limits and fell back to interpreted eval (measured 36 s at sf0.1;
-    // this form: ~5 s warm, now dominated by the candidate join itself).
-    // The key sum is planes `when`s over dot calls — 64 tight primitive
-    // loops per row, all inside codegen.
-    def bucketKey(emb: Column, t: Int): Column =
-      (0 until planes).map { p =>
-        val plane = typedLit((0 until dim).map(d => component(t, p, d)).toArray)
-        when(dot(emb, plane) >= 0.0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+    // All bucket keys in ONE expression (graft_lsh_keys): the per-table
+    // composition of graft_dot calls — 64 inlined dim-64 loops in one
+    // codegen method — compiled fine but was too big to JIT, so it ran
+    // as cold interpreter-grade code (the element_at form before it was
+    // worse still: a 4 096-node tree past codegen's method-size limits,
+    // 36 s at sf0.1; the composed-dot form ~6 s; this form: the whole
+    // lane in well under a second, the kernel finally JITs). The plane
+    // matrix is one flat float[] reference object; accumulation order
+    // matches graft_dot bit-for-bit, so the keys are unchanged.
+    val planesFlat = typedLit(
+      (0 until tables).flatMap(t => (0 until planes).flatMap(p =>
+        (0 until dim).map(d => component(t, p, d)))).toArray)
+    def allKeys(emb: Column): Column =
+      graft.functions.GraftExtensions.lshKeys(emb, planesFlat, lit(tables), lit(planes))
 
     val corpus = prepCorpus(embeddings)
     val q = prepQueries(queries)
@@ -187,25 +188,29 @@ object Similarity {
     // on the flipped key. Recall@10 on the fixture: 0.88 unprobed → 1.00
     // at probeBits = 4; the corpus side — the big side — is untouched.
     val qKeyed = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("table_id"), bucketKey(col("q_emb"), t).as("bucket"))): _*)).as("bnd"))
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("bnd.table_id"),
-        col("bnd.bucket").as("base_bucket"))
+      posexplode(allKeys(col("q_emb"))).as(Seq("table_id", "base_bucket")))
     val probeSet = col("base_bucket") +:
       (0 until probeBits).map(p => col("base_bucket").bitwiseXOR(lit(1L << p)))
     val qB = qKeyed
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("table_id"),
         explode(array(probeSet: _*)).as("bucket"))
     val cB = corpus.select(col("vec_id"), col("embedding"), col("nrm"),
-      explode(array((0 until tables).map(t =>
-        struct(lit(t).as("table_id"), bucketKey(col("embedding"), t).as("bucket"))): _*)).as("bnd"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("bnd.table_id"), col("bnd.bucket"))
+      posexplode(allKeys(col("embedding"))).as(Seq("table_id", "bucket")))
 
+    // Score BEFORE the cross-table dedup: a candidate pair surfaces once
+    // per colliding (table, probe), and deduping first would drag both
+    // 64-float embedding arrays through the dropDuplicates shuffle
+    // (~0.5 KB/row) only to protect a 64-mul-add dot product that
+    // codegen does in nanoseconds. Scoring in the join projection and
+    // shuffling the narrow (q_id, vec_id, sim) triple cuts the exchange
+    // ~20× — duplicates carry identical sims, so the dedup result is
+    // unchanged.
     rankTopK(
       cB.join(broadcast(qB), Seq("table_id", "bucket"))
         .filter(col("vec_id") =!= col("q_id"))
-        .dropDuplicates("q_id", "vec_id")
-        .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))),
+        .withColumn("sim", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+        .select("q_id", "vec_id", "sim")
+        .dropDuplicates("q_id", "vec_id"),
       k)
   }
 

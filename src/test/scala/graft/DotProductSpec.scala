@@ -82,4 +82,59 @@ class DotProductSpec extends SparkSpec {
     val s = plan.toString
     assert(s.linesIterator.exists(l => l.contains("*(1) Project") && l.contains("graft_dot")), s)
   }
+
+  test("graft_lsh_keys equals the composed per-plane dot formulation") {
+    // the packed kernel must be BIT-identical to tables×planes graft_dot
+    // sign tests (same double accumulation order) — build both from the
+    // same deterministic plane components and compare on real embeddings
+    val tables = 4
+    val planes = 3
+    val dim = 64
+    def component(t: Int, p: Int, d: Int): Float = {
+      var z = t.toLong * 1000003L + p.toLong * 1009L + d.toLong + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble).toFloat
+    }
+    val flat = typedLit(
+      (0 until tables).flatMap(t => (0 until planes).flatMap(p =>
+        (0 until dim).map(d => component(t, p, d)))).toArray)
+    def composedKey(t: Int) =
+      (0 until planes).map { p =>
+        val plane = typedLit((0 until dim).map(d => component(t, p, d)).toArray)
+        when(Similarity.dot(col("embedding"), plane) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val both = embs.select(
+      GraftExtensions.lshKeys(col("embedding"), flat, lit(tables), lit(planes)).as("packed"),
+      array((0 until tables).map(composedKey): _*).as("composed"))
+    assert(both.filter(col("packed") =!= col("composed")).isEmpty)
+    assert(both.count() > 0)
+  }
+
+  test("graft_lsh_keys: nulls propagate, wrong vector length raises, SQL-callable") {
+    val flat = typedLit(Array.fill(2 * 2 * 2)(0.5f)) // 2 tables × 2 planes × dim 2
+    val df = Seq(
+      (1L, Some(Seq(1.0f, -1.0f))),
+      (2L, None)
+    ).toDF("id", "v")
+    val out = df
+      .select(col("id"),
+        GraftExtensions.lshKeys(col("v"), flat, lit(2), lit(2)).as("k"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(2L).isEmpty, "null vector must yield NULL keys")
+    // projection of (1,-1)·(0.5,0.5) = 0.0 → sign bit SET (>= 0), both planes
+    assert(out(1L).map(_.toString).contains("WrappedArray(3, 3)") ||
+      out(1L).exists(_.asInstanceOf[scala.collection.Seq[_]] == Seq(3L, 3L)))
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+      .select(GraftExtensions.lshKeys(col("v"), flat, lit(2), lit(2)))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null)
+    Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v").createOrReplaceTempView("lsh_sql_test")
+    val viaSql = spark.sql(
+      "SELECT graft_lsh_keys(v, array(" +
+        Array.fill(8)("0.5F").mkString(",") + "), 2, 2) AS k FROM lsh_sql_test")
+    assert(viaSql.count() === 1)
+  }
 }
