@@ -33,6 +33,14 @@ object GraftExtensions {
           require(children.size == 4,
             s"graft_lsh_keys takes (vector, planesFlat, tables, planes), got ${children.size}")
           LshBucketKeys(children(0), children(1), children(2), children(3))
+        }),
+      (
+        FunctionIdentifier("graft_cell_scores"),
+        new ExpressionInfo(classOf[CellScores].getName, "graft_cell_scores"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3,
+            s"graft_cell_scores takes (vector, centroidsFlat, biases), got ${children.size}")
+          CellScores(children(0), children(1), children(2))
         }))
 
   /** Idempotent late registration on an already-built session. */
@@ -58,4 +66,9 @@ object GraftExtensions {
   def lshKeys(vector: Column, planesFlat: Column, tables: Column, planes: Column): Column =
     org.apache.spark.sql.functions.call_function(
       "graft_lsh_keys", vector, planesFlat, tables, planes)
+
+  /** DataFrame-API handle for the packed centroid scores. */
+  def cellScores(vector: Column, centroidsFlat: Column, biases: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_cell_scores", vector, centroidsFlat, biases)
 }

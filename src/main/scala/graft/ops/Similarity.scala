@@ -258,17 +258,27 @@ object Similarity {
     centroids
   }
 
+  /** All centroid scores (e·c_i − ‖c_i‖²/2) as ONE packed expression —
+    * see [[graft.functions.CellScores]] for why not k composed
+    * graft_dot structs (Catalyst tree size + codegen-cache misses made
+    * the training loop pay ~4 s per Lloyd iteration; this form's
+    * generated source is identical across iterations, so the codegen
+    * cache hits and the kernel JITs). Bias replication note: the biases
+    * are computed with the same left-to-right double sum as the old
+    * `lit(c2 / 2.0)` literals, so scores are bit-identical. */
+  private def cellScoresCol(emb: Column, centroids: Array[Array[Float]]): Column =
+    graft.functions.GraftExtensions.cellScores(
+      emb,
+      typedLit(centroids.flatten),
+      typedLit(centroids.map(c => c.map(x => x.toDouble * x.toDouble).sum / 2.0)))
+
   /** Nearest-centroid cell id as a pure expression (see
-    * [[kmeansCentroids]] for the algebra). Ties break to the lower cell
-    * id via the struct comparison. */
+    * [[kmeansCentroids]] for the algebra). `array_position` takes the
+    * FIRST occurrence of the max, so ties break to the lower cell id —
+    * the same direction as the struct-max formulation it replaces. */
   private def assignCell(emb: Column, centroids: Array[Array[Float]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x.toDouble * x.toDouble).sum
-      struct(
-        (dot(emb, typedLit(c)) - lit(c2 / 2.0)).as("score"),
-        lit(-i).as("neg_cell"))
-    }
-    (-array_max(array(scored.toSeq: _*)).getField("neg_cell")).cast("int")
+    val s = cellScoresCol(emb, centroids)
+    (array_position(s, array_max(s)) - 1L).cast("int")
   }
 
   /** Per-row TOP-`nProbe` cells (for query-side multi-cell probing):
@@ -280,13 +290,12 @@ object Similarity {
     * to. The final `transform` un-negates — a CodegenFallback HOF, but
     * over nProbe elements on the broadcast query side only. */
   private def probeCells(emb: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x.toDouble * x.toDouble).sum
-      struct((dot(emb, typedLit(c)) - lit(c2 / 2.0)).as("score"), lit(-i).as("neg_cell"))
-    }
+    val s = cellScoresCol(emb, centroids)
+    val scored = centroids.indices.map(i =>
+      struct(element_at(s, i + 1).as("score"), lit(-i).as("neg_cell")))
     transform(
-      slice(reverse(sort_array(array(scored.toSeq: _*))), 1, nProbe),
-      s => -s.getField("neg_cell"))
+      slice(reverse(sort_array(array(scored: _*))), 1, nProbe),
+      x => -x.getField("neg_cell"))
   }
 
   /** EXT3d — IVF top-k with a TRAINED quantizer: corpus rows live in
