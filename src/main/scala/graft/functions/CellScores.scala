@@ -61,7 +61,9 @@ case class CellScores(
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
-  override def nullable: Boolean = vector.nullable
+  // conservatively nullable (like DotProduct): a null ELEMENT propagates
+  // to a NULL result even when the vector column itself is non-nullable
+  override def nullable: Boolean = true
 
   override def prettyName: String = "graft_cell_scores"
 

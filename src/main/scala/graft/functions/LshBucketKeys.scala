@@ -61,7 +61,11 @@ case class LshBucketKeys(
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullable: Boolean = vector.nullable
+  // conservatively nullable (like DotProduct): even with a non-nullable
+  // vector COLUMN, a null ELEMENT propagates to a NULL result, and a
+  // false non-nullability promise here would let downstream codegen
+  // skip the null check
+  override def nullable: Boolean = true
 
   override def prettyName: String = "graft_lsh_keys"
 
