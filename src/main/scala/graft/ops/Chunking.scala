@@ -53,7 +53,18 @@ object Chunking {
     * Plans: one range shuffle + one keyed window; driver state is one
     * count per partition. */
   def globalRank(
-      df: DataFrame, key: String, rankCol: String = "rn", numPartitions: Int = 0): DataFrame = {
+      df: DataFrame, key: String, rankCol: String = "rn", numPartitions: Int = 0): DataFrame =
+    globalRankBy(df, Seq(col(key)), rankCol, numPartitions)
+
+  /** [[globalRank]] over a COMPOSITE sort order (e.g. `size DESC, id` for
+    * the LPT-style shard balancer, Packing.balancedShards). The combined
+    * key must still be unique; sort direction riding on each Column is
+    * honored by both the range partitioner and the within-partition sort,
+    * so the two passes agree on one global order. */
+  def globalRankBy(
+      df: DataFrame, sortKeys: Seq[org.apache.spark.sql.Column],
+      rankCol: String = "rn", numPartitions: Int = 0): DataFrame = {
+    require(sortKeys.nonEmpty, "need at least one sort key")
     require(!df.columns.contains("__pid") && !df.columns.contains("__lrn"),
       "input already carries a __pid/__lrn column — rename it first")
     val spark = df.sparkSession
@@ -61,7 +72,7 @@ object Chunking {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parted = df
-      .repartitionByRange(n, col(key))
+      .repartitionByRange(n, sortKeys: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per partition crosses to the driver — metadata, not data
@@ -74,7 +85,7 @@ object Chunking {
     val off =
       if (counts.isEmpty) lit(0L)
       else element_at(typedLit(cumulative), col("__pid"))
-    val sorted = parted.sortWithinPartitions(col(key))
+    val sorted = parted.sortWithinPartitions(sortKeys: _*)
     val outSchema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField(

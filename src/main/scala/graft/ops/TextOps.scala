@@ -145,6 +145,38 @@ object TextOps {
           .as("frac_dup5gram"))
   }
 
+  /** Cross-document duplication audit: for every document, how much of
+    * its DISTINCT w-gram vocabulary also occurs in at least one OTHER
+    * document. This is the corpus-level complement of
+    * [[repetitionSignals]]'s within-document `frac_dup5gram` — the signal
+    * behind exact-substring dedup decisions (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a high
+    * `shared_frac` marks boilerplate/template documents even when no
+    * single pair clears a Jaccard threshold.
+    *
+    * Shape — and why this is the lane that SURVIVES lake scale where
+    * all-pairs Jaccard cannot: the doc-frequency join is a 1:1 ENRICH
+    * (each (doc, gram) row meets exactly the one df row for its gram),
+    * so a gram shared by d documents contributes d rows — not d² pair
+    * rows. Shuffles: [[shingleRows]]'s two keyed exchanges, one
+    * vocabulary-sized groupBy (map-side combine), one keyed join back,
+    * one doc_id groupBy. Everything is linear in corpus size. */
+  def sharedGramAudit(docs: DataFrame, w: Int = 3): DataFrame = {
+    val inv = shingleRows(docs, w) // distinct (doc_id, shingle)
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    inv
+      .join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_shared"),
+        graft.Num.rnd(
+          col("n_shared").cast("double") / col("n_shingles").cast("double"), 4)
+          .as("shared_frac"))
+  }
+
   /** Rolling polynomial fingerprint of the token sequence, mod 1e9+7 so the
     * accumulator never overflows BIGINT in either engine (DuckDB raises on
     * 64-bit overflow; Spark would silently wrap). Per-token atom =

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Sql, Tables}
-import graft.ops.{Dedup, Diff, Multimodal, Profiling, Sampling, Sessionize, Similarity, TextOps}
+import graft.ops.{Dedup, Diff, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** EXT1–EXT6 (SURVEY.md §2.11) — the LLM-training-data-pipeline operators,
@@ -808,6 +808,109 @@ object ExtQueries {
         Sql.CTES +
           Seq(numRow("session_id"), numRow("user_id"), numRow("cost"),
             strRow("channel_name")).mkString("\nUNION ALL\n")
-      })
+      }),
+
+    // ── EXT25a — training-sequence packing, per-shard plan: documents
+    //    hash-sharded, concatenated in doc_id order with a one-token EOS,
+    //    cut into 512-token blocks. The summary is what a shard writer
+    //    needs before writing a single byte: block counts, tail padding,
+    //    fill ratio. Whole-number `div` arithmetic on both engines.
+    QueryDef(
+      "ext25_pack",
+      (s, d) =>
+        Packing.packSummary(
+          Tables.documents(s, d), "doc_id",
+          size(TextOps.tokens(col("text"))), blockLen = 512L, nShards = 8),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, doc_id % 8 AS shard,
+              |         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok
+              |  FROM documents
+              |)
+              |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+              |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+              |       CAST((CAST(SUM(n_tok) AS BIGINT) + 511) // 512 AS BIGINT) AS n_blocks,
+              |       CAST(((CAST(SUM(n_tok) AS BIGINT) + 511) // 512) * 512
+              |            - CAST(SUM(n_tok) AS BIGINT) AS BIGINT) AS pad_tokens,
+              |       ${Sql.rnd(
+                 "CAST(SUM(n_tok) AS DOUBLE) / (((CAST(SUM(n_tok) AS BIGINT) + 511) // 512) * 512)",
+                 4)} AS fill_ratio
+              |FROM t GROUP BY 1""".stripMargin),
+      bench = true),
+
+    // ── EXT25b — the per-document block spans under the same plan: which
+    //    blocks each document lands in (first, last, span width) from the
+    //    per-shard running token total. The per-shard cumulative window is
+    //    keyed by the shard column — shard count = parallelism, no global
+    //    window anywhere (cf. Chunking's scaladoc).
+    QueryDef(
+      "ext25_pack_spans",
+      (s, d) =>
+        Packing.packSpans(
+          Tables.documents(s, d), "doc_id",
+          size(TextOps.tokens(col("text"))), blockLen = 512L, nShards = 8),
+      Some("""WITH t AS (
+             |  SELECT doc_id, doc_id % 8 AS shard,
+             |         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tok
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id, shard, n_tok,
+             |         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |                          ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t
+             |)
+             |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tok,
+             |       CAST((cum - n_tok) // 512 AS BIGINT) AS block_first,
+             |       CAST((cum - 1) // 512 AS BIGINT) AS block_last,
+             |       CAST((cum - 1) // 512 - (cum - n_tok) // 512 + 1 AS BIGINT) AS n_blocks
+             |FROM c""".stripMargin)),
+
+    // ── EXT26 — size-balanced shard layout: rank by n_chars DESC (two-pass
+    //    distributed rank, no single-partition window) and serpentine-deal
+    //    across 8 shards — sorted round-robin LPT. The oracle reproduces
+    //    the exact rank arithmetic; the per-shard totals land within one
+    //    round's size spread of each other (asserted in PackingSpec).
+    QueryDef(
+      "ext26_shards",
+      (s, d) =>
+        Packing.balancedShards(Tables.documents(s, d), "n_chars", "doc_id", nShards = 8)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, n_chars,
+             |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r0
+             |  FROM documents
+             |)
+             |SELECT CAST(CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+             |            ELSE 7 - (r0 % 8) END AS BIGINT) AS shard,
+             |       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM r GROUP BY 1""".stripMargin)),
+
+    // ── EXT27 — cross-document duplication audit: per document, the
+    //    fraction of its distinct 3-grams occurring in ≥2 documents. The
+    //    df join is a 1:1 enrich (d rows for a gram shared by d docs, not
+    //    d² pairs) — the corpus-dup signal that stays linear at lake scale
+    //    where all-pairs Jaccard (ext2a) cannot.
+    QueryDef(
+      "ext27_dup_audit",
+      (s, d) => TextOps.sharedGramAudit(Tables.documents(s, d)),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              |), shing AS (
+              |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              |                                FOR i IN range(1, len(t) - 1)]) AS sh
+              |  FROM toks WHERE len(t) >= 3
+              |), inv AS (
+              |  SELECT doc_id, unnest(sh) AS shingle FROM shing
+              |), dfreq AS (
+              |  SELECT shingle, COUNT(*) AS df FROM inv GROUP BY 1
+              |)
+              |SELECT i.doc_id, COUNT(*) AS n_shingles,
+              |       CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+              |       ${Sql.rnd(
+                 "CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)",
+                 4)} AS shared_frac
+              |FROM inv i JOIN dfreq d USING (shingle)
+              |GROUP BY 1""".stripMargin),
+      bench = true)
   )
 }
