@@ -41,6 +41,14 @@ object GraftExtensions {
           require(children.size == 3,
             s"graft_cell_scores takes (vector, centroidsFlat, biases), got ${children.size}")
           CellScores(children(0), children(1), children(2))
+        }),
+      (
+        FunctionIdentifier("graft_pq_adc"),
+        new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+        (children: Seq[Expression]) => {
+          require(children.size == 2,
+            s"graft_pq_adc takes (codes, lut), got ${children.size}")
+          PqAdc(children.head, children.last)
         }))
 
   /** Idempotent late registration on an already-built session. */
@@ -71,4 +79,8 @@ object GraftExtensions {
   def cellScores(vector: Column, centroidsFlat: Column, biases: Column): Column =
     org.apache.spark.sql.functions.call_function(
       "graft_cell_scores", vector, centroidsFlat, biases)
+
+  /** DataFrame-API handle for the PQ asymmetric-distance score. */
+  def pqAdc(codes: Column, lut: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_pq_adc", codes, lut)
 }

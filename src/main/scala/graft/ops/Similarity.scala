@@ -47,7 +47,7 @@ object Similarity {
     * keep the best k, round sim for oracle parity. ONE definition so the
     * tie-break, the BIGINT rank cast, and the 6-dp rounding (all
     * oracle-relevant) cannot drift between the four search variants. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .withColumn("rk",
         row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))).cast("long"))
@@ -63,7 +63,7 @@ object Similarity {
     * caller-supplied overload: `queries` carries `vec_id` + `embedding`
     * (extra columns ignored); rows whose vec_id appears in the corpus are
     * excluded from their own result (self-match rule). */
-  private def prepQueries(queries: DataFrame): DataFrame =
+  private[ops] def prepQueries(queries: DataFrame): DataFrame =
     queries.select(
       col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       norm(col("embedding")).as("q_nrm"))

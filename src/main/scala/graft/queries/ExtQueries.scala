@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Sql, Tables}
-import graft.ops.{Dedup, Diff, Multimodal, Packing, Profiling, Sampling, Sessionize, Similarity, TextOps}
+import graft.ops.{Dedup, Diff, Multimodal, Packing, Pq, Profiling, Sampling, Sessionize, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** EXT1–EXT6 (SURVEY.md §2.11) — the LLM-training-data-pipeline operators,
@@ -225,6 +225,28 @@ object ExtQueries {
         val e = Tables.embeddings(s, d)
         Similarity
           .recallPerQuery(Similarity.topK(e), Similarity.topKIvf(e, nProbe = 8))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            lit(0.7).as("recall_floor"),
+            (avg(col("recall")) >= 0.7).as("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |       0.7 AS recall_floor, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
+
+    // ── EXT3e — product-quantized ANN (ADC scan over 16-code rows + exact
+    //    re-rank of the top-100 candidates; ops/Pq.scala). Same scorecard
+    //    protocol as ext3_topk_ivf — codebook training is float-order
+    //    sensitive, so the row emits the deterministic recall gate, not
+    //    raw top-k rows (those are covered by PqSpec, floor 0.9; the
+    //    registered floor stays at the family's 0.7 so the driver row is
+    //    stable across scale factors while the spec catches drift early).
+    QueryDef(
+      "ext3_topk_pq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity
+          .recallPerQuery(Similarity.topK(e), Pq.topKPq(e))
           .agg(
             count(lit(1)).as("n_queries"),
             lit(0.7).as("recall_floor"),

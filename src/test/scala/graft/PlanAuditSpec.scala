@@ -13,10 +13,14 @@ class PlanAuditSpec extends SparkSpec {
   // Brute-force similarity IS a deliberate broadcast scan of corpus ×
   // query set (PLANS.md), and tf-idf cross-joins a SINGLE-ROW broadcast
   // scalar (the corpus doc count); everything else must equi-join.
-  // ext3_topk_ivf emits a recall scorecard whose ground-truth side is
-  // that same deliberate brute-force scan (the IVF side itself
-  // equi-joins on the cell id).
-  private val intendedBnlj = Set("ext3_topk_cosine", "ext3_topk_ivf", "ext4_tfidf")
+  // ext3_topk_ivf and ext3_topk_pq emit recall scorecards whose
+  // ground-truth side is that same deliberate brute-force scan (the IVF
+  // side equi-joins on the cell id; the PQ ADC pass is a deliberate
+  // broadcast scan over the 16-codes-per-row compressed column — the
+  // compression, not the join shape, is what it buys; its exact re-rank
+  // equi-joins on vec_id).
+  private val intendedBnlj =
+    Set("ext3_topk_cosine", "ext3_topk_ivf", "ext3_topk_pq", "ext4_tfidf")
 
   test("no cartesians, unintended nested-loop joins, or global windows anywhere") {
     SparkEntry.registry.foreach { q =>

@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.GraftExtensions
+import graft.ops.{Pq, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization search: codebook shapes, the ADC kernel's exact
+  * semantics, code determinism under a frozen model, and end-to-end
+  * re-ranked recall on the driver fixture. */
+class PqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def embs = Tables.embeddings(spark, sf("sf0.001"))
+
+  test("trained codebooks have the declared shape and finite entries") {
+    val model = Pq.trainPq(embs, numSub = 8, codebookSize = 16, dim = 64, iters = 2)
+    assert(model.codebooks.length == 8)
+    assert(model.codebooks.forall(_.length == 16 * 8))
+    assert(model.codebooks.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+  }
+
+  test("ADC kernel sums exactly the indexed LUT entries, codegen == interpreted") {
+    // lut for M=2, K=3: lut[m*3 + j]; codes (1, 2) → lut[1] + lut[5]
+    val df = Seq((Array(1, 2), Array(10.0, 11.0, 12.0, 20.0, 21.0, 22.0)))
+      .toDF("codes", "lut")
+    val got = df.select(GraftExtensions.pqAdc(col("codes"), col("lut")).as("s"))
+      .as[Double].head()
+    assert(got == 11.0 + 22.0)
+    // interpreted path (no codegen): wrap in a non-codegen context via eval
+    // on a filter that Catalyst constant-folds is fragile; instead assert
+    // the expression survives under codegen-disabled conf
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = df.select(GraftExtensions.pqAdc(col("codes"), col("lut")).as("s"))
+        .as[Double].head()
+      assert(interp == got)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("ADC kernel fails loudly on corrupt codes and ragged LUTs") {
+    val bad = Seq((Array(5), Array(1.0, 2.0, 3.0))).toDF("codes", "lut")
+    val e1 = intercept[Exception] {
+      bad.select(GraftExtensions.pqAdc(col("codes"), col("lut"))).collect()
+    }
+    assert(e1.getMessage.contains("outside") || e1.getCause != null)
+    val ragged = Seq((Array(0, 1), Array(1.0, 2.0, 3.0))).toDF("codes", "lut")
+    val e2 = intercept[Exception] {
+      ragged.select(GraftExtensions.pqAdc(col("codes"), col("lut"))).collect()
+    }
+    assert(e2.getMessage.contains("multiple") || e2.getCause != null)
+  }
+
+  test("encoding is deterministic under a frozen model and M codes per row") {
+    val model = Pq.trainPq(embs, numSub = 8, codebookSize = 16, dim = 64, iters = 2)
+    val a = Pq.encode(embs, model).orderBy("vec_id").collect()
+    val b = Pq.encode(embs, model).orderBy("vec_id").collect()
+    assert(a.sameElements(b))
+    assert(a.forall(_.getSeq[Int](1).length == 8))
+    assert(a.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+  }
+
+  test("ADC reconstruction approximates the true dot (LUT lookup == reconstructed dot)") {
+    // For any row, Σ_m lut[m·K + code_m] must equal dot(q, reconstruct(codes))
+    // where reconstruct concatenates the assigned centroids — the algebra
+    // ADC relies on. Verify on one query against 10 corpus rows.
+    val model = Pq.trainPq(embs, numSub = 8, codebookSize = 16, dim = 64, iters = 2)
+    val rows = embs.orderBy("vec_id").limit(11).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val (qv, corpus) = (rows.head._2, rows.tail)
+    val lut = Array.tabulate(8 * 16) { i =>
+      val (m, j) = (i / 16, i % 16)
+      (0 until 8).map(d =>
+        qv(m * 8 + d).toDouble * model.codebooks(m)(j * 8 + d).toDouble).sum
+    }
+    corpus.foreach { case (_, v) =>
+      val codes = (0 until 8).map { m =>
+        (0 until 16).maxBy { j =>
+          (0 until 8).map(d => v(m * 8 + d).toDouble * model.codebooks(m)(j * 8 + d)).sum -
+            (0 until 8).map(d => math.pow(model.codebooks(m)(j * 8 + d), 2)).sum / 2.0
+        }
+      }
+      val adc = (0 until 8).map(m => lut(m * 16 + codes(m))).sum
+      val reconDot = (0 until 8).flatMap(m =>
+        (0 until 8).map(d => qv(m * 8 + d).toDouble *
+          model.codebooks(m)(codes(m) * 8 + d))).sum
+      assert(math.abs(adc - reconDot) < 1e-9)
+    }
+  }
+
+  test("re-ranked PQ top-k recall clears the registered floor with margin") {
+    val exact = Similarity.topK(embs)
+    val pq = Pq.topKPq(embs)
+    val recall = Similarity.recallPerQuery(exact, pq)
+      .agg(avg("recall")).as[Double].head()
+    info(f"sf0.001 PQ recall@10 (M=16, K=32, refine=100): $recall%.3f")
+    // registered scorecard floor is 0.7 (ext3_topk_pq); hold the spec to
+    // 0.9 so drift is caught here long before the driver row flips
+    assert(recall >= 0.9, f"recall $recall%.3f below spec floor 0.9")
+  }
+}
