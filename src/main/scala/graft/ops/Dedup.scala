@@ -62,7 +62,7 @@ object Dedup {
     * hints: AQE broadcasts the candidate frames whenever they are small;
     * on a dup-heavy corpus where they are not, a forced broadcast would
     * blow the driver. */
-  private def verifyJaccard(
+  private[graft] def verifyJaccard(
       pairs: DataFrame,
       docs: DataFrame,
       w: Int,
