@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.Skew
+import graft.ops.{ChannelReport, IhcScorer, IncrementalReport, JourneyBuilder, Skew}
 import graft.sources.{Compaction, TxStore}
 import graft.streaming.StreamingIngest
 import org.apache.spark.sql.functions._
@@ -307,7 +307,46 @@ object StorageQueries {
         val (_, delta) = TxStore.readAppendsSince(s, store, sinceVersion = 1L)
         eventsCols(delta)
       },
-      Some(eventsSql(" WHERE event_id % 2 <> 0"))))
+      Some(eventsSql(" WHERE event_id % 2 <> 0"))),
+
+    // ── S20 — incremental channel-report maintenance (EXT28): attribution
+    //    rows land in a TxStore in two waves; the report store is folded
+    //    forward from each wave's CDC delta (delta rollup + keyed additive
+    //    merge, ops/IncrementalReport.scala) plus one caught-up no-op
+    //    poll. The oracle is the FULL recompute over all attribution rows
+    //    — green ⇔ incremental maintenance converges to the from-scratch
+    //    rollup, the materialized-view invariant.
+    QueryDef(
+      "s20_incremental_report",
+      (s, d) => {
+        val attrStore = freshStore(s, "s20-attr", d)
+        val repStore = freshStore(s, "s20-rep", d)
+        val attr = IhcScorer.score(
+          JourneyBuilder.journeys(Tables.conversions(s, d), Tables.sessions(s, d)))
+        val sd = ChannelReport.sessionData(Tables.sessions(s, d), Tables.sessionCosts(s, d))
+        val cv = Tables.conversions(s, d)
+        TxStore.append(attr.filter(col("conversion_id") % 2 === 0), attrStore) // wave 1
+        val v1 = IncrementalReport.advance(s, attrStore, repStore, sd, cv)
+        TxStore.append(attr.filter(col("conversion_id") % 2 =!= 0), attrStore) // wave 2
+        val v2 = IncrementalReport.advance(s, attrStore, repStore, sd, cv)
+        require(v2 == v1 + 1, s"expected wave-2 consumption v${v1 + 1}, got v$v2")
+        val v3 = IncrementalReport.advance(s, attrStore, repStore, sd, cv)
+        require(v3 == v2, s"caught-up poll must not advance: $v2 -> $v3")
+        TxStore.read(s, repStore).select(
+          col("channel_name"), col("date"),
+          graft.Num.rnd(col("cost"), 2).as("cost"),
+          graft.Num.rnd(col("ihc"), 4).as("ihc"),
+          graft.Num.rnd(col("ihc_revenue"), 2).as("ihc_revenue"))
+      },
+      Some(graft.Sql.CTES +
+        s"""SELECT sd.channel_name, sd.date,
+           |       ${graft.Sql.rnd("SUM(sd.cost)", 2)} AS cost,
+           |       ${graft.Sql.rnd("SUM(a.ihc)", 4)} AS ihc,
+           |       ${graft.Sql.rnd("SUM(a.ihc * cv.revenue)", 2)} AS ihc_revenue
+           |FROM session_data sd
+           |JOIN scored a ON sd.session_id = a.session_id
+           |JOIN conversions cv ON a.conversion_id = cv.conv_id
+           |GROUP BY 1, 2""".stripMargin)))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

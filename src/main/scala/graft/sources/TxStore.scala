@@ -602,7 +602,47 @@ object TxStore {
     * concurrent append may have inserted one of these keys (making the
     * "not matched → insert" decision stale). Detecting that post-hoc
     * would require re-probing, which is the retry the caller owns. */
-  def merge(spark: SparkSession, path: String, updates: DataFrame, keys: Seq[String]): Long = {
+  def merge(spark: SparkSession, path: String, updates: DataFrame, keys: Seq[String]): Long =
+    mergeImpl(spark, path, updates, keys, txn = None)
+
+  /** Idempotent [[merge]] for EXACTLY-ONCE incremental maintenance — the
+    * upsert twin of [[appendOnce]], same (writerId, batchId) txn stamp
+    * and retention contract. A replayed delivery finds the stamp in the
+    * log and no-ops; this is what makes ADDITIVE upserts (fold a delta
+    * into running sums, ops/IncrementalReport.scala) safe to retry —
+    * unlike a value-overwrite, replaying an addition is NOT naturally
+    * idempotent, so the stamp has to carry the exactly-once guarantee.
+    * Merge's serializable conflict check means a concurrent duplicate
+    * delivery surfaces as ConcurrentModificationException; that loser
+    * re-checks the stamp and returns the winner's version. */
+  def mergeOnce(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      writerId: String,
+      batchId: Long): Long = {
+    require(
+      writerId.nonEmpty && !writerId.exists(c => c == '"' || c == '\\' || c == ':'),
+      "writerId must be non-empty and free of quotes, backslashes and colons")
+    val stamp = s"$writerId:$batchId"
+    def committed: Option[Long] =
+      commits(fs(spark, path), path).find(_.txn.contains(stamp)).map(_.version)
+    committed.getOrElse {
+      try mergeImpl(spark, path, updates, keys, Some(stamp))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          committed.getOrElse(throw e)
+      }
+    }
+  }
+
+  private def mergeImpl(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      txn: Option[String]): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(!updates.columns.contains("__f"), "updates must not carry the reserved __f column")
     val base = snapshot(spark, path)
@@ -646,7 +686,7 @@ object TxStore {
     val staged = stage(out, path)
     val f = fs(spark, path)
     try
-      commitLoop(spark, path, "merge") { snap =>
+      commitLoop(spark, path, "merge", txn = txn) { snap =>
         if (snap.version != base.version)
           throw new java.util.ConcurrentModificationException(
             s"merge at $path conflicts: table advanced from v${base.version} " +
