@@ -199,6 +199,18 @@ object Pq {
     // the raw embeddings (the only point the big float column is read,
     // and only for candidate rows), broadcast the query embeddings, score
     // with the exact codegen'd dot.
+    refineExact(candidates, embeddings, q, k)
+  }
+
+  /** Shared phase-2 exact re-rank: join ADC candidates `(q_id, vec_id)`
+    * back to the raw embeddings (refine·|Q| rows — the ONLY rows whose
+    * float column is ever read), broadcast the query embeddings, and
+    * take the final top-k on the exact cosine. */
+  private def refineExact(
+      candidates: DataFrame,
+      embeddings: DataFrame,
+      q: DataFrame,
+      k: Int): DataFrame =
     Similarity.rankTopK(
       candidates.select(col("q_id"), col("vec_id"))
         .join(embeddings.select(col("vec_id"), col("embedding"),
@@ -207,5 +219,91 @@ object Pq {
         .withColumn("sim",
           Similarity.dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))),
       k)
+
+  /** Fixture-parameter entry for [[topKIvfPq]], mirroring the sibling
+    * EXT3 defaults (queries = `vec_id % queryMod == 0`). */
+  def topKIvfPq(
+      embeddings: DataFrame,
+      k: Int = 10,
+      queryMod: Int = 50,
+      nCells: Int = 16,
+      nProbe: Int = 8,
+      numSub: Int = 16,
+      codebookSize: Int = 32,
+      dim: Int = 64,
+      iters: Int = 5,
+      refine: Int = 100): DataFrame =
+    topKIvfPq(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
+      k, nCells, nProbe, numSub, codebookSize, dim, iters, refine)
+
+  /** EXT3f — IVF-PQ: the composed lake-scale ANN index. The IVF coarse
+    * quantizer ([[Similarity.kmeansCentroids]]) prunes WHICH rows each
+    * query scores (equi-join on the cell id — nProbe/nCells of the
+    * corpus per query, never a full scan); PQ compresses WHAT is read
+    * for the rows that survive (M int codes + 1 float instead of the
+    * raw embedding). Phase 1 is therefore an **equi-join ADC scan**:
+    * the corpus side carries `(cell, vec_id, codes, nrm)`, the
+    * broadcast query side carries nProbe `(cell, q_id, lut, q_nrm)`
+    * rows, and the join key is the cell — this is the shape the brute
+    * and pure-PQ lanes deliberately lack (their broadcast scan touches
+    * every corpus row) and the reason IVF-PQ is the default physical
+    * layout of production vector indexes at 10⁹⁺ rows. Phase 2 is the
+    * same exact re-rank as [[topKPq]].
+    *
+    * Codebooks are SHARED across cells (one LUT of M·K doubles per
+    * query, not nProbe of them). Classic IVF-PQ instead quantizes the
+    * residual `x − centroid(cell)`, which tightens quantization error
+    * at the cost of per-cell LUT biases; with exact-norm cosine + an
+    * exact re-rank the candidate set is already recall-saturated on
+    * weak-neighbor data (PqSpec holds ≥0.9, measured ≈0.99), so the
+    * shared-codebook form keeps the broadcast payload cell-count
+    * independent. Recall knobs: nProbe (cell misses) × refine (ADC
+    * misses) — each sibling lane isolates one of the two.
+    *
+    * Scale shape: two training passes (IVF centroids + PQ codebooks,
+    * both `iters` map-side-combinable shuffles, kilobyte collects);
+    * corpus encode is one pure-expression pass; the scan join moves
+    * only matched-cell code rows; re-rank moves refine·|Q| rows. */
+  def topKIvfPq(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      numSub: Int,
+      codebookSize: Int,
+      dim: Int,
+      iters: Int,
+      refine: Int): DataFrame = {
+    require(refine >= k, s"refine $refine must be ≥ k $k")
+    val centroids = Similarity.kmeansCentroids(embeddings, nCells, iters)
+    val model = trainPq(embeddings, numSub, codebookSize, dim, iters)
+    // One pure-expression pass builds the full compressed index row:
+    // cell id + M codes + exact norm (no self-join back to the floats).
+    val corpus = embeddings.select(
+      col("vec_id"),
+      Similarity.assignCell(col("embedding"), centroids).as("cell"),
+      codesCol(col("embedding"), model).as("codes"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val q = Similarity.prepQueries(queries)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"))
+
+    // Phase 1 — equi-join ADC scan: each query meets only the code rows
+    // of its nProbe probed cells. Project the narrow (q_id, vec_id, sim)
+    // triple before the per-query top-refine rank, exactly like topKPq.
+    val probes = Similarity.prepQueries(queries)
+      .select(col("q_id"), col("q_nrm"), lutCol(col("q_emb"), model).as("lut"),
+        explode(Similarity.probeCells(col("q_emb"), centroids, nProbe)).as("cell"))
+    val candidates = Similarity.rankTopK(
+      corpus
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          graft.functions.GraftExtensions.pqAdc(col("codes"), col("lut")) /
+            (col("q_nrm") * col("nrm")))
+        .select("q_id", "vec_id", "sim"),
+      refine)
+
+    refineExact(candidates, embeddings, q, k)
   }
 }

@@ -276,7 +276,7 @@ object Similarity {
     * [[kmeansCentroids]] for the algebra). `array_position` takes the
     * FIRST occurrence of the max, so ties break to the lower cell id —
     * the same direction as the struct-max formulation it replaces. */
-  private def assignCell(emb: Column, centroids: Array[Array[Float]]): Column = {
+  private[ops] def assignCell(emb: Column, centroids: Array[Array[Float]]): Column = {
     val s = cellScoresCol(emb, centroids)
     (array_position(s, array_max(s)) - 1L).cast("int")
   }
@@ -289,7 +289,7 @@ object Similarity {
     * the first probed cell is exactly the cell corpus rows were assigned
     * to. The final `transform` un-negates — a CodegenFallback HOF, but
     * over nProbe elements on the broadcast query side only. */
-  private def probeCells(emb: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
+  private[ops] def probeCells(emb: Column, centroids: Array[Array[Float]], nProbe: Int): Column = {
     val s = cellScoresCol(emb, centroids)
     val scored = centroids.indices.map(i =>
       struct(element_at(s, i + 1).as("score"), lit(-i).as("neg_cell")))

@@ -256,6 +256,28 @@ object ExtQueries {
              |       0.7 AS recall_floor, true AS recall_ok
              |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
 
+    // ── EXT3f — IVF-PQ composed index (Pq.topKIvfPq): the lake-scale ANN
+    //    layout — IVF cells prune WHICH rows a query scores (equi-join on
+    //    cell, never a full scan), PQ codes compress WHAT those rows read
+    //    (16 ints + 1 float, not 64 floats), exact re-rank on the
+    //    survivors. Same scorecard protocol as the sibling lanes (both
+    //    trainings are float-order sensitive); PqSpec holds the raw
+    //    recall to ≥0.9 while the registered family floor stays 0.7.
+    QueryDef(
+      "ext3_topk_ivfpq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity
+          .recallPerQuery(Similarity.topK(e), Pq.topKIvfPq(e))
+          .agg(
+            count(lit(1)).as("n_queries"),
+            lit(0.7).as("recall_floor"),
+            (avg(col("recall")) >= 0.7).as("recall_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |       0.7 AS recall_floor, true AS recall_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
+
     // ── EXT2d — embedding-cosine near-dup pairs (empty on this fixture —
     //    max pair cosine ≈ 0.51 — and the oracle proves the emptiness).
     QueryDef(

@@ -18,9 +18,12 @@ class PlanAuditSpec extends SparkSpec {
   // side equi-joins on the cell id; the PQ ADC pass is a deliberate
   // broadcast scan over the 16-codes-per-row compressed column — the
   // compression, not the join shape, is what it buys; its exact re-rank
-  // equi-joins on vec_id).
+  // equi-joins on vec_id). ext3_topk_ivfpq's approx side is pure
+  // equi-join — PqSpec asserts that — but its registered scorecard
+  // carries the same brute ground-truth side as its siblings.
   private val intendedBnlj =
-    Set("ext3_topk_cosine", "ext3_topk_ivf", "ext3_topk_pq", "ext4_tfidf")
+    Set("ext3_topk_cosine", "ext3_topk_ivf", "ext3_topk_pq",
+      "ext3_topk_ivfpq", "ext4_tfidf")
 
   test("no cartesians, unintended nested-loop joins, or global windows anywhere") {
     SparkEntry.registry.foreach { q =>

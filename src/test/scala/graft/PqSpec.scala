@@ -89,6 +89,41 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ composed lane: recall holds the family floor AND the IVF ceiling") {
+    import spark.implicits._
+    val brute = Similarity.topK(embs).select("q_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val rIvf = recallOf(Similarity.topKIvf(embs, nProbe = 8))
+    val rIvfPq = recallOf(Pq.topKIvfPq(embs))
+    info(f"sf0.001 recall@10 — IVF alone: $rIvf%.3f, IVF-PQ: $rIvfPq%.3f " +
+      "(16 cells, nProbe=8, M=16, K=32, refine=100)")
+    // The composed lane stacks two approximations, but refine=100 soaks
+    // the ADC one: its recall is bounded by the CELL misses, i.e. the
+    // IVF-alone ceiling (k-means trains per call, so measured ceilings
+    // move run to run — 0.74–0.86 observed on this weak-neighbor
+    // fixture). Hold the family floor absolutely, and hold the composed
+    // lane to within ε of the same-session IVF ceiling so a PQ-side
+    // regression (bad codes, broken LUT) is caught even when training
+    // lands a generous ceiling.
+    assert(rIvfPq >= 0.7, f"recall $rIvfPq%.3f below family floor 0.7")
+    assert(rIvfPq >= rIvf - 0.05,
+      f"composed recall $rIvfPq%.3f fell more than ε=0.05 below the IVF ceiling $rIvf%.3f")
+  }
+
+  test("IVF-PQ approx side plans NO nested-loop join or cartesian (equi-join ADC scan)") {
+    // This is the property the composition exists for: unlike the brute
+    // and pure-PQ lanes (deliberate broadcast scans), every join in the
+    // IVF-PQ plan is an equi-join — on the cell id for the ADC scan, on
+    // vec_id/q_id for the exact re-rank.
+    val plan = Pq.topKIvfPq(embs).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("re-ranked PQ top-k recall clears the registered floor with margin") {
     val exact = Similarity.topK(embs)
     val pq = Pq.topKPq(embs)
