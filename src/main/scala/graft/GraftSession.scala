@@ -9,11 +9,14 @@ import org.apache.spark.sql.SparkSession
   *    matching the DuckDB oracle and the reference's pandas inf/NaN → 0
   *    cleanup (reference channel_reporter.py:114–118; SURVEY.md F8 maps it
   *    to `coalesce(x/y, 0)`).
-  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the `events.ts` fixture
-  *    column is Parquet TIMESTAMP(NANOS), which Spark does not model
-  *    natively; it is read as epoch-nanos LongType and converted with
-  *    integer arithmetic only (`timestamp_micros(ts div 1000)`) — fixture
-  *    nanos are µs-aligned, so the conversion is lossless.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: kept for fixture
+  *    generations whose `events.ts` is Parquet TIMESTAMP(NANOS) (Spark
+  *    has no native nanos type; the conf surfaces it as epoch-nanos
+  *    LongType). Current fixtures carry plain `timestamp[us]`, which
+  *    reads as TIMESTAMP_NTZ — `Tables.normalizeTs` converts either
+  *    physical type to the engine's canonical epoch-nanos LongType with
+  *    integer arithmetic only, so the conf is a no-op there but keeps
+  *    old-style files readable.
   *  - UTC session timezone, so date/time string formatting matches the
   *    oracle byte-for-byte.
   *  - `spark.sql.shuffle.partitions` sized to the local core count, not the

@@ -107,7 +107,9 @@ object ScaleUp {
     // windows) would see ~100× the overlapping pairs — a quadratic
     // blow-up that measures the generator, not the engine. Whole days
     // (UTC) keep per-date volumes and any date-boundary behavior intact.
-    val ev = in("events")
+    // normalizeTs: ts arithmetic below is ns-long; absorb either fixture
+    // physical type (TIMESTAMP(NANOS)-as-long or timestamp[us]).
+    val ev = Tables.normalizeTs(in("events"), "ts")
     val evS = stride(ev, "event_id", 60L)
     val userS = stride(ev, "user_id", 100L)
     val dayNs = 86400L * 1000000000L

@@ -19,7 +19,31 @@ object Tables {
   def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+  /** Normalize a timestamp column to the engine's canonical interchange
+    * type, epoch-nanos LongType, whatever physical type the fixture
+    * generation chose. The driver has shipped `events.ts` as both Parquet
+    * TIMESTAMP(NANOS) (read as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain `timestamp[us]`
+    * (read natively as TIMESTAMP_NTZ); a reader hard-wired to either
+    * breaks when the fixture regenerates. All conversion is integer
+    * arithmetic (`unix_micros × 1000`), lossless in both directions for
+    * µs-resolution data; the NTZ→LTZ cast is wall-clock-preserving under
+    * the UTC session timezone GraftSession pins. */
+  def normalizeTs(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType => d
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(c, unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+        case org.apache.spark.sql.types.TimestampType =>
+          d.withColumn(c, unix_micros(col(c)) * lit(1000L))
+        case other =>
+          throw new IllegalArgumentException(s"column $c: cannot normalize $other to epoch-nanos long")
+      }
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(read(spark, dir, "events"), "ts")
   def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")

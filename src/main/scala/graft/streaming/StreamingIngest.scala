@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   */
 object StreamingIngest {
 
-  /** events.parquet schema; ts surfaces as epoch-nanos LongType under
-    * `spark.sql.legacy.parquet.nanosAsLong` (GraftSession). */
+  /** The engine's canonical events schema — ts as epoch-nanos LongType,
+    * the interchange type every engine-written artifact (JSON/ORC/CSV
+    * round-trips, compaction output) carries. Fixture files from the
+    * driver may instead carry ts as a native timestamp; [[readEvents]]
+    * absorbs either via [[graft.Tables.normalizeTs]]. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -26,14 +29,28 @@ object StreamingIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming file sources need a declared schema up front; infer it
+    * from whatever already landed (a footer-only batch read — cheap), so
+    * the stream matches the physical ts type of the files actually in
+    * the directory. An empty landing dir falls back to the canonical
+    * schema — fine for the empty-run registration path, but a stream
+    * DEFINED against an empty dir assumes long-ts files will land. */
+  private def landedSchema(spark: SparkSession, dir: String): StructType =
+    try spark.read.parquet(dir).schema
+    catch { case _: Exception => eventsSchema }
+
   /** Streaming scan of an events landing path (a directory that receives
     * only event files, or a glob — NOT a mixed-table directory: the file
-    * source applies the schema to every parquet it finds). */
+    * source applies the schema to every parquet it finds). Output always
+    * carries ts as epoch-nanos LongType regardless of the landed
+    * physical type. */
   def readEvents(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 32): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-      .parquet(dir)
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(landedSchema(spark, dir))
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .parquet(dir),
+      "ts")
 
   /** Windowed channel/day counts+sums with a watermark — the streaming
     * twin of the batch A1 rollup. Run in `update` output mode: the

@@ -17,7 +17,11 @@ class ScaleUpSpec extends SparkSpec {
     d
   }
   private def out(t: String) = spark.read.parquet(s"$outDir/$t.parquet")
-  private def base(t: String) = Tables.read(spark, sf("sf0.001"), t)
+  // events routes through the normalizing reader: the ts assertions below
+  // do long arithmetic, and the scaled output carries ns-long ts.
+  private def base(t: String) =
+    if (t == "events") Tables.events(spark, sf("sf0.001"))
+    else Tables.read(spark, sf("sf0.001"), t)
 
   test("row counts scale by the factor; geography stays fixed") {
     for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
