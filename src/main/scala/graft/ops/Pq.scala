@@ -274,9 +274,26 @@ object Pq {
       codebookSize: Int,
       dim: Int,
       iters: Int,
-      refine: Int): DataFrame = {
+      refine: Int): DataFrame =
+    topKIvfPq(embeddings, queries, k, nProbe, numSub, codebookSize, dim,
+      iters, refine, Similarity.kmeansCentroids(embeddings, nCells, iters))
+
+  /** [[topKIvfPq]] with a caller-supplied coarse quantizer — so a caller
+    * (or a recall test comparing against the plain-IVF lane) can share
+    * ONE trained quantizer across lanes instead of letting two
+    * independent k-means trainings land on different local optima. */
+  def topKIvfPq(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      numSub: Int,
+      codebookSize: Int,
+      dim: Int,
+      iters: Int,
+      refine: Int,
+      centroids: Array[Array[Float]]): DataFrame = {
     require(refine >= k, s"refine $refine must be ≥ k $k")
-    val centroids = Similarity.kmeansCentroids(embeddings, nCells, iters)
     val model = trainPq(embeddings, numSub, codebookSize, dim, iters)
     // One pure-expression pass builds the full compressed index row:
     // cell id + M codes + exact norm (no self-join back to the floats).
@@ -285,19 +302,27 @@ object Pq {
       Similarity.assignCell(col("embedding"), centroids).as("cell"),
       codesCol(col("embedding"), model).as("codes"),
       Similarity.norm(col("embedding")).as("nrm"))
-    val q = Similarity.prepQueries(queries)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"))
+    // Prep the query frame ONCE; all three query-side shapes derive from it.
+    val prepped = Similarity.prepQueries(queries)
+    val q = prepped.select(col("q_id"), col("q_emb"), col("q_nrm"))
 
     // Phase 1 — equi-join ADC scan: each query meets only the code rows
-    // of its nProbe probed cells. Project the narrow (q_id, vec_id, sim)
-    // triple before the per-query top-refine rank, exactly like topKPq.
-    val probes = Similarity.prepQueries(queries)
-      .select(col("q_id"), col("q_nrm"), lutCol(col("q_emb"), model).as("lut"),
-        explode(Similarity.probeCells(col("q_emb"), centroids, nProbe)).as("cell"))
+    // of its nProbe probed cells. The broadcast is split in two so the
+    // M·K-double LUT is shipped ONCE per query, not once per probed
+    // cell: `probes` is the narrow (q_id, cell) fan-out, `qmeta` carries
+    // the per-query LUT and norm, joined back on q_id after the cell
+    // join has already pruned the corpus. Project the narrow
+    // (q_id, vec_id, sim) triple before the per-query top-refine rank,
+    // exactly like topKPq.
+    val probes = prepped.select(col("q_id"),
+      explode(Similarity.probeCells(col("q_emb"), centroids, nProbe)).as("cell"))
+    val qmeta = prepped.select(col("q_id"), col("q_nrm"),
+      lutCol(col("q_emb"), model).as("lut"))
     val candidates = Similarity.rankTopK(
       corpus
         .join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(qmeta), Seq("q_id"))
         .withColumn("sim",
           graft.functions.GraftExtensions.pqAdc(col("codes"), col("lut")) /
             (col("q_nrm") * col("nrm")))

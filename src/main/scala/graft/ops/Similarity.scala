@@ -327,8 +327,18 @@ object Similarity {
       k: Int,
       nCells: Int,
       nProbe: Int,
-      iters: Int): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, nCells, iters)
+      iters: Int): DataFrame =
+    topKIvf(embeddings, queries, k, nProbe, kmeansCentroids(embeddings, nCells, iters))
+
+  /** [[topKIvf]] with a caller-supplied coarse quantizer — lets callers
+    * and cross-lane recall tests share one trained quantizer (two
+    * same-session trainings can land on different k-means local optima). */
+  def topKIvf(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      centroids: Array[Array[Float]]): DataFrame = {
     val corpus = embeddings.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
       assignCell(col("embedding"), centroids).as("cell"))

@@ -97,18 +97,22 @@ class PqSpec extends SparkSpec {
       val got = df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
       (got & brute).size.toDouble / brute.size
     }
-    val rIvf = recallOf(Similarity.topKIvf(embs, nProbe = 8))
-    val rIvfPq = recallOf(Pq.topKIvfPq(embs))
+    // Share ONE trained quantizer across both lanes: two independent
+    // same-session trainings can land on different k-means local optima
+    // (0.74–0.86 ceiling spread observed), which would make the ε
+    // comparison below flake on quantizer luck instead of PQ quality.
+    val centroids = Similarity.kmeansCentroids(embs, 16, 5)
+    val qs = embs.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0)
+    val rIvf = recallOf(Similarity.topKIvf(embs, qs, 10, 8, centroids))
+    val rIvfPq = recallOf(Pq.topKIvfPq(embs, qs, 10, 8, 16, 32, 64, 5, 100, centroids))
     info(f"sf0.001 recall@10 — IVF alone: $rIvf%.3f, IVF-PQ: $rIvfPq%.3f " +
-      "(16 cells, nProbe=8, M=16, K=32, refine=100)")
+      "(16 cells, nProbe=8, M=16, K=32, refine=100, shared quantizer)")
     // The composed lane stacks two approximations, but refine=100 soaks
     // the ADC one: its recall is bounded by the CELL misses, i.e. the
-    // IVF-alone ceiling (k-means trains per call, so measured ceilings
-    // move run to run — 0.74–0.86 observed on this weak-neighbor
-    // fixture). Hold the family floor absolutely, and hold the composed
-    // lane to within ε of the same-session IVF ceiling so a PQ-side
-    // regression (bad codes, broken LUT) is caught even when training
-    // lands a generous ceiling.
+    // IVF-alone ceiling. With the quantizer shared, the cell misses are
+    // IDENTICAL across the two lanes, so the ε gap isolates exactly the
+    // PQ side (bad codes, broken LUT). Hold the family floor absolutely
+    // too.
     assert(rIvfPq >= 0.7, f"recall $rIvfPq%.3f below family floor 0.7")
     assert(rIvfPq >= rIvf - 0.05,
       f"composed recall $rIvfPq%.3f fell more than ε=0.05 below the IVF ceiling $rIvf%.3f")
