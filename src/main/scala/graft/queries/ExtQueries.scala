@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Sql, Tables}
-import graft.ops.{Dedup, Diff, Multimodal, Packing, Pq, Profiling, Sampling, Sessionize, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Diff, Multimodal, Packing, Pq, Profiling, Sampling, Sessionize, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** EXT1–EXT6 (SURVEY.md §2.11) — the LLM-training-data-pipeline operators,
@@ -955,6 +955,70 @@ object ExtQueries {
                  4)} AS shared_frac
               |FROM inv i JOIN dfreq d USING (shingle)
               |GROUP BY 1""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ── EXT28 — pairwise source-overlap matrix (ops/Curation
+    //    .sourceOverlap): distinct (source, shingle) inverted index →
+    //    shingle-keyed self-join (fan-out bounded by |sources|² per
+    //    vocabulary entry, never per doc pair) → per-pair Jaccard. The
+    //    curation question behind mixture weights and dedup order:
+    //    how much of source B is already in source A?
+    QueryDef(
+      "ext28_source_overlap",
+      (s, d) => Curation.sourceOverlap(Tables.documents(s, d)),
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+              |), shing AS (
+              |  SELECT source, [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              |                  FOR i IN range(1, len(t) - 1)] AS sh
+              |  FROM toks WHERE len(t) >= 3
+              |), inv AS (
+              |  SELECT DISTINCT source, shingle
+              |  FROM (SELECT source, unnest(sh) AS shingle FROM shing)
+              |), per AS (
+              |  SELECT source, COUNT(*) AS n FROM inv GROUP BY 1
+              |), pairs AS (
+              |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+              |  FROM inv a JOIN inv b USING (shingle)
+              |  WHERE a.source < b.source GROUP BY 1, 2
+              |)
+              |SELECT src_a, src_b, pa.n AS n_a, pb.n AS n_b, inter,
+              |       ${Sql.rnd(
+                 "CAST(inter AS DOUBLE) / CAST(pa.n + pb.n - inter AS DOUBLE)", 4)} AS jaccard
+              |FROM pairs JOIN per pa ON pa.source = src_a
+              |           JOIN per pb ON pb.source = src_b""".stripMargin),
+      bench = true),
+
+    // ── EXT29 — token-budget truncation (ops/Curation.truncateToBudget):
+    //    context-window capping just before sequence packing. Pure
+    //    per-row codegen'd expressions; the before/after counts report
+    //    how much text the cap discarded.
+    QueryDef(
+      "ext29_truncate",
+      (s, d) => Curation.truncateToBudget(Tables.documents(s, d), maxTokens = 24),
+      Some("""SELECT doc_id,
+             |       CAST(len(t) AS BIGINT) AS n_tokens,
+             |       CAST(LEAST(len(t), 24) AS BIGINT) AS kept_tokens,
+             |       array_to_string(t[1:24], ' ') AS text_trunc
+             |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)""".stripMargin)),
+
+    // ── EXT30 — deterministic seeded shuffle (ops/Curation
+    //    .seededShuffle): reproducible (shard, pos) training order from a
+    //    portable modular hash — the oracle replays the exact permutation
+    //    from (doc_id, seed) alone, proving any engine can audit the
+    //    epoch order. pos ranks WITHIN shards (parallel windows, no
+    //    global sort).
+    QueryDef(
+      "ext30_shuffle",
+      (s, d) => Curation.seededShuffle(Tables.documents(s, d), seed = 42L, shards = 8),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |         ((doc_id % 1000000007) * 2654435761 + 42) % 1000000007 AS h
+             |  FROM documents
+             |)
+             |SELECT doc_id, h % 8 AS shard,
+             |       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+             |            AS BIGINT) AS pos
+             |FROM h""".stripMargin))
   )
 }
