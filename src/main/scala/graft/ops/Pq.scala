@@ -114,9 +114,15 @@ object Pq {
       Array.tabulate(numSub)(m =>
         seed.flatMap(row => row.slice(m * subDim, (m + 1) * subDim))))
     for (_ <- 0 until iters) {
+      // codes MUST be materialized in a projection BELOW the explode:
+      // `select(codesCol(..), posexplode(..))` plans the non-generator
+      // expression in the Project ABOVE the Generate, re-evaluating the
+      // full M·K encode once per exploded element — dim× redundant work
+      // (measured 3.5× per-iteration cost on dim=64; registry-sweep
+      // finding, round 8). Two selects pin the evaluation order.
       val means = embeddings
-        .select(codesCol(col("embedding"), model).as("codes"),
-          posexplode(col("embedding")).as(Seq("d", "x")))
+        .select(codesCol(col("embedding"), model).as("codes"), col("embedding"))
+        .select(col("codes"), posexplode(col("embedding")).as(Seq("d", "x")))
         .select(
           (col("d") / subDim).cast("int").as("m"),
           element_at(col("codes"), (col("d") / subDim).cast("int") + 1).as("code"),
@@ -274,9 +280,23 @@ object Pq {
       codebookSize: Int,
       dim: Int,
       iters: Int,
-      refine: Int): DataFrame =
+      refine: Int): DataFrame = {
+    // Train the two quantizers CONCURRENTLY. They are independent by
+    // construction (shared codebooks, not residual PQ — the PQ codes
+    // never see the cell assignment), and each Lloyd iteration is a
+    // small collect-bounded job, so the composed lane's training phase
+    // is JOB-COUNT-dominated, not flop-dominated: overlapping the two
+    // loops' job streams reclaims most of one loop's wall-clock
+    // (registry-sweep finding, round 8). Spark job submission is
+    // thread-safe; results are identical to the serial order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fCentroids = Future(Similarity.kmeansCentroids(embeddings, nCells, iters))
+    val model = trainPq(embeddings, numSub, codebookSize, dim, iters)
     topKIvfPq(embeddings, queries, k, nProbe, numSub, codebookSize, dim,
-      iters, refine, Similarity.kmeansCentroids(embeddings, nCells, iters))
+      iters, refine, Await.result(fCentroids, Duration.Inf), model)
+  }
 
   /** [[topKIvfPq]] with a caller-supplied coarse quantizer — so a caller
     * (or a recall test comparing against the plain-IVF lane) can share
@@ -292,9 +312,26 @@ object Pq {
       dim: Int,
       iters: Int,
       refine: Int,
-      centroids: Array[Array[Float]]): DataFrame = {
+      centroids: Array[Array[Float]]): DataFrame =
+    topKIvfPq(embeddings, queries, k, nProbe, numSub, codebookSize, dim,
+      iters, refine, centroids, trainPq(embeddings, numSub, codebookSize, dim, iters))
+
+  /** Fully pre-trained form: both the coarse quantizer and the PQ
+    * codebooks are caller-supplied model artifacts (the production
+    * serving shape — train once, persist, encode/scan many). */
+  def topKIvfPq(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+      numSub: Int,
+      codebookSize: Int,
+      dim: Int,
+      iters: Int,
+      refine: Int,
+      centroids: Array[Array[Float]],
+      model: PqModel): DataFrame = {
     require(refine >= k, s"refine $refine must be ≥ k $k")
-    val model = trainPq(embeddings, numSub, codebookSize, dim, iters)
     // One pure-expression pass builds the full compressed index row:
     // cell id + M codes + exact norm (no self-join back to the floats).
     val corpus = embeddings.select(

@@ -245,9 +245,12 @@ object Similarity {
     require(centroids.length == k,
       s"corpus has only ${centroids.length} rows — need at least $k for $k centroids")
     for (_ <- 0 until iters) {
-      val assigned = embeddings.select(
-        assignCell(col("embedding"), centroids).as("cell"),
-        posexplode(col("embedding")).as(Seq("d", "x")))
+      // cell materialized BELOW the explode — a single select would plan
+      // the assignment in the Project above the Generate and re-score
+      // all k centroids once per exploded element (see Pq.trainPq).
+      val assigned = embeddings
+        .select(assignCell(col("embedding"), centroids).as("cell"), col("embedding"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
       val means = assigned
         .groupBy("cell", "d").agg(avg("x").as("m"))
         .collect()
