@@ -345,11 +345,12 @@ object Similarity {
     val corpus = embeddings.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
       assignCell(col("embedding"), centroids).as("cell"))
-    val q = queries
-      .select(
-        col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        norm(col("embedding")).as("q_nrm"),
-        explode(probeCells(col("embedding"), centroids, nProbe)).as("cell"))
+    // q_nrm materialized below the explode (same Generate-projection rule
+    // as the training loops — a computed sibling of explode() re-evaluates
+    // per generated row).
+    val q = prepQueries(queries)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        explode(probeCells(col("q_emb"), centroids, nProbe)).as("cell"))
     rankTopK(
       corpus
         .join(broadcast(q), Seq("cell"))
@@ -374,9 +375,11 @@ object Similarity {
       nAssign: Int = 2,
       iters: Int = 5): DataFrame = {
     val centroids = kmeansCentroids(embeddings, nCells, iters)
-    val e = embeddings.select(
-      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-      explode(probeCells(col("embedding"), centroids, nAssign)).as("cell"))
+    // nrm below the multi-assign explode — corpus-side, so the redundant
+    // re-evaluation would run nAssign× over the BIG side (see trainPq).
+    val e = prepCorpus(embeddings)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(probeCells(col("embedding"), centroids, nAssign)).as("cell"))
     e.alias("a")
       .join(e.alias("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
