@@ -124,6 +124,73 @@ object Dedup {
     jaccardFromCounts(common, sizes, threshold)
   }
 
+  /** EXACT n-gram Jaccard pairs with PREFIX FILTERING (SSJoin/PPJoin
+    * family — Chaudhuri et al. 2006, Xiao et al. 2008): identical output
+    * to [[jaccardPairs]], radically smaller candidate join. Under a
+    * GLOBAL shingle order (document frequency ascending — rarest first),
+    * any pair with Jaccard ≥ t must share a shingle inside BOTH docs'
+    * prefixes of length |S| − ⌈t·|S|⌉ + 1: if all of A's ≥⌈t·|A|⌉
+    * common shingles sat outside A's prefix, the suffix (⌈t·|A|⌉ − 1
+    * slots) could not hold them. So only PREFIX shingles enter the
+    * inverted-index self-join — and because the global order is df
+    * ascending, the high-df shingles that drive the naive join's Σ_s d_s²
+    * blow-up are exactly the ones prefixes exclude. Candidates are then
+    * verified with an exact common-count against the FULL index.
+    *
+    * Scale shape: the quadratic term rides on prefix-shingle df only,
+    * and verification is candidate-keyed — two equi-joins and a pair
+    * groupBy, linear in Σ_cand |A|. On a REAL (Zipfian) vocabulary most
+    * shingles are rare, prefixes are near-unique, and this is the form
+    * that keeps the exact lane viable well past where the naive join
+    * goes quadratic — which is exactly why the technique is standard in
+    * the similarity-join literature.
+    *
+    * MEASURED HONESTY — why the registered fixture lane does NOT use
+    * this path: the synthetic 31-word vocabulary gives EVERY shingle
+    * df ≈ 100 at sf0.1 (median 95, max 145 at sf1 — no df skew at all),
+    * so the prefix keeps ~half of each doc's shingles, prunes the join
+    * by only ~2.3×, and the per-candidate verification joins then cost
+    * more than they save: 5.6 s vs 0.9 s naive at sf0.1. Prefix
+    * filtering buys nothing without rare shingles; on uniform-df data
+    * the exact lane is inherently Σ df² and the scale answer is
+    * [[minhashLshPairs]], not a smarter exact join. Equivalence to
+    * [[jaccardPairs]] (any threshold) is pinned in DedupSimilaritySpec.
+    *
+    * The ⌈t·n⌉ is computed with a 1e-9 downward bias so float noise can
+    * only ENLARGE the prefix (more candidates — still exact), never
+    * shrink it (missed pairs). */
+  def jaccardPairsPrefix(docs: DataFrame, w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val inv = TextOps.shingleRows(docs, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // Global order (df asc, shingle asc): rank each doc's shingles and
+    // keep the prefix. Window keys by doc_id — the same keyed exchange
+    // the naive path's distinct already pays.
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefix = inv
+      .join(dfreq, "shingle")
+      .join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <=
+        col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + lit(1))
+      .select("doc_id", "shingle")
+    val candidates = prefix.alias("a")
+      .join(prefix.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // Exact verification: count common shingles per candidate pair via
+    // two equi-joins against the full index (one row per common shingle).
+    val common = candidates
+      .join(inv.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(inv.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    jaccardFromCounts(common, sizes, threshold)
+  }
+
   /** MinHash signature: k seeded hashes; sig_i = min over shingles of
     * xxhash64(shingle_hash, i). Formulated as shingle rows → groupBy(doc)
     * with k `min` aggregates, NOT as higher-order array functions: HOFs

@@ -127,7 +127,13 @@ object ExtQueries {
           |                            ORDER BY ts, session_id) AS rn
           |  FROM sessions) t WHERE rn = 1""".stripMargin)),
 
-    // ── EXT2a — exact n-gram Jaccard near-dup pairs (inverted-index join).
+    // ── EXT2a — exact n-gram Jaccard near-dup pairs (inverted-index
+    //    join). The prefix-filtered exact path (Dedup.jaccardPairsPrefix,
+    //    PPJoin-family) exists for Zipfian real-corpus vocabularies but
+    //    is NOT registered here: this fixture's 31-word vocabulary gives
+    //    every shingle df ≈ 100 (no rare-shingle prefixes to exploit),
+    //    and measured 6× SLOWER than the naive join at sf0.1 — see the
+    //    jaccardPairsPrefix scaladoc for the full analysis.
     QueryDef(
       "ext2_ngram_jaccard",
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d)),

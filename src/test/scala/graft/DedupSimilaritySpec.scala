@@ -32,6 +32,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("prefix-filtered exact Jaccard equals the naive inverted-index join") {
+    // The prefix filter must be value-preserving at ANY threshold: same
+    // pairs, same 4-dp jaccard. Check a loose threshold (many pairs,
+    // prefix = most of each doc) and the default (tight prefixes).
+    for (t <- Seq(0.2, 0.5)) {
+      val naive = Dedup.jaccardPairs(docs, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.jaccardPairsPrefix(docs, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(naive.nonEmpty, s"t=$t needs a non-trivial pair set")
+      assert(pref == naive, s"t=$t: prefix path diverged from ground truth")
+    }
+  }
+
   test("LSH banding derives from the threshold with candidate recall ≥ 0.99") {
     def recall(k: Int, bands: Int, j: Double): Double =
       1.0 - math.pow(1.0 - math.pow(j, (k / bands).toDouble), bands.toDouble)
