@@ -58,14 +58,20 @@ object CorpusClean {
       .select("doc_id", "n_chars", "n_tokens", "stopword_ratio")
 
   /** Surviving doc_ids with their quality stats. */
+  /** `minBandMatches` passes through to [[Dedup.minhashLshPairs]] — the
+    * LSH precision knob for low-df-skew vocabularies (see its scaladoc
+    * and the sf10 century notes in BASELINE.md); default 1 keeps the
+    * classic banding the oracle lanes pin. */
   def clean(
       docs: DataFrame,
       minTokens: Int = 10,
       maxStopwordRatio: Double = 0.5,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      minBandMatches: Int = 1): DataFrame = {
     val (quality, exact) = gatedExact(docs, minTokens, maxStopwordRatio)
     // near-dup dedup over the exact-deduped corpus (LSH scale path)
-    val dupLosers = Dedup.minhashLshPairs(exact, threshold = jaccardThreshold)
+    val dupLosers = Dedup
+      .minhashLshPairs(exact, threshold = jaccardThreshold, minBandMatches = minBandMatches)
       .select(col("doc_b").as("doc_id")).distinct()
     survivors(exact, quality, dupLosers)
   }
@@ -83,10 +89,11 @@ object CorpusClean {
       docs: DataFrame,
       minTokens: Int = 10,
       maxStopwordRatio: Double = 0.5,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      minBandMatches: Int = 1): DataFrame = {
     val (quality, exact) = gatedExact(docs, minTokens, maxStopwordRatio)
     val comp = Dedup.connectedComponents(
-      Dedup.minhashLshPairs(exact, threshold = jaccardThreshold))
+      Dedup.minhashLshPairs(exact, threshold = jaccardThreshold, minBandMatches = minBandMatches))
     val dupLosers = comp.filter(col("component") =!= col("doc_id")).select("doc_id")
     survivors(exact, quality, dupLosers)
   }
