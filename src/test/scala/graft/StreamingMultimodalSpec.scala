@@ -12,6 +12,32 @@ class StreamingMultimodalSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("streaming absorbs ENGINE-WRITTEN long-ts files (canonical-schema landing)") {
+    // The other streaming tests land driver fixture files (native
+    // timestamp ts). This lands files the ENGINE wrote — ts already
+    // normalized to epoch-nanos LongType — covering landedSchema's
+    // second physical encoding: the stream must infer the long schema
+    // from the landed files and skip the no-op normalization.
+    val dir = sf("sf0.001")
+    val ckpt = Files.createTempDirectory("graft-ckpt-long").toString
+    val landing = Files.createTempDirectory("graft-landing-long")
+    Tables.events(spark, dir).coalesce(1).write.mode("overwrite")
+      .parquet(landing.toString + "/batch0")
+    val q = StreamingIngest.runAvailableNow(
+      spark, landing.toString + "/batch0", ckpt, "stream_rollup_long")
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_rollup_long")
+      .select("date", "event_type", "n_events")
+      .as[(String, String, Long)].collect().toSet
+    val batch = Tables.events(spark, dir)
+      .groupBy(
+        date_format(Tables.tsMicros("ts"), "yyyy-MM-dd").as("date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("AvailableNow streaming rollup equals the batch rollup") {
     val dir = sf("sf0.001")
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
