@@ -47,6 +47,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Registry canary: a registered-vs-dumped mismatch means some query
+    // silently failed (or a subset run) — makes a mass-drop a loud number
+    // in the round artifact instead of a JSON-key diff exercise.
+    val dumped = selected.keys.count(n => Files.exists(Paths.get(s"$outDir/$n")))
+    Files.writeString(
+      Paths.get(s"$outDir/registry.json"),
+      s"""{"registered": ${SparkEntry.queries.size}, "selected": ${selected.size}, "dumped": $dumped}""")
+    if (dumped < selected.size)
+      System.err.println(s"[verify] CANARY: dumped $dumped of ${selected.size} selected queries")
     spark.stop()
   }
 }

@@ -57,8 +57,9 @@ object CorpusClean {
       .join(quality, "doc_id")
       .select("doc_id", "n_chars", "n_tokens", "stopword_ratio")
 
-  /** Surviving doc_ids with their quality stats. */
-  /** `minBandMatches` passes through to [[Dedup.minhashLshPairs]] — the
+  /** Surviving doc_ids with their quality stats.
+    *
+    * `minBandMatches` passes through to [[Dedup.minhashLshPairs]] — the
     * LSH precision knob for low-df-skew vocabularies (see its scaladoc
     * and the sf10 century notes in BASELINE.md); default 1 keeps the
     * classic banding the oracle lanes pin. */

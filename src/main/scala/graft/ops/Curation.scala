@@ -88,12 +88,14 @@ object Curation {
 
   /** EXT30 — deterministic seeded shuffle: assign every document a
     * reproducible (shard, pos) slot for one training epoch. The hash is
-    * a portable multiplicative mix over the key modulo a 31-bit prime —
-    * NOT xxhash64/rand — so any engine (or the auditing oracle) can
-    * recompute the exact permutation from (doc_id, seed) alone; products
-    * stay < 2⁶³ for any BIGINT doc_id because the key is reduced mod p
-    * first. Changing the seed reshuffles globally; same seed replays the
-    * same epoch order bit-for-bit.
+    * a portable seed-keyed affine bijection over the key modulo a 31-bit
+    * prime — NOT xxhash64/rand — so any engine (or the auditing oracle)
+    * can recompute the exact permutation from (doc_id, seed) alone;
+    * products stay < 2⁶³ for any BIGINT doc_id because the key is
+    * reduced mod p first. The seed drives the MULTIPLIER (see
+    * [[shuffleHash]]), so changing it permutes within-shard relative
+    * order, not just shard labels; same seed replays the same epoch
+    * order bit-for-bit.
     *
     * Scale shape: `pos` is ranked WITHIN each shard (`row_number` over
     * shard partitions — parallel across shards), never globally: a
@@ -113,9 +115,21 @@ object Curation {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
-  /** `((key mod p) · 2654435761 + seed) mod p`, p = 1e9+7. Knuth's
-    * multiplicative constant; all intermediates < 2⁶³ (p·2654435761 ≈
-    * 2.7e18), exact in any BIGINT engine. */
-  private def shuffleHash(key: Column, seed: Long): Column =
-    pmod(pmod(key, lit(1000000007L)) * lit(2654435761L) + lit(seed), lit(1000000007L))
+  /** `((key mod p) · m + (seed mod p)) mod p`, p = 1e9+7, with the
+    * MULTIPLIER seed-derived: `m = (seed · 2654435761) mod (p−1) + 1`.
+    * The seed must enter multiplicatively — an additive-only seed
+    * (`k·c + seed mod p`) shifts every hash by the same constant, so
+    * "different seed" merely relabels shards with within-shard relative
+    * order preserved. Here m ∈ [1, p−1] and p is prime, so each seed
+    * picks a distinct bijection of the residues and epoch-to-epoch
+    * relative order genuinely changes (pinned by CurationSpec's
+    * discordant-pair test). m is computed exactly on the driver via
+    * BigInt (no Long overflow for any seed); per-row intermediates are
+    * bounded by (p−1)² ≈ 1.0e18 < 2⁶³, exact in any BIGINT engine —
+    * the oracle replays the permutation from (doc_id, seed) alone. */
+  private def shuffleHash(key: Column, seed: Long): Column = {
+    val p = 1000000007L
+    val m = (BigInt(seed) * 2654435761L).mod(BigInt(p - 1)).toLong + 1
+    pmod(pmod(key, lit(p)) * lit(m) + lit(Math.floorMod(seed, p)), lit(p))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -297,8 +297,9 @@ object Dedup {
     * banding the two agree on pairs at or above the threshold with
     * ≥ 0.99 probability per pair (the oracle compares against the exact
     * ground truth and so measures exactly this). Buckets larger than
-    * `maxBucket` are dropped (see [[capBuckets]]). */
-  /** `minBandMatches`: how many bands a pair must collide in before it
+    * `maxBucket` are dropped (see [[capBuckets]]).
+    *
+    * `minBandMatches`: how many bands a pair must collide in before it
     * becomes a candidate. Default 1 is classic banded LSH. Raising it to
     * 2 is the standard precision knob for vocabularies with little df
     * skew, where single-band background collisions stop being rare: the
@@ -308,10 +309,12 @@ object Dedup {
     * banding floor). Measured at a 500 k-doc scale-up of the uniform-df
     * fixture (sf10): m=1 produces ~17 M false candidates purely from
     * chance band collisions and the exact re-verify becomes a
-    * disk-bound 40 GB+ shuffle; m=2 suppresses them by ~4 orders. The
-    * registered fixture lane keeps m=1 because its oracle is an
-    * exact-hash compare against ground truth and m≥2 recall is only
-    * probabilistically (not structurally) complete. */
+    * disk-bound 40 GB+ shuffle; m=2 suppresses them by ~4 orders. BOTH
+    * configurations are registered under the same exact-Jaccard oracle:
+    * `ext2_minhash_lsh` keeps m=1 (the structural recall floor) and
+    * `ext2_minhash_lsh_guarded` runs m=2 — the scale-safe default a
+    * 100 TB deployment would use, kept under continuous verification
+    * precisely because the century run proved m=1 collapses there. */
   def minhashLshPairs(
       docs: DataFrame,
       w: Int = 3,
@@ -519,11 +522,21 @@ object Dedup {
   }
 
   /** EXT2c — 64-bit SimHash over distinct tokens: bit b of the signature is
-    * the sign of Σ_tokens (2·bit_b(xxhash64(token)) − 1). Hamming-close
-    * signatures ⇒ similar token sets. Signature only (pairing would use the
-    * same band-join as LSH); engine-specific hashing ⇒ no SQL oracle,
-    * checked by ScalaTest on planted near-dups instead. */
-  /** EXT2c-pairs — SimHash near-dup pairs at scale: split the 64-bit
+    * the sign of Σ_tokens (2·bit_b(hash64(token)) − 1). Hamming-close
+    * signatures ⇒ similar token sets. Signature only (pairing uses the
+    * same band-join as LSH, [[simhashPairs]]).
+    *
+    * The token hash is PORTABLE by construction: bit b of hash64(tok) is
+    * bit (b mod 4) of the (b/4+1)-th hex nibble of the standard MD5 of
+    * the token — derivable in any engine with `md5` + ascii arithmetic,
+    * so the full signature (and therefore the pair set) is replayable by
+    * the DuckDB oracle and auditable across engines. xxhash64 would be
+    * ~3× cheaper per token but locks the signature format to Spark;
+    * fingerprints that downstream systems must reproduce are worth the
+    * one-md5-per-distinct-token cost (cf. the same portability rule in
+    * Curation.shuffleHash).
+    *
+    * EXT2c-pairs — SimHash near-dup pairs at scale: split the 64-bit
     * signature into `bands` chunks; two signatures within `maxHamming`
     * bits must agree on at least one chunk whenever maxHamming < bands
     * (pigeonhole), so the band-bucket join has guaranteed recall;
@@ -533,47 +546,74 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandedHammingPairs(
+      simhash(docs), idCol = "doc_id", sigCol = "simhash",
+      maxHamming = maxHamming, bands = bands, maxBucket = maxBucket,
+      outA = "doc_a", outB = "doc_b")
+
+  /** The banded hamming join shared by every 64-bit-signature near-dup
+    * path (SimHash here, the perceptual media hash in
+    * [[Multimodal.mediaNearDup]]): split the signature into `bands`
+    * chunks, bucket-join on (band_id, band_key) — pairs within
+    * `maxHamming` bits must agree on ≥1 chunk when maxHamming < bands
+    * (pigeonhole) — then filter candidates by exact Hamming distance.
+    * Same no-all-pairs shape as MinHash LSH, same hot-bucket guard
+    * ([[capBuckets]]; recall holds only for pairs whose agreeing band's
+    * bucket survives the cap). */
+  private[ops] def bandedHammingPairs(
+      sig: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int,
+      bands: Int,
+      maxBucket: Int,
+      outA: String,
+      outB: String): DataFrame = {
     require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
     val width = 64 / bands
     // JVM shift semantics: (1L << 64) wraps to 1, so a single 64-bit band
     // would mask to 0 and funnel every doc into one bucket
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val sig = simhash(docs)
-    // Same hot-bucket guard as the MinHash path ([[capBuckets]]). NB the
-    // pigeonhole recall guarantee holds only for pairs whose agreeing
-    // band's bucket survives the cap.
     val banded = capBuckets(
       sig.select(
-        col("doc_id"),
-        col("simhash"),
+        col(idCol),
+        col(sigCol),
         explode(array((0 until bands).map { b =>
           struct(
             lit(b).as("band_id"),
-            shiftrightunsigned(col("simhash"), b * width)
+            shiftrightunsigned(col(sigCol), b * width)
               .bitwiseAND(mask).as("band_key"))
         }: _*)).as("band"))
-        .select(col("doc_id"), col("simhash"), col("band.band_id"), col("band.band_key")),
+        .select(col(idCol), col(sigCol), col("band.band_id"), col("band.band_key")),
       maxBucket)
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col(s"a.$idCol") < col(s"b.$idCol"))
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
+        col(s"a.$idCol").as(outA), col(s"b.$idCol").as(outB),
+        bit_count(col(s"a.$sigCol").bitwiseXOR(col(s"b.$sigCol"))).cast("long").as("hamming"))
+      .dropDuplicates(outA, outB)
       .filter(col("hamming") <= maxHamming)
   }
 
   def simhash(docs: DataFrame): DataFrame = {
     // Same explode-and-aggregate shape as MinHash (codegen'd, map-side
-    // combinable): per bit, sum of ±1 over distinct token hashes.
+    // combinable): per bit, sum of ±1 over distinct token hashes. The
+    // 64 token-hash bits come from the first 16 hex nibbles of md5(tok)
+    // (see the scaladoc): nibble value via ascii arithmetic — lowercase
+    // hex in both Spark and DuckDB — then bit (b mod 4) by shift/mask.
     val toks = docs
       .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("hx", md5(col("tok")))
+    def nibble(i: Int): Column = {
+      val a = ascii(substring(col("hx"), i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48) // 'a'..'f' → 10..15, '0'..'9' → 0..9
+    }
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s_$b")
+      val bit = shiftright(nibble(b / 4 + 1), b % 4).bitwiseAND(1)
+      sum(when(bit === 1, 1L).otherwise(-1L)).as(s"s_$b")
     }
     val agg = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64)

@@ -89,15 +89,21 @@ object IncrementalReport {
     val since = consumedThrough(spark, reportStore)
     val (version, delta) = TxStore.readAppendsSince(spark, attrStore, since)
     if (version == since) return version
-    val deltaRollup = ChannelReport.report(sessionData, delta, conversions)
-    val updates =
-      if (TxStore.history(spark, reportStore).isEmpty) deltaRollup
-      else {
-        val current = TxStore.read(spark, reportStore)
-        val touched = deltaRollup.select(Keys.map(col): _*)
-        combine(current.join(touched, Keys, "left_semi"), deltaRollup)
-      }
-    TxStore.mergeOnce(spark, reportStore, updates, Keys, WriterId, batchId = version)
+    // The delta rollup feeds the step more than once (its key set drives
+    // the semi-join, its rows the combine; mergeOnce then runs its own
+    // validation/probe/stage actions) — persist it so the journey-join +
+    // scoring plan behind it executes once per step, not per action.
+    val deltaRollup = ChannelReport.report(sessionData, delta, conversions).persist()
+    try {
+      val updates =
+        if (TxStore.history(spark, reportStore).isEmpty) deltaRollup
+        else {
+          val current = TxStore.read(spark, reportStore)
+          val touched = deltaRollup.select(Keys.map(col): _*)
+          combine(current.join(touched, Keys, "left_semi"), deltaRollup)
+        }
+      TxStore.mergeOnce(spark, reportStore, updates, Keys, WriterId, batchId = version)
+    } finally deltaRollup.unpersist(): Unit
     version
   }
 }

@@ -115,6 +115,53 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** EXT5d — 64-bit dHash-style perceptual signature per media row. The
+    * classic image dHash resamples the luminance plane to a (w+1)×h grid
+    * and sets bit i when cell i is brighter than cell i+1 — robust to
+    * scaling and re-encoding because it keeps only the gradient SIGNS.
+    * Here the stub's "luminance plane" is the payload's character-code
+    * sequence (the fixture payload is the document text; a real
+    * deployment swaps decoded pixel rows in via the same mapInPandas
+    * seam as [[FakeDecoder]]): 65 nearest-neighbor samples at positions
+    * ⌊i·n/65⌋ — the exact [[resize]] resample rule — then bit i =
+    * (sample_i > sample_{i+1}), i = 0..63.
+    *
+    * Everything is integer arithmetic over `ascii`/`substring`, so the
+    * oracle replays the signatures exactly (same portability rule as
+    * Dedup.simhash's MD5-nibble hash). Alignment sensitivity is the
+    * known dHash trade: a one-char INSERTION shifts every later sample —
+    * it finds re-encoded/trimmed copies, not edited ones; that's what
+    * [[graft.ops.Dedup.minhashLshPairs]] is for. */
+  def perceptualHash(docs: DataFrame): DataFrame = {
+    val n = length(col("text")).cast("long")
+    // two selects: samples materialize once each, not once per bit
+    val sampled = docs.select(
+      col("doc_id").as("media_id") +:
+        (0 to 64).map { i =>
+          val pos = (floor(n * lit(i.toDouble) / lit(65.0)).cast("long") + 1L).cast("int")
+          ascii(col("text").substr(pos, lit(1))).as(s"c_$i")
+        }: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"c_$b") > col(s"c_${b + 1}"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sampled.select(col("media_id"), sig.as("phash"))
+  }
+
+  /** EXT5d-pairs — perceptual near-dup pairs over [[perceptualHash]]
+    * signatures, via the same banded-bucket hamming join as SimHash
+    * ([[graft.ops.Dedup.bandedHammingPairs]]): candidates come from
+    * band-key collisions (keyed equi-join — never all-pairs), then the
+    * exact Hamming filter. (media_a, media_b, hamming). */
+  def mediaNearDup(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.bandedHammingPairs(
+      perceptualHash(docs), idCol = "media_id", sigCol = "phash",
+      maxHamming = maxHamming, bands = bands, maxBucket = maxBucket,
+      outA = "media_a", outB = "media_b")
+
   /** Frame sampling on the opaque payload: every `stride`-th byte window —
     * the plumbing shape of video frame extraction (explode over frame
     * index, slice the payload), pure column ops. Payloads with zero

@@ -190,7 +190,9 @@ object AnalyticsQueries {
     // global distinct questions without re-touching the facts
     // (AggregateSketchSpec pins estimate accuracy and mergeability).
     // Estimates are engine-specific (DataSketches HLL / GK quantiles) —
-    // no DuckDB oracle by design, rows-only + ScalaTest like simhash.
+    // no DuckDB oracle by design, rows-only + ScalaTest; since round 9
+    // this is the registry's ONLY rows-only lane (simhash graduated to
+    // a full MD5-nibble oracle).
     QueryDef(
       "an13_sketches",
       (s, d) =>

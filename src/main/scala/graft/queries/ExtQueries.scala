@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** EXT1–EXT6 (SURVEY.md §2.11) — the LLM-training-data-pipeline operators,
   * each registered with a DuckDB oracle wherever DuckDB can express the
-  * semantics portably. Engine-specific hashing (SimHash, raw MinHash
-  * signatures) gets the driver's rows-only check plus ScalaTest coverage.
+  * semantics portably — including SimHash since round 9: the signature's
+  * token hash is derived from standard MD5 nibbles (Dedup.simhash), so
+  * the oracle replays the exact 64-bit signatures and the banded pair
+  * set in SQL. Only truly engine-randomized state (sketch internals)
+  * remains rows-only + ScalaTest.
   *
   * Notable oracle: `ext2_minhash_lsh` is checked against the *exact*
   * all-pairs Jaccard ground truth — green means the LSH path achieved 100%
@@ -15,6 +18,83 @@ import org.apache.spark.sql.functions._
   * than comparing the LSH mechanics.
   */
 object ExtQueries {
+
+  /** DuckDB mirror of [[graft.ops.Dedup.simhash]]: 64-bit signatures from
+    * MD5-nibble token hashes over distinct whitespace tokens. Generated
+    * SQL (16 nibble extractions, 64 bit-sum aggregates, 64 sign terms) —
+    * the same formulas the Spark expressions evaluate, so the signature
+    * matches bit-for-bit. Bit 63's weight is −2⁶³ (BIGINT two's
+    * complement), written `-9223372036854775807 - 1` because the bare
+    * literal would parse as HUGEINT in DuckDB. */
+  private val SimhashCte: String = {
+    val nibbles = (1 to 16).map { i =>
+      val a = s"ascii(substring(hx, $i, 1))"
+      s"CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END AS n$i"
+    }.mkString(",\n         ")
+    val bitSums = (0 until 64).map { b =>
+      s"SUM(CASE WHEN (n${b / 4 + 1} // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$b"
+    }.mkString(",\n         ")
+    val sigTerms = (0 until 64).map { b =>
+      val weight = if (b == 63) "-9223372036854775807 - 1" else (1L << b).toString
+      s"CASE WHEN s_$b > 0 THEN $weight ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |), hx AS (
+       |  SELECT doc_id, substring(md5(tok), 1, 16) AS hx FROM toks
+       |), nib AS (
+       |  SELECT doc_id,
+       |         $nibbles
+       |  FROM hx
+       |), bitsum AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM nib GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, CAST($sigTerms AS BIGINT) AS simhash FROM bitsum
+       |)
+       |""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.ops.Multimodal.perceptualHash]]: 65
+    * nearest-neighbor character samples at ⌊i·n/65⌋ (integer division —
+    * Spark's floor-of-double form is exact for these magnitudes), dHash
+    * bit i = (sample_i > sample_{i+1}). Same −2⁶³ literal trick as
+    * [[SimhashCte]] for bit 63. */
+  private def phashCte(source: String, extraCtes: String = ""): String = {
+    val samples = (0 to 64).map { i =>
+      s"ascii(substring(text, CAST(length(text) * $i // 65 AS BIGINT) + 1, 1)) AS c_$i"
+    }.mkString(",\n         ")
+    val sigTerms = (0 until 64).map { b =>
+      val weight = if (b == 63) "-9223372036854775807 - 1" else (1L << b).toString
+      s"CASE WHEN c_$b > c_${b + 1} THEN $weight ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH ${extraCtes}samp AS (
+       |  SELECT doc_id AS media_id,
+       |         $samples
+       |  FROM $source
+       |), ph AS (
+       |  SELECT media_id, CAST($sigTerms AS BIGINT) AS phash FROM samp
+       |)
+       |""".stripMargin
+  }
+
+  private val PhashCte: String = phashCte("documents")
+
+  /** The fixture corpus has NO perceptual dups (measured min pairwise
+    * dHash hamming = 13 at sf0.01), so a registered near-dup lane over
+    * raw documents would be a 0-row green that verifies nothing. The
+    * lane therefore PLANTS deterministic re-encoded copies (every
+    * 97th doc, id-shifted) on both sides — the pair path stays under
+    * real oracle verification: the banded join must find exactly the
+    * planted hamming-0 pairs and no false positives vs brute force. */
+  private val PlantedCopiesSql: String =
+    """planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+      |), """.stripMargin
 
   /** DuckDB mirror of TextOps.shingles/jaccard ground truth on documents. */
   private val DocShinglesCte: String =
@@ -148,12 +228,28 @@ object ExtQueries {
       Some(DocShinglesCte + JaccardSelect),
       bench = true),
 
-    // ── EXT2c — SimHash signatures (engine-specific xxhash64 ⇒ rows-only
-    //    check here; pair semantics covered in DedupSpec).
+    // ── EXT2b' — the SCALE-SAFE LSH configuration (minBandMatches=2),
+    //    under the SAME exact-Jaccard oracle. m=1 above is the classic
+    //    recall-floor baseline but DNF'd at the sf10 century scale-up
+    //    (~17 M chance band collisions on the uniform-df vocabulary —
+    //    BASELINE.md round-8 century); m=2 is the configuration you'd
+    //    actually run at 100 TB, so it is the one that must sit under
+    //    continuous oracle verification. Green ⇔ the 2-band agreement
+    //    rule loses zero true pairs on this corpus (also pinned by
+    //    DedupSimilaritySpec's m-of-b fixture test).
+    QueryDef(
+      "ext2_minhash_lsh_guarded",
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), minBandMatches = 2),
+      Some(DocShinglesCte + JaccardSelect),
+      bench = true),
+
+    // ── EXT2c — SimHash signatures. Full oracle since round 9: the
+    //    token hash is MD5-nibble-derived (portable), so DuckDB replays
+    //    the exact 64-bit signatures — green ⇔ bit-identical fingerprints.
     QueryDef(
       "ext2_simhash",
       (s, d) => Dedup.simhash(Tables.documents(s, d)),
-      None),
+      Some(SimhashCte + "SELECT doc_id, simhash FROM sig")),
 
     // ── EXT3 — brute-force top-k cosine (broadcast queries, no shuffle
     //    until the per-query top-k).
@@ -327,12 +423,21 @@ object ExtQueries {
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95""".stripMargin)),
 
-    // ── EXT2c-pairs — SimHash banded near-dup pairs (engine-hash-based ⇒
-    //    rows-only; guaranteed-recall property tested in DedupSpec).
+    // ── EXT2c-pairs — SimHash banded near-dup pairs. Oracle = brute-force
+    //    hamming over the replayed signatures (xor + bit_count): green ⇔
+    //    the pigeonhole band-join achieved exact recall AND precision at
+    //    maxHamming=3 on this corpus — the banded-vs-brute equality the
+    //    DedupSimilaritySpec pins at sf0.001, now continuously verified
+    //    at the driver's sf. The O(n²) side lives in the ORACLE only;
+    //    the engine path stays band-bucketed.
     QueryDef(
       "ext2_simhash_pairs",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d)),
-      None),
+      Some(SimhashCte +
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
 
     // ── EXT4f — TF-IDF (ln parity between java.lang.Math.log and DuckDB
     //    verified by the oracle; inputs are exact small-int ratios).
@@ -495,6 +600,38 @@ object ExtQueries {
              |       CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
              |       CAST(1024 AS BIGINT) AS n_bytes
              |FROM documents""".stripMargin)),
+
+    // ── EXT5d — perceptual media signatures (dHash over the stub's
+    //    resampled "luminance plane"; ops/Multimodal.perceptualHash).
+    //    Pure integer/ascii arithmetic ⇒ the oracle replays the exact
+    //    64-bit fingerprints.
+    QueryDef(
+      "ext5_media_phash",
+      (s, d) => Multimodal.perceptualHash(Tables.documents(s, d)),
+      Some(PhashCte + "SELECT media_id, phash FROM ph")),
+
+    // ── EXT5d-pairs — perceptual near-dup for media: banded-bucket
+    //    hamming join over the dHash signatures (never all-pairs; shares
+    //    Dedup.bandedHammingPairs with SimHash). Runs over the corpus
+    //    plus planted re-encoded copies (see [[PlantedCopiesSql]] — the
+    //    raw fixture has no perceptual dups, and a 0-row green verifies
+    //    nothing). Oracle = brute-force hamming over replayed
+    //    signatures — green ⇔ the pigeonhole band join achieved exact
+    //    recall+precision; the quadratic side lives in the ORACLE only.
+    QueryDef(
+      "ext5_media_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val planted = docs.union(
+          docs.filter(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        Multimodal.mediaNearDup(planted)
+      },
+      Some(phashCte("planted", PlantedCopiesSql) +
+        """SELECT a.media_id AS media_a, b.media_id AS media_b,
+          |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          |FROM ph a JOIN ph b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin)),
 
     // ── EXT7 — the composed training-data cleaning pipeline: quality
     //    gate → exact dedup → near-dup dedup (LSH) → survivors. The
@@ -1012,14 +1149,18 @@ object ExtQueries {
     //    .seededShuffle): reproducible (shard, pos) training order from a
     //    portable modular hash — the oracle replays the exact permutation
     //    from (doc_id, seed) alone, proving any engine can audit the
-    //    epoch order. pos ranks WITHIN shards (parallel windows, no
-    //    global sort).
+    //    epoch order. The seed keys the MULTIPLIER (m = (seed·2654435761)
+    //    mod (p−1) + 1), so different seeds permute within-shard order
+    //    rather than relabeling shards. pos ranks WITHIN shards (parallel
+    //    windows, no global sort).
     QueryDef(
       "ext30_shuffle",
       (s, d) => Curation.seededShuffle(Tables.documents(s, d), seed = 42L, shards = 8),
       Some("""WITH h AS (
              |  SELECT doc_id,
-             |         ((doc_id % 1000000007) * 2654435761 + 42) % 1000000007 AS h
+             |         ((doc_id % 1000000007)
+             |            * ((42 * 2654435761) % 1000000006 + 1)
+             |          + 42) % 1000000007 AS h
              |  FROM documents
              |)
              |SELECT doc_id, h % 8 AS shard,

@@ -321,17 +321,23 @@ object StorageQueries {
       (s, d) => {
         val attrStore = freshStore(s, "s20-attr", d)
         val repStore = freshStore(s, "s20-rep", d)
+        // attr (the full journey+scoring pipeline — the lane's heaviest
+        // plan) feeds both wave filters; sd feeds every advance step.
+        // Persisted for the lane's eager body, released before returning.
         val attr = IhcScorer.score(
-          JourneyBuilder.journeys(Tables.conversions(s, d), Tables.sessions(s, d)))
+          JourneyBuilder.journeys(Tables.conversions(s, d), Tables.sessions(s, d))).persist()
         val sd = ChannelReport.sessionData(Tables.sessions(s, d), Tables.sessionCosts(s, d))
+          .persist()
         val cv = Tables.conversions(s, d)
-        TxStore.append(attr.filter(col("conversion_id") % 2 === 0), attrStore) // wave 1
-        val v1 = IncrementalReport.advance(s, attrStore, repStore, sd, cv)
-        TxStore.append(attr.filter(col("conversion_id") % 2 =!= 0), attrStore) // wave 2
-        val v2 = IncrementalReport.advance(s, attrStore, repStore, sd, cv)
-        require(v2 == v1 + 1, s"expected wave-2 consumption v${v1 + 1}, got v$v2")
-        val v3 = IncrementalReport.advance(s, attrStore, repStore, sd, cv)
-        require(v3 == v2, s"caught-up poll must not advance: $v2 -> $v3")
+        try {
+          TxStore.append(attr.filter(col("conversion_id") % 2 === 0), attrStore) // wave 1
+          val v1 = IncrementalReport.advance(s, attrStore, repStore, sd, cv)
+          TxStore.append(attr.filter(col("conversion_id") % 2 =!= 0), attrStore) // wave 2
+          val v2 = IncrementalReport.advance(s, attrStore, repStore, sd, cv)
+          require(v2 == v1 + 1, s"expected wave-2 consumption v${v1 + 1}, got v$v2")
+          val v3 = IncrementalReport.advance(s, attrStore, repStore, sd, cv)
+          require(v3 == v2, s"caught-up poll must not advance: $v2 -> $v3")
+        } finally { attr.unpersist(); sd.unpersist(): Unit }
         TxStore.read(s, repStore).select(
           col("channel_name"), col("date"),
           graft.Num.rnd(col("cost"), 2).as("cost"),

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, lit, not}
+import org.apache.spark.sql.functions.{col, count, count_distinct, input_file_name, lit, not, struct}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -647,11 +647,33 @@ object TxStore {
     require(!updates.columns.contains("__f"), "updates must not carry the reserved __f column")
     val base = snapshot(spark, path)
     val keyCols = keys.map(col)
-    val nUpdates = updates.count()
+    // The merge runs several actions over `updates` (validation counts,
+    // the file probe, the rewrite union, the stage write) — persist it
+    // for the duration or an expensive upstream plan (a delta rollup, a
+    // stateful micro-batch) recomputes per action. Row count and
+    // per-key uniqueness come from ONE aggregate job, not two.
+    updates.persist()
+    try {
+      mergeBody(spark, path, updates, keys, keyCols, base, txn)
+    } finally updates.unpersist(): Unit
+  }
+
+  private def mergeBody(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      keyCols: Seq[Column],
+      base: Snapshot,
+      txn: Option[String]): Long = {
+    val counts = updates
+      .agg(count(lit(1)).as("n"), count_distinct(struct(keyCols: _*)).as("k"))
+      .head()
+    val nUpdates = counts.getLong(0)
     if (nUpdates == 0) return base.version
     val distinctKeys = updates.select(keyCols: _*).distinct()
     require(
-      distinctKeys.count() == nUpdates,
+      counts.getLong(1) == nUpdates,
       s"updates must be unique per key (${keys.mkString(", ")}) — ambiguous winners")
     val hit =
       if (base.files.isEmpty) Nil

@@ -34,10 +34,15 @@ object StreamingIngest {
     * the stream matches the physical ts type of the files actually in
     * the directory. An empty landing dir falls back to the canonical
     * schema — fine for the empty-run registration path, but a stream
-    * DEFINED against an empty dir assumes long-ts files will land. */
+    * DEFINED against an empty dir assumes long-ts files will land.
+    * Only the missing-path/unable-to-infer AnalysisException takes that
+    * fallback: a real IO error (unreachable store, corrupt footer) must
+    * propagate HERE, at definition time — swallowed, it would surface
+    * later as a confusing conversion failure at trigger time, far from
+    * the root cause. */
   private def landedSchema(spark: SparkSession, dir: String): StructType =
     try spark.read.parquet(dir).schema
-    catch { case _: Exception => eventsSchema }
+    catch { case _: org.apache.spark.sql.AnalysisException => eventsSchema }
 
   /** Streaming scan of an events landing path (a directory that receives
     * only event files, or a glob — NOT a mixed-table directory: the file
@@ -81,53 +86,57 @@ object StreamingIngest {
         col("total_value"))
   }
 
+  /** The rollup's output schema: one row per (date, event_type);
+    * total_value is nullable (an all-NULL value group is SQL NULL). */
+  val rollupSchema: StructType = StructType(Seq(
+    StructField("date", StringType),
+    StructField("event_type", StringType),
+    StructField("n_events", LongType),
+    StructField("total_value", DoubleType)))
+
   /** Run the rollup over whatever is in `dir` right now, AvailableNow,
-    * into an in-memory table `name`; returns the query (await it, then
-    * read `spark.table(name)` — one row per (date, event_type)).
+    * readable back as temp view `name`; returns the query (await it,
+    * then read `spark.table(name)` — one row per (date, event_type)).
     *
     * The sink is a `foreachBatch` keyed UPSERT, not `format("memory")`:
     * the memory sink in update mode APPENDS each micro-batch's updated
     * rows, so any run spanning more than one micro-batch (>
     * maxFilesPerTrigger landing files, or one day's events split across
     * triggers) would leave stale duplicates per key and double-count on
-    * read. Each batch's rows land in a driver-resident map keyed by
-    * (date, event_type) — last write wins — re-registered as `name` on
-    * the CALLER's session after every batch (foreachBatch runs under a
-    * cloned session whose temp views the caller can't see). Driver
-    * residency matches what format("memory") does anyway and is sized to
-    * the rollup (days × event types), never the event stream; a
-    * production deployment would upsert into a keyed store (Delta MERGE,
-    * JDBC upsert) through this same foreachBatch seam. Verified by the
-    * multi-micro-batch spec.
+    * read. Each batch upserts into a [[graft.sources.TxStore]] table at
+    * `<checkpoint>_rollup` via [[graft.sources.TxStore.mergeOnce]] —
+    * keyed by (date, event_type), stamped (writerId, batchId) so
+    * foreachBatch's at-least-once redelivery after a crash no-ops
+    * instead of re-merging — and the temp view is re-registered over
+    * the TABLE on the caller's session after every batch (foreachBatch
+    * runs under a cloned session whose temp views the caller can't
+    * see). NOTHING accumulates on the driver: state scales with the
+    * cluster's storage, not driver heap, at any channel × day
+    * cardinality. Verified by the multi-micro-batch spec.
     *
-    * State is keyed by `name` and survives across invocations in this
-    * JVM: update mode only emits groups the NEW files touched, so a
-    * scheduled re-invocation against the same checkpoint must merge into
-    * (not replace) the previous rollup. The accumulated view shares the
-    * JVM's lifetime — like any temp view — so a fresh driver process
-    * starts empty while the checkpoint skips already-processed files;
-    * a deployment that must survive restarts points this seam at a
-    * durable keyed sink instead. */
+    * State is keyed by the CHECKPOINT (the store is its sibling
+    * directory) and is durable: update mode only emits groups the NEW
+    * files touched, so a scheduled re-invocation against the same
+    * checkpoint merges into (not replaces) the accumulated rollup — and
+    * because store and checkpoint now live and die together, a fresh
+    * driver process resumes with BOTH the processed-file set and the
+    * rollup intact (the JVM-lifetime temp-view gap this replaced). */
   def runAvailableNow(
       spark: SparkSession,
       dir: String,
       checkpoint: String,
       name: String,
       maxFilesPerTrigger: Int = 32): StreamingQuery = {
-    // (n_events, total_value); total_value is java.lang.Double so an
-    // all-NULL value group round-trips as SQL NULL (getDouble would NPE)
-    val state = StreamingIngest.rollupState
-      .computeIfAbsent(name, _ => new java.util.LinkedHashMap[(String, String), (Long, java.lang.Double)]())
+    val store = checkpoint.stripSuffix("/") + "_rollup"
+    val writer = writerIdFor(spark, checkpoint, "graft-rollup-")
     def register(): Unit = {
-      import spark.implicits._
-      val rows = state.entrySet().iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, java.lang.Double)]
-      while (rows.hasNext) {
-        val e = rows.next()
-        buf += ((e.getKey._1, e.getKey._2, e.getValue._1, e.getValue._2))
-      }
-      buf.toSeq.toDF("date", "event_type", "n_events", "total_value")
-        .createOrReplaceTempView(name)
+      val cur =
+        if (graft.sources.TxStore.snapshot(spark, store).files.nonEmpty)
+          graft.sources.TxStore.read(spark, store)
+        else
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rollupSchema)
+      cur.createOrReplaceTempView(name)
     }
     // Register up front: a zero-micro-batch run (empty landing dir, or a
     // checkpoint with nothing new) never fires foreachBatch, and the
@@ -137,13 +146,16 @@ object StreamingIngest {
     channelDaily(readEvents(spark, dir, maxFilesPerTrigger))
       .writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // foreachBatch invocations are sequential per query — no lock
-        batch.collect().foreach { r =>
-          state.put(
-            (r.getString(0), r.getString(1)),
-            (r.getLong(2), if (r.isNullAt(3)) null else Double.box(r.getDouble(3))))
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // persisted across the emptiness probe + merge's several actions
+        // (count/key-probe/stage): unpersisted, each would recompute the
+        // stateful aggregation from the source
+        batch.persist()
+        try
+          if (!batch.isEmpty)
+            graft.sources.TxStore.mergeOnce(
+              spark, store, batch, Seq("date", "event_type"), writer, batchId): Unit
+        finally batch.unpersist(): Unit
         register()
       }
       .option("checkpointLocation", checkpoint)
@@ -217,17 +229,7 @@ object StreamingIngest {
       tablePath: String,
       writerId: String = null,
       maxFilesPerTrigger: Int = 32): StreamingQuery = {
-    val writer = Option(writerId).getOrElse {
-      val p = new org.apache.hadoop.fs.Path(checkpoint)
-      val qualified = p
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .makeQualified(p)
-        .toUri
-        .toString
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      "graft-ingest-" + digest.take(16).map("%02x".format(_)).mkString
-    }
+    val writer = Option(writerId).getOrElse(writerIdFor(spark, checkpoint, "graft-ingest-"))
     readEvents(spark, dir, maxFilesPerTrigger)
       .writeStream
       .outputMode("append")
@@ -260,8 +262,23 @@ object StreamingIngest {
     finally batch.unpersist(): Unit
   }
 
-  /** Accumulated rollups per table name (see runAvailableNow). */
-  private val rollupState =
-    new java.util.concurrent.ConcurrentHashMap[
-      String, java.util.LinkedHashMap[(String, String), (Long, java.lang.Double)]]()
+  /** Deterministic writer id from the FULLY-QUALIFIED checkpoint path
+    * (scheme + absolute form, so respelling "/x/ckpt" vs "/x/ckpt/" vs a
+    * relative form across restarts keeps the same writer). The stamp
+    * identifies (writer, batchId), not content: two pipelines — or one
+    * whose checkpoint was deleted and restarted, resetting batch
+    * numbering — must not share a writerId (see runAppendToTxStore).
+    * SHA-256-derived 128-bit hex, so path collisions are not a practical
+    * concern; ':'-free per TxStore's stamp syntax. */
+  private def writerIdFor(spark: SparkSession, checkpoint: String, prefix: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint)
+    val qualified = p
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p)
+      .toUri
+      .toString
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(qualified.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    prefix + digest.take(16).map("%02x".format(_)).mkString
+  }
 }

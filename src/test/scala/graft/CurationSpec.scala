@@ -65,5 +65,19 @@ class CurationSpec extends SparkSpec {
     assert(a.except(b).count() === 0 && b.except(a).count() === 0)
     val c = Curation.seededShuffle(docs, seed = 7L, shards = 8)
     assert(c.except(a).count() > 0, "changing the seed must move documents")
+    // The seed must change RELATIVE order, not just shard labels: an
+    // additive-only seed shifts every hash by a constant, relabeling
+    // shards while every co-sharded pair keeps its order. Take doc pairs
+    // co-sharded under BOTH seeds and require a discordant pair (order
+    // inverted between epochs).
+    val slots42 = a.select(col("doc_id"), col("shard").as("sa"), col("pos").as("pa"))
+    val slots7 = c.select(col("doc_id"), col("shard").as("sc"), col("pos").as("pc"))
+    val j = slots42.join(slots7, "doc_id")
+    val pairs = j.as("x").join(j.as("y"),
+      col("x.sa") === col("y.sa") && col("x.sc") === col("y.sc") &&
+        col("x.doc_id") < col("y.doc_id"))
+    val discordant = pairs.filter(
+      (col("x.pa") < col("y.pa")) =!= (col("x.pc") < col("y.pc"))).count()
+    assert(discordant > 0, "changing the seed must invert some within-shard order")
   }
 }

@@ -304,6 +304,29 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("perceptual dHash: exact copies collide, banded pairs equal brute force") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val sig = Multimodal.perceptualHash(docs).as[(Long, Long)].collect().toMap
+    assert(sig.size == docs.count())
+    // a planted exact copy hashes identically (hamming 0)
+    val copies = docs.limit(3).select(col("doc_id") + 100000L, col("text"))
+      .toDF("doc_id", "text")
+    val planted = docs.select("doc_id", "text").union(copies.select("doc_id", "text"))
+    val sigP = Multimodal.perceptualHash(planted).as[(Long, Long)].collect().toMap
+    (0 until 3).foreach(i => assert(sigP(i + 100000L) == sigP(i.toLong)))
+    // banded pairs == brute-force hamming pairs (pigeonhole recall at
+    // maxHamming < bands), so the bucket join loses nothing here
+    val banded = Multimodal.mediaNearDup(planted.withColumn("text", col("text")))
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    val brute = sigP.toSeq.flatMap { case (a, sa) =>
+      sigP.toSeq.collect {
+        case (b, sb) if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3 => (a, b)
+      }
+    }.toSet
+    assert(banded == brute)
+    assert(banded.exists { case (a, b) => b == a + 100000L }, "planted copies must pair")
+  }
+
   test("frame sampling slices the payload on stride boundaries") {
     val frames = Multimodal.sampleFrames(spark, Tables.documents(spark, sf("sf0.001")),
       frameBytes = 64, stride = 4)
