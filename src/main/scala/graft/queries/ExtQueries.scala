@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Sql, Tables}
-import graft.ops.{Curation, Dedup, Diff, Multimodal, Packing, Pq, Profiling, Sampling, Sessionize, Similarity, TextOps}
+import graft.ops.{Curation, Dedup, Diff, Multimodal, Packing, Pq, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextOps}
 import org.apache.spark.sql.functions._
 
 /** EXT1–EXT6 (SURVEY.md §2.11) — the LLM-training-data-pipeline operators,
@@ -1166,6 +1166,123 @@ object ExtQueries {
              |SELECT doc_id, h % 8 AS shard,
              |       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
              |            AS BIGINT) AS pos
-             |FROM h""".stripMargin))
+             |FROM h""".stripMargin)),
+
+    // ── EXT33a — exact-substring duplicate spans (ops/SpanDedup): the
+    //    position-level dedup of Lee et al. 2022's ExactSubstr, as a
+    //    distributed gram inverted index instead of a suffix array. The
+    //    oracle replays the whole semantics in SQL — gram occurrences by
+    //    list slicing, first-occurrence election, gaps-and-islands span
+    //    merge — so green means the combinable-aggregate engine path
+    //    produces exactly the rank-window reference spans.
+    QueryDef(
+      "ext33_dup_spans",
+      (s, d) => SpanDedup.duplicatedSpans(Tables.documents(s, d), L = 5),
+      Some(spanMarkCte(5) +
+        """, isl AS (
+          |  SELECT doc_id, pos,
+          |         CASE WHEN pos > COALESCE(MAX(pos + 4) OVER (
+          |                  PARTITION BY doc_id ORDER BY pos
+          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |                -9223372036854775807 - 1) + 1
+          |              THEN 1 ELSE 0 END AS brk
+          |  FROM marked
+          |), isl2 AS (
+          |  SELECT doc_id, pos,
+          |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          |  FROM isl
+          |)
+          |SELECT doc_id,
+          |       CAST(MIN(pos) AS BIGINT) AS span_start,
+          |       CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+          |       CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+          |FROM isl2 GROUP BY doc_id, island""".stripMargin)),
+
+    // ── EXT33b — exact-substring trim: rebuild every document with the
+    //    redundant positions removed (each duplicated gram keeps exactly
+    //    its first corpus occurrence in (doc_id, pos) order). The green
+    //    hash covers the reconstructed TEXT itself, not just counts.
+    QueryDef(
+      "ext33_trim",
+      (s, d) => SpanDedup.trimSpans(Tables.documents(s, d), L = 5),
+      Some(spanMarkCte(5) +
+        """, covered AS (
+          |  SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + 5)) AS BIGINT) AS pos
+          |  FROM marked
+          |), toks AS (
+          |  SELECT doc_id, CAST(g AS BIGINT) - 1 AS pos, l[g] AS tok
+          |  FROM (SELECT doc_id, unnest(range(1, len(l) + 1)) AS g, l FROM d)
+          |), kept AS (
+          |  SELECT t.doc_id, t.pos, t.tok
+          |  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+          |  WHERE c.doc_id IS NULL
+          |), agg AS (
+          |  SELECT doc_id, COUNT(*) AS kept_tokens,
+          |         string_agg(tok, ' ' ORDER BY pos) AS text_clean
+          |  FROM kept GROUP BY doc_id
+          |)
+          |SELECT d2.doc_id,
+          |       CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens,
+          |       CAST(COALESCE(agg.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+          |       COALESCE(agg.text_clean, '') AS text_clean
+          |FROM documents d2 LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
+    // ── EXT34 — SemDeDup-style semantic prune (Abbas et al. 2023):
+    //    cluster-bounded embedding near-dup pairs (the trained-IVF path,
+    //    no all-pairs product) → greedy keep-lowest-id survivors. Same
+    //    planted-duplicate corpus as ext2_embed_neardup_ivf — the fixture
+    //    alone has no cosine-0.95 pairs, so every 10th vector is
+    //    re-inserted under vec_id + 10⁷ and the oracle prunes against the
+    //    EXACT all-pairs ground truth: green ⇔ the IVF path found every
+    //    pair the greedy rule needed.
+    QueryDef(
+      "ext34_semdedup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val planted = e.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(10000000L))
+        val corpus = e.unionByName(planted)
+        val dropIds = Similarity.nearDupPairsIvf(corpus)
+          .select(col("vec_b").as("vec_id")).distinct()
+        corpus.join(dropIds, Seq("vec_id"), "left_anti").select("vec_id")
+      },
+      Some("""WITH pe AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS emb
+             |  FROM embeddings WHERE vec_id % 10 = 0
+             |), e AS (
+             |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM pe
+             |), drop_ids AS (
+             |  SELECT DISTINCT b.vec_id
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95
+             |)
+             |SELECT vec_id FROM pe
+             |WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)""".stripMargin))
   )
+
+  /** Shared CTE prefix for the EXT33 lanes: L-gram occurrences via DuckDB
+    * list slicing (0-based pos to match Spark's posexplode), then the
+    * REDUNDANT occurrences — everything past each gram's first corpus
+    * occurrence in (doc_id, pos) order. The oracle elects firsts with a
+    * rank window; the engine uses the combinable min-struct aggregate
+    * (SpanDedup.redundantOccurrences) — agreeing output proves the
+    * aggregate path exact. */
+  private def spanMarkCte(l: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), occ AS (
+       |  SELECT doc_id, unnest(range(1, greatest(len(l) - $l + 2, 1))) AS g, l FROM d
+       |), o2 AS (
+       |  SELECT doc_id, CAST(g AS BIGINT) - 1 AS pos,
+       |         array_to_string(l[g:g + $l - 1], ' ') AS gram
+       |  FROM occ
+       |), rn AS (
+       |  SELECT doc_id, pos,
+       |         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM o2
+       |), marked AS (
+       |  SELECT doc_id, pos FROM rn WHERE rn > 1
+       |)""".stripMargin
 }
