@@ -154,28 +154,8 @@ object Similarity {
       dim: Int,
       probeBits: Int): DataFrame = {
     require(probeBits >= 0 && probeBits <= planes, "probeBits in [0, planes]")
-    // deterministic hyperplanes: component (t,p,d) from a splitmix-style mix
-    def component(t: Int, p: Int, d: Int): Float = {
-      var z = t.toLong * 1000003L + p.toLong * 1009L + d.toLong + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble).toFloat // in [-1, 1]
-    }
-    // All bucket keys in ONE expression (graft_lsh_keys): the per-table
-    // composition of graft_dot calls — 64 inlined dim-64 loops in one
-    // codegen method — compiled fine but was too big to JIT, so it ran
-    // as cold interpreter-grade code (the element_at form before it was
-    // worse still: a 4 096-node tree past codegen's method-size limits,
-    // 36 s at sf0.1; the composed-dot form ~6 s; this form: the whole
-    // lane in well under a second, the kernel finally JITs). The plane
-    // matrix is one flat float[] reference object; accumulation order
-    // matches graft_dot bit-for-bit, so the keys are unchanged.
-    val planesFlat = typedLit(
-      (0 until tables).flatMap(t => (0 until planes).flatMap(p =>
-        (0 until dim).map(d => component(t, p, d)))).toArray)
-    def allKeys(emb: Column): Column =
-      graft.functions.GraftExtensions.lshKeys(emb, planesFlat, lit(tables), lit(planes))
+    val planesFlat = planeMatrix(tables, planes, dim)
+    def allKeys(emb: Column): Column = bucketKeys(emb, planesFlat, tables, planes)
 
     val corpus = prepCorpus(embeddings)
     val q = prepQueries(queries)
@@ -212,6 +192,91 @@ object Similarity {
         .select("q_id", "vec_id", "sim")
         .dropDuplicates("q_id", "vec_id"),
       k)
+  }
+
+  /** Deterministic random-hyperplane matrix for sign-LSH, flattened to
+    * ONE float[] literal: component (t, p, d) from a splitmix-style mix
+    * in [−1, 1]. All bucket keys then come from ONE expression
+    * (graft_lsh_keys): the per-table composition of graft_dot calls —
+    * 64 inlined dim-64 loops in one codegen method — compiled fine but
+    * was too big to JIT, so it ran as cold interpreter-grade code (the
+    * element_at form before it was worse still: a 4 096-node tree past
+    * codegen's method-size limits, 36 s at sf0.1; the composed-dot form
+    * ~6 s; this form: the whole lane in well under a second, the kernel
+    * finally JITs). The plane matrix is one flat float[] reference
+    * object; accumulation order matches graft_dot bit-for-bit, so the
+    * keys are reproducible across runs and engines. */
+  private def planeMatrix(tables: Int, planes: Int, dim: Int): Column = {
+    def component(t: Int, p: Int, d: Int): Float = {
+      var z = t.toLong * 1000003L + p.toLong * 1009L + d.toLong + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble).toFloat // in [-1, 1]
+    }
+    typedLit(
+      (0 until tables).flatMap(t => (0 until planes).flatMap(p =>
+        (0 until dim).map(d => component(t, p, d)))).toArray)
+  }
+
+  /** Per-table sign-LSH bucket keys (array of `tables` longs, table t's
+    * key = the `planes` sign bits of the projections onto its planes). */
+  private def bucketKeys(emb: Column, planesFlat: Column, tables: Int, planes: Int): Column =
+    graft.functions.GraftExtensions.lshKeys(emb, planesFlat, lit(tables), lit(planes))
+
+  /** Embedding near-dup pairs via banded sign-LSH (Charikar 2002 random
+    * hyperplanes) — the 100×-scale path where the trained-IVF variant
+    * ([[nearDupPairsIvf]]) is structurally quadratic: on a corpus with no
+    * cluster structure, IVF cell populations grow linearly with n at
+    * fixed nCells, so within-cell pairs grow n² (measured: the sf10
+    * century corpus, 2.2 M vectors, spilled > 70 GB and DNF'd — the
+    * same lesson as MinHash-LSH's m=1 banding, BASELINE.md round-8
+    * century). Sign-LSH bounds candidates by collision PROBABILITY
+    * instead of cell population: a pair at angle θ collides in a table
+    * with (1 − θ/π)^planes, so background pairs (θ ≈ π/2) arrive at
+    * rate tables · C(n,2) / 2^planes — planes = 24 keeps that
+    * sub-linear past 10⁷ vectors — while EXACT duplicates (θ = 0, the
+    * planted oracle structure, and the overwhelming real-world shape at
+    * threshold 0.95) collide in EVERY table: recall 1.0 structurally,
+    * not probabilistically. Genuine-but-inexact 0.95-neighbors collide
+    * per table at 0.9^planes; raise `tables` (recall 1−(1−0.9^p)^t) or
+    * lower `planes` to trade candidate volume for tail recall — the
+    * knob doc mirrors Dedup.minhashLshPairs.
+    *
+    * Plan shape: bucket keys are one codegen'd kernel over the corpus
+    * (n·tables narrow (vec_id, table, bucket) rows — embeddings do NOT
+    * ride the candidate join); candidates come from the (table, bucket)
+    * equi-self-join, dedup to distinct pairs, then exactly TWO keyed
+    * joins pull the embeddings back for the exact cosine re-verify. The
+    * output is exact at the threshold over the surfaced candidates —
+    * same contract as every other near-dup lane. */
+  def nearDupPairsLsh(
+      embeddings: DataFrame,
+      threshold: Double = 0.95,
+      planes: Int = 24,
+      tables: Int = 8,
+      dim: Int = 64): DataFrame = {
+    require(planes >= 1 && planes <= 63, "planes in [1, 63] (bucket key is one long)")
+    val e = prepCorpus(embeddings)
+    val planesFlat = planeMatrix(tables, planes, dim)
+    val keyed = e.select(col("vec_id"),
+      posexplode(bucketKeys(col("embedding"), planesFlat, tables, planes))
+        .as(Seq("table_id", "bucket")))
+    val cand = keyed.alias("a")
+      .join(keyed.alias("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), Seq("vec_b"))
+      .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), graft.Num.rnd(col("sim"), 6).as("sim"))
   }
 
   /** Lloyd's k-means over the embedding column — the trained coarse
@@ -360,8 +425,14 @@ object Similarity {
   }
 
   /** [[nearDupPairs]] with TRAINED cells instead of the fixture label —
-    * the self-sufficient scale path (no pre-existing blocking column
-    * needed). Every vector is assigned to its `nAssign` nearest cells
+    * self-sufficient (no pre-existing blocking column needed), but
+    * per-cell QUADRATIC: cell populations are ~n·nAssign/nCells, so on a
+    * corpus without cluster structure the candidate join grows n²/nCells
+    * (the sf10 century corpus DNF'd here — 2.2 M vectors, > 70 GB spill;
+    * see [[nearDupPairsLsh]], the probability-bounded scale path, for
+    * the measured account). Use this variant when the corpus genuinely
+    * clusters (cells stay small) or at ground-truthing scale.
+    * Every vector is assigned to its `nAssign` nearest cells
     * (multi-assignment: a near-dup pair straddling a cell boundary still
     * meets in the runner-up cell — at cosine ≥ 0.95 the two vectors'
     * cell rankings are nearly identical, so 2 assignments cover the

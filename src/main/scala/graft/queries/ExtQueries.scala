@@ -1178,7 +1178,8 @@ object ExtQueries {
     QueryDef(
       "ext33_dup_spans",
       (s, d) => SpanDedup.duplicatedSpans(Tables.documents(s, d), L = 5),
-      Some(spanMarkCte(5) +
+      bench = true,
+      sql = Some(spanMarkCte(5) +
         """, isl AS (
           |  SELECT doc_id, pos,
           |         CASE WHEN pos > COALESCE(MAX(pos + 4) OVER (
@@ -1227,14 +1228,44 @@ object ExtQueries {
           |       COALESCE(agg.text_clean, '') AS text_clean
           |FROM documents d2 LEFT JOIN agg USING (doc_id)""".stripMargin)),
 
+    // ── EXT2d-lsh — embedding near-dup pairs via banded sign-LSH: the
+    //    100×-scale path (candidates bounded by collision probability,
+    //    tables·C(n,2)/2^planes) where the trained-IVF variant is
+    //    per-cell quadratic and DNF'd the sf10 century. Same planted
+    //    corpus and EXACT all-pairs oracle as ext2_embed_neardup_ivf:
+    //    green ⇔ sign-LSH achieved exact recall AND precision here
+    //    (exact duplicates collide in every table — structural, not
+    //    probabilistic).
+    QueryDef(
+      "ext2_embed_neardup_lsh",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val planted = e.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(10000000L))
+        Similarity.nearDupPairsLsh(e.unionByName(planted))
+      },
+      Some(s"""WITH pe AS (
+              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+              |  UNION ALL
+              |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS emb
+              |  FROM embeddings WHERE vec_id % 10 = 0
+              |), e AS (
+              |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM pe
+              |)
+              |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              |       ${Sql.rnd("list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)", 6)} AS sim
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95""".stripMargin)),
+
     // ── EXT34 — SemDeDup-style semantic prune (Abbas et al. 2023):
-    //    cluster-bounded embedding near-dup pairs (the trained-IVF path,
-    //    no all-pairs product) → greedy keep-lowest-id survivors. Same
-    //    planted-duplicate corpus as ext2_embed_neardup_ivf — the fixture
-    //    alone has no cosine-0.95 pairs, so every 10th vector is
-    //    re-inserted under vec_id + 10⁷ and the oracle prunes against the
-    //    EXACT all-pairs ground truth: green ⇔ the IVF path found every
-    //    pair the greedy rule needed.
+    //    embedding near-dup pairs → greedy keep-lowest-id survivors. The
+    //    pair source is the banded sign-LSH path (the configuration that
+    //    survives the sf10 century; the IVF variant is per-cell
+    //    quadratic there). Same planted-duplicate corpus as the pairs
+    //    lanes — the fixture alone has no cosine-0.95 pairs, so every
+    //    10th vector is re-inserted under vec_id + 10⁷ and the oracle
+    //    prunes against the EXACT all-pairs ground truth: green ⇔ the
+    //    LSH path found every pair the greedy rule needed.
     QueryDef(
       "ext34_semdedup",
       (s, d) => {
@@ -1242,7 +1273,7 @@ object ExtQueries {
         val planted = e.filter(col("vec_id") % 10 === 0)
           .withColumn("vec_id", col("vec_id") + lit(10000000L))
         val corpus = e.unionByName(planted)
-        val dropIds = Similarity.nearDupPairsIvf(corpus)
+        val dropIds = Similarity.nearDupPairsLsh(corpus)
           .select(col("vec_b").as("vec_id")).distinct()
         corpus.join(dropIds, Seq("vec_id"), "left_anti").select("vec_id")
       },

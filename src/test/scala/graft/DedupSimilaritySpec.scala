@@ -268,6 +268,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == expected, s"got $pairs, expected $expected")
   }
 
+  test("sign-LSH near-dup finds exactly the planted pairs (incl. a nudged near-dup)") {
+    // Same planted structure as the trained-cell test: near-identical
+    // copies (one component nudged by 1e-3, cosine ≈ 1) must collide in
+    // at least one of the 8 tables and survive the exact re-verify; the
+    // rest of the corpus (max pair cosine ≈ 0.51) must contribute
+    // nothing past the threshold filter.
+    val base = embs.select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % 100 === 0).limit(5)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          slice(col("embedding"), 1, 63),
+          array(element_at(col("embedding"), 64) + lit(0.001f))).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val pairs = Similarity.nearDupPairsLsh(corpus)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val expected = planted.select("vec_id").as[Long].collect()
+      .map(id => (id - 1000000L, id)).toSet
+    assert(pairs == expected, s"got $pairs, expected $expected")
+  }
+
+  test("sign-LSH candidate volume stays probability-bounded on the clean corpus") {
+    // No pair in the raw fixture reaches the threshold, so EVERY
+    // candidate the bands surface is background noise — the expected
+    // rate is tables·C(n,2)/2^planes ≪ C(n,2). Allow 100× headroom over
+    // the expectation; the all-pairs count (~200k at sf0.001) would
+    // fail it by orders of magnitude, so this pins the candidate join
+    // as banded, not all-pairs.
+    val n = embs.count().toDouble
+    val expectedBackground = 8.0 * n * (n - 1) / 2.0 / math.pow(2.0, 24)
+    val candidates = Similarity.nearDupPairsLsh(embs, threshold = -1.0).count().toDouble
+    assert(candidates <= math.max(expectedBackground * 100, 50.0),
+      s"candidate volume $candidates vs background expectation $expectedBackground")
+  }
+
   test("decontamination measures containment of the eval doc, not Jaccard") {
     // eval doc 10 is fully contained in train doc 1 (tiny Jaccard — the
     // train page is much longer); eval doc 20 shares nothing.
