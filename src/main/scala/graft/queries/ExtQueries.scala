@@ -190,7 +190,9 @@ object ExtQueries {
       |)
       |""".stripMargin
 
-  val all: Seq[QueryDef] = Seq(
+  val all: Seq[QueryDef] = main ++ Ext35
+
+  private def main: Seq[QueryDef] = Seq(
 
     // ── EXT1 — exact dedup, keep-first-by-timestamp per (user, channel):
     //    row_number window = 1 (the reference never dedups; this is the
@@ -1292,6 +1294,31 @@ object ExtQueries {
              |SELECT vec_id FROM pe
              |WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)""".stripMargin))
   )
+
+  /** EXT35 lane list appendix — see [[graft.ops.TextOps.unigramLogProb]].
+    * (A `def`, not a `val`: `all` initializes first in the object body.) */
+  private def Ext35: Seq[QueryDef] = Seq(
+    // ── EXT35 — unigram LM scoring (the portable core of CCNet-style
+    //    perplexity filtering): per-doc mean token log-probability under
+    //    the corpus's own unigram distribution. Token-keyed enrich join,
+    //    never a vocabulary broadcast; only the grand total crosses as a
+    //    single-row broadcast after the per-doc aggregate.
+    QueryDef(
+      "ext35_unigram_logprob",
+      (s, d) => TextOps.unigramLogProb(Tables.documents(s, d)),
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+              |), tf AS (
+              |  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+              |), tot AS (
+              |  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM tf
+              |)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              |       ${Sql.rnd(
+                 "(SUM(ln(CAST(cnt AS DOUBLE))) - COUNT(*) * ln(total)) / COUNT(*)", 4)}
+              |         AS avg_logp
+              |FROM tok JOIN tf USING (token), tot
+              |GROUP BY doc_id, total""".stripMargin)))
 
   /** Shared CTE prefix for the EXT33 lanes: L-gram occurrences via DuckDB
     * list slicing (0-based pos to match Spark's posexplode), then the

