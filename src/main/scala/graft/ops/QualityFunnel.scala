@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXT36 — the composed quality-filter FUNNEL: the rule pipeline a
+  * training-data curation run actually ships (the shape of FineWeb's
+  * ablation tables and Gopher's §A1.1 rule list), with per-rule
+  * attrition reported so a corpus change shows WHERE documents die.
+  *
+  * Four rules in fixed order, each an exact-integer predicate (no float
+  * threshold can disagree between engines; the one float input,
+  * `avg_logp`, is compared AFTER its canonical 4dp rounding, which both
+  * engines produce bit-identically — pinned by ext35's hash-green
+  * oracle):
+  *
+  *  - R1 `len`:  20 ≤ n_tokens ≤ 10 000 (too short to carry signal /
+  *    runaway concatenation)
+  *  - R2 `rep`:  (n_tokens − n_distinct)·100 ≤ 65·n_tokens — repetition
+  *    ratio ≤ 0.65 as a cross-multiplied integer inequality
+  *  - R3 `stop`: n_stop·50 ≥ n_tokens — stopword ratio ≥ 0.02 (the
+  *    classic natural-language-vs-keyword-list discriminator)
+  *  - R4 `lm`:   avg_logp ≥ −3.43 — the unigram-LM gibberish gate
+  *    ([[TextOps.unigramLogProb]])
+  *
+  * Thresholds are calibrated to the driver fixture so every rule has a
+  * non-empty kill set at sf0.01 AND sf0.1 (a funnel whose rules never
+  * fire verifies nothing); a production run re-tunes them per corpus.
+  *
+  * Scale shape: the token stats are one per-row projection (no shuffle);
+  * the LM score joins on doc_id (keyed); the funnel aggregate reduces to
+  * ONE row of running-conjunction sums before the four-row unpivot —
+  * counters, not data, cross the final stage. */
+object QualityFunnel {
+
+  /** Rule names in funnel order. */
+  val Rules: Seq[String] = Seq("len", "rep", "stop", "lm")
+
+  /** Per-document verdicts: BIGINT 0/1 per rule plus the conjunction.
+    * One row per input document. */
+  def filterFlags(docs: DataFrame): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    val stats = docs.select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      size(filter(t, tk => tk.isin(TextOps.Stopwords: _*))).cast("long").as("n_stop"))
+    val lm = TextOps.unigramLogProb(docs).select(col("doc_id"), col("avg_logp"))
+    val passLen = col("n_tokens") >= 20L && col("n_tokens") <= 10000L
+    val passRep = (col("n_tokens") - col("n_distinct")) * 100L <= col("n_tokens") * 65L
+    val passStop = col("n_stop") * 50L >= col("n_tokens")
+    val passLm = col("avg_logp") >= -3.43
+    stats.join(lm, "doc_id")
+      .select(
+        col("doc_id"),
+        passLen.cast("long").as("pass_len"),
+        passRep.cast("long").as("pass_rep"),
+        passStop.cast("long").as("pass_stop"),
+        passLm.cast("long").as("pass_lm"),
+        (passLen && passRep && passStop && passLm).cast("long").as("pass_all"))
+  }
+
+  /** Sequential attrition table: one row per rule, in [[Rules]] order,
+    * with `n_in` (documents alive entering the rule), `n_fail` (killed
+    * BY this rule, i.e. alive so far but failing it), `n_out`
+    * (surviving it) — n_out of rule k is n_in of rule k+1, the
+    * ablation-table invariant. A document failing two rules counts only
+    * against the FIRST (sequential semantics — the number each rule
+    * would save if relaxed is a different, order-free report). */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val f = filterFlags(docs)
+    val alive: Seq[Column] = Rules.indices.map { k =>
+      Rules.take(k + 1).map(r => col(s"pass_$r")).reduce(_ * _)
+    }
+    val summary = f.agg(
+      count(lit(1)).as("n"),
+      alive.zipWithIndex.map { case (c, k) => sum(c).as(s"s$k") }: _*)
+    // one explode over a literal 4-struct array: the flags plan runs
+    // ONCE (a per-branch union would re-run it per rule)
+    val rows = Rules.zipWithIndex.map { case (name, k) =>
+      val nIn = if (k == 0) col("n") else col(s"s${k - 1}")
+      struct(
+        lit(k + 1L).as("step"),
+        lit(name).as("rule"),
+        nIn.as("n_in"),
+        (nIn - col(s"s$k")).as("n_fail"),
+        col(s"s$k").as("n_out"))
+    }
+    summary.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Sql, Tables}
-import graft.ops.{Curation, Dedup, Diff, Multimodal, Packing, Pq, Profiling, Sampling, Sessionize, Similarity, SpanDedup, TextOps}
+import graft.ops.{Curation, Dedup, Diff, Multimodal, Packing, Pq, Profiling, QualityFunnel, Sampling, Sessionize, Similarity, SpanDedup, TextOps}
 import org.apache.spark.sql.functions._
 
 /** EXT1–EXT6 (SURVEY.md §2.11) — the LLM-training-data-pipeline operators,
@@ -1318,7 +1318,75 @@ object ExtQueries {
                  "(SUM(ln(CAST(cnt AS DOUBLE))) - COUNT(*) * ln(total)) / COUNT(*)", 4)}
               |         AS avg_logp
               |FROM tok JOIN tf USING (token), tot
-              |GROUP BY doc_id, total""".stripMargin)))
+              |GROUP BY doc_id, total""".stripMargin)),
+
+    // ── EXT36a — per-document filter verdicts: the four-rule quality
+    //    funnel's flags (exact-integer predicates; the LM rule compares
+    //    the canonically-rounded avg_logp — see QualityFunnel).
+    QueryDef(
+      "ext36_filter_flags",
+      (s, d) => QualityFunnel.filterFlags(Tables.documents(s, d)),
+      Some(FunnelFlagsCte +
+        """SELECT doc_id, pass_len, pass_rep, pass_stop, pass_lm,
+          |       CAST(pass_len * pass_rep * pass_stop * pass_lm AS BIGINT) AS pass_all
+          |FROM flags""".stripMargin)),
+
+    // ── EXT36b — the funnel itself: sequential per-rule attrition
+    //    (n_in / n_fail / n_out per rule, ablation-table semantics —
+    //    a doc failing two rules counts against the first).
+    QueryDef(
+      "ext36_funnel",
+      (s, d) => QualityFunnel.filterFunnel(Tables.documents(s, d)),
+      Some(FunnelFlagsCte +
+        """, alive AS (
+          |  SELECT COUNT(*) AS n,
+          |         SUM(pass_len) AS s0,
+          |         SUM(pass_len * pass_rep) AS s1,
+          |         SUM(pass_len * pass_rep * pass_stop) AS s2,
+          |         SUM(pass_len * pass_rep * pass_stop * pass_lm) AS s3
+          |  FROM flags
+          |)
+          |SELECT CAST(step AS BIGINT) AS step, rule,
+          |       CAST(n_in AS BIGINT) AS n_in,
+          |       CAST(n_in - n_out AS BIGINT) AS n_fail,
+          |       CAST(n_out AS BIGINT) AS n_out
+          |FROM alive, LATERAL (VALUES
+          |  (1, 'len',  n,  s0),
+          |  (2, 'rep',  s0, s1),
+          |  (3, 'stop', s1, s2),
+          |  (4, 'lm',   s2, s3)) AS t(step, rule, n_in, n_out)""".stripMargin)))
+
+  /** DuckDB mirror of [[graft.ops.QualityFunnel.filterFlags]]: integer
+    * token stats + the ext35 LM score CTE, rules as the same exact
+    * cross-multiplied inequalities. */
+  private def FunnelFlagsCte: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+       |), tf AS (
+       |  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM tf
+       |), lm AS (
+       |  SELECT doc_id,
+       |         ${Sql.rnd(
+          "(SUM(ln(CAST(cnt AS DOUBLE))) - COUNT(*) * ln(total)) / COUNT(*)", 4)} AS avg_logp
+       |  FROM tok JOIN tf USING (token), tot
+       |  GROUP BY doc_id, total
+       |), st AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |           x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+       |  FROM documents
+       |), flags AS (
+       |  SELECT st.doc_id,
+       |         CAST(n_tokens >= 20 AND n_tokens <= 10000 AS BIGINT) AS pass_len,
+       |         CAST((n_tokens - n_distinct) * 100 <= n_tokens * 65 AS BIGINT) AS pass_rep,
+       |         CAST(n_stop * 50 >= n_tokens AS BIGINT) AS pass_stop,
+       |         CAST(avg_logp >= -3.43 AS BIGINT) AS pass_lm
+       |  FROM st JOIN lm ON st.doc_id = lm.doc_id
+       |)""".stripMargin
 
   /** Shared CTE prefix for the EXT33 lanes: L-gram occurrences via DuckDB
     * list slicing (0-based pos to match Spark's posexplode), then the

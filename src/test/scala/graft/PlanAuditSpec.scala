@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
   // (|docs| rows × 1) — same class as tf-idf's doc-count scalar.
   private val intendedBnlj =
     Set("ext3_topk_cosine", "ext3_topk_ivf", "ext3_topk_pq",
-      "ext3_topk_ivfpq", "ext4_tfidf", "ext35_unigram_logprob")
+      "ext3_topk_ivfpq", "ext4_tfidf", "ext35_unigram_logprob",
+      "ext36_filter_flags", "ext36_funnel")
 
   test("no cartesians, unintended nested-loop joins, or global windows anywhere") {
     SparkEntry.registry.foreach { q =>
