@@ -37,15 +37,27 @@ object QualityFunnel {
   val Rules: Seq[String] = Seq("len", "rep", "stop", "lm")
 
   /** Per-document verdicts: BIGINT 0/1 per rule plus the conjunction.
-    * One row per input document. */
-  def filterFlags(docs: DataFrame): DataFrame = {
+    * One row per input document. The LM gate scores under the corpus's
+    * OWN distribution (the batch/oracle lane); [[filterFlagsUnder]] is
+    * the train/apply variant for new batches and streams. */
+  def filterFlags(docs: DataFrame): DataFrame =
+    flagsWithLm(docs, TextOps.unigramLogProb(docs).select(col("doc_id"), col("avg_logp")))
+
+  /** [[filterFlags]] with the LM gate scored under a SUPPLIED unigram
+    * model ([[TextOps.unigramModel]] / [[TextOps.scoreUnderModel]]) —
+    * identical rules, so a micro-batch gated under the reference model
+    * equals the batch run over the same rows. */
+  def filterFlagsUnder(docs: DataFrame, tf: DataFrame, total: Double): DataFrame =
+    flagsWithLm(docs,
+      TextOps.scoreUnderModel(docs, tf, total).select(col("doc_id"), col("avg_logp")))
+
+  private def flagsWithLm(docs: DataFrame, lm: DataFrame): DataFrame = {
     val t = TextOps.tokens(col("text"))
     val stats = docs.select(
       col("doc_id"),
       size(t).cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("n_distinct"),
       size(filter(t, tk => tk.isin(TextOps.Stopwords: _*))).cast("long").as("n_stop"))
-    val lm = TextOps.unigramLogProb(docs).select(col("doc_id"), col("avg_logp"))
     val passLen = col("n_tokens") >= 20L && col("n_tokens") <= 10000L
     val passRep = (col("n_tokens") - col("n_distinct")) * 100L <= col("n_tokens") * 65L
     val passStop = col("n_stop") * 50L >= col("n_tokens")

@@ -246,6 +246,40 @@ object TextOps {
             col("n_tokens").cast("double"), 4).as("avg_logp"))
   }
 
+  /** The unigram model as a persistable artifact: (token, cnt) term
+    * frequencies plus the grand total — what a curation pipeline trains
+    * once on a reference corpus and then applies to every new batch or
+    * stream ([[scoreUnderModel]]). The total rides back as a driver
+    * scalar (one aggregate row — the same metadata-sized collect as the
+    * engine's other model builds). */
+  def unigramModel(docs: DataFrame): (DataFrame, Double) = {
+    val tf = termFrequencies(docs)
+    val total = tf.agg(sum("cnt").cast("double")).head().getDouble(0)
+    (tf, total)
+  }
+
+  /** [[unigramLogProb]] under a SUPPLIED model instead of the corpus's
+    * own distribution — the apply-side of the train/apply split a
+    * production quality filter runs (new crawls are scored under the
+    * established reference distribution, not their own). Out-of-
+    * vocabulary tokens take the add-one floor cnt = 1 (the rarest
+    * possible in-model score) via a LEFT join + coalesce — unknown
+    * words read as maximally surprising, never as missing rows. Same
+    * keyed-join shape and 4dp discipline as the self-scored variant. */
+  def scoreUnderModel(docs: DataFrame, tf: DataFrame, total: Double): DataFrame = {
+    require(total > 0, "model total must be positive")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    toks.join(tf, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(log(coalesce(col("cnt"), lit(1L)).cast("double"))).as("sum_log_cnt"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        graft.Num.rnd(
+          (col("sum_log_cnt") - col("n_tokens").cast("double") * log(lit(total))) /
+            col("n_tokens").cast("double"), 4).as("avg_logp"))
+  }
+
   /** Language-ID marker profiles. NOTE: the documents fixture draws every
     * language's text from one shared 31-token vocabulary (verified), so no
     * heuristic can recover `lang` here; the operator is graded on being a

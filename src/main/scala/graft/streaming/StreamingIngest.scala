@@ -270,7 +270,7 @@ object StreamingIngest {
     * numbering — must not share a writerId (see runAppendToTxStore).
     * SHA-256-derived 128-bit hex, so path collisions are not a practical
     * concern; ':'-free per TxStore's stamp syntax. */
-  private def writerIdFor(spark: SparkSession, checkpoint: String, prefix: String): String = {
+  private[streaming] def writerIdFor(spark: SparkSession, checkpoint: String, prefix: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpoint)
     val qualified = p
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
