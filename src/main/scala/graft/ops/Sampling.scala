@@ -165,4 +165,41 @@ object Sampling {
       s -> r.min(100).toInt
     }.toMap
   }
+
+  /** EXT37 — DSIR-style importance selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): rank raw
+    * documents by how much more likely the TARGET domain's language
+    * model makes them than the raw-corpus SOURCE model, keep the top
+    * `quota`. The per-doc weight is the length-normalized log importance
+    * ratio mean_tok[ln p_tgt(tok) − ln p_src(tok)] — the paper scores
+    * hashed n-gram features; the unigram models
+    * ([[TextOps.unigramModel]], OOV add-one floor) are the portable core
+    * on the same seam as EXT35, and both factor through
+    * [[TextOps.scoreUnderModel]] so the weight is a difference of two
+    * already-canonically-rounded scores (deterministic across engines).
+    *
+    * Selection is deterministic top-quota by (weight DESC, doc_id) —
+    * the paper's Gumbel-noise resampling randomizes the tail; a frozen
+    * pipeline needs replayable membership (same argument as the hash
+    * splits above), and temperature mixing is a separate, composable
+    * knob ([[temperatureRates]]). Plans as TakeOrderedAndProject (per-
+    * partition heaps + driver-side k-merge), never a global sort. */
+  def importanceSelect(
+      docs: DataFrame,
+      targetTf: DataFrame,
+      targetTotal: Double,
+      sourceTf: DataFrame,
+      sourceTotal: Double,
+      quota: Int): DataFrame = {
+    require(quota >= 1)
+    val tgt = TextOps.scoreUnderModel(docs, targetTf, targetTotal)
+      .select(col("doc_id"), col("avg_logp").as("lp_tgt"))
+    val src = TextOps.scoreUnderModel(docs, sourceTf, sourceTotal)
+      .select(col("doc_id"), col("avg_logp").as("lp_src"))
+    tgt.join(src, "doc_id")
+      .select(col("doc_id"),
+        graft.Num.rnd(col("lp_tgt") - col("lp_src"), 4).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(quota)
+  }
 }

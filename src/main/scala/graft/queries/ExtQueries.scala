@@ -1354,7 +1354,49 @@ object ExtQueries {
           |  (1, 'len',  n,  s0),
           |  (2, 'rep',  s0, s1),
           |  (3, 'stop', s1, s2),
-          |  (4, 'lm',   s2, s3)) AS t(step, rule, n_in, n_out)""".stripMargin)))
+          |  (4, 'lm',   s2, s3)) AS t(step, rule, n_in, n_out)""".stripMargin)),
+
+    // ── EXT37 — DSIR-style importance selection: top-100 documents by
+    //    the target-vs-source unigram log importance ratio (target model
+    //    trained on the src0 slice, source model on the whole corpus).
+    //    Deterministic (weight DESC, doc_id) quota — the oracle replays
+    //    both models, both scores, the difference, and the cut.
+    QueryDef(
+      "ext37_dsir_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (tTf, tTot) = TextOps.unigramModel(docs.filter(col("source") === "src0"))
+        val (sTf, sTot) = TextOps.unigramModel(docs)
+        Sampling.importanceSelect(docs, tTf, tTot, sTf, sTot, quota = 100)
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+              |), ttf AS (
+              |  SELECT token, COUNT(*) AS cnt FROM (
+              |    SELECT unnest(string_split(text, ' ')) AS token
+              |    FROM documents WHERE source = 'src0') GROUP BY 1
+              |), ttot AS (
+              |  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM ttf
+              |), stf AS (
+              |  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+              |), stot AS (
+              |  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM stf
+              |), lt AS (
+              |  SELECT doc_id,
+              |         ${Sql.rnd("(SUM(ln(CAST(COALESCE(t.cnt, 1) AS DOUBLE))) " +
+                 "- COUNT(*) * ln(ttot.total)) / COUNT(*)", 4)} AS lp
+              |  FROM tok LEFT JOIN ttf t USING (token), ttot
+              |  GROUP BY doc_id, ttot.total
+              |), ls AS (
+              |  SELECT doc_id,
+              |         ${Sql.rnd("(SUM(ln(CAST(COALESCE(s.cnt, 1) AS DOUBLE))) " +
+                 "- COUNT(*) * ln(stot.total)) / COUNT(*)", 4)} AS lp
+              |  FROM tok LEFT JOIN stf s USING (token), stot
+              |  GROUP BY doc_id, stot.total
+              |)
+              |SELECT lt.doc_id, ${Sql.rnd("lt.lp - ls.lp", 4)} AS weight
+              |FROM lt JOIN ls ON lt.doc_id = ls.doc_id
+              |ORDER BY weight DESC, lt.doc_id LIMIT 100""".stripMargin)))
 
   /** DuckDB mirror of [[graft.ops.QualityFunnel.filterFlags]]: integer
     * token stats + the ext35 LM score CTE, rules as the same exact

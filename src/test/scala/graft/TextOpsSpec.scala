@@ -55,6 +55,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === ((2L, rnd4((math.log(3.0 / 5) + math.log(1.0 / 5)) / 2))))
   }
 
+  test("DSIR importance selection ranks target-like documents first") {
+    import graft.ops.Sampling
+    // Target domain speaks "zz"; the raw corpus mostly speaks "qq".
+    // Selection under the target-vs-source ratio must surface the two
+    // zz-speaking raw docs before any qq doc, in (weight, doc_id) order.
+    val target = Seq((100L, "zz zz zz aa"), (101L, "zz zz bb")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "qq qq qq aa"),
+      (2L, "zz zz qq aa"),
+      (3L, "qq qq bb cc"),
+      (4L, "zz zz zz bb"))
+      .toDF("doc_id", "text")
+    val (tTf, tTot) = TextOps.unigramModel(target)
+    val (sTf, sTot) = TextOps.unigramModel(raw)
+    val picked = Sampling.importanceSelect(raw, tTf, tTot, sTf, sTot, quota = 2)
+      .as[(Long, Double)].collect()
+    assert(picked.map(_._1).toSet === Set(2L, 4L), s"got ${picked.toSeq}")
+    // and the quota is a hard cut
+    assert(Sampling.importanceSelect(raw, tTf, tTot, sTf, sTot, quota = 3).count() === 3)
+  }
+
   test("unigram log-prob: rarer-token documents score lower; bounds hold") {
     // On the fixture corpus the score is a mean of ln(p), p ≤ 1 → every
     // avg_logp is ≤ 0, and a doc made ONLY of the corpus's most common
