@@ -246,6 +246,37 @@ object TextOps {
             col("n_tokens").cast("double"), 4).as("avg_logp"))
   }
 
+  /** EXT38 — sliding-window text chunking: fixed `chunkSize`-token
+    * windows every `stride` tokens per document — the RAG-indexing /
+    * context-window shaping pass (overlapping windows keep boundary
+    * sentences retrievable; stride = chunkSize degenerates to disjoint
+    * blocks, the [[Packing]] input shape). Window k starts at token
+    * k·stride for every start < n_tokens; the tail window is kept
+    * short, never padded or dropped — downstream packing decides its
+    * fate, chunking must not lose text.
+    *
+    * Per-row explode over the start sequence, then `slice` +
+    * `concat_ws` — all codegen'd, ZERO shuffle: chunking is
+    * embarrassingly per-document, and the fan-out is ~n/stride rows per
+    * doc (output-sized, the explode the operation IS). */
+  def slidingChunks(docs: DataFrame, chunkSize: Int = 16, stride: Int = 8): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1)
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("n"))
+      .withColumn("chunk_start",
+        explode(sequence(lit(0L), greatest(col("n") - 1L, lit(0L)), lit(stride.toLong))))
+      .filter(col("chunk_start") < col("n"))
+      .select(
+        col("doc_id"),
+        (col("chunk_start") / stride).cast("long").as("chunk_id"),
+        col("chunk_start"),
+        least(lit(chunkSize.toLong), col("n") - col("chunk_start")).as("chunk_tokens"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_start") + 1L).cast("int"), lit(chunkSize)))
+          .as("text_chunk"))
+  }
+
   /** The unigram model as a persistable artifact: (token, cnt) term
     * frequencies plus the grand total — what a curation pipeline trains
     * once on a reference corpus and then applies to every new batch or

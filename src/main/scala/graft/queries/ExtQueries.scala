@@ -1396,7 +1396,29 @@ object ExtQueries {
               |)
               |SELECT lt.doc_id, ${Sql.rnd("lt.lp - ls.lp", 4)} AS weight
               |FROM lt JOIN ls ON lt.doc_id = ls.doc_id
-              |ORDER BY weight DESC, lt.doc_id LIMIT 100""".stripMargin)))
+              |ORDER BY weight DESC, lt.doc_id LIMIT 100""".stripMargin)),
+
+    // ── EXT38 — sliding-window chunking (16-token windows, stride 8):
+    //    the RAG / context-shaping pass. Zero-shuffle per-row explode;
+    //    the oracle replays starts, clamped slices, and the
+    //    reconstructed chunk text.
+    QueryDef(
+      "ext38_chunk_windows",
+      (s, d) => TextOps.slidingChunks(Tables.documents(s, d), chunkSize = 16, stride = 8),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+             |), st AS (
+             |  SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+             |         CAST(unnest(range(0, len(l), 8)) AS BIGINT) AS chunk_start
+             |  FROM d
+             |)
+             |SELECT doc_id,
+             |       CAST(chunk_start / 8 AS BIGINT) AS chunk_id,
+             |       chunk_start,
+             |       CAST(LEAST(16, n - chunk_start) AS BIGINT) AS chunk_tokens,
+             |       array_to_string(l[chunk_start + 1 : chunk_start + 16], ' ')
+             |         AS text_chunk
+             |FROM st""".stripMargin)))
 
   /** DuckDB mirror of [[graft.ops.QualityFunnel.filterFlags]]: integer
     * token stats + the ext35 LM score CTE, rules as the same exact

@@ -55,6 +55,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L) === ((2L, rnd4((math.log(3.0 / 5) + math.log(1.0 / 5)) / 2))))
   }
 
+  test("sliding chunks: hand-checked windows, tail kept short, full coverage") {
+    val doc = Seq((1L, "t1 t2 t3 t4 t5")).toDF("doc_id", "text")
+    val got = TextOps.slidingChunks(doc, chunkSize = 3, stride = 2)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 0L, 3L, "t1 t2 t3"),
+      (1L, 1L, 2L, 3L, "t3 t4 t5"),
+      (1L, 2L, 4L, 1L, "t5")))
+    // fixture invariants: chunk count = ceil(n/stride); every token
+    // position is covered by at least one window
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val chunks = TextOps.slidingChunks(docs, chunkSize = 16, stride = 8).cache()
+    val n = docs.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.split($"text", " ")).cast("long").as("n"))
+      .agg(org.apache.spark.sql.functions.sum(
+        (($"n" + 7L) / 8L).cast("long"))).as[Long].head() // ceil(n/8)
+    assert(chunks.count() === n)
+    assert(chunks.filter($"chunk_tokens" < 1 || $"chunk_tokens" > 16).count() === 0)
+    chunks.unpersist()
+  }
+
   test("DSIR importance selection ranks target-like documents first") {
     import graft.ops.Sampling
     // Target domain speaks "zz"; the raw corpus mostly speaks "qq".
