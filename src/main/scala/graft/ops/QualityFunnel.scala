@@ -62,14 +62,20 @@ object QualityFunnel {
     val passRep = (col("n_tokens") - col("n_distinct")) * 100L <= col("n_tokens") * 65L
     val passStop = col("n_stop") * 50L >= col("n_tokens")
     val passLm = col("avg_logp") >= -3.43
-    stats.join(lm, "doc_id")
+    // LEFT join + NULL→fail: a document with no LM row (NULL/empty text
+    // explodes to zero tokens) must still get a VERDICT — an inner join
+    // would silently drop it from both the flags and the funnel's n, so
+    // it would count neither as passed nor failed. Every flag coalesces
+    // to 0 so a NULL stat can never ride through the BIGINT cast as NULL.
+    def flag(c: Column) = coalesce(c, lit(false)).cast("long")
+    stats.join(lm, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        passLen.cast("long").as("pass_len"),
-        passRep.cast("long").as("pass_rep"),
-        passStop.cast("long").as("pass_stop"),
-        passLm.cast("long").as("pass_lm"),
-        (passLen && passRep && passStop && passLm).cast("long").as("pass_all"))
+        flag(passLen).as("pass_len"),
+        flag(passRep).as("pass_rep"),
+        flag(passStop).as("pass_stop"),
+        flag(passLm).as("pass_lm"),
+        flag(passLen && passRep && passStop && passLm).as("pass_all"))
   }
 
   /** Sequential attrition table: one row per rule, in [[Rules]] order,

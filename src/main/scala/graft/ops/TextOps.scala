@@ -232,8 +232,12 @@ object TextOps {
     * columns (Tables.scala). */
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val total = termFrequencies(docs)
-      .agg(sum("cnt").cast("double").as("total"))
+    // Σ tf(token) ≡ the corpus token COUNT, so the grand total comes from
+    // a narrow explode-count scan — the vocabulary-keyed TF shuffle is
+    // planned exactly ONCE per invocation (it used to run twice: once
+    // for the enrich join, once summed for the total).
+    val total = docs.select(explode(tokens(col("text"))).as("t"))
+      .agg(count(lit(1)).cast("double").as("total"))
     toks.join(termFrequencies(docs), "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

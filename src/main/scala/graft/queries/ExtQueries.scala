@@ -1445,11 +1445,13 @@ object ExtQueries {
        |  FROM documents
        |), flags AS (
        |  SELECT st.doc_id,
-       |         CAST(n_tokens >= 20 AND n_tokens <= 10000 AS BIGINT) AS pass_len,
-       |         CAST((n_tokens - n_distinct) * 100 <= n_tokens * 65 AS BIGINT) AS pass_rep,
-       |         CAST(n_stop * 50 >= n_tokens AS BIGINT) AS pass_stop,
-       |         CAST(avg_logp >= -3.43 AS BIGINT) AS pass_lm
-       |  FROM st JOIN lm ON st.doc_id = lm.doc_id
+       |         CAST(COALESCE(n_tokens >= 20 AND n_tokens <= 10000, FALSE) AS BIGINT)
+       |           AS pass_len,
+       |         CAST(COALESCE((n_tokens - n_distinct) * 100 <= n_tokens * 65, FALSE)
+       |           AS BIGINT) AS pass_rep,
+       |         CAST(COALESCE(n_stop * 50 >= n_tokens, FALSE) AS BIGINT) AS pass_stop,
+       |         CAST(COALESCE(avg_logp >= -3.43, FALSE) AS BIGINT) AS pass_lm
+       |  FROM st LEFT JOIN lm ON st.doc_id = lm.doc_id
        |)""".stripMargin
 
   /** Shared CTE prefix for the EXT33 lanes: L-gram occurrences via DuckDB

@@ -60,9 +60,9 @@ object StreamingCuration {
       total: Double,
       checkpoint: String,
       tablePath: String,
-      writerId: String = null,
+      writerId: Option[String] = None,
       maxFilesPerTrigger: Int = 32): StreamingQuery = {
-    val writer = Option(writerId)
+    val writer = writerId
       .getOrElse(StreamingIngest.writerIdFor(spark, checkpoint, "graft-curate-"))
     readDocs(spark, landingDir, maxFilesPerTrigger)
       .writeStream

@@ -59,6 +59,22 @@ class QualityFunnelSpec extends SparkSpec {
     assert(funnel(3)._5 === 1L, "exactly the clean doc survives")
   }
 
+  test("a NULL-text document still gets a verdict (all-fail), never vanishes") {
+    // NULL text explodes to zero tokens, so the LM aggregate has no row
+    // for it — an inner flags⋈lm join would silently drop the document
+    // from the flags AND from the funnel's n (neither passed nor failed).
+    val withNull = planted.unionByName(
+      Seq((99L, Option.empty[String])).toDF("doc_id", "text"))
+    val flags = QualityFunnel.filterFlags(withNull)
+    assert(flags.count() === 5L, "every input document gets a verdict row")
+    val r99 = flags.filter($"doc_id" === 99L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r99 === ((99L, 0L, 0L, 0L, 0L, 0L)), "NULL text fails every gate, as 0 not NULL")
+    val funnel = QualityFunnel.filterFunnel(withNull)
+      .orderBy("step").as[(Long, String, Long, Long, Long)].collect()
+    assert(funnel.head._3 === 5L, "funnel n_in counts the NULL-text doc")
+  }
+
   test("fixture: flags and funnel agree; every rule is non-vacuous") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val flags = QualityFunnel.filterFlags(docs).cache()
