@@ -249,19 +249,55 @@ object Similarity {
     * equi-self-join, dedup to distinct pairs, then exactly TWO keyed
     * joins pull the embeddings back for the exact cosine re-verify. The
     * output is exact at the threshold over the surfaced candidates —
-    * same contract as every other near-dup lane. */
+    * same contract as every other near-dup lane.
+    *
+    * USER-FACING RECALL CONTRACT (not just a knob note): exact
+    * duplicates (θ = 0) are found with recall 1.0 — they collide in
+    * every table. A GENUINE-BUT-INEXACT neighbor at per-table collision
+    * probability q = (1 − θ/π)^planes is surfaced with probability
+    * 1 − (1 − q)^tables ([[signLshPairRecall]]); at the defaults
+    * (planes = 24, tables = 8) a cosine-0.95 pair (θ ≈ 0.318 rad,
+    * q ≈ 0.9^24) is found with probability ≈ 0.49. The defaults are
+    * tuned for the dominant web-corpus shape — exact/near-exact copies
+    * — while keeping background candidates at tables·C(n,2)/2^planes.
+    * A SemDeDup-style run that needs tail recall on inexact semantic
+    * neighbors should LOWER `planes` / RAISE `tables` (e.g. planes=16,
+    * tables=16 → recall ≈ 0.96 at cosine 0.95) and accept the larger
+    * candidate volume.
+    *
+    * HOT-BUCKET GUARD (the [[Dedup.minhashLshPairs]] twin): a (table,
+    * bucket) holding B vectors emits O(B²) candidates from the
+    * self-join, and a real crawl's mega duplicate CLUSTER (10⁵ copies
+    * of an error page) collides into ONE bucket per table — C(10⁵,2)
+    * ≈ 5·10⁹ pairs × `tables`, the same class of blow-up that DNF'd
+    * the IVF variant at sf10. Buckets larger than `maxBucket` are
+    * dropped BEFORE the self-join; dropped buckets are observable via
+    * [[oversizedEmbeddingBuckets]] — run it whenever the guard may
+    * have fired. An exact-duplicate cluster bigger than `maxBucket`
+    * is oversized in EVERY table (it collides everywhere), so its
+    * pairs are not surfaced — exact duplicates should be removed by
+    * hash-dedup BEFORE semantic dedup (the [[Dedup.keepFirst]] pass),
+    * exactly as on the MinHash path. */
   def nearDupPairsLsh(
       embeddings: DataFrame,
       threshold: Double = 0.95,
       planes: Int = 24,
       tables: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(planes >= 1 && planes <= 63, "planes in [1, 63] (bucket key is one long)")
     val e = prepCorpus(embeddings)
     val planesFlat = planeMatrix(tables, planes, dim)
+    // the bucket count is a window over exactly the self-join keys, so
+    // its sort/exchange is the one the sort-merge join needs anyway,
+    // and both aliases of the guarded frame share it (ReusedExchange)
     val keyed = e.select(col("vec_id"),
       posexplode(bucketKeys(col("embedding"), planesFlat, tables, planes))
         .as(Seq("table_id", "bucket")))
+      .withColumn("__bucket_n",
+        count(lit(1)).over(Window.partitionBy("table_id", "bucket")))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
     val cand = keyed.alias("a")
       .join(keyed.alias("b"),
         col("a.table_id") === col("b.table_id") &&
@@ -277,6 +313,40 @@ object Similarity {
       .withColumn("sim", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= threshold)
       .select(col("vec_a"), col("vec_b"), graft.Num.rnd(col("sim"), 6).as("sim"))
+  }
+
+  /** Diagnostic twin of the hot-bucket guard in [[nearDupPairsLsh]]
+    * (mirrors [[Dedup.oversizedBuckets]]): the (table_id, bucket,
+    * bucket_n) sign-LSH buckets that exceed `maxBucket` and were
+    * therefore excluded from candidate generation. Empty ⇒ the guard
+    * changed nothing; a non-empty result on a hash-deduped corpus means
+    * a NEAR-exact mega cluster — handle it upstream (cluster-level
+    * dedup) rather than raising the cap into quadratic territory. */
+  def oversizedEmbeddingBuckets(
+      embeddings: DataFrame,
+      planes: Int = 24,
+      tables: Int = 8,
+      dim: Int = 64,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(planes >= 1 && planes <= 63, "planes in [1, 63] (bucket key is one long)")
+    val planesFlat = planeMatrix(tables, planes, dim)
+    prepCorpus(embeddings)
+      .select(col("vec_id"),
+        posexplode(bucketKeys(col("embedding"), planesFlat, tables, planes))
+          .as(Seq("table_id", "bucket")))
+      .groupBy("table_id", "bucket")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+  }
+
+  /** The probability [[nearDupPairsLsh]] surfaces a pair whose per-table
+    * collision probability is q = (1 − θ/π)^planes: 1 − (1 − q)^tables.
+    * Pure arithmetic, exposed so a caller can size (planes, tables) for
+    * the tail recall its corpus needs instead of trusting defaults. */
+  def signLshPairRecall(cosine: Double, planes: Int, tables: Int): Double = {
+    require(cosine >= -1.0 && cosine <= 1.0, "cosine in [-1, 1]")
+    val q = math.pow(1.0 - math.acos(cosine) / math.Pi, planes.toDouble)
+    1.0 - math.pow(1.0 - q, tables.toDouble)
   }
 
   /** Lloyd's k-means over the embedding column — the trained coarse

@@ -1292,7 +1292,56 @@ object ExtQueries {
              |  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95
              |)
              |SELECT vec_id FROM pe
-             |WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)""".stripMargin))
+             |WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)""".stripMargin)),
+
+    // ── EXT34b — SemDeDup with CLUSTER survivors (the paper's proper
+    //    semantics): one representative — the min id — per connected
+    //    component of the near-dup graph, instead of the greedy
+    //    drop-every-higher-pair-member rule, which over-removes on
+    //    chains (edges a–c, b–c with no a–b edge: greedy keeps {a, b},
+    //    clustering keeps {a} — one survivor per semantic group; the
+    //    direction is pinned in DedupSimilaritySpec). Same planted
+    //    corpus and sign-LSH pair source as ext34; the oracle is an
+    //    INDEPENDENT algorithm (recursive-CTE transitive closure over
+    //    the exact all-pairs graph, the ext7_clean_clustered pattern).
+    QueryDef(
+      "ext34_semdedup_clustered",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val planted = e.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(10000000L))
+        val corpus = e.unionByName(planted)
+        val pairs = Similarity.nearDupPairsLsh(corpus)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        val dropIds = Dedup.connectedComponents(pairs)
+          .filter(col("component") =!= col("doc_id"))
+          .select(col("doc_id").as("vec_id"))
+        corpus.join(dropIds, Seq("vec_id"), "left_anti").select("vec_id")
+      },
+      Some("""WITH RECURSIVE pe AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |  UNION ALL
+             |  SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS emb
+             |  FROM embeddings WHERE vec_id % 10 = 0
+             |), e AS (
+             |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM pe
+             |), edges AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS dst
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95
+             |  UNION ALL
+             |  SELECT b.vec_id, a.vec_id
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95
+             |), reach(doc_id, r) AS (
+             |  SELECT src, src FROM edges
+             |  UNION
+             |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+             |), comp AS (
+             |  SELECT doc_id, MIN(r) AS component FROM reach GROUP BY 1
+             |)
+             |SELECT vec_id FROM pe
+             |WHERE vec_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)""".stripMargin))
   )
 
   /** EXT35 lane list appendix — see [[graft.ops.TextOps.unigramLogProb]].

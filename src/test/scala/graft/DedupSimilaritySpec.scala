@@ -289,6 +289,78 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == expected, s"got $pairs, expected $expected")
   }
 
+  test("clustered SemDeDup keeps one representative per component where greedy keeps two") {
+    // Edges a–c and b–c with NO a–b edge (c is the bisector of two
+    // vectors 32° apart; cos 16° ≈ 0.961 ≥ 0.95, cos 32° ≈ 0.848 < 0.95):
+    //  - the greedy pairwise rule drops the higher id of each pair →
+    //    drops only c, keeping BOTH a and b from one semantic group;
+    //  - component clustering keeps exactly min(a) per group.
+    // Exact pair source (tiny corpus) so the test pins the PRUNE RULES,
+    // not LSH recall on inexact neighbors.
+    def unit(theta: Double): Seq[Float] =
+      (Seq(math.cos(theta).toFloat, math.sin(theta).toFloat) ++ Seq.fill(62)(0f))
+    val t = math.toRadians(16.0)
+    val corpus = Seq(
+      (1L, unit(0.0)), (2L, unit(2 * t)), (3L, unit(t))
+    ).toDF("vec_id", "embedding")
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val pairs = e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("sim") >= 0.95)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    assert(pairs.as[(Long, Long)].collect().toSet === Set((1L, 3L), (2L, 3L)))
+    val greedySurvivors = corpus
+      .join(pairs.select(col("doc_b").as("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().toSet
+    assert(greedySurvivors === Set(1L, 2L), "greedy keeps both chain endpoints")
+    val clustered = Dedup.connectedComponents(pairs)
+    val clusteredSurvivors = corpus
+      .join(clustered.filter(col("component") =!= col("doc_id"))
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().toSet
+    assert(clusteredSurvivors === Set(1L), "clustering keeps one representative per component")
+  }
+
+  test("sign-LSH hot-bucket cap: a 10⁴-copy mega cluster neither DNFs nor disappears silently") {
+    // A real crawl's duplicate CLUSTER (10⁴+ copies of one error page)
+    // collides into ONE bucket per table — C(10⁴,2) ≈ 5·10⁷ candidate
+    // pairs × 8 tables through the self-join if unguarded, the same
+    // blow-up class that DNF'd the IVF variant at sf10. With the cap:
+    //  - the run completes (bounded per-bucket work),
+    //  - the cluster contributes NO pairs (oversized in EVERY table —
+    //    exact copies collide everywhere),
+    //  - but it is NOT silent: oversizedEmbeddingBuckets surfaces the
+    //    bucket in each of the 8 tables,
+    //  - while a small cluster under the cap is still fully recovered.
+    val base = embs.select("vec_id", "embedding")
+    def clusterOf(srcId: Long, copies: Int, idBase: Long) = {
+      val seed = base.filter(col("vec_id") === srcId).select("embedding").limit(1)
+      spark.range(copies.toLong).crossJoin(broadcast(seed))
+        .select((col("id") + idBase).as("vec_id"), col("embedding"))
+    }
+    val ids = base.select("vec_id").as[Long].collect().sorted
+    val mega = clusterOf(ids(0), 10000, 2000000L)
+    val small = clusterOf(ids(1), 30, 3000000L)
+    val corpus = base.unionByName(mega).unionByName(small)
+    val pairs = Similarity.nearDupPairsLsh(corpus)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    val megaIds = (0 until 10000).map(i => 2000000L + i).toSet + ids(0)
+    assert(!pairs.exists(p => megaIds(p._1) || megaIds(p._2)),
+      "capped mega-cluster bucket must contribute no pairs")
+    // small cluster: 30 copies + the original = C(31,2) pairs, all exact
+    val smallIds = (0 until 30).map(i => 3000000L + i).toSet + ids(1)
+    val smallPairs = pairs.filter(p => smallIds(p._1) && smallIds(p._2))
+    assert(smallPairs.length === 31 * 30 / 2,
+      s"under-cap cluster fully recovered, got ${smallPairs.length}")
+    val audit = Similarity.oversizedEmbeddingBuckets(corpus)
+      .as[(Int, Long, Long)].collect()
+    assert(audit.length === 8, s"the mega bucket surfaces once per table: $audit")
+    assert(audit.forall(_._3 >= 10001L), s"audit reports the cluster population: $audit")
+    assert(audit.map(_._1).toSet === (0 until 8).toSet, "one oversized bucket per table")
+  }
+
   test("sign-LSH candidate volume stays probability-bounded on the clean corpus") {
     // No pair in the raw fixture reaches the threshold, so EVERY
     // candidate the bands surface is background noise — the expected
