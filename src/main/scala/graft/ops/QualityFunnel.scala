@@ -40,19 +40,26 @@ object QualityFunnel {
     * One row per input document. The LM gate scores under the corpus's
     * OWN distribution (the batch/oracle lane); [[filterFlagsUnder]] is
     * the train/apply variant for new batches and streams. */
-  def filterFlags(docs: DataFrame): DataFrame =
-    flagsWithLm(docs, TextOps.unigramLogProb(docs).select(col("doc_id"), col("avg_logp")))
+  def filterFlags(docs: DataFrame, tok: Column => Column = TextOps.tokens): DataFrame =
+    flagsWithLm(docs,
+      TextOps.unigramLogProb(docs, tok).select(col("doc_id"), col("avg_logp")), tok)
 
   /** [[filterFlags]] with the LM gate scored under a SUPPLIED unigram
     * model ([[TextOps.unigramModel]] / [[TextOps.scoreUnderModel]]) —
     * identical rules, so a micro-batch gated under the reference model
     * equals the batch run over the same rows. */
-  def filterFlagsUnder(docs: DataFrame, tf: DataFrame, total: Double): DataFrame =
+  def filterFlagsUnder(
+      docs: DataFrame,
+      tf: DataFrame,
+      total: Double,
+      tok: Column => Column = TextOps.tokens): DataFrame =
     flagsWithLm(docs,
-      TextOps.scoreUnderModel(docs, tf, total).select(col("doc_id"), col("avg_logp")))
+      TextOps.scoreUnderModel(docs, tf, total, tok).select(col("doc_id"), col("avg_logp")),
+      tok)
 
-  private def flagsWithLm(docs: DataFrame, lm: DataFrame): DataFrame = {
-    val t = TextOps.tokens(col("text"))
+  private def flagsWithLm(
+      docs: DataFrame, lm: DataFrame, tok: Column => Column): DataFrame = {
+    val t = tok(col("text"))
     val stats = docs.select(
       col("doc_id"),
       size(t).cast("long").as("n_tokens"),

@@ -44,11 +44,12 @@ object SpanDedup {
   /** Every L-gram occurrence: (doc_id, pos, gram), pos 0-based, one row
     * per position 0 .. n_tokens − L. Documents shorter than L tokens
     * yield no rows. */
-  private[ops] def gramOccurrences(docs: DataFrame, L: Int): DataFrame = {
+  private[ops] def gramOccurrences(
+      docs: DataFrame, L: Int, tok: Column => Column = TextOps.tokens): DataFrame = {
     require(L >= 1)
     val win = Window.partitionBy("doc_id").orderBy("pos")
     val toks = docs.select(col("doc_id"),
-      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      posexplode(tok(col("text"))).as(Seq("pos", "tok")))
     val withLeads = (1 until L).foldLeft(toks) { (df, o) =>
       df.withColumn(s"t_$o", lead("tok", o).over(win))
     }
@@ -62,8 +63,9 @@ object SpanDedup {
     * except each gram's first in (doc_id, pos) order. Grams occurring
     * once never leave the combinable aggregate (`n >= 2` filter before
     * the mark join). */
-  private[ops] def redundantOccurrences(docs: DataFrame, L: Int): DataFrame = {
-    val occ = gramOccurrences(docs, L)
+  private[ops] def redundantOccurrences(
+      docs: DataFrame, L: Int, tok: Column => Column = TextOps.tokens): DataFrame = {
+    val occ = gramOccurrences(docs, L, tok)
     val firsts = occ
       .groupBy("gram")
       .agg(min(struct(col("doc_id"), col("pos"))).as("keep"), count(lit(1)).as("n"))
@@ -80,8 +82,9 @@ object SpanDedup {
     * never-covered token stay separate). Returns
     * (doc_id, span_start, span_end, span_tokens), token positions
     * 0-based inclusive. */
-  def duplicatedSpans(docs: DataFrame, L: Int = 5): DataFrame = {
-    val marked = redundantOccurrences(docs, L)
+  def duplicatedSpans(
+      docs: DataFrame, L: Int = 5, tok: Column => Column = TextOps.tokens): DataFrame = {
+    val marked = redundantOccurrences(docs, L, tok)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + lit(L.toLong - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -101,13 +104,14 @@ object SpanDedup {
     * re-joined in position order. Emits the before/after token counts so
     * the pipeline can report how much text dedup removed. Documents with
     * nothing redundant pass through verbatim (kept_tokens = n_tokens). */
-  def trimSpans(docs: DataFrame, L: Int = 5): DataFrame = {
-    val covered = redundantOccurrences(docs, L)
+  def trimSpans(
+      docs: DataFrame, L: Int = 5, tok: Column => Column = TextOps.tokens): DataFrame = {
+    val covered = redundantOccurrences(docs, L, tok)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(L.toLong - 1))).as("pos"))
       .distinct()
     val toks = docs.select(col("doc_id"),
-      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      posexplode(tok(col("text"))).as(Seq("pos", "tok")))
       .withColumn("pos", col("pos").cast("long"))
     val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
     // sort_array on (pos, tok) structs restores position order inside the
@@ -120,7 +124,7 @@ object SpanDedup {
             x => x.getField("tok"))).as("text_clean"))
     docs
       .select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        size(tok(col("text"))).cast("long").as("n_tokens"))
       .join(keptAgg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),

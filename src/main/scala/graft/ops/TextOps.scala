@@ -23,6 +23,23 @@ object TextOps {
   /** Whitespace tokens; fixture text is single-space separated. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** THE TOKENIZER SEAM: every tokenizing operator (shingling, TF, LM
+    * scoring, chunking, the quality funnel, span dedup) takes a
+    * `tok: Column => Column` defaulting to [[tokens]] — a corpus that
+    * needs a regex pre-tokenizer (or later a broadcast-vocab BPE
+    * expression) swaps ONE argument instead of forking operators. Any
+    * replacement must return array<string> and be deterministic per
+    * row; the DuckDB oracle of a lane using it must mirror the same
+    * tokenization (regexp_extract_all for [[regexTokens]]). */
+  val AlphaTokenPattern: String = "[a-z]{2,}"
+
+  /** Regex pre-tokenizer: lowercase alphabetic runs of ≥ 2 chars (the
+    * `alpha_tokens` shape with single-char noise dropped) — the
+    * simplest tokenizer that genuinely differs from whitespace split
+    * on real text. Codegen'd (RegExpExtractAll), per-row, no shuffle. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit(AlphaTokenPattern), lit(0))
+
   /** (doc_id, shingle) rows — distinct w-token shingles per document,
     * generated with posexplode + `lead` windows rather than higher-order
     * array functions: HOFs are CodegenFallback (interpreted, no
@@ -31,10 +48,10 @@ object TextOps {
     * doc_id (window) + one on (doc_id, shingle) (distinct), both keyed —
     * scales with the corpus. Documents shorter than w tokens yield no
     * rows. */
-  def shingleRows(docs: DataFrame, w: Int = 3): DataFrame = {
+  def shingleRows(docs: DataFrame, w: Int = 3, tok: Column => Column = tokens): DataFrame = {
     require(w >= 1)
     val win = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val toks = docs.select(col("doc_id"), posexplode(tok(col("text"))).as(Seq("pos", "tok")))
     val withLeads = (1 until w).foldLeft(toks) { (df, o) =>
       df.withColumn(s"t_$o", lead("tok", o).over(win))
     }
@@ -48,9 +65,9 @@ object TextOps {
   /** Term frequencies across the corpus: explode → count per token. One
     * shuffle on the token; partial aggregation makes the shuffle tiny
     * (vocabulary-sized) regardless of corpus size. */
-  def termFrequencies(docs: DataFrame): DataFrame =
+  def termFrequencies(docs: DataFrame, tok: Column => Column = tokens): DataFrame =
     docs
-      .select(explode(tokens(col("text"))).as("token"))
+      .select(explode(tok(col("text"))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
 
@@ -230,15 +247,15 @@ object TextOps {
     * touches |docs| rows, not occurrences). `avg_logp` rounds 4dp: an
     * order-dependent double sum, same discipline as the money/ihc
     * columns (Tables.scala). */
-  def unigramLogProb(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+  def unigramLogProb(docs: DataFrame, tok: Column => Column = tokens): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tok(col("text"))).as("token"))
     // Σ tf(token) ≡ the corpus token COUNT, so the grand total comes from
     // a narrow explode-count scan — the vocabulary-keyed TF shuffle is
     // planned exactly ONCE per invocation (it used to run twice: once
     // for the enrich join, once summed for the total).
-    val total = docs.select(explode(tokens(col("text"))).as("t"))
+    val total = docs.select(explode(tok(col("text"))).as("t"))
       .agg(count(lit(1)).cast("double").as("total"))
-    toks.join(termFrequencies(docs), "token")
+    toks.join(termFrequencies(docs, tok), "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(log(col("cnt").cast("double"))).as("sum_log_cnt"))
@@ -263,9 +280,13 @@ object TextOps {
     * `concat_ws` — all codegen'd, ZERO shuffle: chunking is
     * embarrassingly per-document, and the fan-out is ~n/stride rows per
     * doc (output-sized, the explode the operation IS). */
-  def slidingChunks(docs: DataFrame, chunkSize: Int = 16, stride: Int = 8): DataFrame = {
+  def slidingChunks(
+      docs: DataFrame,
+      chunkSize: Int = 16,
+      stride: Int = 8,
+      tok: Column => Column = tokens): DataFrame = {
     require(chunkSize >= 1 && stride >= 1)
-    val toks = tokens(col("text"))
+    val toks = tok(col("text"))
     docs
       .select(col("doc_id"), toks.as("toks"), size(toks).cast("long").as("n"))
       .withColumn("chunk_start",
@@ -287,8 +308,8 @@ object TextOps {
     * stream ([[scoreUnderModel]]). The total rides back as a driver
     * scalar (one aggregate row — the same metadata-sized collect as the
     * engine's other model builds). */
-  def unigramModel(docs: DataFrame): (DataFrame, Double) = {
-    val tf = termFrequencies(docs)
+  def unigramModel(docs: DataFrame, tok: Column => Column = tokens): (DataFrame, Double) = {
+    val tf = termFrequencies(docs, tok)
     val total = tf.agg(sum("cnt").cast("double")).head().getDouble(0)
     (tf, total)
   }
@@ -301,9 +322,13 @@ object TextOps {
     * possible in-model score) via a LEFT join + coalesce — unknown
     * words read as maximally surprising, never as missing rows. Same
     * keyed-join shape and 4dp discipline as the self-scored variant. */
-  def scoreUnderModel(docs: DataFrame, tf: DataFrame, total: Double): DataFrame = {
+  def scoreUnderModel(
+      docs: DataFrame,
+      tf: DataFrame,
+      total: Double,
+      tok: Column => Column = tokens): DataFrame = {
     require(total > 0, "model total must be positive")
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val toks = docs.select(col("doc_id"), explode(tok(col("text"))).as("token"))
     toks.join(tf, Seq("token"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -1467,6 +1467,33 @@ object ExtQueries {
              |       CAST(LEAST(16, n - chunk_start) AS BIGINT) AS chunk_tokens,
              |       array_to_string(l[chunk_start + 1 : chunk_start + 16], ' ')
              |         AS text_chunk
+             |FROM st""".stripMargin)),
+
+    // ── EXT38b — the TOKENIZER SEAM exercised end-to-end: the same
+    //    chunking operator under the regex pre-tokenizer
+    //    (TextOps.regexTokens, lowercase runs of ≥ 2 chars) instead of
+    //    whitespace split. Non-vacuous on the fixture: single-char "a"
+    //    tokens are dropped, so starts/lengths/chunk text all shift.
+    //    The oracle mirrors the tokenizer with regexp_extract_all —
+    //    proving the seam swaps tokenization WITHOUT forking the
+    //    operator (zero changes to the whitespace lane or its oracle).
+    QueryDef(
+      "ext38_chunk_windows_regex",
+      (s, d) => TextOps.slidingChunks(
+        Tables.documents(s, d), chunkSize = 16, stride = 8, tok = TextOps.regexTokens),
+      Some("""WITH d AS (
+             |  SELECT doc_id, regexp_extract_all(text, '[a-z]{2,}') AS l FROM documents
+             |), st AS (
+             |  SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n,
+             |         CAST(unnest(range(0, len(l), 8)) AS BIGINT) AS chunk_start
+             |  FROM d
+             |)
+             |SELECT doc_id,
+             |       CAST(chunk_start / 8 AS BIGINT) AS chunk_id,
+             |       chunk_start,
+             |       CAST(LEAST(16, n - chunk_start) AS BIGINT) AS chunk_tokens,
+             |       array_to_string(l[chunk_start + 1 : chunk_start + 16], ' ')
+             |         AS text_chunk
              |FROM st""".stripMargin)))
 
   /** DuckDB mirror of [[graft.ops.QualityFunnel.filterFlags]]: integer

@@ -76,6 +76,24 @@ class TextOpsSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("tokenizer seam: regexTokens swaps tokenization without forking the operator") {
+    // "a" (single char) and "T1" (uppercase) are whitespace tokens but
+    // not [a-z]{2,} runs; "foo-bar" is ONE whitespace token but TWO
+    // regex tokens — the seam must change starts, counts, and text.
+    val doc = Seq((1L, "a foo-bar T1 baz")).toDF("doc_id", "text")
+    val ws = TextOps.slidingChunks(doc, chunkSize = 2, stride = 2)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(ws === Set((1L, 0L, 0L, 2L, "a foo-bar"), (1L, 1L, 2L, 2L, "T1 baz")))
+    val rx = TextOps.slidingChunks(doc, chunkSize = 2, stride = 2, tok = TextOps.regexTokens)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(rx === Set((1L, 0L, 0L, 2L, "foo bar"), (1L, 1L, 2L, 1L, "baz")))
+    // the same seam flows through the LM scorer: under regexTokens the
+    // vocabulary has no "a"/"T1" rows and per-doc n_tokens shifts
+    val lm = TextOps.unigramLogProb(doc, tok = TextOps.regexTokens)
+      .as[(Long, Long, Double)].head()
+    assert(lm._2 === 3L, "regex tokenizer counts foo, bar, baz")
+  }
+
   test("DSIR importance selection ranks target-like documents first") {
     import graft.ops.Sampling
     // Target domain speaks "zz"; the raw corpus mostly speaks "qq".
