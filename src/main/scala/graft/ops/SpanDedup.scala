@@ -106,10 +106,18 @@ object SpanDedup {
     * nothing redundant pass through verbatim (kept_tokens = n_tokens). */
   def trimSpans(
       docs: DataFrame, L: Int = 5, tok: Column => Column = TextOps.tokens): DataFrame = {
-    val covered = redundantOccurrences(docs, L, tok)
+    // Covered positions come from the MERGED spans, not the raw
+    // occurrences: exploding per redundant occurrence emits L rows each
+    // (a heavily-duplicated region re-covers every position up to L
+    // times) and then needs a (doc_id, pos) distinct shuffle to repair
+    // the overlap. The islands pass already merges occurrence runs into
+    // DISJOINT maximal spans, so exploding those emits every covered
+    // position exactly once — ~L× smaller intermediate, zero distinct
+    // (measured at sf10: the explode+distinct was the lane's dominant
+    // cost; BASELINE.md round-10 century).
+    val covered = duplicatedSpans(docs, L, tok)
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(L.toLong - 1))).as("pos"))
-      .distinct()
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
     val toks = docs.select(col("doc_id"),
       posexplode(tok(col("text"))).as(Seq("pos", "tok")))
       .withColumn("pos", col("pos").cast("long"))
