@@ -374,7 +374,31 @@ object StorageQueries {
         require(reclaimed > 0, "vacuum must reclaim the overwritten v1 files")
         eventsCols(TxStore.read(s, store))
       },
-      Some(eventsSql(" WHERE event_id % 3 = 0"))))
+      Some(eventsSql(" WHERE event_id % 3 = 0"))),
+
+    // ── S22 — log-level DATA SKIPPING (the Delta-style stats half of
+    //    the table format): commits carry per-file numeric min/max
+    //    harvested from the files each commit itself wrote, and a
+    //    predicate read prunes files from the LOG — zero file IO in
+    //    the pruning decision, the tier above parquet row-group
+    //    pushdown. The table is written range-laid-out (the s12/s17
+    //    layout shape that makes skipping pay); the lane REQUIRES that
+    //    files were actually skipped (a reader that silently scans
+    //    everything would still hash-match), then the oracle pins the
+    //    pruned read ≡ the full filter byte-for-byte.
+    QueryDef(
+      "s22_tx_skipping",
+      (s, d) => {
+        val store = freshStore(s, "s22-skip", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.repartitionByRange(8, col("event_id")), store)
+        val pred = col("event_id") <= 500L
+        val (_, kept, skipped) = TxStore.pruneFiles(s, store, pred)
+        require(skipped.nonEmpty,
+          s"range layout + selective predicate must skip files (kept ${kept.size})")
+        eventsCols(TxStore.readWhere(s, store, pred))
+      },
+      Some(eventsSql(" WHERE event_id <= 500"))))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

@@ -67,19 +67,29 @@ object TxStore {
 
   /** One log entry: the files this commit added/removed plus the op name
     * (history/debugging only). Hand-rolled JSON on both ends — the names
-    * are UUIDs and ops are fixed tokens, so no escaping is needed. */
+    * are UUIDs and ops are fixed tokens, so no escaping is needed; the
+    * two structured payloads (schema, per-file stats) are base64-wrapped
+    * so the commit line itself stays escape-free. */
   final case class Commit(
       version: Long,
       op: String,
       add: Seq[String],
       remove: Seq[String],
       txn: Option[String] = None,
-      schema: Option[String] = None)
+      schema: Option[String] = None,
+      stats: Option[String] = None)
+
+  /** Per-file column ranges carried by the log: file → column →
+    * (min, max) over the file's NON-NULL values, as exact decimals.
+    * Only top-level numeric primitives are tracked (see [[fileStats]]);
+    * a file/column absent from the map is simply never skipped. */
+  type FileStats = Map[String, Map[String, (BigDecimal, BigDecimal)]]
 
   final case class Snapshot(
       version: Long,
       files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      stats: FileStats = Map.empty)
 
   // ── schema in the log ──────────────────────────────────────────────
   // The table schema travels in commit entries (base64 of Spark's schema
@@ -98,6 +108,131 @@ object TxStore {
     org.apache.spark.sql.types.DataType
       .fromJson(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  // ── file-level min/max stats in the log (Delta-style data skipping) ─
+  // Commit entries carry per-file column ranges so a predicate read
+  // ([[readWhere]]) prunes files from the LOG, before any parquet footer
+  // is opened — at lake scale "open N million footers to decide what to
+  // scan" is itself a full metadata pass, which is the entire point of
+  // stats-in-the-log. Ranges are harvested ONCE, at commit time, from
+  // the footers of the files the commit itself just wrote — O(files in
+  // this commit), never O(table) — and travel as base64 JSON so the
+  // hand-rolled commit line stays escape-free.
+
+  /** Stats payload codec: {"file":{"col":[lo,hi],...},...} with exact
+    * decimal numbers. File names are engine-minted UUIDs and column
+    * names are filtered to quote-free ones at harvest, so the grammar
+    * needs no string escaping. */
+  private def renderStats(m: FileStats): String =
+    m.toSeq.sortBy(_._1).map { case (f, cols) =>
+      val body = cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s""""$c":[${lo.bigDecimal.toPlainString},${hi.bigDecimal.toPlainString}]"""
+      }.mkString(",")
+      s""""$f":{$body}"""
+    }.mkString("{", ",", "}")
+
+  private def parseStats(s: String): FileStats = {
+    // tiny scanner over the fixed grammar above — no escapes, no nesting
+    // beyond file→col→[lo,hi]
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, (BigDecimal, BigDecimal)]]
+    var i = 0
+    def expect(c: Char): Unit = {
+      require(i < s.length && s.charAt(i) == c, s"corrupt stats payload at $i in $s")
+      i += 1
+    }
+    def str(): String = {
+      expect('"'); val j = s.indexOf('"', i)
+      val r = s.substring(i, j); i = j + 1; r
+    }
+    def num(end1: Char, end2: Char): BigDecimal = {
+      val j0 = s.indexWhere(c => c == end1 || c == end2, i)
+      val r = BigDecimal(s.substring(i, j0)); i = j0; r
+    }
+    expect('{')
+    while (i < s.length && s.charAt(i) != '}') {
+      if (s.charAt(i) == ',') i += 1
+      val file = str()
+      expect(':'); expect('{')
+      val cols = scala.collection.mutable.LinkedHashMap.empty[String, (BigDecimal, BigDecimal)]
+      while (s.charAt(i) != '}') {
+        if (s.charAt(i) == ',') i += 1
+        val cname = str()
+        expect(':'); expect('[')
+        val lo = num(',', ',')
+        expect(',')
+        val hi = num(']', ']')
+        expect(']')
+        cols(cname) = (lo, hi)
+      }
+      expect('}')
+      out(file) = cols.toMap
+    }
+    out.toMap
+  }
+
+  /** Harvest per-file numeric min/max from the parquet footers of
+    * just-staged files. Tracked: top-level INT32/INT64/FLOAT/DOUBLE
+    * primitives with no logical-type annotation beyond a signed int —
+    * dates, timestamps-as-logical-type, decimals and strings are
+    * SKIPPED (absent ⇒ never pruned on), which keeps the comparison
+    * semantics trivially safe. A column is dropped for the whole file
+    * if ANY row group lacks usable stats. NULL note: parquet min/max
+    * cover non-null values only, and [[readWhere]] only prunes on
+    * comparison predicates, which no NULL can satisfy — so skipping a
+    * file whose non-null range refutes the predicate never loses a row. */
+  private def fileStats(
+      f: FileSystem, path: String, names: Seq[String]): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = f.getConf
+    val all: FileStats = names.map { name =>
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, (BigDecimal, BigDecimal)]
+      val dropped = scala.collection.mutable.HashSet.empty[String]
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(s"$path/$DataDir/$name"), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { cc =>
+            val parts = cc.getPath.toArray
+            if (parts.length == 1) {
+              val cname = parts(0).toString
+              val pt = cc.getPrimitiveType
+              val ann = pt.getLogicalTypeAnnotation
+              val numeric =
+                Set(INT32, INT64, FLOAT, DOUBLE).contains(pt.getPrimitiveTypeName) &&
+                  (ann == null || (ann match {
+                    case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation => it.isSigned
+                    case _ => false
+                  })) &&
+                  !cname.exists(c => c == '"' || c == '\\')
+              if (numeric && !dropped.contains(cname)) {
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty || !st.hasNonNullValue) {
+                  dropped += cname; acc.remove(cname): Unit
+                } else {
+                  val lo = BigDecimal(st.genericGetMin.toString)
+                  val hi = BigDecimal(st.genericGetMax.toString)
+                  val merged = acc.get(cname).fold((lo, hi)) { case (l0, h0) =>
+                    (l0.min(lo), h0.max(hi))
+                  }
+                  acc(cname) = merged
+                }
+              }
+            }
+          }
+        }
+      } finally reader.close()
+      name -> acc.toMap
+    }.filter(_._2.nonEmpty).toMap
+    if (all.isEmpty) None
+    else Some(java.util.Base64.getEncoder.encodeToString(
+      renderStats(all).getBytes(StandardCharsets.UTF_8)))
+  }
+
+  private def decodeStats(b64: String): FileStats =
+    parseStats(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
 
   private def normalize(
       s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
@@ -188,7 +323,8 @@ object TxStore {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val txn = c.txn.fold("")(t => s""","txn":"$t"""")
     val sch = c.schema.fold("")(s => s""","schema":"$s"""")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch}"""
+    val sts = c.stats.fold("")(s => s""","stats":"$s"""")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts}"""
   }
 
   private def parse(s: String): Commit = {
@@ -212,7 +348,8 @@ object TxStore {
       add = strArr(field("add")),
       remove = strArr(field("remove")),
       txn = fieldOpt("txn").map(_.drop(1).takeWhile(_ != '"')),
-      schema = fieldOpt("schema").map(_.drop(1).takeWhile(_ != '"')))
+      schema = fieldOpt("schema").map(_.drop(1).takeWhile(_ != '"')),
+      stats = fieldOpt("stats").map(_.drop(1).takeWhile(_ != '"')))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -245,12 +382,21 @@ object TxStore {
 
   private def replay(cs: Seq[Commit]): Snapshot = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val stats = scala.collection.mutable.LinkedHashMap
+      .empty[String, Map[String, (BigDecimal, BigDecimal)]]
     var schema: Option[String] = None
     cs.foreach { c =>
-      c.remove.foreach(n => live -= n); c.add.foreach(n => live += n)
+      c.remove.foreach { n => live -= n; stats.remove(n): Unit }
+      c.add.foreach(n => live += n)
+      c.stats.foreach { b64 =>
+        val addSet = c.add.toSet
+        decodeStats(b64).foreach { case (f, m) => if (addSet(f)) stats(f) = m }
+      }
       if (c.schema.isDefined) schema = c.schema
     }
-    Snapshot(if (cs.isEmpty) 0L else cs.last.version, live.toSeq, schema.map(decodeSchema))
+    Snapshot(
+      if (cs.isEmpty) 0L else cs.last.version, live.toSeq,
+      schema.map(decodeSchema), stats.toMap)
   }
 
   /** Current snapshot (version 0 = empty table, no log yet). */
@@ -276,7 +422,9 @@ object TxStore {
 
   /** Stage `df` as new immutable data files; returns their names. Staged
     * files are invisible until a commit lists them. */
-  private def stage(df: DataFrame, path: String): Seq[String] = {
+  /** Stage the frame's partitions as immutable data files and harvest
+    * their footer stats — (names, stats payload for the commit). */
+  private def stage(df: DataFrame, path: String): (Seq[String], Option[String]) = {
     val tmp = s"$path/$DataDir/_stage-${UUID.randomUUID()}"
     df.write.mode("error").parquet(tmp)
     val f = fs(df.sparkSession, path)
@@ -289,7 +437,7 @@ object TxStore {
       name
     }
     f.delete(new Path(tmp), true)
-    named
+    (named, fileStats(f, path, named))
   }
 
   /** Try to own version `v`; true iff this writer published the commit
@@ -349,21 +497,22 @@ object TxStore {
   }
 
   /** Optimistic-commit loop shared by every write op. `attempt` sees the
-    * latest snapshot and returns (add, remove, schema) for the commit to
-    * try at its version + 1, or None to abort as a no-op (e.g. compaction
-    * inputs vanished). Schema is decided per attempt so a retry restates
-    * it against the freshest snapshot. */
+    * latest snapshot and returns (add, remove, schema, stats) for the
+    * commit to try at its version + 1, or None to abort as a no-op (e.g.
+    * compaction inputs vanished). Schema is decided per attempt so a
+    * retry restates it against the freshest snapshot. */
   private def commitLoop(
       spark: SparkSession, path: String, op: String, txn: Option[String] = None)(
-      attempt: Snapshot => Option[(Seq[String], Seq[String], Option[String])]): Option[Commit] = {
+      attempt: Snapshot =>
+        Option[(Seq[String], Seq[String], Option[String], Option[String])]): Option[Commit] = {
     val f = fs(spark, path)
     var tries = 0
     while (tries < MaxRetries) {
       val snap = replay(commits(f, path))
       attempt(snap) match {
         case None => return None
-        case Some((add, remove, schema)) =>
-          val c = Commit(snap.version + 1, op, add, remove, txn, schema)
+        case Some((add, remove, schema, stats)) =>
+          val c = Commit(snap.version + 1, op, add, remove, txn, schema, stats)
           if (tryCommit(f, path, c)) return Some(c)
       }
       tries += 1
@@ -379,11 +528,12 @@ object TxStore {
     * until a vacuum. */
   def append(df: DataFrame, path: String): Long = {
     val cs = sessionCaseSensitive(df.sparkSession)
-    val files = stage(df, path)
+    val (files, stats) = stage(df, path)
     val f = fs(df.sparkSession, path)
     try
       commitLoop(df.sparkSession, path, "append")(snap =>
-        Some((files, Nil, Some(encodeSchema(evolve(snap.schema, df.schema, cs)))))).get.version
+        Some((files, Nil, Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats)))
+        .get.version
     catch {
       case e: Throwable =>
         files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
@@ -396,7 +546,7 @@ object TxStore {
     * files) if a concurrent overwrite/compact removed any file it decided
     * to remove — the snapshot it targeted no longer exists. */
   def overwrite(df: DataFrame, path: String): Long = {
-    val files = stage(df, path)
+    val (files, stats) = stage(df, path)
     val base = snapshot(df.sparkSession, path)
     val f = fs(df.sparkSession, path)
     try {
@@ -410,7 +560,7 @@ object TxStore {
         // legitimately clobbered by a later full overwrite — same
         // semantics as Delta's overwrite after a racing append). An
         // overwrite may change the schema freely — it replaces the table.
-        Some((files, snap.files, Some(encodeSchema(normalize(df.schema)))))
+        Some((files, snap.files, Some(encodeSchema(normalize(df.schema))), stats))
       }.get.version
     } catch {
       case e: Throwable =>
@@ -426,14 +576,14 @@ object TxStore {
   def compact(spark: SparkSession, path: String, target: Int = 1): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
-    val compacted =
+    val (compacted, cStats) =
       stage(readFiles(spark, path, base.files, base.schema).repartition(target), path)
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "compact") { snap =>
       if (!base.files.forall(snap.files.contains)) None
       // restate the LATEST schema (an append may have evolved it since
       // base — its files stay live, so its columns must stay declared)
-      else Some((compacted, base.files, snap.schema.map(encodeSchema)))
+      else Some((compacted, base.files, snap.schema.map(encodeSchema), cStats))
     }
     if (committed.isEmpty)
       compacted.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
@@ -465,11 +615,12 @@ object TxStore {
       case Some(v) => v
       case None =>
         val cs = sessionCaseSensitive(spark)
-        val files = stage(df, path)
+        val (files, stats) = stage(df, path)
         try
           commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
             if (committed.isDefined) None
-            else Some((files, Nil, Some(encodeSchema(evolve(snap.schema, df.schema, cs)))))
+            else Some((files, Nil,
+              Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
           } match {
             case Some(c) => c.version
             case None => // a concurrent delivery of THIS batch won the race
@@ -568,7 +719,7 @@ object TxStore {
     if (hit.isEmpty) return None
     val kept =
       readFiles(spark, path, hit, base.schema).filter(not(predicate <=> lit(true)))
-    val staged = stage(kept, path)
+    val (staged, dStats) = stage(kept, path)
     val f = fs(spark, path)
     try
       commitLoop(spark, path, "delete") { snap =>
@@ -577,7 +728,7 @@ object TxStore {
           throw new java.util.ConcurrentModificationException(
             s"delete at $path conflicts: rewrite inputs removed concurrently: " +
               vanished.take(3).mkString(", "))
-        Some((staged, hit, snap.schema.map(encodeSchema)))
+        Some((staged, hit, snap.schema.map(encodeSchema), dStats))
       }.map(_.version)
     catch {
       case e: Throwable =>
@@ -705,7 +856,7 @@ object TxStore {
       if (hit.isEmpty) None
       else Some(readFiles(spark, path, hit, base.schema).join(distinctKeys, keys, "left_anti"))
     val out = kept.fold(updates)(_.unionByName(updates, allowMissingColumns = true))
-    val staged = stage(out, path)
+    val (staged, mStats) = stage(out, path)
     val f = fs(spark, path)
     try
       commitLoop(spark, path, "merge", txn = txn) { snap =>
@@ -713,7 +864,7 @@ object TxStore {
           throw new java.util.ConcurrentModificationException(
             s"merge at $path conflicts: table advanced from v${base.version} " +
               s"to v${snap.version} after the probe")
-        Some((staged, hit, Some(encodeSchema(evolved))))
+        Some((staged, hit, Some(encodeSchema(evolved)), mStats))
       }.get.version
     catch {
       case e: Throwable =>
@@ -731,8 +882,13 @@ object TxStore {
     * history. Contends like any commit (it removes nothing, adds nothing
     * logically — `add` restates the live set). */
   def checkpoint(spark: SparkSession, path: String): Long =
-    commitLoop(spark, path, "checkpoint")(snap =>
-      Some((snap.files, Nil, snap.schema.map(encodeSchema)))).get.version
+    commitLoop(spark, path, "checkpoint") { snap =>
+      val sts =
+        if (snap.stats.isEmpty) None
+        else Some(java.util.Base64.getEncoder.encodeToString(
+          renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
+      Some((snap.files, Nil, snap.schema.map(encodeSchema), sts))
+    }.get.version
 
   // ── reads ──────────────────────────────────────────────────────────
 
@@ -761,6 +917,114 @@ object TxStore {
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
     val snap = snapshotAt(spark, path, version)
     readFiles(spark, path, snap.files, snap.schema)
+  }
+
+  // ── data skipping (stats-pruned reads) ─────────────────────────────
+
+  /** Can a row of a file with these column ranges POSSIBLY satisfy
+    * `e`? Sound, not complete: unsupported expression shapes and
+    * missing stats answer true (keep the file); only a comparison the
+    * ranges REFUTE answers false. Supported: And/Or over {=, <, <=, >,
+    * >=} between a column and a numeric literal (either side). NULL
+    * soundness: ranges cover non-null values and none of the supported
+    * comparisons is satisfiable by NULL, so refuting on ranges never
+    * drops a qualifying row. */
+  private def mayMatch(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      ranges: Map[String, (BigDecimal, BigDecimal)]): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def attr(x: Expression): Option[String] = x match {
+      case u: UnresolvedAttribute => Some(u.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+      case a: AttributeReference => Some(a.name.toLowerCase(java.util.Locale.ROOT))
+      case _ => None
+    }
+    def num(x: Expression): Option[BigDecimal] = x match {
+      case Literal(v, _) => v match {
+        case n: java.lang.Number => Some(BigDecimal(n.toString))
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+        case _ => None
+      }
+      case Cast(c, _, _, _) => num(c) // a literal widened by the DSL
+      case _ => None
+    }
+    def range(name: String): Option[(BigDecimal, BigDecimal)] =
+      ranges.collectFirst { case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == name => v }
+    // cmp(col, v): is `col OP v` satisfiable inside [lo, hi]?
+    def test(a: Expression, b: Expression)(
+        sat: ((BigDecimal, BigDecimal), BigDecimal) => Boolean,
+        satFlip: ((BigDecimal, BigDecimal), BigDecimal) => Boolean): Boolean =
+      (attr(a), num(b), attr(b), num(a)) match {
+        case (Some(c), Some(v), _, _) => range(c).forall(r => sat(r, v))
+        case (_, _, Some(c), Some(v)) => range(c).forall(r => satFlip(r, v))
+        case _ => true
+      }
+    // The Spark-4 Column DSL yields UnresolvedFunction("and" | ">=" |
+    // …) nodes (operators resolve to functions at ANALYSIS, which a
+    // driver-side predicate never goes through); an already-analyzed
+    // expression carries the typed And/LessThan/… nodes. Normalize both
+    // to (op, lhs, rhs).
+    val norm: Option[(String, Expression, Expression)] = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.lengthCompare(1) == 0 && f.arguments.lengthCompare(2) == 0 =>
+        Some((f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+          f.arguments.head, f.arguments.last))
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => Some(("and", l, r))
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) => Some(("or", l, r))
+      case EqualTo(a, b) => Some(("=", a, b))
+      case LessThan(a, b) => Some(("<", a, b))
+      case LessThanOrEqual(a, b) => Some(("<=", a, b))
+      case GreaterThan(a, b) => Some((">", a, b))
+      case GreaterThanOrEqual(a, b) => Some((">=", a, b))
+      case _ => None
+    }
+    norm match {
+      case Some(("and", l, r)) => mayMatch(l, ranges) && mayMatch(r, ranges)
+      case Some(("or", l, r)) => mayMatch(l, ranges) || mayMatch(r, ranges)
+      case Some(("=" | "==", a, b)) =>
+        test(a, b)((r, v) => r._1 <= v && v <= r._2, (r, v) => r._1 <= v && v <= r._2)
+      case Some(("<", a, b)) => // col < v | v < col
+        test(a, b)((r, v) => r._1 < v, (r, v) => r._2 > v)
+      case Some(("<=", a, b)) =>
+        test(a, b)((r, v) => r._1 <= v, (r, v) => r._2 >= v)
+      case Some((">", a, b)) => // col > v | v > col
+        test(a, b)((r, v) => r._2 > v, (r, v) => r._1 < v)
+      case Some((">=", a, b)) =>
+        test(a, b)((r, v) => r._2 >= v, (r, v) => r._1 >= v)
+      case _ => true
+    }
+  }
+
+  /** Partition the current live set by whether the log's stats can
+    * refute `predicate`: (snapshot, files to scan, files skipped). The
+    * decision is pure log metadata — zero file IO — which is what makes
+    * a selective read on a sorted/Z-ordered table touch a handful of
+    * files out of millions ([[Compaction]]'s s12/s17 layouts exist to
+    * make exactly this pay). */
+  def pruneFiles(
+      spark: SparkSession, path: String, predicate: Column): (Snapshot, Seq[String], Seq[String]) = {
+    val snap = snapshot(spark, path)
+    // the Spark-4 Column→Catalyst bridge (Column.expr is gone with the
+    // Connect-unified API; see ColumnBridge)
+    val pred = org.apache.spark.sql.graft.ColumnBridge.expression(predicate)
+    val (kept, skipped) = snap.files.partition { f =>
+      snap.stats.get(f).forall(ranges => mayMatch(pred, ranges))
+    }
+    (snap, kept, skipped)
+  }
+
+  /** Stats-pruned read: `read(...).filter(predicate)` semantics, with
+    * files whose logged ranges refute the predicate never entering the
+    * scan (the predicate is STILL applied to the kept files — pruning is
+    * an optimization, not the filter). Complements, not replaces, the
+    * parquet row-group pushdown the scan already does: this tier skips
+    * whole files from the log before any footer is opened. */
+  def readWhere(spark: SparkSession, path: String, predicate: Column): DataFrame = {
+    val (snap, kept, _) = pruneFiles(spark, path, predicate)
+    if (kept.isEmpty) {
+      val schema = snap.schema.getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else readFiles(spark, path, kept, snap.schema).filter(predicate)
   }
 
   /** Default age an unreferenced file must reach before vacuum reclaims

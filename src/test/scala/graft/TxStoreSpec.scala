@@ -440,6 +440,53 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.history(spark, t2).size === 2)
   }
 
+  test("stats skipping: a selective predicate on a range-laid-out table prunes files") {
+    val t = tmpDir()
+    // four appends with disjoint id ranges — the sorted-layout shape
+    // compaction (s12) and Z-order (s17) produce; each lands ≥1 file
+    // whose logged [min,max] is a tight range
+    (0 until 4).foreach(k => TxStore.append(rows(100, from = k * 100).coalesce(1), t))
+    val pred = col("id") >= 120L && col("id") < 180L
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, pred)
+    assert(kept.size + skipped.size === TxStore.snapshot(spark, t).files.size)
+    assert(skipped.size === 3, s"three of four range files refute [120,180): kept=$kept")
+    val got = TxStore.readWhere(spark, t, pred).as[(Long, String)].collect().toSet
+    assert(got === (120 until 180).map(i => (i.toLong, s"v$i")).toSet,
+      "pruned read ≡ full-scan filter")
+    // conservative tiers: an unsupported predicate shape prunes nothing…
+    val (_, keptAll, skippedNone) =
+      TxStore.pruneFiles(spark, t, col("payload") === "v5")
+    assert(skippedNone.isEmpty && keptAll.size === 4, "non-numeric predicate: keep all")
+    // …and OR-widening keeps every file either branch might hit
+    val (_, keptOr, skippedOr) =
+      TxStore.pruneFiles(spark, t, (col("id") < 50L) || (col("id") >= 350L))
+    assert(keptOr.size === 2 && skippedOr.size === 2, "OR keeps both edge files")
+  }
+
+  test("stats survive checkpoint truncation and compaction rewrites them") {
+    val t = tmpDir()
+    (0 until 3).foreach(k => TxStore.append(rows(100, from = k * 100).coalesce(1), t))
+    TxStore.checkpoint(spark, t)
+    TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0) // truncate the log
+    val (_, kept1, skipped1) = TxStore.pruneFiles(spark, t, col("id") === 250L)
+    assert(kept1.size === 1 && skipped1.size === 2,
+      "checkpoint restates per-file stats — skipping works from the truncated log")
+    // a compacted file spans the whole range: nothing refutable any more,
+    // but the rewritten file carries FRESH stats (still prunable outside)
+    TxStore.compact(spark, t, target = 1)
+    val (_, _, skippedIn) = TxStore.pruneFiles(spark, t, col("id") === 250L)
+    assert(skippedIn.isEmpty, "single compacted file covers the point")
+    val (_, keptOut, skippedOut) = TxStore.pruneFiles(spark, t, col("id") >= 1000L)
+    assert(keptOut.isEmpty && skippedOut.size === 1,
+      "compaction's commit carries fresh stats for the rewritten file")
+    // delete rewrites carry stats too: after removing the low half, a
+    // low-range predicate skips the rewritten file
+    TxStore.delete(spark, t, col("id") < 150L)
+    val (_, keptLow, _) = TxStore.pruneFiles(spark, t, col("id") < 100L)
+    assert(keptLow.isEmpty, "post-delete rewrite's stats exclude the deleted range")
+    assert(TxStore.readWhere(spark, t, col("id") < 100L).count() === 0L)
+  }
+
   test("a failed append leaves no orphaned staged files behind") {
     val t = tmpDir()
     TxStore.append(rows(3), t)
