@@ -398,7 +398,28 @@ object StorageQueries {
           s"range layout + selective predicate must skip files (kept ${kept.size})")
         eventsCols(TxStore.readWhere(s, store, pred))
       },
-      Some(eventsSql(" WHERE event_id <= 500"))))
+      Some(eventsSql(" WHERE event_id <= 500"))),
+
+    // ── S23 — data skipping on STRING stats: the table is laid out by
+    //    event_type (range partitioning clusters the five values into
+    //    separate files), commits carry ASCII string min/max, and an
+    //    equality predicate prunes every file whose lexicographic range
+    //    excludes the value. Same REQUIRE-skipped + oracle-pins-content
+    //    contract as s22 — together they cover both range kinds the
+    //    stats codec carries.
+    QueryDef(
+      "s23_tx_skipping_str",
+      (s, d) => {
+        val store = freshStore(s, "s23-skipstr", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.repartitionByRange(5, col("event_type")), store)
+        val pred = col("event_type") === "click"
+        val (_, kept, skipped) = TxStore.pruneFiles(s, store, pred)
+        require(skipped.nonEmpty,
+          s"type-clustered layout + equality must skip files (kept ${kept.size})")
+        eventsCols(TxStore.readWhere(s, store, pred))
+      },
+      Some(eventsSql(" WHERE event_type = 'click'"))))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

@@ -79,11 +79,17 @@ object TxStore {
       schema: Option[String] = None,
       stats: Option[String] = None)
 
-  /** Per-file column ranges carried by the log: file → column →
-    * (min, max) over the file's NON-NULL values, as exact decimals.
-    * Only top-level numeric primitives are tracked (see [[fileStats]]);
-    * a file/column absent from the map is simply never skipped. */
-  type FileStats = Map[String, Map[String, (BigDecimal, BigDecimal)]]
+  /** One column's [min, max] over a file's NON-NULL values: exact
+    * decimals for numeric primitives, raw strings (ASCII-only, ≤ 64
+    * chars — see [[fileStats]]) for UTF8 binaries. */
+  sealed trait ColRange
+  final case class NumRange(lo: BigDecimal, hi: BigDecimal) extends ColRange
+  final case class StrRange(lo: String, hi: String) extends ColRange
+
+  /** Per-file column ranges carried by the log: file → column → range.
+    * Only top-level primitives are tracked (see [[fileStats]]); a
+    * file/column absent from the map is simply never skipped. */
+  type FileStats = Map[String, Map[String, ColRange]]
 
   final case class Snapshot(
       version: Long,
@@ -119,22 +125,29 @@ object TxStore {
   // this commit), never O(table) — and travel as base64 JSON so the
   // hand-rolled commit line stays escape-free.
 
-  /** Stats payload codec: {"file":{"col":[lo,hi],...},...} with exact
-    * decimal numbers. File names are engine-minted UUIDs and column
-    * names are filtered to quote-free ones at harvest, so the grammar
-    * needs no string escaping. */
-  private def renderStats(m: FileStats): String =
+  /** Stats payload codec: {"file":{"col":[lo,hi],...},...} — numeric
+    * bounds as exact decimal numbers, string bounds as base64-quoted
+    * strings ("b64","b64"). File names are engine-minted UUIDs, column
+    * names are filtered to quote-free ones at harvest, and string
+    * values ride base64, so the grammar needs no escaping anywhere. */
+  private def renderStats(m: FileStats): String = {
+    def b64(v: String) =
+      java.util.Base64.getEncoder.encodeToString(v.getBytes(StandardCharsets.UTF_8))
     m.toSeq.sortBy(_._1).map { case (f, cols) =>
-      val body = cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-        s""""$c":[${lo.bigDecimal.toPlainString},${hi.bigDecimal.toPlainString}]"""
+      val body = cols.toSeq.sortBy(_._1).map {
+        case (c, NumRange(lo, hi)) =>
+          s""""$c":[${lo.bigDecimal.toPlainString},${hi.bigDecimal.toPlainString}]"""
+        case (c, StrRange(lo, hi)) =>
+          s""""$c":["${b64(lo)}","${b64(hi)}"]"""
       }.mkString(",")
       s""""$f":{$body}"""
     }.mkString("{", ",", "}")
+  }
 
   private def parseStats(s: String): FileStats = {
     // tiny scanner over the fixed grammar above — no escapes, no nesting
     // beyond file→col→[lo,hi]
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, (BigDecimal, BigDecimal)]]
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, ColRange]]
     var i = 0
     def expect(c: Char): Unit = {
       require(i < s.length && s.charAt(i) == c, s"corrupt stats payload at $i in $s")
@@ -144,8 +157,10 @@ object TxStore {
       expect('"'); val j = s.indexOf('"', i)
       val r = s.substring(i, j); i = j + 1; r
     }
-    def num(end1: Char, end2: Char): BigDecimal = {
-      val j0 = s.indexWhere(c => c == end1 || c == end2, i)
+    def deb64(v: String): String =
+      new String(java.util.Base64.getDecoder.decode(v), StandardCharsets.UTF_8)
+    def num(end: Char): BigDecimal = {
+      val j0 = s.indexOf(end, i)
       val r = BigDecimal(s.substring(i, j0)); i = j0; r
     }
     expect('{')
@@ -153,16 +168,21 @@ object TxStore {
       if (s.charAt(i) == ',') i += 1
       val file = str()
       expect(':'); expect('{')
-      val cols = scala.collection.mutable.LinkedHashMap.empty[String, (BigDecimal, BigDecimal)]
+      val cols = scala.collection.mutable.LinkedHashMap.empty[String, ColRange]
       while (s.charAt(i) != '}') {
         if (s.charAt(i) == ',') i += 1
         val cname = str()
         expect(':'); expect('[')
-        val lo = num(',', ',')
-        expect(',')
-        val hi = num(']', ']')
+        val range: ColRange =
+          if (s.charAt(i) == '"') { // string bounds
+            val lo = str(); expect(','); val hi = str()
+            StrRange(deb64(lo), deb64(hi))
+          } else {
+            val lo = num(','); expect(','); val hi = num(']')
+            NumRange(lo, hi)
+          }
         expect(']')
-        cols(cname) = (lo, hi)
+        cols(cname) = range
       }
       expect('}')
       out(file) = cols.toMap
@@ -170,24 +190,29 @@ object TxStore {
     out.toMap
   }
 
-  /** Harvest per-file numeric min/max from the parquet footers of
-    * just-staged files. Tracked: top-level INT32/INT64/FLOAT/DOUBLE
-    * primitives with no logical-type annotation beyond a signed int —
-    * dates, timestamps-as-logical-type, decimals and strings are
-    * SKIPPED (absent ⇒ never pruned on), which keeps the comparison
-    * semantics trivially safe. A column is dropped for the whole file
-    * if ANY row group lacks usable stats. NULL note: parquet min/max
-    * cover non-null values only, and [[readWhere]] only prunes on
-    * comparison predicates, which no NULL can satisfy — so skipping a
-    * file whose non-null range refutes the predicate never loses a row. */
+  /** Harvest per-file min/max from the parquet footers of just-staged
+    * files. Tracked: top-level INT32/INT64/FLOAT/DOUBLE primitives with
+    * no logical-type annotation beyond a signed int, plus UTF8 BINARY
+    * (strings) whose bounds are pure ASCII and ≤ 64 chars — for ASCII,
+    * parquet's unsigned-byte ordering and Java's String ordering agree,
+    * so the comparison in [[mayMatch]] is exactly the file's ordering
+    * (a non-ASCII or oversized bound drops the column for that file
+    * rather than risk an ordering mismatch or log bloat). Dates,
+    * timestamp logical types and decimals are SKIPPED (absent ⇒ never
+    * pruned on). A column is dropped for the whole file if ANY row
+    * group lacks usable stats. NULL note: parquet min/max cover
+    * non-null values only, and [[readWhere]] only prunes on comparison
+    * predicates, which no NULL can satisfy — so skipping a file whose
+    * non-null range refutes the predicate never loses a row. */
   private def fileStats(
       f: FileSystem, path: String, names: Seq[String]): Option[String] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
+    def asciiOk(v: String) = v.length <= 64 && v.forall(_ < 128)
     val conf = f.getConf
     val all: FileStats = names.map { name =>
-      val acc = scala.collection.mutable.LinkedHashMap.empty[String, (BigDecimal, BigDecimal)]
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, ColRange]
       val dropped = scala.collection.mutable.HashSet.empty[String]
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(s"$path/$DataDir/$name"), conf)
@@ -196,7 +221,7 @@ object TxStore {
         reader.getFooter.getBlocks.asScala.foreach { block =>
           block.getColumns.asScala.foreach { cc =>
             val parts = cc.getPath.toArray
-            if (parts.length == 1) {
+            if (parts.length == 1 && !parts(0).toString.exists(c => c == '"' || c == '\\')) {
               val cname = parts(0).toString
               val pt = cc.getPrimitiveType
               val ann = pt.getLogicalTypeAnnotation
@@ -205,19 +230,33 @@ object TxStore {
                   (ann == null || (ann match {
                     case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation => it.isSigned
                     case _ => false
-                  })) &&
-                  !cname.exists(c => c == '"' || c == '\\')
-              if (numeric && !dropped.contains(cname)) {
+                  }))
+              val utf8 = pt.getPrimitiveTypeName == BINARY &&
+                ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+              if ((numeric || utf8) && !dropped.contains(cname)) {
                 val st = cc.getStatistics
-                if (st == null || st.isEmpty || !st.hasNonNullValue) {
-                  dropped += cname; acc.remove(cname): Unit
-                } else {
+                def drop(): Unit = { dropped += cname; acc.remove(cname): Unit }
+                if (st == null || st.isEmpty || !st.hasNonNullValue) drop()
+                else if (numeric) {
                   val lo = BigDecimal(st.genericGetMin.toString)
                   val hi = BigDecimal(st.genericGetMax.toString)
-                  val merged = acc.get(cname).fold((lo, hi)) { case (l0, h0) =>
-                    (l0.min(lo), h0.max(hi))
+                  acc(cname) = acc.get(cname) match {
+                    case Some(NumRange(l0, h0)) => NumRange(l0.min(lo), h0.max(hi))
+                    case _ => NumRange(lo, hi)
                   }
-                  acc(cname) = merged
+                } else {
+                  val lo = new String(
+                    st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .getBytes, StandardCharsets.UTF_8)
+                  val hi = new String(
+                    st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .getBytes, StandardCharsets.UTF_8)
+                  if (!asciiOk(lo) || !asciiOk(hi)) drop()
+                  else acc(cname) = acc.get(cname) match {
+                    case Some(StrRange(l0, h0)) =>
+                      StrRange(if (lo < l0) lo else l0, if (hi > h0) hi else h0)
+                    case _ => StrRange(lo, hi)
+                  }
                 }
               }
             }
@@ -383,7 +422,7 @@ object TxStore {
   private def replay(cs: Seq[Commit]): Snapshot = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.LinkedHashMap
-      .empty[String, Map[String, (BigDecimal, BigDecimal)]]
+      .empty[String, Map[String, ColRange]]
     var schema: Option[String] = None
     cs.foreach { c =>
       c.remove.foreach { n => live -= n; stats.remove(n): Unit }
@@ -925,13 +964,16 @@ object TxStore {
     * `e`? Sound, not complete: unsupported expression shapes and
     * missing stats answer true (keep the file); only a comparison the
     * ranges REFUTE answers false. Supported: And/Or over {=, <, <=, >,
-    * >=} between a column and a numeric literal (either side). NULL
+    * >=, IN} between a column and a literal (either side) — numeric
+    * literals against numeric ranges, string literals against string
+    * ranges (pure-ASCII bounds only, where Java and parquet byte order
+    * agree; a non-ASCII literal is simply not pruned on). NULL
     * soundness: ranges cover non-null values and none of the supported
     * comparisons is satisfiable by NULL, so refuting on ranges never
     * drops a qualifying row. */
   private def mayMatch(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
-      ranges: Map[String, (BigDecimal, BigDecimal)]): Boolean = {
+      ranges: Map[String, ColRange]): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     def attr(x: Expression): Option[String] = x match {
@@ -939,58 +981,82 @@ object TxStore {
       case a: AttributeReference => Some(a.name.toLowerCase(java.util.Locale.ROOT))
       case _ => None
     }
-    def num(x: Expression): Option[BigDecimal] = x match {
+    // a literal as either a number or an ASCII string — the two range kinds
+    def value(x: Expression): Option[Either[BigDecimal, String]] = x match {
       case Literal(v, _) => v match {
-        case n: java.lang.Number => Some(BigDecimal(n.toString))
-        case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+        case n: java.lang.Number => Some(scala.Left(BigDecimal(n.toString)))
+        case d: org.apache.spark.sql.types.Decimal => Some(scala.Left(d.toBigDecimal))
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          val str = u.toString
+          if (str.forall(_ < 128)) Some(scala.Right(str)) else None
+        case str: String if str.forall(_ < 128) => Some(scala.Right(str))
         case _ => None
       }
-      case Cast(c, _, _, _) => num(c) // a literal widened by the DSL
+      case Cast(c, _, _, _) => value(c) // a literal widened by the DSL
       case _ => None
     }
-    def range(name: String): Option[(BigDecimal, BigDecimal)] =
+    def range(name: String): Option[ColRange] =
       ranges.collectFirst { case (k, v) if k.toLowerCase(java.util.Locale.ROOT) == name => v }
-    // cmp(col, v): is `col OP v` satisfiable inside [lo, hi]?
-    def test(a: Expression, b: Expression)(
-        sat: ((BigDecimal, BigDecimal), BigDecimal) => Boolean,
-        satFlip: ((BigDecimal, BigDecimal), BigDecimal) => Boolean): Boolean =
-      (attr(a), num(b), attr(b), num(a)) match {
-        case (Some(c), Some(v), _, _) => range(c).forall(r => sat(r, v))
-        case (_, _, Some(c), Some(v)) => range(c).forall(r => satFlip(r, v))
+    // is `col OP v` satisfiable inside the column's range? cmp encodes
+    // OP via three flags: can the op be satisfied by values <v, =v, >v
+    def sat(r: ColRange, v: Either[BigDecimal, String],
+        lt: Boolean, eq: Boolean, gt: Boolean): Boolean = (r, v) match {
+      case (NumRange(lo, hi), scala.Left(n)) =>
+        (lt && lo < n) || (eq && lo <= n && n <= hi) || (gt && hi > n)
+      case (StrRange(lo, hi), scala.Right(t)) =>
+        (lt && lo < t) || (eq && lo <= t && t <= hi) || (gt && hi > t)
+      case _ => true // kind mismatch (e.g. string literal vs numeric range)
+    }
+    // col OP v with OP's (lt,eq,gt); the flipped orientation (v OP col)
+    // mirrors the flags
+    def test(a: Expression, b: Expression, lt: Boolean, eq: Boolean, gt: Boolean): Boolean =
+      (attr(a), value(b), attr(b), value(a)) match {
+        case (Some(c), Some(v), _, _) => range(c).forall(r => sat(r, v, lt, eq, gt))
+        case (_, _, Some(c), Some(v)) => range(c).forall(r => sat(r, v, gt, eq, lt))
         case _ => true
+      }
+    def inList(a: Expression, vs: Seq[Expression]): Boolean =
+      attr(a) match {
+        case Some(c) => range(c) match {
+          case Some(r) =>
+            // satisfiable iff ANY literal falls inside the range; a
+            // non-literal element keeps the file
+            vs.exists(x => value(x) match {
+              case Some(v) => sat(r, v, lt = false, eq = true, gt = false)
+              case None => true
+            })
+          case None => true
+        }
+        case None => true
       }
     // The Spark-4 Column DSL yields UnresolvedFunction("and" | ">=" |
     // …) nodes (operators resolve to functions at ANALYSIS, which a
     // driver-side predicate never goes through); an already-analyzed
-    // expression carries the typed And/LessThan/… nodes. Normalize both
-    // to (op, lhs, rhs).
-    val norm: Option[(String, Expression, Expression)] = e match {
+    // expression carries the typed And/LessThan/… nodes. Normalize both.
+    def fname(f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction): String =
+      f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+    e match {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-          if f.nameParts.lengthCompare(1) == 0 && f.arguments.lengthCompare(2) == 0 =>
-        Some((f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
-          f.arguments.head, f.arguments.last))
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) => Some(("and", l, r))
-      case org.apache.spark.sql.catalyst.expressions.Or(l, r) => Some(("or", l, r))
-      case EqualTo(a, b) => Some(("=", a, b))
-      case LessThan(a, b) => Some(("<", a, b))
-      case LessThanOrEqual(a, b) => Some(("<=", a, b))
-      case GreaterThan(a, b) => Some((">", a, b))
-      case GreaterThanOrEqual(a, b) => Some((">=", a, b))
-      case _ => None
-    }
-    norm match {
-      case Some(("and", l, r)) => mayMatch(l, ranges) && mayMatch(r, ranges)
-      case Some(("or", l, r)) => mayMatch(l, ranges) || mayMatch(r, ranges)
-      case Some(("=" | "==", a, b)) =>
-        test(a, b)((r, v) => r._1 <= v && v <= r._2, (r, v) => r._1 <= v && v <= r._2)
-      case Some(("<", a, b)) => // col < v | v < col
-        test(a, b)((r, v) => r._1 < v, (r, v) => r._2 > v)
-      case Some(("<=", a, b)) =>
-        test(a, b)((r, v) => r._1 <= v, (r, v) => r._2 >= v)
-      case Some((">", a, b)) => // col > v | v > col
-        test(a, b)((r, v) => r._2 > v, (r, v) => r._1 < v)
-      case Some((">=", a, b)) =>
-        test(a, b)((r, v) => r._2 >= v, (r, v) => r._1 >= v)
+          if f.nameParts.lengthCompare(1) == 0 =>
+        (fname(f), f.arguments) match {
+          case ("and", Seq(l, r)) => mayMatch(l, ranges) && mayMatch(r, ranges)
+          case ("or", Seq(l, r)) => mayMatch(l, ranges) || mayMatch(r, ranges)
+          case ("=" | "==", Seq(a, b)) => test(a, b, lt = false, eq = true, gt = false)
+          case ("<", Seq(a, b)) => test(a, b, lt = true, eq = false, gt = false)
+          case ("<=", Seq(a, b)) => test(a, b, lt = true, eq = true, gt = false)
+          case (">", Seq(a, b)) => test(a, b, lt = false, eq = false, gt = true)
+          case (">=", Seq(a, b)) => test(a, b, lt = false, eq = true, gt = true)
+          case ("in", a +: vs) if vs.nonEmpty => inList(a, vs)
+          case _ => true
+        }
+      case And(l, r) => mayMatch(l, ranges) && mayMatch(r, ranges)
+      case Or(l, r) => mayMatch(l, ranges) || mayMatch(r, ranges)
+      case EqualTo(a, b) => test(a, b, lt = false, eq = true, gt = false)
+      case LessThan(a, b) => test(a, b, lt = true, eq = false, gt = false)
+      case LessThanOrEqual(a, b) => test(a, b, lt = true, eq = true, gt = false)
+      case GreaterThan(a, b) => test(a, b, lt = false, eq = false, gt = true)
+      case GreaterThanOrEqual(a, b) => test(a, b, lt = false, eq = true, gt = true)
+      case In(a, vs) if vs.nonEmpty => inList(a, vs)
       case _ => true
     }
   }

@@ -453,14 +453,38 @@ class TxStoreSpec extends SparkSpec {
     val got = TxStore.readWhere(spark, t, pred).as[(Long, String)].collect().toSet
     assert(got === (120 until 180).map(i => (i.toLong, s"v$i")).toSet,
       "pruned read ≡ full-scan filter")
-    // conservative tiers: an unsupported predicate shape prunes nothing…
+    // conservative tier: an unsupported predicate shape prunes nothing…
     val (_, keptAll, skippedNone) =
-      TxStore.pruneFiles(spark, t, col("payload") === "v5")
-    assert(skippedNone.isEmpty && keptAll.size === 4, "non-numeric predicate: keep all")
+      TxStore.pruneFiles(spark, t, length(col("payload")) === 2)
+    assert(skippedNone.isEmpty && keptAll.size === 4, "unsupported shape: keep all")
     // …and OR-widening keeps every file either branch might hit
     val (_, keptOr, skippedOr) =
       TxStore.pruneFiles(spark, t, (col("id") < 50L) || (col("id") >= 350L))
     assert(keptOr.size === 2 && skippedOr.size === 2, "OR keeps both edge files")
+  }
+
+  test("string stats and IN-lists prune; non-ASCII literals never do") {
+    val t = tmpDir()
+    // four files with disjoint LEXICOGRAPHIC payload ranges (fixed-width
+    // keys so string order == numeric order)
+    def wide(n: Int, from: Int) =
+      (from until from + n).map(i => (i.toLong, f"k$i%04d")).toDF("id", "payload")
+    (0 until 4).foreach(k => TxStore.append(wide(100, k * 100).coalesce(1), t))
+    val (_, keptEq, skippedEq) = TxStore.pruneFiles(spark, t, col("payload") === "k0150")
+    assert(keptEq.size === 1 && skippedEq.size === 3, "string equality prunes to one file")
+    val (_, keptRange, _) =
+      TxStore.pruneFiles(spark, t, col("payload") >= "k0150" && col("payload") < "k0250")
+    assert(keptRange.size === 2, "string range spans exactly two files")
+    assert(TxStore.readWhere(spark, t, col("payload") === "k0150").count() === 1L)
+    // IN-list: satisfiable iff ANY member is in range — members from two
+    // files keep exactly those two
+    val (_, keptIn, skippedIn) =
+      TxStore.pruneFiles(spark, t, col("id").isin(5L, 350L))
+    assert(keptIn.size === 2 && skippedIn.size === 2, "IN keeps each member's file")
+    assert(TxStore.readWhere(spark, t, col("id").isin(5L, 350L)).count() === 2L)
+    // a non-ASCII literal must not prune (byte order vs String order)
+    val (_, keptNa, skippedNa) = TxStore.pruneFiles(spark, t, col("payload") === "kø150")
+    assert(skippedNa.isEmpty && keptNa.size === 4, "non-ASCII literal: keep all")
   }
 
   test("stats survive checkpoint truncation and compaction rewrites them") {
