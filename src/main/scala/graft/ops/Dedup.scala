@@ -339,6 +339,36 @@ object Dedup {
     verifyJaccard(candidates, docs, w, threshold)
   }
 
+  /** EXT39 — FUZZY dedup: MinHash-LSH candidates verified by EDIT
+    * DISTANCE instead of (only) Jaccard — the BigCode/StarCoder-style
+    * near-dedup shape. Shingle Jaccard compares token SETS, so it
+    * forgives rearrangements: a document whose halves were swapped
+    * shares almost every 3-shingle with the original (only the seam
+    * shingles change) yet reads in a different order — edit distance
+    * sees the move and rejects it, while a true near-copy (a handful
+    * of token edits) passes both gates. Returns (doc_a, doc_b,
+    * edit_dist) for candidate pairs at shingle-Jaccard ≥
+    * `candidateJaccard` whose character edit distance is ≤ `maxEdits`.
+    *
+    * Plan shape: candidates come from the banded, hot-bucket-capped
+    * LSH join ([[minhashLshPairs]] — never all-pairs), two keyed joins
+    * pull the texts back, and `levenshtein` (a codegen'd built-in)
+    * verifies — O(L²) per CANDIDATE, linear in candidates. The
+    * quadratic all-pairs levenshtein lives in the oracle only. */
+  def editNearDupPairs(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 64,
+      candidateJaccard: Double = 0.5,
+      maxEdits: Long = 5L): DataFrame =
+    minhashLshPairs(docs, w, k, threshold = candidateJaccard)
+      .select("doc_a", "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("__ta")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("__tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxEdits)
+
   /** EXT20 — benchmark decontamination: which eval-set documents leak into
     * the training corpus? For every (train doc, eval doc) pair sharing
     * w-token shingles, reports `overlap` = |shingles(eval) ∩

@@ -1494,7 +1494,26 @@ object ExtQueries {
              |       CAST(LEAST(16, n - chunk_start) AS BIGINT) AS chunk_tokens,
              |       array_to_string(l[chunk_start + 1 : chunk_start + 16], ' ')
              |         AS text_chunk
-             |FROM st""".stripMargin)))
+             |FROM st""".stripMargin)),
+
+    // ── EXT39 — fuzzy dedup: LSH candidates verified by EDIT DISTANCE
+    //    (the BigCode/StarCoder near-dedup shape — Jaccard compares
+    //    token sets and forgives rearrangement; levenshtein sees order).
+    //    Non-vacuous on the fixture: of the 25 exact-Jaccard ≥ 0.5
+    //    pairs, 24 sit at edit distance 4 and one at 8 — the ≤ 5 gate
+    //    keeps exactly the 24. Oracle = exact all-pairs Jaccard AND
+    //    levenshtein (the quadratic side lives in the oracle only;
+    //    the engine's candidates ride the banded capped LSH join).
+    QueryDef(
+      "ext39_edit_neardup",
+      (s, d) => Dedup.editNearDupPairs(Tables.documents(s, d)),
+      Some(DocShinglesCte +
+        """SELECT j.doc_a, j.doc_b,
+          |       CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+          |FROM jac j
+          |JOIN documents x ON x.doc_id = j.doc_a
+          |JOIN documents y ON y.doc_id = j.doc_b
+          |WHERE j.jaccard >= 0.5 AND levenshtein(x.text, y.text) <= 5""".stripMargin)))
 
   /** DuckDB mirror of [[graft.ops.QualityFunnel.filterFlags]]: integer
     * token stats + the ext35 LM score CTE, rules as the same exact

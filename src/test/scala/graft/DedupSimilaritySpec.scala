@@ -289,6 +289,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == expected, s"got $pairs, expected $expected")
   }
 
+  test("fuzzy dedup: edit distance rejects the block move that shingle Jaccard forgives") {
+    // B = A with its halves swapped: every interior 3-shingle survives
+    // (only the seam changes), so shingle Jaccard stays high — but the
+    // text reads in a different order and the edit distance is ~half
+    // the document. C = A with ONE token substituted: a true near-copy,
+    // small edit distance. Fuzzy dedup must keep (A,C) and reject (A,B).
+    val toks = (1 to 40).map(i => s"tk$i")
+    val a = toks.mkString(" ")
+    val b = (toks.drop(20) ++ toks.take(20)).mkString(" ")
+    val c = toks.updated(7, "sub").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val jacPairs = Dedup.jaccardPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(jacPairs.contains((1L, 2L)), "Jaccard alone accepts the block move")
+    val fuzzy = Dedup.editNearDupPairs(docs, maxEdits = 15L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(fuzzy.contains((1L, 3L)), "one-token edit passes the edit gate")
+    assert(!fuzzy.contains((1L, 2L)), "block move fails the edit gate")
+  }
+
   test("clustered SemDeDup keeps one representative per component where greedy keeps two") {
     // Edges a–c and b–c with NO a–b edge (c is the bisector of two
     // vectors 32° apart; cos 16° ≈ 0.961 ≥ 0.95, cos 32° ≈ 0.848 < 0.95):
