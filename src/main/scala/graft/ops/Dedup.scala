@@ -351,17 +351,22 @@ object Dedup {
     * `candidateJaccard` whose character edit distance is ≤ `maxEdits`.
     *
     * Plan shape: candidates come from the banded, hot-bucket-capped
-    * LSH join ([[minhashLshPairs]] — never all-pairs), two keyed joins
-    * pull the texts back, and `levenshtein` (a codegen'd built-in)
-    * verifies — O(L²) per CANDIDATE, linear in candidates. The
-    * quadratic all-pairs levenshtein lives in the oracle only. */
+    * LSH join ([[minhashLshPairs]] — never all-pairs) under the
+    * SCALE-SAFE m-of-b banding (minBandMatches = 2 by default — the
+    * sf10-surviving configuration; m = 1's single-band background
+    * collisions spilled >70 GB at the round-8 century), two keyed
+    * joins pull the texts back, and `levenshtein` (a codegen'd
+    * built-in) verifies — O(L²) per CANDIDATE, linear in candidates.
+    * The quadratic all-pairs levenshtein lives in the oracle only. */
   def editNearDupPairs(
       docs: DataFrame,
       w: Int = 3,
       k: Int = 64,
       candidateJaccard: Double = 0.5,
-      maxEdits: Long = 5L): DataFrame =
-    minhashLshPairs(docs, w, k, threshold = candidateJaccard)
+      maxEdits: Long = 5L,
+      minBandMatches: Int = 2): DataFrame =
+    minhashLshPairs(docs, w, k, threshold = candidateJaccard,
+      minBandMatches = minBandMatches)
       .select("doc_a", "doc_b")
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("__ta")), Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("__tb")), Seq("doc_b"))
