@@ -419,7 +419,36 @@ object StorageQueries {
           s"type-clustered layout + equality must skip files (kept ${kept.size})")
         eventsCols(TxStore.readWhere(s, store, pred))
       },
-      Some(eventsSql(" WHERE event_type = 'click'"))))
+      Some(eventsSql(" WHERE event_type = 'click'"))),
+
+    // ── S24 — Z-ORDER layout × log-level skipping: the multi-dim
+    //    synergy the two features exist for. The table is written
+    //    range-laid-out on the Morton curve (Compaction.zOrderKey over
+    //    (event_id, user_id)), so every file is a small hyper-rectangle
+    //    in BOTH dimensions and the commit log's min/max stats prune
+    //    files for predicates on EITHER column — a lexicographic sort
+    //    would prune only its leading key. The lane REQUIRES skipping
+    //    on each dimension independently, then hash-matches the 2-D
+    //    pruned read.
+    QueryDef(
+      "s24_tx_zorder_skipping",
+      (s, d) => {
+        val store = freshStore(s, "s24-zskip", d)
+        val ev = Tables.events(s, d)
+        val z = Compaction.zOrderKey(ev, Seq("event_id", "user_id"))
+        TxStore.append(
+          ev.withColumn("__z", z).repartitionByRange(16, col("__z"))
+            .sortWithinPartitions("__z").drop("__z"),
+          store)
+        val (_, _, skipEvent) = TxStore.pruneFiles(s, store, col("event_id") <= 500L)
+        val (_, _, skipUser) = TxStore.pruneFiles(s, store, col("user_id") <= 3L)
+        require(skipEvent.nonEmpty && skipUser.nonEmpty,
+          s"z-order must let BOTH dimensions prune (event ${skipEvent.size}, " +
+            s"user ${skipUser.size})")
+        eventsCols(
+          TxStore.readWhere(s, store, col("event_id") <= 500L && col("user_id") <= 3L))
+      },
+      Some(eventsSql(" WHERE event_id <= 500 AND user_id <= 3"))))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

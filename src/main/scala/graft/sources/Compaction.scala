@@ -79,6 +79,49 @@ object Compaction {
     spark.read.parquet(outPath)
   }
 
+  /** The rank-normalized Morton z-VALUE for `df`'s rows as a pure
+    * Column — the layout key [[compactZOrder]] clusters on, exposed so
+    * OTHER writers (e.g. a TxStore append that wants multi-dimensional
+    * data skipping from the commit log's min/max stats) can range-lay
+    * their files on the same curve.
+    *
+    * Morton interleave in ONE array fold per column. The naive shape —
+    * fold to a bucket index, then extract `bits` bits from it — would
+    * re-evaluate the (interpreted, CodegenFallback, no-CSE) 255-step
+    * fold once per extracted bit. Instead each boundary carries its
+    * PRE-INTERLEAVED increment: crossing boundary i moves the bucket
+    * from i to i+1, so it contributes spread(i+1) − spread(i), where
+    * spread places bucket-bit p of column j at curve position p·k + j.
+    * Summing the increments for every crossed boundary yields
+    * spread(bucket) directly — one 255-step pass per column per row,
+    * independent of `bits`. A NULL comparison contributes 0 everywhere,
+    * clustering NULLs at the curve origin. The per-column equi-depth
+    * boundaries come from `approxQuantile` (≤ 2^bits−1 doubles on the
+    * driver — model-bounded, the same contract as the k-means
+    * centroids). */
+  def zOrderKey(df: DataFrame, zCols: Seq[String], bits: Int = 8): Column = {
+    require(zCols.size >= 2, "z-order needs ≥2 columns")
+    require(zCols.size * bits <= 62, s"${zCols.size} cols × $bits bits overflows a signed long")
+    val buckets = 1 << bits
+    // equi-depth boundaries per column; relativeError ≪ bucket width so
+    // adjacent buckets stay comparable in population
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val k = zCols.size
+    def spread(v: Long, j: Int): Long =
+      (0 until bits).map(p => ((v >> p) & 1L) << (p * k + j)).sum
+    val zParts = zCols.zipWithIndex.map { case (c, j) =>
+      val bs = df.stat.approxQuantile(c, probs, 1.0 / (4.0 * buckets))
+      val deltas = bs.indices.map(i => spread(i + 1L, j) - spread(i.toLong, j)).toArray
+      aggregate(
+        zip_with(lit(bs), lit(deltas),
+          (b, dlt) => when(col(c).cast("double") >= b, dlt).otherwise(0L)),
+        lit(0L),
+        (acc, x) => acc + x)
+    }
+    // columns occupy disjoint bit positions, so plain addition assembles z
+    zParts.reduce(_ + _)
+  }
+
   /** Rewrite clustered on a Z-ORDER (Morton) curve over `zCols` — the
     * multi-dimensional data-skipping layout [[compactSorted]] cannot give:
     * a lexicographic sort prunes files only for predicates on its LEADING
@@ -115,36 +158,7 @@ object Compaction {
     val n = nFiles(spark, inPath, targetBytes)
     val df = spark.read.parquet(inPath)
     require(!df.columns.contains("__z"), "input must not carry the reserved __z column")
-    val buckets = 1 << bits
-    // equi-depth boundaries per column; relativeError ≪ bucket width so
-    // adjacent buckets stay comparable in population
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val k = zCols.size
-    // Morton interleave in ONE array fold per column. The naive shape —
-    // fold to a bucket index, then extract `bits` bits from it — would
-    // re-evaluate the (interpreted, CodegenFallback, no-CSE) 255-step
-    // fold once per extracted bit. Instead each boundary carries its
-    // PRE-INTERLEAVED increment: crossing boundary i moves the bucket
-    // from i to i+1, so it contributes spread(i+1) − spread(i), where
-    // spread places bucket-bit p of column j at curve position p·k + j.
-    // Summing the increments for every crossed boundary yields
-    // spread(bucket) directly — one 255-step pass per column per row,
-    // independent of `bits`. A NULL comparison contributes 0 everywhere,
-    // clustering NULLs at the curve origin.
-    def spread(v: Long, j: Int): Long =
-      (0 until bits).map(p => ((v >> p) & 1L) << (p * k + j)).sum
-    val zParts = zCols.zipWithIndex.map { case (c, j) =>
-      val bs = df.stat.approxQuantile(c, probs, 1.0 / (4.0 * buckets))
-      val deltas = bs.indices.map(i => spread(i + 1L, j) - spread(i.toLong, j)).toArray
-      aggregate(
-        zip_with(lit(bs), lit(deltas),
-          (b, dlt) => when(col(c).cast("double") >= b, dlt).otherwise(0L)),
-        lit(0L),
-        (acc, x) => acc + x)
-    }
-    // columns occupy disjoint bit positions, so plain addition assembles z
-    val zval = zParts.reduce(_ + _)
-    df.withColumn("__z", zval)
+    df.withColumn("__z", zOrderKey(df, zCols, bits))
       .repartitionByRange(n, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

@@ -1084,9 +1084,29 @@ object TxStore {
     * scan (the predicate is STILL applied to the kept files — pruning is
     * an optimization, not the filter). Complements, not replaces, the
     * parquet row-group pushdown the scan already does: this tier skips
-    * whole files from the log before any footer is opened. */
-  def readWhere(spark: SparkSession, path: String, predicate: Column): DataFrame = {
-    val (snap, kept, _) = pruneFiles(spark, path, predicate)
+    * whole files from the log before any footer is opened.
+    *
+    * Partition-pruning note: a file holding ONE value of a column (the
+    * partitioned-write layout — e.g. range-partitioned by a low-
+    * cardinality key so each file owns one value) gets lo == hi stats,
+    * and pruning on them IS Hive-style partition pruning — the log's
+    * stats subsume a separate partition-column mechanism. */
+  def readWhere(spark: SparkSession, path: String, predicate: Column): DataFrame =
+    readSnapWhere(spark, path, snapshot(spark, path), predicate)
+
+  /** [[readWhere]] against an HISTORICAL version — time travel with the
+    * same log-level skipping (replay accumulates each commit's per-file
+    * stats, so the pruning decision at version V uses exactly the
+    * ranges the log knew at V). */
+  def readWhereAt(
+      spark: SparkSession, path: String, version: Long, predicate: Column): DataFrame =
+    readSnapWhere(spark, path, snapshotAt(spark, path, version), predicate)
+
+  private def readSnapWhere(
+      spark: SparkSession, path: String, snap: Snapshot, predicate: Column): DataFrame = {
+    val pred = org.apache.spark.sql.graft.ColumnBridge.expression(predicate)
+    val kept = snap.files.filter(f =>
+      snap.stats.get(f).forall(ranges => mayMatch(pred, ranges)))
     if (kept.isEmpty) {
       val schema = snap.schema.getOrElse(org.apache.spark.sql.types.StructType(Nil))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -289,6 +289,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == expected, s"got $pairs, expected $expected")
   }
 
+  test("signLshPairRecall: exact dups are structural; documented defaults and knob direction hold") {
+    assert(Similarity.signLshPairRecall(1.0, 24, 8) === 1.0, "θ=0 collides in every table")
+    val atDefaults = Similarity.signLshPairRecall(0.95, 24, 8)
+    assert(atDefaults > 0.40 && atDefaults < 0.60, s"documented ~0.49, got $atDefaults")
+    assert(Similarity.signLshPairRecall(0.95, 16, 16) > 0.95,
+      "the recommended tail-recall config clears 0.95")
+    assert(Similarity.signLshPairRecall(0.95, 24, 16) > atDefaults, "more tables ⇒ more recall")
+  }
+
   test("fuzzy dedup: edit distance rejects the block move that shingle Jaccard forgives") {
     // B = A with its halves swapped: every interior 3-shingle survives
     // (only the seam changes), so shingle Jaccard stays high — but the

@@ -511,6 +511,18 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.readWhere(spark, t, col("id") < 100L).count() === 0L)
   }
 
+  test("readWhereAt: time travel prunes with the ranges the log knew at that version") {
+    val t = tmpDir()
+    (0 until 3).foreach(k => TxStore.append(rows(100, from = k * 100).coalesce(1), t))
+    TxStore.overwrite(rows(10, from = 900).coalesce(1), t) // v4 replaces everything
+    // at v4 the only live file covers [900,910): id=150 reads empty
+    assert(TxStore.readWhere(spark, t, col("id") === 150L).count() === 0L)
+    // at v3 the historical stats still resolve id=150 to exactly one row
+    val got = TxStore.readWhereAt(spark, t, 3L, col("id") === 150L)
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((150L, "v150")))
+  }
+
   test("a failed append leaves no orphaned staged files behind") {
     val t = tmpDir()
     TxStore.append(rows(3), t)
