@@ -448,7 +448,28 @@ object StorageQueries {
         eventsCols(
           TxStore.readWhere(s, store, col("event_id") <= 500L && col("user_id") <= 3L))
       },
-      Some(eventsSql(" WHERE event_id <= 500 AND user_id <= 3"))))
+      Some(eventsSql(" WHERE event_id <= 500 AND user_id <= 3"))),
+
+    // ── S25 — merge-on-read DELETE via deletion vectors: the %3 rows
+    //    are marked deleted in the LOG (one tiny commit, positions via
+    //    _metadata.row_index) — the lane REQUIRES the file set is
+    //    byte-identical before/after (a rewrite would pass the readback
+    //    but defeat the feature), then the oracle pins that every read
+    //    path applies the marks: the snapshot read must hash-match SQL
+    //    DELETE semantics exactly. Compare s15 (copy-on-write) — same
+    //    oracle shape, opposite physical trade.
+    QueryDef(
+      "s25_tx_delete_dv",
+      (s, d) => {
+        val store = freshStore(s, "s25-dvdelete", d)
+        TxStore.append(Tables.events(s, d), store) // v1
+        val before = TxStore.snapshot(s, store).files.toSet
+        TxStore.deleteVectored(s, store, col("event_id") % 3 === 0) // v2
+        require(TxStore.snapshot(s, store).files.toSet == before,
+          "deletion-vector delete must not add or remove data files")
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(" WHERE event_id % 3 <> 0"))))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

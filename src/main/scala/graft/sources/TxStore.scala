@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, count_distinct, input_file_name, lit, not, struct}
+import org.apache.spark.sql.functions.{col, count, count_distinct, lit, not, struct}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -77,7 +77,8 @@ object TxStore {
       remove: Seq[String],
       txn: Option[String] = None,
       schema: Option[String] = None,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      dv: Option[String] = None)
 
   /** One column's [min, max] over a file's NON-NULL values: exact
     * decimals for numeric primitives, raw strings (ASCII-only, ≤ 64
@@ -95,7 +96,18 @@ object TxStore {
       version: Long,
       files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      stats: FileStats = Map.empty)
+      stats: FileStats = Map.empty,
+      dv: Map[String, Seq[Long]] = Map.empty)
+
+  /** What a write op asks the commit loop to publish at the next
+    * version. `stats` ride with added files; `dv` marks row positions
+    * of LIVE files as deleted (merge-on-read — see [[deleteVectored]]). */
+  private final case class CommitSpec(
+      add: Seq[String],
+      remove: Seq[String],
+      schema: Option[String],
+      stats: Option[String] = None,
+      dv: Option[String] = None)
 
   // ── schema in the log ──────────────────────────────────────────────
   // The table schema travels in commit entries (base64 of Spark's schema
@@ -273,6 +285,52 @@ object TxStore {
   private def decodeStats(b64: String): FileStats =
     parseStats(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
 
+  // ── deletion vectors in the log (merge-on-read DELETE) ─────────────
+  // A delete-dv commit adds/removes NO files: it marks row POSITIONS of
+  // live files as deleted ({"file":[idx,...],...}, base64-wrapped like
+  // the other structured payloads). Readers anti-join the marked
+  // positions out via the parquet scan's _metadata.row_index — a
+  // selective delete on a huge file costs one tiny log entry instead of
+  // rewriting the file (the Delta deletion-vector / Iceberg v2
+  // position-delete design, re-derived). Rewrites retire vectors:
+  // compact/delete/merge read THROUGH the vectors and their new files
+  // carry none.
+
+  private def renderDv(m: Map[String, Seq[Long]]): String =
+    m.toSeq.sortBy(_._1).map { case (f, rows) =>
+      s""""$f":[${rows.sorted.distinct.mkString(",")}]"""
+    }.mkString("{", ",", "}")
+
+  private def parseDv(s: String): Map[String, Seq[Long]] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    var i = 0
+    def expect(c: Char): Unit = {
+      require(i < s.length && s.charAt(i) == c, s"corrupt dv payload at $i in $s")
+      i += 1
+    }
+    def str(): String = {
+      expect('"'); val j = s.indexOf('"', i)
+      val r = s.substring(i, j); i = j + 1; r
+    }
+    expect('{')
+    while (i < s.length && s.charAt(i) != '}') {
+      if (s.charAt(i) == ',') i += 1
+      val file = str()
+      expect(':'); expect('[')
+      val j = s.indexOf(']', i)
+      val body = s.substring(i, j); i = j
+      expect(']')
+      out(file) = if (body.isEmpty) Nil else body.split(',').toSeq.map(_.toLong)
+    }
+    out.toMap
+  }
+
+  private def encodeDv(m: Map[String, Seq[Long]]): String =
+    java.util.Base64.getEncoder.encodeToString(renderDv(m).getBytes(StandardCharsets.UTF_8))
+
+  private def decodeDv(b64: String): Map[String, Seq[Long]] =
+    parseDv(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+
   private def normalize(
       s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
@@ -363,7 +421,8 @@ object TxStore {
     val txn = c.txn.fold("")(t => s""","txn":"$t"""")
     val sch = c.schema.fold("")(s => s""","schema":"$s"""")
     val sts = c.stats.fold("")(s => s""","stats":"$s"""")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts}"""
+    val dvs = c.dv.fold("")(s => s""","dv":"$s"""")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs}"""
   }
 
   private def parse(s: String): Commit = {
@@ -388,7 +447,8 @@ object TxStore {
       remove = strArr(field("remove")),
       txn = fieldOpt("txn").map(_.drop(1).takeWhile(_ != '"')),
       schema = fieldOpt("schema").map(_.drop(1).takeWhile(_ != '"')),
-      stats = fieldOpt("stats").map(_.drop(1).takeWhile(_ != '"')))
+      stats = fieldOpt("stats").map(_.drop(1).takeWhile(_ != '"')),
+      dv = fieldOpt("dv").map(_.drop(1).takeWhile(_ != '"')))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -423,19 +483,25 @@ object TxStore {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, ColRange]]
+    val dv = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     var schema: Option[String] = None
     cs.foreach { c =>
-      c.remove.foreach { n => live -= n; stats.remove(n): Unit }
+      c.remove.foreach { n => live -= n; stats.remove(n): Unit; dv.remove(n): Unit }
       c.add.foreach(n => live += n)
       c.stats.foreach { b64 =>
         val addSet = c.add.toSet
         decodeStats(b64).foreach { case (f, m) => if (addSet(f)) stats(f) = m }
       }
+      // vectors only ever target files live at their commit; concurrent
+      // vectors on one file UNION (position marks commute)
+      c.dv.foreach(b64 => decodeDv(b64).foreach { case (f, rows) =>
+        if (live(f)) dv(f) = (dv.getOrElse(f, Nil) ++ rows).distinct.sorted
+      })
       if (c.schema.isDefined) schema = c.schema
     }
     Snapshot(
       if (cs.isEmpty) 0L else cs.last.version, live.toSeq,
-      schema.map(decodeSchema), stats.toMap)
+      schema.map(decodeSchema), stats.toMap, dv.toMap)
   }
 
   /** Current snapshot (version 0 = empty table, no log yet). */
@@ -536,22 +602,22 @@ object TxStore {
   }
 
   /** Optimistic-commit loop shared by every write op. `attempt` sees the
-    * latest snapshot and returns (add, remove, schema, stats) for the
-    * commit to try at its version + 1, or None to abort as a no-op (e.g.
-    * compaction inputs vanished). Schema is decided per attempt so a
-    * retry restates it against the freshest snapshot. */
+    * latest snapshot and returns the [[CommitSpec]] to try at its
+    * version + 1, or None to abort as a no-op (e.g. compaction inputs
+    * vanished). The spec is decided per attempt so a retry restates it
+    * against the freshest snapshot. */
   private def commitLoop(
       spark: SparkSession, path: String, op: String, txn: Option[String] = None)(
-      attempt: Snapshot =>
-        Option[(Seq[String], Seq[String], Option[String], Option[String])]): Option[Commit] = {
+      attempt: Snapshot => Option[CommitSpec]): Option[Commit] = {
     val f = fs(spark, path)
     var tries = 0
     while (tries < MaxRetries) {
       val snap = replay(commits(f, path))
       attempt(snap) match {
         case None => return None
-        case Some((add, remove, schema, stats)) =>
-          val c = Commit(snap.version + 1, op, add, remove, txn, schema, stats)
+        case Some(spec) =>
+          val c = Commit(snap.version + 1, op, spec.add, spec.remove, txn,
+            spec.schema, spec.stats, spec.dv)
           if (tryCommit(f, path, c)) return Some(c)
       }
       tries += 1
@@ -571,8 +637,8 @@ object TxStore {
     val f = fs(df.sparkSession, path)
     try
       commitLoop(df.sparkSession, path, "append")(snap =>
-        Some((files, Nil, Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats)))
-        .get.version
+        Some(CommitSpec(files, Nil,
+          Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))).get.version
     catch {
       case e: Throwable =>
         files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
@@ -599,7 +665,7 @@ object TxStore {
         // legitimately clobbered by a later full overwrite — same
         // semantics as Delta's overwrite after a racing append). An
         // overwrite may change the schema freely — it replaces the table.
-        Some((files, snap.files, Some(encodeSchema(normalize(df.schema))), stats))
+        Some(CommitSpec(files, snap.files, Some(encodeSchema(normalize(df.schema))), stats))
       }.get.version
     } catch {
       case e: Throwable =>
@@ -616,13 +682,13 @@ object TxStore {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
     val (compacted, cStats) =
-      stage(readFiles(spark, path, base.files, base.schema).repartition(target), path)
+      stage(readFiles(spark, path, base.files, base.schema, base.dv).repartition(target), path)
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "compact") { snap =>
       if (!base.files.forall(snap.files.contains)) None
       // restate the LATEST schema (an append may have evolved it since
       // base — its files stay live, so its columns must stay declared)
-      else Some((compacted, base.files, snap.schema.map(encodeSchema), cStats))
+      else Some(CommitSpec(compacted, base.files, snap.schema.map(encodeSchema), cStats))
     }
     if (committed.isEmpty)
       compacted.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
@@ -658,7 +724,7 @@ object TxStore {
         try
           commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
             if (committed.isDefined) None
-            else Some((files, Nil,
+            else Some(CommitSpec(files, Nil,
               Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
           } match {
             case Some(c) => c.version
@@ -702,7 +768,9 @@ object TxStore {
         s"appends since v$sinceVersion are not derivable: the retained log starts at " +
           s"v${cs.head.version} (checkpoint truncated history) — re-read the snapshot")
     val tail = cs.filter(c => c.version > sinceVersion && c.op != "checkpoint")
-    val rewrites = tail.filter(_.remove.nonEmpty)
+    // a deletion-vector commit changes ROWS without touching the file
+    // set — for file-level CDC it is a rewrite exactly like delete
+    val rewrites = tail.filter(c => c.remove.nonEmpty || c.dv.isDefined)
     require(
       rewrites.isEmpty,
       s"($sinceVersion, ${snap.version}] contains rewrite commits " +
@@ -748,16 +816,18 @@ object TxStore {
   def delete(spark: SparkSession, path: String, predicate: Column): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
-    val hit = readFiles(spark, path, base.files, base.schema)
+    val hit = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true)
       .filter(predicate)
-      .select(input_file_name().as("__f"))
+      .select(col("__file"))
       .distinct()
       .collect()
-      .map(r => fileName(r.getString(0)))
+      .map(_.getString(0))
       .toSeq
     if (hit.isEmpty) return None
+    // reading THROUGH the vectors: the rewrite also materializes any
+    // deletion vectors on the hit files (their marks die with the files)
     val kept =
-      readFiles(spark, path, hit, base.schema).filter(not(predicate <=> lit(true)))
+      readFiles(spark, path, hit, base.schema, base.dv).filter(not(predicate <=> lit(true)))
     val (staged, dStats) = stage(kept, path)
     val f = fs(spark, path)
     try
@@ -767,7 +837,7 @@ object TxStore {
           throw new java.util.ConcurrentModificationException(
             s"delete at $path conflicts: rewrite inputs removed concurrently: " +
               vanished.take(3).mkString(", "))
-        Some((staged, hit, snap.schema.map(encodeSchema), dStats))
+        Some(CommitSpec(staged, hit, snap.schema.map(encodeSchema), dStats))
       }.map(_.version)
     catch {
       case e: Throwable =>
@@ -776,13 +846,62 @@ object TxStore {
     }
   }
 
+  /** Merge-on-read DELETE via DELETION VECTORS — the selective-delete
+    * path where [[delete]]'s copy-on-write is the wrong trade: removing
+    * three rows from a 1 GB file should cost one tiny log entry, not a
+    * 1 GB rewrite. The probe finds matching (file, row position) pairs
+    * through the scan's `_metadata.row_index`; the commit marks them
+    * deleted; every read path anti-joins the marks out (readFiles).
+    * Rewrites RETIRE vectors — compact/delete/merge read through them
+    * and their replacement files carry none — so vectors never outlive
+    * the files they annotate, and a periodic compact bounds read-side
+    * anti-join work exactly as in Delta's DV design.
+    *
+    * The marked positions are inherently log-sized data (they travel in
+    * the commit), so the op REFUSES deletes bigger than `maxDvRows` —
+    * use [[delete]] (copy-on-write) for bulk deletes; the production
+    * growth path is a compressed bitmap sidecar, same trade Delta makes.
+    *
+    * Same SQL DELETE NULL semantics as [[delete]] (a NULL predicate
+    * keeps the row — only predicate-TRUE rows are marked) and the same
+    * write-serializable isolation: target files must still be live at
+    * commit time. Two CONCURRENT vectored deletes on one file both
+    * commit — position marks commute (replay unions them). Returns None
+    * (no commit) when nothing matched. */
+  def deleteVectored(
+      spark: SparkSession,
+      path: String,
+      predicate: Column,
+      maxDvRows: Int = 100000): Option[Long] = {
+    val base = snapshot(spark, path)
+    if (base.files.isEmpty) return None
+    val hits = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true)
+      .filter(predicate <=> lit(true))
+      .select(col("__file"), col("__row"))
+      .collect()
+    if (hits.isEmpty) return None
+    require(hits.length <= maxDvRows,
+      s"deleteVectored matched ${hits.length} rows (> maxDvRows = $maxDvRows) — " +
+        "a delete this large should rewrite files: use delete() instead")
+    val marks: Map[String, Seq[Long]] =
+      hits.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq.sorted).toMap
+    commitLoop(spark, path, "delete-dv") { snap =>
+      val vanished = marks.keys.filterNot(snap.files.contains)
+      if (vanished.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"delete-dv at $path conflicts: marked files removed concurrently: " +
+            vanished.take(3).mkString(", "))
+      Some(CommitSpec(Nil, Nil, snap.schema.map(encodeSchema), None, Some(encodeDv(marks))))
+    }.map(_.version)
+  }
+
   /** Keyed MERGE (upsert): rows of `updates` replace current rows with the
     * same key; keys not present insert. Same copy-on-write shape as
     * [[delete]]: a distributed semi-join probe finds the files holding a
-    * matching key (the `__f` column is captured BEFORE the join —
-    * `input_file_name()` is only meaningful on the scan side of a
-    * shuffle), then only those files are rewritten, anti-joined against
-    * the update keys, with `updates` unioned in.
+    * matching key (the file identity is captured AT the scan via
+    * `_metadata.file_name` — see readFiles — so it survives the join),
+    * then only those files are rewritten, anti-joined against the
+    * update keys, with `updates` unioned in.
     *
     * `updates` must be unique per key — two updates for one key have no
     * defined winner, so that's rejected up front rather than written.
@@ -868,15 +987,14 @@ object TxStore {
     val hit =
       if (base.files.isEmpty) Nil
       else {
-        val cur = readFiles(spark, path, base.files, base.schema)
-        require(!cur.columns.contains("__f"), "table must not carry the reserved __f column")
+        val cur =
+          readFiles(spark, path, base.files, base.schema, base.dv, withFile = true)
         cur
-          .withColumn("__f", input_file_name())
           .join(distinctKeys, keys, "left_semi")
-          .select("__f")
+          .select("__file")
           .distinct()
           .collect()
-          .map(r => fileName(r.getString(0)))
+          .map(_.getString(0))
           .toSeq
       }
     // updates are FULL rows (they must carry every table column — a
@@ -893,7 +1011,8 @@ object TxStore {
     }
     val kept =
       if (hit.isEmpty) None
-      else Some(readFiles(spark, path, hit, base.schema).join(distinctKeys, keys, "left_anti"))
+      else Some(
+        readFiles(spark, path, hit, base.schema, base.dv).join(distinctKeys, keys, "left_anti"))
     val out = kept.fold(updates)(_.unionByName(updates, allowMissingColumns = true))
     val (staged, mStats) = stage(out, path)
     val f = fs(spark, path)
@@ -903,7 +1022,7 @@ object TxStore {
           throw new java.util.ConcurrentModificationException(
             s"merge at $path conflicts: table advanced from v${base.version} " +
               s"to v${snap.version} after the probe")
-        Some((staged, hit, Some(encodeSchema(evolved)), mStats))
+        Some(CommitSpec(staged, hit, Some(encodeSchema(evolved)), mStats))
       }.get.version
     catch {
       case e: Throwable =>
@@ -911,10 +1030,6 @@ object TxStore {
         throw e
     }
   }
-
-  /** `input_file_name()` yields a full URI; commits store bare names. */
-  private def fileName(uri: String): String =
-    uri.substring(uri.lastIndexOf('/') + 1)
 
   /** Write a checkpoint commit: the full live set as one log entry, so
     * replay afterwards parses O(1) entries + the tail instead of the whole
@@ -926,7 +1041,8 @@ object TxStore {
         if (snap.stats.isEmpty) None
         else Some(java.util.Base64.getEncoder.encodeToString(
           renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
-      Some((snap.files, Nil, snap.schema.map(encodeSchema), sts))
+      val dvs = if (snap.dv.isEmpty) None else Some(encodeDv(snap.dv))
+      Some(CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs))
     }.get.version
 
   // ── reads ──────────────────────────────────────────────────────────
@@ -934,28 +1050,64 @@ object TxStore {
   /** The log schema (when present) is APPLIED, never inferred from
     * footers: files predating an added column read it as NULL, and the
     * reader costs zero metadata IO regardless of file count. Logs
-    * written before schema tracking fall back to footer inference. */
+    * written before schema tracking fall back to footer inference.
+    *
+    * Deletion vectors apply HERE, so every read path (current,
+    * time-travel, stats-pruned, rewrite inputs) sees them: rows whose
+    * (file, row position) is marked deleted are anti-joined out via
+    * the scan's `_metadata.row_index` (position identity is the
+    * parquet row order, stable under pushdown — probed in
+    * TxStoreSpec). `withFile` keeps a `__file` column (the bare data
+    * file name) for the copy-on-write probes — `_metadata.file_name`
+    * is captured AT the scan, so unlike `input_file_name()` it
+    * survives the anti-join. */
   private def readFiles(
       spark: SparkSession,
       path: String,
       files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dv: Map[String, Seq[Long]] = Map.empty,
+      withFile: Boolean = false): DataFrame = {
     require(files.nonEmpty, s"empty snapshot at $path")
     val reader = schema.fold(spark.read)(s => spark.read.schema(s))
-    reader.parquet(files.map(n => s"$path/$DataDir/$n"): _*)
+    val base = reader.parquet(files.map(n => s"$path/$DataDir/$n"): _*)
+    val fileSet = files.toSet
+    val relevant = dv.view.filterKeys(fileSet).toMap
+    if (relevant.isEmpty && !withFile) base
+    else {
+      require(!base.columns.contains("__file") && !base.columns.contains("__row"),
+        "table must not carry the reserved __file/__row columns")
+      val dataCols = base.columns.toSeq.map(col)
+      val withMeta = base.select(dataCols ++ Seq(
+        col("_metadata.file_name").as("__file"),
+        col("_metadata.row_index").as("__row")): _*)
+      val filtered =
+        if (relevant.isEmpty) withMeta
+        else {
+          import spark.implicits._
+          val dvDf = relevant.toSeq
+            .flatMap { case (f, rows) => rows.map(r => (f, r)) }
+            .toDF("__file", "__row")
+          withMeta.join(
+            org.apache.spark.sql.functions.broadcast(dvDf), Seq("__file", "__row"), "left_anti")
+        }
+      // withFile keeps BOTH meta columns — the DV probe needs the row
+      // position; the copy-on-write probes just ignore it
+      if (withFile) filtered else filtered.drop("__row", "__file")
+    }
   }
 
   /** Read the current snapshot. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val snap = snapshot(spark, path)
-    readFiles(spark, path, snap.files, snap.schema)
+    readFiles(spark, path, snap.files, snap.schema, snap.dv)
   }
 
   /** Read an historical snapshot — time travel, with the schema AS OF
     * that version (a later-added column does not haunt the past). */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
     val snap = snapshotAt(spark, path, version)
-    readFiles(spark, path, snap.files, snap.schema)
+    readFiles(spark, path, snap.files, snap.schema, snap.dv)
   }
 
   // ── data skipping (stats-pruned reads) ─────────────────────────────
@@ -1110,7 +1262,7 @@ object TxStore {
     if (kept.isEmpty) {
       val schema = snap.schema.getOrElse(org.apache.spark.sql.types.StructType(Nil))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readFiles(spark, path, kept, snap.schema).filter(predicate)
+    } else readFiles(spark, path, kept, snap.schema, snap.dv).filter(predicate)
   }
 
   /** Default age an unreferenced file must reach before vacuum reclaims

@@ -523,6 +523,68 @@ class TxStoreSpec extends SparkSpec {
     assert(got === Seq((150L, "v150")))
   }
 
+  test("deletion vectors: rows vanish, files do not; vectors union; rewrites retire them") {
+    val t = tmpDir()
+    (0 until 2).foreach(k => TxStore.append(rows(100, from = k * 100).coalesce(1), t))
+    val filesBefore = TxStore.snapshot(spark, t).files.toSet
+    // v3: mark %7 rows deleted — NO file may be added or removed
+    assert(TxStore.deleteVectored(spark, t, col("id") % 7 === 0L) === Some(3L))
+    val snapAfter = TxStore.snapshot(spark, t)
+    assert(snapAfter.files.toSet === filesBefore, "merge-on-read: file set untouched")
+    assert(snapAfter.dv.nonEmpty && snapAfter.dv.values.map(_.size).sum === 29)
+    val got = TxStore.read(spark, t).select("id").as[Long].collect().toSet
+    assert(got === (0L until 200L).filter(_ % 7 != 0).toSet)
+    // time travel BEFORE the vector sees everything
+    assert(TxStore.readAt(spark, t, 2L).count() === 200L)
+    // a second vector on the same files UNIONS
+    TxStore.deleteVectored(spark, t, col("id") === 1L)
+    assert(TxStore.read(spark, t).count() === (200 - 29 - 1).toLong)
+    // no-match delete writes no commit
+    assert(TxStore.deleteVectored(spark, t, col("id") === -5L) === None)
+    // compact MATERIALIZES the vectors: row-identical readback, fresh
+    // files, zero vectors left
+    TxStore.compact(spark, t, target = 1)
+    val snapC = TxStore.snapshot(spark, t)
+    assert(snapC.dv.isEmpty, "rewritten files carry no vectors")
+    assert(TxStore.read(spark, t).count() === (200 - 29 - 1).toLong)
+  }
+
+  test("deletion vectors: probes read through vectors; CDC refuses DV ranges") {
+    val t = tmpDir()
+    TxStore.append(rows(100).coalesce(1), t) // v1
+    TxStore.deleteVectored(spark, t, col("id") === 10L) // v2
+    // merge on a DV-deleted key must NOT resurrect the old row: the
+    // probe reads through the vector, finds no match, inserts fresh
+    TxStore.merge(spark, t, Seq((10L, "fresh")).toDF("id", "payload"), keys = Seq("id"))
+    val r10 = TxStore.read(spark, t).filter($"id" === 10L)
+      .as[(Long, String)].collect().toSeq
+    assert(r10 === Seq((10L, "fresh")), "exactly the merged row, not the DV'd original")
+    // copy-on-write delete on a DV'd file materializes the vector too
+    TxStore.delete(spark, t, col("id") === 20L)
+    assert(TxStore.snapshot(spark, t).dv.isEmpty, "rewrite retired the vector")
+    assert(TxStore.read(spark, t).count() === 99L)
+    // file-level CDC cannot represent a DV commit — fail loudly
+    val t2 = tmpDir()
+    TxStore.append(rows(10), t2)
+    TxStore.deleteVectored(spark, t2, col("id") === 1L)
+    val e = intercept[IllegalArgumentException](TxStore.readAppendsSince(spark, t2, 1L))
+    assert(e.getMessage.contains("rewrite"))
+  }
+
+  test("deletion vectors survive checkpoint truncation; oversized deletes are refused") {
+    val t = tmpDir()
+    TxStore.append(rows(100).coalesce(1), t)
+    TxStore.deleteVectored(spark, t, col("id") < 10L)
+    TxStore.checkpoint(spark, t)
+    TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0)
+    assert(TxStore.read(spark, t).count() === 90L,
+      "checkpoint restates vectors — the truncated log still applies them")
+    assert(TxStore.readWhere(spark, t, col("id") <= 20L).count() === 11L,
+      "stats-pruned reads apply vectors too")
+    intercept[IllegalArgumentException](
+      TxStore.deleteVectored(spark, t, col("id") >= 0L, maxDvRows = 10))
+  }
+
   test("a failed append leaves no orphaned staged files behind") {
     val t = tmpDir()
     TxStore.append(rows(3), t)
