@@ -267,6 +267,41 @@ object TextOps {
             col("n_tokens").cast("double"), 4).as("avg_logp"))
   }
 
+  /** EXT35b — BIGRAM conditional LM scoring: per-document mean
+    * ln p(w_i | w_{i-1}) under the corpus's own MLE bigram model
+    * (p = c(w_{i-1} w_i) / c_prefix(w_{i-1}), prefix counts over the
+    * same bigram-position population so conditionals sum to 1) — one
+    * step up the n-gram ladder from [[unigramLogProb]] toward the
+    * 5-gram KenLM CCNet actually ranks with, keeping the exactly-
+    * replayable arithmetic (integer counts, ln, one 4dp rounding). A
+    * rare CONTINUATION now scores low even when both words are common
+    * — the signal unigrams structurally cannot see (pinned in
+    * TextOpsSpec). Self-scored, so every bigram is in-model (no OOV
+    * path); documents with < 2 tokens have no bigram positions and no
+    * row, in both engines.
+    *
+    * Shape: bigram occurrences come from a per-row zip_with over the
+    * token array — ZERO shuffle, no per-doc window (positions are not
+    * needed, unlike [[SpanDedup]]) — then two vocabulary-sized enrich
+    * joins (bigram-keyed, prefix-keyed; map-side-combined aggregates,
+    * never a broadcast vocabulary) and a per-doc aggregate. */
+  def bigramLogProb(docs: DataFrame, tok: Column => Column = tokens): DataFrame = {
+    val t = tok(col("text"))
+    val bgs = zip_with(
+      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val bo = docs.select(col("doc_id"), explode(bgs).as("bg"))
+      .withColumn("prev", substring_index(col("bg"), " ", 1))
+    val btf = bo.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val ptf = bo.groupBy("prev").agg(count(lit(1)).as("cp"))
+    bo.join(btf, "bg").join(ptf, "prev")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(log(col("cb").cast("double")) - log(col("cp").cast("double"))).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.Num.rnd(col("__s") / col("n_bigrams").cast("double"), 4).as("avg_logp"))
+  }
+
   /** EXT38 — sliding-window text chunking: fixed `chunkSize`-token
     * windows every `stride` tokens per document — the RAG-indexing /
     * context-window shaping pass (overlapping windows keep boundary

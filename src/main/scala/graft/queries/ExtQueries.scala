@@ -1496,6 +1496,32 @@ object ExtQueries {
              |         AS text_chunk
              |FROM st""".stripMargin)),
 
+    // ── EXT35b — bigram conditional LM scoring: mean ln p(w_i|w_{i-1})
+    //    under the corpus's own MLE bigram model — the n-gram ladder
+    //    step above ext35 (rare CONTINUATIONS of common words now score
+    //    low). Zero-shuffle bigram explode + two vocabulary-keyed
+    //    enrich joins; the oracle replays bigrams by list slicing.
+    QueryDef(
+      "ext35_bigram_logprob",
+      (s, d) => TextOps.bigramLogProb(Tables.documents(s, d)),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+              |), pos AS (
+              |  SELECT doc_id, unnest(range(1, len(l))) AS i, l FROM d
+              |), bo AS (
+              |  SELECT doc_id, l[i] AS prev, l[i] || ' ' || l[i + 1] AS bg FROM pos
+              |), btf AS (
+              |  SELECT bg, COUNT(*) AS cb FROM bo GROUP BY 1
+              |), ptf AS (
+              |  SELECT prev, COUNT(*) AS cp FROM bo GROUP BY 1
+              |)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |       ${Sql.rnd(
+                 "SUM(ln(CAST(cb AS DOUBLE)) - ln(CAST(cp AS DOUBLE))) / COUNT(*)", 4)}
+              |         AS avg_logp
+              |FROM bo JOIN btf USING (bg) JOIN ptf USING (prev)
+              |GROUP BY doc_id""".stripMargin)),
+
     // ── EXT39 — fuzzy dedup: LSH candidates verified by EDIT DISTANCE
     //    (the BigCode/StarCoder near-dedup shape — Jaccard compares
     //    token sets and forgives rearrangement; levenshtein sees order).

@@ -469,7 +469,24 @@ object StorageQueries {
           "deletion-vector delete must not add or remove data files")
         eventsCols(TxStore.read(s, store))
       },
-      Some(eventsSql(" WHERE event_id % 3 <> 0"))))
+      Some(eventsSql(" WHERE event_id % 3 <> 0"))),
+
+    // ── S26 — RESTORE: v2 overwrites the table down to the %7 slice
+    //    (the "accident"), one restore commit rewinds to v1, and the
+    //    readback must hash-match the v1 content — while v2 stays in
+    //    the log (time travel to it still works, asserted by the spec;
+    //    the lane pins the restored LIVE state byte-for-byte).
+    QueryDef(
+      "s26_tx_restore",
+      (s, d) => {
+        val store = freshStore(s, "s26-restore", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0), store) // v1
+        TxStore.overwrite(ev.filter(col("event_id") % 7 === 0), store) // v2
+        TxStore.restore(s, store, 1L) // v3
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(" WHERE event_id % 2 = 0"))))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

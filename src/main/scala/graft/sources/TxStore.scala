@@ -1265,6 +1265,40 @@ object TxStore {
     } else readFiles(spark, path, kept, snap.schema, snap.dv).filter(predicate)
   }
 
+  /** Delta-style RESTORE: ONE commit rewinds the table to the state at
+    * `version` — live files, schema, per-file stats AND deletion
+    * vectors all as of v (an accidental overwrite/delete is undone
+    * without replaying history by hand, and the botched versions stay
+    * in the log for forensics — restore is itself just a commit).
+    *
+    * Mechanics: the commit removes every currently-live file and
+    * re-adds the target set (a file live in both is removed-then-
+    * re-added within the commit, which is what lets replay RESET its
+    * accumulated deletion vector to the historical one — vector marks
+    * otherwise only grow). Stats and vectors are restated from the
+    * target snapshot. Fails loudly if vacuum already reclaimed a
+    * target file (restore reach = the vacuum retention window, the
+    * same trade Delta documents). */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val target = snapshotAt(spark, path, version)
+    val f = fs(spark, path)
+    val missing =
+      target.files.filterNot(n => f.exists(new Path(s"$path/$DataDir/$n")))
+    require(missing.isEmpty,
+      s"restore to v$version impossible: ${missing.size} file(s) already reclaimed by " +
+        s"vacuum (outside the retention window): ${missing.take(3).mkString(", ")}")
+    val sts =
+      if (target.stats.isEmpty) None
+      else Some(java.util.Base64.getEncoder.encodeToString(
+        renderStats(target.stats).getBytes(StandardCharsets.UTF_8)))
+    val dvs = if (target.dv.isEmpty) None else Some(encodeDv(target.dv))
+    commitLoop(spark, path, "restore") { snap =>
+      // remove the CURRENT live set (fresh per retry) and re-add the
+      // target's — same last-writer-wins semantics as overwrite
+      Some(CommitSpec(target.files, snap.files, target.schema.map(encodeSchema), sts, dvs))
+    }.get.version
+  }
+
   /** Default age an unreferenced file must reach before vacuum reclaims
     * it: an hour is orders of magnitude past any healthy stage→commit
     * latency, so anything unreferenced AND that old is debris, not work

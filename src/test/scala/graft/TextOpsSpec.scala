@@ -76,6 +76,32 @@ class TextOpsSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("bigram LM: a rare continuation of common words scores low; unigrams cannot see it") {
+    // "big cat" appears once while "big dog"×3 and "sly cat"×3 make
+    // both of its words individually common — the bigram model scores
+    // doc 9's continuation low, the unigram model scores doc 9 and a
+    // frequent-pair doc identically (same word multiset frequencies).
+    val docs = Seq(
+      (1L, "big dog big dog big dog"),
+      (2L, "sly cat sly cat sly cat"),
+      (9L, "big cat")
+    ).toDF("doc_id", "text")
+    val bg = TextOps.bigramLogProb(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(bg(9L) < bg(1L) && bg(9L) < bg(2L), s"rare continuation flagged: $bg")
+    // hand-check doc 9: positions (big cat), (cat _)? only "big cat";
+    // its 2 bigrams: "big cat" (c=1) and none else — n_bigrams = 1,
+    // prefix c("big") counts big→dog ×3 and big→cat ×1 ⇒ ln(1/4)
+    val d9 = TextOps.bigramLogProb(docs).filter($"doc_id" === 9L)
+      .as[(Long, Long, Double)].head()
+    assert(d9._2 === 1L)
+    def rnd4(x: Double) = math.floor(x.abs * 1e4 + 0.5) / 1e4 * math.signum(x)
+    assert(d9._3 === rnd4(math.log(1.0 / 4.0)))
+    // a 1-token doc has no bigram positions and no row
+    val one = Seq((5L, "solo")).toDF("doc_id", "text")
+    assert(TextOps.bigramLogProb(docs.unionByName(one)).filter($"doc_id" === 5L).count() === 0L)
+  }
+
   test("tokenizer seam: regexTokens swaps tokenization without forking the operator") {
     // "a" (single char) and "T1" (uppercase) are whitespace tokens but
     // not [a-z]{2,} runs; "foo-bar" is ONE whitespace token but TWO

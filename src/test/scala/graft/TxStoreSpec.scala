@@ -585,6 +585,26 @@ class TxStoreSpec extends SparkSpec {
       TxStore.deleteVectored(spark, t, col("id") >= 0L, maxDvRows = 10))
   }
 
+  test("restore rewinds files, schema, stats and vectors in one commit") {
+    val t = tmpDir()
+    (0 until 3).foreach(k => TxStore.append(rows(100, from = k * 100).coalesce(1), t)) // v1–v3
+    TxStore.deleteVectored(spark, t, col("id") === 5L) // v4
+    TxStore.overwrite(rows(7, from = 900), t) // v5 — the "accident"
+    assert(TxStore.read(spark, t).count() === 7L)
+    val v = TxStore.restore(spark, t, 4L) // back to 300 rows minus the DV'd one
+    assert(v === 6L, "restore is itself a commit")
+    assert(TxStore.read(spark, t).count() === 299L, "files AND vectors restored")
+    // stats restored: pruning works as at v4
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, col("id") === 150L)
+    assert(kept.size === 1 && skipped.size === 2, "restated stats still prune")
+    // restoring to BEFORE the vector clears it (marks reset, not unioned)
+    TxStore.restore(spark, t, 3L)
+    assert(TxStore.snapshot(spark, t).dv.isEmpty)
+    assert(TxStore.read(spark, t).count() === 300L)
+    // the botched v5 stays readable for forensics
+    assert(TxStore.readAt(spark, t, 5L).count() === 7L)
+  }
+
   test("a failed append leaves no orphaned staged files behind") {
     val t = tmpDir()
     TxStore.append(rows(3), t)
