@@ -99,6 +99,22 @@ object StorageQueries {
       },
       Some(eventsSql(" WHERE event_id % 20 = 1"))),
 
+    // ── S27 — XML sink + source round-trip (Spark 4's built-in XML
+    //    data source — the enterprise-interchange format the round-5
+    //    text trio left out). Same explicit-landing-schema discipline
+    //    as s9/s10; `props` is a JSON STRING riding inside an XML
+    //    element, so the trip also pins text escaping of nested quotes.
+    QueryDef(
+      "s27_xml_roundtrip",
+      (s, d) => {
+        val out = tmp("s27-xml", d)
+        Tables.events(s, d).filter(col("event_id") % 20 === 2)
+          .write.mode("overwrite").option("rowTag", "event").format("xml").save(out)
+        eventsCols(s.read.schema(StreamingIngest.eventsSchema)
+          .option("rowTag", "event").format("xml").load(out))
+      },
+      Some(eventsSql(" WHERE event_id % 20 = 2"))),
+
     // ── S11 — small-file compaction: scatter events into 64 tiny files
     //    (the shape a per-trigger streaming writer leaves behind), compact
     //    to size-targeted files, hash-compare the readback against the
