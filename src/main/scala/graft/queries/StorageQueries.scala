@@ -451,11 +451,20 @@ object StorageQueries {
       (s, d) => {
         val store = freshStore(s, "s24-zskip", d)
         val ev = Tables.events(s, d)
-        val z = Compaction.zOrderKey(ev, Seq("event_id", "user_id"))
-        TxStore.append(
-          ev.withColumn("__z", z).repartitionByRange(16, col("__z"))
-            .sortWithinPartitions("__z").drop("__z"),
-          store)
+        // bits = 6 (64 buckets/dim): 16 output files consume only the
+        // top 2 z-bits per dimension, so finer curve resolution buys
+        // nothing here while the bucket-lookup fold costs ~4× more at
+        // 8 bits. The keyed frame persists across the range-sampling
+        // and write passes — the fold is an interpreted HOF and would
+        // otherwise be evaluated twice per row.
+        val z = Compaction.zOrderKey(ev, Seq("event_id", "user_id"), bits = 6)
+        val keyed = ev.withColumn("__z", z).persist()
+        try
+          TxStore.append(
+            keyed.repartitionByRange(16, col("__z"))
+              .sortWithinPartitions("__z").drop("__z"),
+            store)
+        finally keyed.unpersist(): Unit
         val (_, _, skipEvent) = TxStore.pruneFiles(s, store, col("event_id") <= 500L)
         val (_, _, skipUser) = TxStore.pruneFiles(s, store, col("user_id") <= 3L)
         require(skipEvent.nonEmpty && skipUser.nonEmpty,
@@ -466,26 +475,29 @@ object StorageQueries {
       },
       Some(eventsSql(" WHERE event_id <= 500 AND user_id <= 3"))),
 
-    // ── S25 — merge-on-read DELETE via deletion vectors: the %3 rows
-    //    are marked deleted in the LOG (one tiny commit, positions via
-    //    _metadata.row_index) — the lane REQUIRES the file set is
-    //    byte-identical before/after (a rewrite would pass the readback
-    //    but defeat the feature), then the oracle pins that every read
-    //    path applies the marks: the snapshot read must hash-match SQL
-    //    DELETE semantics exactly. Compare s15 (copy-on-write) — same
-    //    oracle shape, opposite physical trade.
+    // ── S25 — merge-on-read DELETE via deletion vectors: the %1000
+    //    rows (0.1% — the SELECTIVE-delete shape the feature exists
+    //    for; a bulk delete belongs on the copy-on-write path and is
+    //    refused by maxDvRows at any scale) are marked deleted in the
+    //    LOG (one tiny commit, positions via _metadata.row_index) —
+    //    the lane REQUIRES the file set is byte-identical before/after
+    //    (a rewrite would pass the readback but defeat the feature),
+    //    then the oracle pins that every read path applies the marks:
+    //    the snapshot read must hash-match SQL DELETE semantics
+    //    exactly. Compare s15 (copy-on-write) — same oracle shape,
+    //    opposite physical trade.
     QueryDef(
       "s25_tx_delete_dv",
       (s, d) => {
         val store = freshStore(s, "s25-dvdelete", d)
         TxStore.append(Tables.events(s, d), store) // v1
         val before = TxStore.snapshot(s, store).files.toSet
-        TxStore.deleteVectored(s, store, col("event_id") % 3 === 0) // v2
+        TxStore.deleteVectored(s, store, col("event_id") % 1000 === 0) // v2
         require(TxStore.snapshot(s, store).files.toSet == before,
           "deletion-vector delete must not add or remove data files")
         eventsCols(TxStore.read(s, store))
       },
-      Some(eventsSql(" WHERE event_id % 3 <> 0"))),
+      Some(eventsSql(" WHERE event_id % 1000 <> 0"))),
 
     // ── S26 — RESTORE: v2 overwrites the table down to the %7 slice
     //    (the "accident"), one restore commit rewinds to v1, and the
