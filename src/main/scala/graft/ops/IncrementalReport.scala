@@ -102,7 +102,11 @@ object IncrementalReport {
           val touched = deltaRollup.select(Keys.map(col): _*)
           combine(current.join(touched, Keys, "left_semi"), deltaRollup)
         }
-      TxStore.mergeOnce(spark, reportStore, updates, Keys, WriterId, batchId = version)
+      // collectStats = false: the report table is ~|channels × days| rows
+      // across a handful of files — footer harvesting per fold would cost
+      // more than pruning could ever save on it
+      TxStore.mergeOnce(spark, reportStore, updates, Keys, WriterId, batchId = version,
+        collectStats = false)
     } finally deltaRollup.unpersist(): Unit
     version
   }

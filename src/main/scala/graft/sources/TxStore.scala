@@ -122,10 +122,28 @@ object TxStore {
   private def encodeSchema(s: org.apache.spark.sql.types.StructType): String =
     java.util.Base64.getEncoder.encodeToString(s.json.getBytes(StandardCharsets.UTF_8))
 
+  // ── payload decode memo ────────────────────────────────────────────
+  // Replay re-reads the log from disk on EVERY snapshot (that is the
+  // multi-writer correctness contract), so a table touched by N commits
+  // pays N payload decodes per operation — O(commits²) decode work
+  // across a multi-commit workflow (measured: +30% on the incremental-
+  // report lane when stats landed). The PAYLOADS are immutable (a
+  // commit file is never rewritten), so decode memoizes on content;
+  // the crude full-clear bound keeps the cache from outliving its
+  // usefulness in a long bench process.
+  private val decodeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memo[T <: AnyRef](key: String, kind: Char)(compute: => T): T = {
+    if (decodeCache.size > 8192) decodeCache.clear()
+    decodeCache.computeIfAbsent(kind + key, _ => compute).asInstanceOf[T]
+  }
+
   private def decodeSchema(b64: String): org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.DataType
-      .fromJson(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    memo(b64, 's') {
+      org.apache.spark.sql.types.DataType
+        .fromJson(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
 
   // ── file-level min/max stats in the log (Delta-style data skipping) ─
   // Commit entries carry per-file column ranges so a predicate read
@@ -223,7 +241,9 @@ object TxStore {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     def asciiOk(v: String) = v.length <= 64 && v.forall(_ < 128)
     val conf = f.getConf
-    val all: FileStats = names.map { name =>
+    // footer opens are independent driver-side IO — a wide commit (a
+    // bulk append staging 32 files) harvests them in parallel
+    def harvest(name: String): (String, Map[String, ColRange]) = {
       val acc = scala.collection.mutable.LinkedHashMap.empty[String, ColRange]
       val dropped = scala.collection.mutable.HashSet.empty[String]
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -276,6 +296,13 @@ object TxStore {
         }
       } finally reader.close()
       name -> acc.toMap
+    }
+    val all: FileStats = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse(names)(n => Future(harvest(n))),
+        scala.concurrent.duration.Duration.Inf)
     }.filter(_._2.nonEmpty).toMap
     if (all.isEmpty) None
     else Some(java.util.Base64.getEncoder.encodeToString(
@@ -283,7 +310,9 @@ object TxStore {
   }
 
   private def decodeStats(b64: String): FileStats =
-    parseStats(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+    memo(b64, 't') {
+      parseStats(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+    }
 
   // ── deletion vectors in the log (merge-on-read DELETE) ─────────────
   // A delete-dv commit adds/removes NO files: it marks row POSITIONS of
@@ -329,7 +358,9 @@ object TxStore {
     java.util.Base64.getEncoder.encodeToString(renderDv(m).getBytes(StandardCharsets.UTF_8))
 
   private def decodeDv(b64: String): Map[String, Seq[Long]] =
-    parseDv(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+    memo(b64, 'd') {
+      parseDv(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+    }
 
   private def normalize(
       s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
@@ -529,7 +560,8 @@ object TxStore {
     * files are invisible until a commit lists them. */
   /** Stage the frame's partitions as immutable data files and harvest
     * their footer stats — (names, stats payload for the commit). */
-  private def stage(df: DataFrame, path: String): (Seq[String], Option[String]) = {
+  private def stage(
+      df: DataFrame, path: String, collectStats: Boolean = true): (Seq[String], Option[String]) = {
     val tmp = s"$path/$DataDir/_stage-${UUID.randomUUID()}"
     df.write.mode("error").parquet(tmp)
     val f = fs(df.sparkSession, path)
@@ -542,7 +574,7 @@ object TxStore {
       name
     }
     f.delete(new Path(tmp), true)
-    (named, fileStats(f, path, named))
+    (named, if (collectStats) fileStats(f, path, named) else None)
   }
 
   /** Try to own version `v`; true iff this writer published the commit
@@ -631,9 +663,9 @@ object TxStore {
     * is won. Returns the committed version. If the loop throws (schema
     * drift, livelock) the staged files are deleted rather than orphaned
     * until a vacuum. */
-  def append(df: DataFrame, path: String): Long = {
+  def append(df: DataFrame, path: String, collectStats: Boolean = true): Long = {
     val cs = sessionCaseSensitive(df.sparkSession)
-    val (files, stats) = stage(df, path)
+    val (files, stats) = stage(df, path, collectStats)
     val f = fs(df.sparkSession, path)
     try
       commitLoop(df.sparkSession, path, "append")(snap =>
@@ -708,7 +740,12 @@ object TxStore {
     * older than the checkpoint — run it only once the upstream redelivery
     * window has passed, or a very late replay of a pre-checkpoint batch
     * would append again. */
-  def appendOnce(df: DataFrame, path: String, writerId: String, batchId: Long): Long = {
+  def appendOnce(
+      df: DataFrame,
+      path: String,
+      writerId: String,
+      batchId: Long,
+      collectStats: Boolean = true): Long = {
     require(
       writerId.nonEmpty && !writerId.exists(c => c == '"' || c == '\\' || c == ':'),
       "writerId must be non-empty and free of quotes, backslashes and colons")
@@ -720,7 +757,7 @@ object TxStore {
       case Some(v) => v
       case None =>
         val cs = sessionCaseSensitive(spark)
-        val (files, stats) = stage(df, path)
+        val (files, stats) = stage(df, path, collectStats)
         try
           commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
             if (committed.isDefined) None
@@ -911,8 +948,13 @@ object TxStore {
     * concurrent append may have inserted one of these keys (making the
     * "not matched → insert" decision stale). Detecting that post-hoc
     * would require re-probing, which is the retry the caller owns. */
-  def merge(spark: SparkSession, path: String, updates: DataFrame, keys: Seq[String]): Long =
-    mergeImpl(spark, path, updates, keys, txn = None)
+  def merge(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      collectStats: Boolean = true): Long =
+    mergeImpl(spark, path, updates, keys, txn = None, collectStats)
 
   /** Idempotent [[merge]] for EXACTLY-ONCE incremental maintenance — the
     * upsert twin of [[appendOnce]], same (writerId, batchId) txn stamp
@@ -930,7 +972,8 @@ object TxStore {
       updates: DataFrame,
       keys: Seq[String],
       writerId: String,
-      batchId: Long): Long = {
+      batchId: Long,
+      collectStats: Boolean = true): Long = {
     require(
       writerId.nonEmpty && !writerId.exists(c => c == '"' || c == '\\' || c == ':'),
       "writerId must be non-empty and free of quotes, backslashes and colons")
@@ -938,7 +981,7 @@ object TxStore {
     def committed: Option[Long] =
       commits(fs(spark, path), path).find(_.txn.contains(stamp)).map(_.version)
     committed.getOrElse {
-      try mergeImpl(spark, path, updates, keys, Some(stamp))
+      try mergeImpl(spark, path, updates, keys, Some(stamp), collectStats)
       catch {
         case e: java.util.ConcurrentModificationException =>
           committed.getOrElse(throw e)
@@ -951,7 +994,8 @@ object TxStore {
       path: String,
       updates: DataFrame,
       keys: Seq[String],
-      txn: Option[String]): Long = {
+      txn: Option[String],
+      collectStats: Boolean = true): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(!updates.columns.contains("__f"), "updates must not carry the reserved __f column")
     val base = snapshot(spark, path)
@@ -963,7 +1007,7 @@ object TxStore {
     // per-key uniqueness come from ONE aggregate job, not two.
     updates.persist()
     try {
-      mergeBody(spark, path, updates, keys, keyCols, base, txn)
+      mergeBody(spark, path, updates, keys, keyCols, base, txn, collectStats)
     } finally updates.unpersist(): Unit
   }
 
@@ -974,7 +1018,8 @@ object TxStore {
       keys: Seq[String],
       keyCols: Seq[Column],
       base: Snapshot,
-      txn: Option[String]): Long = {
+      txn: Option[String],
+      collectStats: Boolean): Long = {
     val counts = updates
       .agg(count(lit(1)).as("n"), count_distinct(struct(keyCols: _*)).as("k"))
       .head()
@@ -1014,7 +1059,7 @@ object TxStore {
       else Some(
         readFiles(spark, path, hit, base.schema, base.dv).join(distinctKeys, keys, "left_anti"))
     val out = kept.fold(updates)(_.unionByName(updates, allowMissingColumns = true))
-    val (staged, mStats) = stage(out, path)
+    val (staged, mStats) = stage(out, path, collectStats)
     val f = fs(spark, path)
     try
       commitLoop(spark, path, "merge", txn = txn) { snap =>

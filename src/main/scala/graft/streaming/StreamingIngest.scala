@@ -153,8 +153,11 @@ object StreamingIngest {
         batch.persist()
         try
           if (!batch.isEmpty)
+            // collectStats = false: the rollup table is tiny (date ×
+            // event_type) — skip the per-micro-batch footer harvest
             graft.sources.TxStore.mergeOnce(
-              spark, store, batch, Seq("date", "event_type"), writer, batchId): Unit
+              spark, store, batch, Seq("date", "event_type"), writer, batchId,
+              collectStats = false): Unit
         finally batch.unpersist(): Unit
         register()
       }
