@@ -514,7 +514,37 @@ object StorageQueries {
         TxStore.restore(s, store, 1L) // v3
         eventsCols(TxStore.read(s, store))
       },
-      Some(eventsSql(" WHERE event_id % 2 = 0"))))
+      Some(eventsSql(" WHERE event_id % 2 = 0"))),
+
+    // ── S28 — OPTIMIZE ZORDER on an EXISTING table: the table lands
+    //    round-robin scattered (every file spans the full domain of
+    //    both columns — log stats can refute nothing, REQUIRED below),
+    //    one optimize-zorder commit rewrites it clustered on the
+    //    (event_id, user_id) curve, and the SAME predicates must now
+    //    prune on each dimension. The readback oracle pins the rewrite
+    //    as pure physical. Compare s24, which gets the layout at
+    //    append time — this is the retrofit path a table that grew
+    //    messy actually runs.
+    QueryDef(
+      "s28_tx_optimize_zorder",
+      (s, d) => {
+        val store = freshStore(s, "s28-optimize", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.repartition(8), store) // v1 — scattered layout
+        val evPred = col("event_id") <= 500L
+        val userPred = col("user_id") <= 3L
+        val (_, _, skipBefore) = TxStore.pruneFiles(s, store, evPred)
+        require(skipBefore.isEmpty,
+          s"scattered layout must be unprunable, yet skipped ${skipBefore.size}")
+        TxStore.compactZOrder(s, store, Seq("event_id", "user_id")) // v2
+        val (_, _, skipEvent) = TxStore.pruneFiles(s, store, evPred)
+        val (_, _, skipUser) = TxStore.pruneFiles(s, store, userPred)
+        require(skipEvent.nonEmpty && skipUser.nonEmpty,
+          s"optimize must make BOTH dimensions prunable (event ${skipEvent.size}, " +
+            s"user ${skipUser.size})")
+        eventsCols(TxStore.readWhere(s, store, evPred && userPred))
+      },
+      Some(eventsSql(" WHERE event_id <= 500 AND user_id <= 3"))))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

@@ -727,6 +727,46 @@ object TxStore {
     committed.map(_.version)
   }
 
+  /** OPTIMIZE ZORDER — transactionally rewrite the current file set
+    * CLUSTERED on the Morton curve over `zCols`
+    * ([[Compaction.zOrderKey]]), so the commit log's per-file stats
+    * start pruning on EVERY z-column (a hash-layout table's per-file
+    * ranges span the whole domain — readWhere can refute nothing). The
+    * rewrite is pure physical: row-identical readback, deletion
+    * vectors materialized (like [[compact]]), fresh stats harvested
+    * from the new files. Same conflict rule as compact: aborts as a
+    * no-op if a concurrent commit removed any input file. This is the
+    * lakehouse OPTIMIZE ZORDER BY command re-derived on the engine's
+    * own log. */
+  def compactZOrder(
+      spark: SparkSession,
+      path: String,
+      zCols: Seq[String],
+      target: Int = 16,
+      bits: Int = 6): Option[Long] = {
+    val base = snapshot(spark, path)
+    if (base.files.isEmpty) return None
+    val df = readFiles(spark, path, base.files, base.schema, base.dv)
+    require(!df.columns.contains("__z"), "table must not carry the reserved __z column")
+    // persisted: the z-bucket fold is an interpreted HOF evaluated in
+    // both the range-sampling and the write pass (see the s24 lane note)
+    val keyed = df.withColumn("__z", Compaction.zOrderKey(df, zCols, bits)).persist()
+    val (staged, zStats) =
+      try
+        stage(
+          keyed.repartitionByRange(target, col("__z")).sortWithinPartitions("__z").drop("__z"),
+          path)
+      finally keyed.unpersist(): Unit
+    val f = fs(spark, path)
+    val committed = commitLoop(spark, path, "optimize-zorder") { snap =>
+      if (!base.files.forall(snap.files.contains)) None
+      else Some(CommitSpec(staged, base.files, snap.schema.map(encodeSchema), zStats))
+    }
+    if (committed.isEmpty)
+      staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+    committed.map(_.version)
+  }
+
   /** Idempotent append for EXACTLY-ONCE streaming sinks. The commit is
     * stamped with (writerId, batchId); re-delivering the same batch — the
     * at-least-once contract of `foreachBatch` across crash/restart — finds

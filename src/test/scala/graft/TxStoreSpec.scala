@@ -605,6 +605,22 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.readAt(spark, t, 5L).count() === 7L)
   }
 
+  test("optimize-zorder materializes vectors, refreshes stats, no-ops when empty") {
+    val t = tmpDir()
+    assert(TxStore.compactZOrder(spark, t, Seq("id", "id2")) === None, "empty table no-ops")
+    val df = (0 until 400).map(i => (i.toLong, (i * 7 % 400).toLong, s"v$i"))
+      .toDF("id", "id2", "payload")
+    TxStore.append(df.repartition(4), t) // scattered
+    TxStore.deleteVectored(spark, t, col("id") === 13L)
+    TxStore.compactZOrder(spark, t, Seq("id", "id2"), target = 8)
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.dv.isEmpty, "rewrite materialized the vector")
+    assert(TxStore.read(spark, t).count() === 399L)
+    val (_, _, skipId) = TxStore.pruneFiles(spark, t, col("id") < 50L)
+    val (_, _, skipId2) = TxStore.pruneFiles(spark, t, col("id2") < 50L)
+    assert(skipId.nonEmpty && skipId2.nonEmpty, "both curve dimensions prune after optimize")
+  }
+
   test("a failed append leaves no orphaned staged files behind") {
     val t = tmpDir()
     TxStore.append(rows(3), t)
