@@ -1119,7 +1119,15 @@ object TxStore {
   /** Write a checkpoint commit: the full live set as one log entry, so
     * replay afterwards parses O(1) entries + the tail instead of the whole
     * history. Contends like any commit (it removes nothing, adds nothing
-    * logically — `add` restates the live set). */
+    * logically — `add` restates the live set).
+    *
+    * Size note: the restated stats/vector payloads make a checkpoint
+    * O(live files) — at millions of files that is one very large line,
+    * which is exactly why Delta moved checkpoints to (multi-part)
+    * parquet. The known growth path here is the same: shard the
+    * restatement into a sidecar file per N files; the single-line form
+    * is correct at any scale, just not metadata-io-optimal past ~10⁵
+    * files. */
   def checkpoint(spark: SparkSession, path: String): Long =
     commitLoop(spark, path, "checkpoint") { snap =>
       val sts =
