@@ -605,6 +605,29 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.readAt(spark, t, 5L).count() === 7L)
   }
 
+  test("racing vectored deletes both commit; their marks union (position marks commute)") {
+    val t = tmpDir()
+    TxStore.append(rows(100).coalesce(1), t) // one file — maximal contention
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val done = (0 until 2).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = {
+          start.await()
+          // disjoint predicates on the SAME file: w=0 marks %10==0,
+          // w=1 marks %10==1 — no conflict rule may fire, both commit
+          TxStore.deleteVectored(spark, t, col("id") % 10 === w.toLong)
+        }
+      })
+    }
+    start.countDown()
+    val versions = done.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(versions.flatten.toSet === Set(2L, 3L), s"both committed: $versions")
+    assert(TxStore.read(spark, t).count() === 80L, "replay unions both mark sets")
+    assert(TxStore.snapshot(spark, t).dv.values.map(_.size).sum === 20)
+  }
+
   test("optimize-zorder materializes vectors, refreshes stats, no-ops when empty") {
     val t = tmpDir()
     assert(TxStore.compactZOrder(spark, t, Seq("id", "id2")) === None, "empty table no-ops")
