@@ -1392,6 +1392,35 @@ object TxStore {
     }.get.version
   }
 
+  /** DESCRIBE DETAIL — the operational numbers an operator actually
+    * asks a table (the Delta command's shape): version, file count,
+    * total data bytes, how many files carry skipping stats, live
+    * deletion-vector marks, and the schema field names. One log replay
+    * plus one listStatus per live file — metadata-scale, no data IO. */
+  final case class TableDetail(
+      version: Long,
+      numFiles: Int,
+      sizeBytes: Long,
+      numFilesWithStats: Int,
+      dvMarkedRows: Long,
+      schemaFields: Seq[String])
+
+  def detail(spark: SparkSession, path: String): TableDetail = {
+    val snap = snapshot(spark, path)
+    val f = fs(spark, path)
+    val bytes = snap.files.map { n =>
+      val p = new Path(s"$path/$DataDir/$n")
+      if (f.exists(p)) f.getFileStatus(p).getLen else 0L
+    }.sum
+    TableDetail(
+      snap.version,
+      snap.files.size,
+      bytes,
+      snap.files.count(snap.stats.contains),
+      snap.dv.values.map(_.size.toLong).sum,
+      snap.schema.map(_.fieldNames.toSeq).getOrElse(Nil))
+  }
+
   /** Default age an unreferenced file must reach before vacuum reclaims
     * it: an hour is orders of magnitude past any healthy stage→commit
     * latency, so anything unreferenced AND that old is debris, not work

@@ -644,6 +644,19 @@ class TxStoreSpec extends SparkSpec {
     assert(skipId.nonEmpty && skipId2.nonEmpty, "both curve dimensions prune after optimize")
   }
 
+  test("detail reports the operational numbers without any data IO") {
+    val t = tmpDir()
+    (0 until 2).foreach(k => TxStore.append(rows(50, from = k * 50).coalesce(1), t))
+    TxStore.deleteVectored(spark, t, col("id") < 5L)
+    val d = TxStore.detail(spark, t)
+    assert(d.version === 3L)
+    assert(d.numFiles === 2)
+    assert(d.sizeBytes > 0L)
+    assert(d.numFilesWithStats === 2, "both appends harvested stats")
+    assert(d.dvMarkedRows === 5L)
+    assert(d.schemaFields === Seq("id", "payload"))
+  }
+
   test("a failed append leaves no orphaned staged files behind") {
     val t = tmpDir()
     TxStore.append(rows(3), t)
