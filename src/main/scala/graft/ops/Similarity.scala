@@ -349,6 +349,46 @@ object Similarity {
     1.0 - math.pow(1.0 - q, tables.toDouble)
   }
 
+  /** EXT40 — CLUSTER-BALANCED subsampling: assign every vector to its
+    * nearest cell under a FROZEN quantizer, then keep a deterministic
+    * per-cell quota — the diversity-preserving selection a curation
+    * pipeline runs after dedup (SemDeDup-adjacent: where semantic dedup
+    * removes redundancy WITHIN neighborhoods, cluster-balanced
+    * selection stops a dominant mode from crowding the budget — a
+    * uniform random cut keeps the corpus's mode imbalance; a per-cell
+    * quota flattens it).
+    *
+    * The quantizer here is frozen by construction — the embeddings of
+    * the k smallest vec_ids, no Lloyd iteration — so membership is a
+    * pure deterministic function of the corpus and the whole operator
+    * replays in ANY engine (the oracle recomputes assignment from the
+    * same k seed vectors; a TRAINED quantizer drops in through the
+    * same [[assignCell]] seam, trading oracle-exactness for centroid
+    * quality, exactly the [[topKBlocked]] vs [[topKIvf]] relationship).
+    * Scoring ties break to the lower cell id on both engines.
+    *
+    * Per-cell order is the seeded permutation pmod(vec_id·40503, 2²⁰)
+    * (the EXT30 shuffle key — NOT raw vec_id, which would bias the
+    * sample toward early crawl order), quota selection is a row_number
+    * window PARTITIONED BY cell — keyed, the [[Sampling.stratifiedHead]]
+    * shape. Centroids ride as literals: k·dim floats, model-bounded. */
+  def clusterBalancedSample(
+      embeddings: DataFrame,
+      k: Int = 8,
+      quota: Int = 50): DataFrame = {
+    require(k >= 1 && quota >= 1)
+    val seeds = embeddings.orderBy("vec_id").limit(k)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.length == k, s"corpus has only ${seeds.length} rows — need $k seed cells")
+    val win = Window.partitionBy("cell")
+      .orderBy(pmod(col("vec_id") * 40503L, lit(1048576L)), col("vec_id"))
+    embeddings
+      .select(col("vec_id"), assignCell(col("embedding"), seeds).cast("long").as("cell"))
+      .withColumn("__rk", row_number().over(win))
+      .filter(col("__rk") <= quota)
+      .select("vec_id", "cell")
+  }
+
   /** Lloyd's k-means over the embedding column — the trained coarse
     * quantizer for the real IVF path ([[topKIvf]]; [[topKBlocked]] uses
     * the fixture's label as a stand-in). Centroids live on the driver

@@ -1522,6 +1522,40 @@ object ExtQueries {
               |FROM bo JOIN btf USING (bg) JOIN ptf USING (prev)
               |GROUP BY doc_id""".stripMargin)),
 
+    // ── EXT40 — cluster-balanced subsampling: nearest-cell assignment
+    //    under a FROZEN quantizer (the k lowest-vec_id embeddings — no
+    //    training iteration, so membership replays exactly in SQL) +
+    //    a deterministic per-cell quota ordered by the EXT30 shuffle
+    //    permutation. Flattens mode imbalance a uniform cut preserves.
+    //    Oracle recomputes scores (e·c − |c|²/2, list_dot_product both
+    //    sides, ties to the lower cell) and the quota windows.
+    QueryDef(
+      "ext40_cluster_balance",
+      (s, d) => Similarity.clusterBalancedSample(Tables.embeddings(s, d)),
+      Some("""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), seeds AS (
+             |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+             |         CAST(embedding AS DOUBLE[]) AS c
+             |  FROM embeddings ORDER BY vec_id LIMIT 8
+             |), scored AS (
+             |  SELECT e.vec_id, s.cell,
+             |         list_dot_product(e.emb, s.c) - list_dot_product(s.c, s.c) / 2
+             |           AS score
+             |  FROM e CROSS JOIN seeds s
+             |), assigned AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |           ROW_NUMBER() OVER (PARTITION BY vec_id
+             |             ORDER BY score DESC, cell) AS rk
+             |    FROM scored) WHERE rk = 1
+             |)
+             |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+             |  SELECT vec_id, cell,
+             |         ROW_NUMBER() OVER (PARTITION BY cell
+             |           ORDER BY (vec_id * 40503) % 1048576, vec_id) AS rk
+             |  FROM assigned) WHERE rk <= 50""".stripMargin)),
+
     // ── EXT39 — fuzzy dedup: LSH candidates verified by EDIT DISTANCE
     //    (the BigCode/StarCoder near-dedup shape — Jaccard compares
     //    token sets and forgives rearrangement; levenshtein sees order).

@@ -289,6 +289,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == expected, s"got $pairs, expected $expected")
   }
 
+  test("cluster-balanced sampling flattens a dominant mode a uniform cut preserves") {
+    // 80 vectors near +x, 20 near +y (distinct per-vector jitter so ids
+    // spread); seeds = the two lowest ids, one from each mode. A uniform
+    // 20%-cut keeps the 80/20 imbalance; the per-cell quota returns
+    // exactly 10 + 10.
+    def v(main: Int, i: Int): Seq[Float] = {
+      val arr = Array.fill(64)(0f)
+      arr(main) = 1f
+      arr(2 + (i % 8)) = 0.01f * ((i % 5) + 1)
+      arr.toSeq
+    }
+    val corpus =
+      ((0 until 80).map(i => (i * 2L, v(0, i))) ++ // even ids: +x mode
+        (0 until 20).map(i => (i * 2L + 1L, v(1, i)))) // odd ids: +y mode
+        .toDF("vec_id", "embedding")
+    val got = Similarity.clusterBalancedSample(corpus, k = 2, quota = 10)
+      .as[(Long, Long)].collect()
+    assert(got.length === 20, "both cells filled their quota")
+    val byCell = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCell === Map(0L -> 10, 1L -> 10), s"flattened to quota per cell: $byCell")
+    // cell 0 seeded by vec_id 0 (+x), so its members are the even ids
+    val cell0 = got.filter(_._2 == 0L).map(_._1)
+    assert(cell0.forall(_ % 2 == 0), "the +x mode landed in the +x seed's cell")
+  }
+
   test("signLshPairRecall: exact dups are structural; documented defaults and knob direction hold") {
     assert(Similarity.signLshPairRecall(1.0, 24, 8) === 1.0, "θ=0 collides in every table")
     val atDefaults = Similarity.signLshPairRecall(0.95, 24, 8)
