@@ -85,6 +85,29 @@ object QualityFunnel {
         flag(passLen && passRep && passStop && passLm).as("pass_all"))
   }
 
+  /** The ORDER-FREE relaxation report the funnel's sequential semantics
+    * deliberately is not ([[filterFunnel]]'s scaladoc points here): for
+    * each rule, how many documents fail it while passing every OTHER
+    * rule — exactly what relaxing that one rule would recover. A
+    * document failing two rules appears in NEITHER count (relaxing one
+    * rule alone does not save it), which is why these numbers answer
+    * the threshold-tuning question the funnel's first-failing-rule
+    * attrition cannot. Same one-row-of-counters-then-unpivot shape as
+    * the funnel: the flags plan runs once, only counters cross the
+    * final stage. */
+  def relaxationSavings(docs: DataFrame): DataFrame = {
+    val f = filterFlags(docs)
+    val saves: Seq[Column] = Rules.map { r =>
+      val others = Rules.filterNot(_ == r).map(o => col(s"pass_$o")).reduce(_ * _)
+      sum((lit(1L) - col(s"pass_$r")) * others).as(s"save_$r")
+    }
+    val summary = f.agg(saves.head, saves.tail: _*)
+    val rows = Rules.map { name =>
+      struct(lit(name).as("rule"), col(s"save_$name").as("n_recovered"))
+    }
+    summary.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Sequential attrition table: one row per rule, in [[Rules]] order,
     * with `n_in` (documents alive entering the rule), `n_fail` (killed
     * BY this rule, i.e. alive so far but failing it), `n_out`

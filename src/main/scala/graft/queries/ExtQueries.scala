@@ -1405,6 +1405,27 @@ object ExtQueries {
           |  (3, 'stop', s1, s2),
           |  (4, 'lm',   s2, s3)) AS t(step, rule, n_in, n_out)""".stripMargin)),
 
+    // ── EXT36c — the ORDER-FREE relaxation report: per rule, documents
+    //    failing it while passing every OTHER rule — what relaxing that
+    //    one rule alone would recover (a doc failing two rules appears
+    //    in neither count). The threshold-tuning companion to the
+    //    funnel's sequential attrition.
+    QueryDef(
+      "ext36_relaxation",
+      (s, d) => QualityFunnel.relaxationSavings(Tables.documents(s, d)),
+      Some(FunnelFlagsCte +
+        """, agg AS (
+          |  SELECT SUM((1 - pass_len) * pass_rep * pass_stop * pass_lm) AS s_len,
+          |         SUM(pass_len * (1 - pass_rep) * pass_stop * pass_lm) AS s_rep,
+          |         SUM(pass_len * pass_rep * (1 - pass_stop) * pass_lm) AS s_stop,
+          |         SUM(pass_len * pass_rep * pass_stop * (1 - pass_lm)) AS s_lm
+          |  FROM flags
+          |)
+          |SELECT rule, CAST(n_recovered AS BIGINT) AS n_recovered
+          |FROM agg, LATERAL (VALUES
+          |  ('len', s_len), ('rep', s_rep),
+          |  ('stop', s_stop), ('lm', s_lm)) AS t(rule, n_recovered)""".stripMargin)),
+
     // ── EXT37 — DSIR-style importance selection: top-100 documents by
     //    the target-vs-source unigram log importance ratio (target model
     //    trained on the src0 slice, source model on the whole corpus).

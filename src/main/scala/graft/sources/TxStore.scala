@@ -1226,10 +1226,14 @@ object TxStore {
       case a: AttributeReference => Some(a.name.toLowerCase(java.util.Locale.ROOT))
       case _ => None
     }
-    // a literal as either a number or an ASCII string — the two range kinds
+    // a literal as either a number or an ASCII string — the two range
+    // kinds. NaN/Infinity have no BigDecimal form (toString would throw
+    // mid-prune): such a literal is simply not pruned on — a NaN
+    // comparison is never TRUE anyway, so keeping the file is sound.
     def value(x: Expression): Option[Either[BigDecimal, String]] = x match {
       case Literal(v, _) => v match {
-        case n: java.lang.Number => Some(scala.Left(BigDecimal(n.toString)))
+        case n: java.lang.Number =>
+          scala.util.Try(BigDecimal(n.toString)).toOption.map(scala.Left(_))
         case d: org.apache.spark.sql.types.Decimal => Some(scala.Left(d.toBigDecimal))
         case u: org.apache.spark.unsafe.types.UTF8String =>
           val str = u.toString

@@ -59,6 +59,22 @@ class QualityFunnelSpec extends SparkSpec {
     assert(funnel(3)._5 === 1L, "exactly the clean doc survives")
   }
 
+  test("relaxation savings count only single-rule failures") {
+    val flags = QualityFunnel.filterFlags(planted)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+    val got = QualityFunnel.relaxationSavings(planted)
+      .as[(String, Long)].collect().toMap
+    QualityFunnel.Rules.zipWithIndex.foreach { case (rule, i) =>
+      val expected = flags.values.count(f => f(i) == 0L && f.zipWithIndex
+        .forall { case (v, j) => j == i || v == 1L })
+      assert(got(rule) === expected.toLong, s"$rule counts exactly its sole failures")
+    }
+    // doc 10 fails len+stop(+lm): relaxing any ONE rule cannot save it,
+    // so it must appear in no count
+    assert(flags(10L).count(_ == 0L) > 1, "fixture premise: doc 10 is a multi-failure")
+  }
+
   test("a NULL-text document still gets a verdict (all-fail), never vanishes") {
     // NULL text explodes to zero tokens, so the LM aggregate has no row
     // for it — an inner flags⋈lm join would silently drop the document

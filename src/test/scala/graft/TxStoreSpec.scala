@@ -485,6 +485,9 @@ class TxStoreSpec extends SparkSpec {
     // a non-ASCII literal must not prune (byte order vs String order)
     val (_, keptNa, skippedNa) = TxStore.pruneFiles(spark, t, col("payload") === "kø150")
     assert(skippedNa.isEmpty && keptNa.size === 4, "non-ASCII literal: keep all")
+    // a NaN literal has no BigDecimal form — must keep all, not crash
+    val (_, keptNan, skippedNan) = TxStore.pruneFiles(spark, t, col("id") === Double.NaN)
+    assert(skippedNan.isEmpty && keptNan.size === 4, "NaN literal: keep all")
   }
 
   test("stats survive checkpoint truncation and compaction rewrites them") {
