@@ -26,7 +26,10 @@ class PlanAuditSpec extends SparkSpec {
   private val intendedBnlj =
     Set("ext3_topk_cosine", "ext3_topk_ivf", "ext3_topk_pq",
       "ext3_topk_ivfpq", "ext4_tfidf", "ext35_unigram_logprob",
-      "ext36_filter_flags", "ext36_funnel")
+      "ext36_filter_flags", "ext36_funnel",
+      // round 10: inherits the funnel's single-row broadcast-scalar
+      // cross (the unigramLogProb grand total), same as its siblings
+      "ext36_relaxation")
 
   test("no cartesians, unintended nested-loop joins, or global windows anywhere") {
     SparkEntry.registry.foreach { q =>
