@@ -124,8 +124,14 @@ class PlanAuditSpec extends SparkSpec {
       "ext25_pack_spans" -> 1,   // one shard exchange feeding the per-shard cumsum
       "ext26_shards" -> 1,       // rank's range exchange rides the cached lineage;
                                  // only the shard rollup shuffles per consumer
-      "ext27_dup_audit" -> 1)    // df agg only: inv is cached doc_id-partitioned,
+      "ext27_dup_audit" -> 1,    // df agg only: inv is cached doc_id-partitioned,
                                  // the enrich broadcasts, the doc agg reuses it
+      // round-10 additions
+      "ext38_chunk_windows" -> 0, // pure per-row explode — ZERO shuffle, pinned
+      "ext39_edit_neardup" -> 0,  // all joins broadcast at this SF
+      "ext40_cluster_balance" -> 1, // the per-cell quota window only
+      "ext35_bigram_logprob" -> 3,  // bigram tf + prefix tf + per-doc agg
+      "ext36_relaxation" -> 4)      // flags' LM chain + the one-row counter agg
     val measured = bounds.toSeq.sortBy(_._1).map { case (name, maxShuffles) =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       df.collect() // finalize the AQE plan
