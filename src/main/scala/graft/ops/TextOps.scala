@@ -267,6 +267,55 @@ object TextOps {
             col("n_tokens").cast("double"), 4).as("avg_logp"))
   }
 
+  /** EXT41 — WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003
+    * — the MOSS scheme): from each window of `w` consecutive k-gram
+    * hashes keep the minimum (ties to the RIGHTMOST), then distinct —
+    * the fingerprint set with the winnowing guarantee: any match of
+    * length ≥ w + k − 1 tokens between two documents shares at least
+    * one fingerprint, at expected density 2/(w+1) of the grams. The
+    * robust upgrade to [[fingerprint]]'s single whole-document hash
+    * (which any one-token edit destroys).
+    *
+    * Portability: the gram hash is the md5 HEX STRING and the
+    * window-min runs on `hash || '#' || zeropad(10⁷ − pos)` — string
+    * order equals (hash asc, pos DESC), so the rightmost-tie rule and
+    * the selected set replay exactly in any engine (same md5 trick as
+    * [[Dedup.simhash]]; documents must be < 10⁷ tokens, far above any
+    * real document). Only COMPLETE windows select (the defined
+    * winnowing domain): starts 0 .. n_grams − w.
+    *
+    * Shape: one posexplode + per-doc lead window builds the grams
+    * (the [[shingleRows]] pattern, positions kept), one more per-doc
+    * window frame takes the running min over w rows, a distinct
+    * collapses repeated selections — every stage keyed by doc_id. */
+  def winnowFingerprints(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      tok: Column => Column = tokens): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"), posexplode(tok(col("text"))).as(Seq("pos", "tok")))
+    val withLeads = (1 until k).foldLeft(toks) { (df, o) =>
+      df.withColumn(s"t_$o", lead("tok", o).over(win))
+    }
+    val parts = col("tok") +: (1 until k).map(o => col(s"t_$o"))
+    val grams = (if (k > 1) withLeads.filter(col(s"t_${k - 1}").isNotNull) else withLeads)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", parts: _*)).as("h"))
+    val enc = concat(col("h"), lit("#"),
+      lpad((lit(10000000L) - col("pos")).cast("string"), 8, "0"))
+    grams
+      .withColumn("__e", enc)
+      .withColumn("__sel", min(col("__e")).over(win.rowsBetween(0, w.toLong - 1)))
+      .withColumn("__ng", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .filter(col("pos") <= col("__ng") - w) // complete windows only
+      .select(col("doc_id"),
+        (lit(10000000L) - substring_index(col("__sel"), "#", -1).cast("long")).as("pos"),
+        substring_index(col("__sel"), "#", 1).as("fp"))
+      .distinct()
+  }
+
   /** EXT35b — BIGRAM conditional LM scoring: per-document mean
     * ln p(w_i | w_{i-1}) under the corpus's own MLE bigram model
     * (p = c(w_{i-1} w_i) / c_prefix(w_{i-1}), prefix counts over the

@@ -1543,6 +1543,42 @@ object ExtQueries {
               |FROM bo JOIN btf USING (bg) JOIN ptf USING (prev)
               |GROUP BY doc_id""".stripMargin)),
 
+    // ── EXT41 — winnowing fingerprints (Schleimer et al. 2003, MOSS):
+    //    per-doc rightmost-min of each w-window of k-gram md5 hashes,
+    //    distinct — the guarantee-carrying fingerprint set (any
+    //    ≥ w+k−1-token match shares a fingerprint). String-min over
+    //    md5 hex + position encoding keeps the selection bit-identical
+    //    in both engines.
+    QueryDef(
+      "ext41_winnow",
+      (s, d) => TextOps.winnowFingerprints(Tables.documents(s, d)),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+             |), occ AS (
+             |  SELECT doc_id, unnest(range(1, greatest(len(l) - 3 + 2, 1))) AS g, l FROM d
+             |), o2 AS (
+             |  SELECT doc_id, CAST(g AS BIGINT) - 1 AS pos,
+             |         md5(array_to_string(l[g:g + 2], ' ')) AS h
+             |  FROM occ
+             |), n AS (
+             |  SELECT doc_id, COUNT(*) AS ng FROM o2 GROUP BY 1
+             |), enc AS (
+             |  SELECT doc_id, pos,
+             |         h || '#' || lpad(CAST(10000000 - pos AS VARCHAR), 8, '0') AS e
+             |  FROM o2
+             |), selw AS (
+             |  SELECT doc_id, pos,
+             |         MIN(e) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+             |  FROM enc
+             |)
+             |SELECT DISTINCT s.doc_id,
+             |       CAST(10000000 - CAST(string_split(s.sel, '#')[2] AS BIGINT) AS BIGINT)
+             |         AS pos,
+             |       string_split(s.sel, '#')[1] AS fp
+             |FROM selw s JOIN n USING (doc_id)
+             |WHERE s.pos <= n.ng - 4""".stripMargin)),
+
     // ── EXT40 — cluster-balanced subsampling: nearest-cell assignment
     //    under a FROZEN quantizer (the k lowest-vec_id embeddings — no
     //    training iteration, so membership replays exactly in SQL) +

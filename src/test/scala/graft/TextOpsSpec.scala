@@ -76,6 +76,28 @@ class TextOpsSpec extends SparkSpec {
     chunks.unpersist()
   }
 
+  test("winnowing: shared runs of >= w+k-1 tokens share a fingerprint; edits elsewhere don't break it") {
+    // the guarantee: with k=3, w=4 any 6-token shared run must surface
+    // in both documents' fingerprint sets — even though every OTHER
+    // token differs (the single whole-doc hash fails exactly this)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val a = (1 to 12).map(i => s"xa$i").mkString(" ") + " " + shared + " " +
+      (1 to 12).map(i => s"ya$i").mkString(" ")
+    val b = (1 to 9).map(i => s"xb$i").mkString(" ") + " " + shared + " " +
+      (1 to 15).map(i => s"yb$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs)
+      .as[(Long, Long, String)].collect()
+    val fpsA = fps.filter(_._1 == 1L).map(_._3).toSet
+    val fpsB = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((fpsA intersect fpsB).nonEmpty, "the shared 6-token run must share a fingerprint")
+    // density: winnowing keeps ~2/(w+1) of gram positions, far below all
+    val nGramsA = a.split(" ").length - 2
+    assert(fpsA.size < nGramsA, "fingerprints are a strict selection, not all grams")
+    // selections come only from complete windows (the defined domain)
+    assert(fps.forall { case (_, pos, _) => pos >= 0 }, "positions parse back")
+  }
+
   test("bigram LM: a rare continuation of common words scores low; unigrams cannot see it") {
     // "big cat" appears once while "big dog"×3 and "sly cat"×3 make
     // both of its words individually common — the bigram model scores
