@@ -277,12 +277,15 @@ object TextOps {
     * (which any one-token edit destroys).
     *
     * Portability: the gram hash is the md5 HEX STRING and the
-    * window-min runs on `hash || '#' || zeropad(10⁷ − pos)` — string
+    * window-min runs on `hash || '#' || zeropad(10¹⁰ − pos)` — string
     * order equals (hash asc, pos DESC), so the rightmost-tie rule and
     * the selected set replay exactly in any engine (same md5 trick as
-    * [[Dedup.simhash]]; documents must be < 10⁷ tokens, far above any
-    * real document). Only COMPLETE windows select (the defined
-    * winnowing domain): starts 0 .. n_grams − w.
+    * [[Dedup.simhash]]). Documents must be < 10¹⁰ tokens (~40 GB of
+    * text — beyond any real document, including concatenated-log
+    * corpora); a position past the cap RAISES instead of silently
+    * corrupting the tie-break, because this operator's whole pitch is
+    * a guarantee. Only COMPLETE windows select (the defined winnowing
+    * domain): starts 0 .. n_grams − w.
     *
     * Shape: one posexplode + per-doc lead window builds the grams
     * (the [[shingleRows]] pattern, positions kept), one more per-doc
@@ -303,18 +306,29 @@ object TextOps {
     val grams = (if (k > 1) withLeads.filter(col(s"t_${k - 1}").isNotNull) else withLeads)
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(concat_ws(" ", parts: _*)).as("h"))
+    // guarded position: past the cap the zero-padded encoding would go
+    // negative and the rightmost-tie selection would be silently wrong —
+    // fail loudly instead (one long compare per row; the error branch
+    // never evaluates on in-range data)
+    val guarded = when(col("pos") < lit(WinnowPosCap), col("pos"))
+      .otherwise(raise_error(
+        lit(s"winnowFingerprints: document exceeds $WinnowPosCap tokens")).cast("long"))
     val enc = concat(col("h"), lit("#"),
-      lpad((lit(10000000L) - col("pos")).cast("string"), 8, "0"))
+      lpad((lit(WinnowPosCap) - guarded).cast("string"), 11, "0"))
     grams
       .withColumn("__e", enc)
       .withColumn("__sel", min(col("__e")).over(win.rowsBetween(0, w.toLong - 1)))
       .withColumn("__ng", count(lit(1)).over(Window.partitionBy("doc_id")))
       .filter(col("pos") <= col("__ng") - w) // complete windows only
       .select(col("doc_id"),
-        (lit(10000000L) - substring_index(col("__sel"), "#", -1).cast("long")).as("pos"),
+        (lit(WinnowPosCap) - substring_index(col("__sel"), "#", -1).cast("long")).as("pos"),
         substring_index(col("__sel"), "#", 1).as("fp"))
       .distinct()
   }
+
+  /** Position-encoding cap for [[winnowFingerprints]]: documents must be
+    * shorter than this many tokens (positions at/past it raise). */
+  val WinnowPosCap: Long = 10000000000L
 
   /** EXT35b — BIGRAM conditional LM scoring: per-document mean
     * ln p(w_i | w_{i-1}) under the corpus's own MLE bigram model
@@ -336,8 +350,12 @@ object TextOps {
     * never a broadcast vocabulary) and a per-doc aggregate. */
   def bigramLogProb(docs: DataFrame, tok: Column => Column = tokens): DataFrame = {
     val t = tok(col("text"))
-    val bgs = zip_with(
-      slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+    // clamp the slice length at 0: a ZERO-token document (reachable via
+    // the tokenizer seam — regexTokens over text with no alphabetic
+    // runs) would otherwise pass length −1 to slice, a runtime error;
+    // the contract is "no bigram positions ⇒ no row", not a crash
+    val n = greatest(size(t) - 1, lit(0))
+    val bgs = zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
       (a, b) => concat_ws(" ", a, b))
     val bo = docs.select(col("doc_id"), explode(bgs).as("bg"))
       .withColumn("prev", substring_index(col("bg"), " ", 1))

@@ -1564,7 +1564,7 @@ object ExtQueries {
              |  SELECT doc_id, COUNT(*) AS ng FROM o2 GROUP BY 1
              |), enc AS (
              |  SELECT doc_id, pos,
-             |         h || '#' || lpad(CAST(10000000 - pos AS VARCHAR), 8, '0') AS e
+             |         h || '#' || lpad(CAST(10000000000 - pos AS VARCHAR), 11, '0') AS e
              |  FROM o2
              |), selw AS (
              |  SELECT doc_id, pos,
@@ -1573,7 +1573,7 @@ object ExtQueries {
              |  FROM enc
              |)
              |SELECT DISTINCT s.doc_id,
-             |       CAST(10000000 - CAST(string_split(s.sel, '#')[2] AS BIGINT) AS BIGINT)
+             |       CAST(10000000000 - CAST(string_split(s.sel, '#')[2] AS BIGINT) AS BIGINT)
              |         AS pos,
              |       string_split(s.sel, '#')[1] AS fp
              |FROM selw s JOIN n USING (doc_id)

@@ -270,11 +270,32 @@ object TxStore {
                 def drop(): Unit = { dropped += cname; acc.remove(cname): Unit }
                 if (st == null || st.isEmpty || !st.hasNonNullValue) drop()
                 else if (numeric) {
-                  val lo = BigDecimal(st.genericGetMin.toString)
-                  val hi = BigDecimal(st.genericGetMax.toString)
-                  acc(cname) = acc.get(cname) match {
-                    case Some(NumRange(l0, h0)) => NumRange(l0.min(lo), h0.max(hi))
-                    case _ => NumRange(lo, hi)
+                  // FLOAT/DOUBLE bounds convert via the EXACT binary
+                  // expansion of the value PROMOTED TO DOUBLE — Spark
+                  // evaluates predicates on the promoted double, and a
+                  // float's shortest-decimal toString can disagree with it
+                  // near a bound (file max 0.3f renders "0.3", which
+                  // refutes col >= 0.30000001 even though the promoted
+                  // 0.30000001192… satisfies it — an unsound prune).
+                  // NaN/±Infinity bounds (legal: parquet-mr's min/max
+                  // propagates NaN) have no decimal form — drop the
+                  // column for this file instead of aborting the write.
+                  def exact(v: Any): Option[BigDecimal] = v match {
+                    case x: java.lang.Float =>
+                      if (x.isNaN || x.isInfinite) None
+                      else Some(BigDecimal(new java.math.BigDecimal(x.doubleValue())))
+                    case x: java.lang.Double =>
+                      if (x.isNaN || x.isInfinite) None
+                      else Some(BigDecimal(new java.math.BigDecimal(x.doubleValue())))
+                    case other => scala.util.Try(BigDecimal(other.toString)).toOption
+                  }
+                  (exact(st.genericGetMin), exact(st.genericGetMax)) match {
+                    case (Some(lo), Some(hi)) =>
+                      acc(cname) = acc.get(cname) match {
+                        case Some(NumRange(l0, h0)) => NumRange(l0.min(lo), h0.max(hi))
+                        case _ => NumRange(lo, hi)
+                      }
+                    case _ => drop()
                   }
                 } else {
                   val lo = new String(
@@ -633,6 +654,22 @@ object TxStore {
     }
   }
 
+  /** Have the deletion-vector marks on `inputs` changed between the
+    * decided `base` snapshot and the latest one? A delete-dv commit adds
+    * and removes NO files, so a rewrite's "inputs still live" check alone
+    * would let it pass — and its replacement files, staged reading
+    * through BASE's marks, would silently resurrect rows whose vectored
+    * delete committed in between (a lost delete, violating
+    * write-serializable isolation). Every rewrite op (compact /
+    * compactZOrder / delete) re-checks this in its commit attempt;
+    * merge is already safe via its strict version check, and
+    * dv-AFTER-rewrite ordering is safe because the rewrite's commit
+    * removes the marked files (the vanished-file check on the dv side). */
+  private def dvDrifted(base: Snapshot, snap: Snapshot, inputs: Seq[String]): Boolean = {
+    val in = inputs.toSet
+    base.dv.view.filterKeys(in).toMap != snap.dv.view.filterKeys(in).toMap
+  }
+
   /** Optimistic-commit loop shared by every write op. `attempt` sees the
     * latest snapshot and returns the [[CommitSpec]] to try at its
     * version + 1, or None to abort as a no-op (e.g. compaction inputs
@@ -718,6 +755,10 @@ object TxStore {
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "compact") { snap =>
       if (!base.files.forall(snap.files.contains)) None
+      // a concurrent delete-dv on an input file would be silently undone
+      // by the rewrite (it read through BASE's marks) — abort, same
+      // no-op contract as vanished inputs; the caller re-runs compact
+      else if (dvDrifted(base, snap, base.files)) None
       // restate the LATEST schema (an append may have evolved it since
       // base — its files stay live, so its columns must stay declared)
       else Some(CommitSpec(compacted, base.files, snap.schema.map(encodeSchema), cStats))
@@ -760,6 +801,8 @@ object TxStore {
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "optimize-zorder") { snap =>
       if (!base.files.forall(snap.files.contains)) None
+      // concurrent delete-dv on an input — see compact
+      else if (dvDrifted(base, snap, base.files)) None
       else Some(CommitSpec(staged, base.files, snap.schema.map(encodeSchema), zStats))
     }
     if (committed.isEmpty)
@@ -914,6 +957,13 @@ object TxStore {
           throw new java.util.ConcurrentModificationException(
             s"delete at $path conflicts: rewrite inputs removed concurrently: " +
               vanished.take(3).mkString(", "))
+        // a delete-dv that landed on a hit file after the probe: the
+        // staged rewrite read through BASE's marks and would resurrect
+        // the concurrently-deleted rows — loud conflict, caller retries
+        if (dvDrifted(base, snap, hit))
+          throw new java.util.ConcurrentModificationException(
+            s"delete at $path conflicts: deletion vectors advanced on rewrite " +
+              "inputs after the probe")
         Some(CommitSpec(staged, hit, snap.schema.map(encodeSchema), dStats))
       }.map(_.version)
     catch {

@@ -122,6 +122,11 @@ class TextOpsSpec extends SparkSpec {
     // a 1-token doc has no bigram positions and no row
     val one = Seq((5L, "solo")).toDF("doc_id", "text")
     assert(TextOps.bigramLogProb(docs.unionByName(one)).filter($"doc_id" === 5L).count() === 0L)
+    // a ZERO-token doc (reachable via the tokenizer seam: regexTokens on
+    // text with no [a-z]{2,} runs) must yield no row, not a slice error
+    val zero = Seq((6L, "!!! ??? 123"), (7L, "real words here")).toDF("doc_id", "text")
+    val z = TextOps.bigramLogProb(zero, tok = TextOps.regexTokens).collect()
+    assert(z.map(_.getLong(0)).toSet === Set(7L), "zero-token doc drops out cleanly")
   }
 
   test("tokenizer seam: regexTokens swaps tokenization without forking the operator") {

@@ -671,4 +671,75 @@ class TxStoreSpec extends SparkSpec {
       "nothing unreferenced survives a failed append")
     assert(TxStore.read(spark, t).count() === 3)
   }
+
+  test("racing rewrite vs vectored delete never resurrects a committed delete") {
+    // The dv-before-rewrite ordering: a deleteVectored commit adds and
+    // removes NO files, so a rewrite whose conflict check only tests
+    // "inputs still live" would commit replacement files staged through
+    // the PRE-delete marks — a silent lost delete. The rewrite ops
+    // re-check dv drift on their inputs; this race pins the invariant:
+    // whenever the vectored delete reports success, its row stays dead.
+    (0 until 4).foreach { round =>
+      val t = tmpDir()
+      TxStore.append(rows(200).repartition(2), t)
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val compactF = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = { start.await(); TxStore.compact(spark, t, target = 1) }
+      })
+      val dvF = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = {
+          start.await()
+          try TxStore.deleteVectored(spark, t, col("id") === 13L)
+          catch { // compact won first and removed the marked file — retry
+            case _: java.util.ConcurrentModificationException =>
+              TxStore.deleteVectored(spark, t, col("id") === 13L)
+          }
+        }
+      })
+      start.countDown()
+      val (c, dv) = (compactF.get(120, TimeUnit.SECONDS), dvF.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(dv.isDefined, s"round $round: the vectored delete must eventually commit")
+      val ids = TxStore.read(spark, t).select("id").as[Long].collect().toSet
+      assert(!ids.contains(13L),
+        s"round $round: committed delete resurrected (compact=$c, dv=$dv)")
+      assert(ids.size === 199, s"round $round: no other row lost")
+    }
+  }
+
+  test("stats harvest survives NaN/Infinity bounds and prunes floats soundly") {
+    // NaN/±Infinity are legal parquet double stats (parquet-mr's min/max
+    // propagates NaN); they must drop the COLUMN's stats, not abort the
+    // append.
+    val t = tmpDir()
+    val df = Seq((1L, 1.5, "a"), (2L, Double.NaN, "b"), (3L, 42.0, "c"))
+      .toDF("id", "x", "payload")
+    TxStore.append(df.coalesce(1), t) // must not throw
+    assert(TxStore.read(spark, t).count() === 3L)
+    // no x-stats were logged, so an x-predicate prunes nothing and the
+    // filter alone decides — including Spark's NaN-is-greatest ordering
+    // (NaN > 0.0 is TRUE in Spark SQL), which is exactly why a
+    // NaN-poisoned column must drop its stats rather than prune with them
+    assert(TxStore.readWhere(spark, t, col("x") > 0.0).count() === 3L)
+    val (_, kept, _) = TxStore.pruneFiles(spark, t, col("x") > 1e9)
+    assert(kept.size === 1, "NaN-poisoned column keeps the file (no stats, never skips)")
+    // id stats are unaffected by the sibling column's drop
+    val (_, _, skipId) = TxStore.pruneFiles(spark, t, col("id") > 100L)
+    assert(skipId.size === 1, "sibling numeric column still harvested")
+
+    // FLOAT bounds must compare as the PROMOTED double, not the shortest
+    // decimal: a file whose float max is 0.3f (promoted 0.30000001192…)
+    // must NOT be pruned for col >= 0.30000001 — the row matches.
+    val t2 = tmpDir()
+    TxStore.append(
+      Seq((1L, 0.1f), (2L, 0.3f)).toDF("id", "f").coalesce(1), t2)
+    assert(TxStore.readWhere(spark, t2, col("f") >= 0.30000001).count() === 1L,
+      "promoted-float bound must not refute a matching predicate")
+    val (_, keptF, _) = TxStore.pruneFiles(spark, t2, col("f") >= 0.30000001)
+    assert(keptF.size === 1, "file kept: exact binary expansion beats toString")
+    // and genuinely-out-of-range predicates still prune
+    val (_, _, skipF) = TxStore.pruneFiles(spark, t2, col("f") > 0.5)
+    assert(skipF.size === 1)
+  }
 }
