@@ -544,7 +544,61 @@ object StorageQueries {
             s"user ${skipUser.size})")
         eventsCols(TxStore.readWhere(s, store, evPred && userPred))
       },
-      Some(eventsSql(" WHERE event_id <= 500 AND user_id <= 3"))))
+      Some(eventsSql(" WHERE event_id <= 500 AND user_id <= 3"))),
+
+    // ── S29 — MULTI-PART CHECKPOINT: the restated per-file stats and
+    //    deletion vectors shard into sidecar files (2 files per shard
+    //    here, so an 8-file table crosses several shard boundaries) and
+    //    the commit line is just the manifest — the Delta multi-part
+    //    parquet-checkpoint shape, ending the O(live files × payload)
+    //    single-line restatement. vacuum(retainVersions = 1) then prunes
+    //    every pre-checkpoint commit file, so the readback that must
+    //    hash-match runs PHYSICALLY from checkpoint + sidecars alone:
+    //    sharded stats must still prune (REQUIRED) and sharded vectors
+    //    must still apply (the %100 rows stay dead in the oracle).
+    QueryDef(
+      "s29_tx_checkpoint_multipart",
+      (s, d) => {
+        val store = freshStore(s, "s29-ckptmp", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.repartitionByRange(8, col("event_id")), store) // v1
+        TxStore.deleteVectored(s, store, col("event_id") % 100 === 0) // v2
+        TxStore.checkpoint(s, store, shardFiles = 2) // v3 — 4 sidecars
+        TxStore.vacuum(s, store, retainVersions = 1, ageGraceMs = 0L)
+        val ck = TxStore.history(s, store).head
+        require(ck.op == "checkpoint" && ck.sidecars.size >= 2 && ck.stats.isEmpty,
+          s"checkpoint must shard its restatement (got ${ck.sidecars.size} sidecars)")
+        val (_, _, skipped) = TxStore.pruneFiles(s, store, col("event_id") <= 500L)
+        require(skipped.nonEmpty, "sidecar-restated stats must still prune files")
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(" WHERE event_id % 100 <> 0"))),
+
+    // ── S30 — BULK vectored delete through the DV SIDECAR: the %3 rows
+    //    (a third of the table — far past any sane inline-line budget)
+    //    are marked deleted via ONE sidecar of delta-varint packed
+    //    positions referenced from the commit; the line itself carries
+    //    nothing (REQUIRED). File set must stay byte-identical (still
+    //    merge-on-read), and the oracle pins that every read path
+    //    applies the sidecar marks exactly like inline ones. This is
+    //    the production DV form — a 0.1% delete on a 10⁹-row table is
+    //    10⁶ positions, which the s25 inline path structurally cannot
+    //    carry.
+    QueryDef(
+      "s30_tx_delete_dv_sidecar",
+      (s, d) => {
+        val store = freshStore(s, "s30-dvsc", d)
+        TxStore.append(Tables.events(s, d), store) // v1
+        val before = TxStore.snapshot(s, store).files.toSet
+        TxStore.deleteVectored(s, store, col("event_id") % 3 === 0, inlineDvRows = 0) // v2
+        val c = TxStore.history(s, store).last
+        require(c.op == "delete-dv" && c.dv.isEmpty && c.sidecars.size == 1,
+          "bulk marks must ride the sidecar, not the commit line")
+        require(TxStore.snapshot(s, store).files.toSet == before,
+          "sidecar delete must not add or remove data files")
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(" WHERE event_id % 3 <> 0"))))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

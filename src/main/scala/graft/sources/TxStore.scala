@@ -69,7 +69,12 @@ object TxStore {
     * (history/debugging only). Hand-rolled JSON on both ends — the names
     * are UUIDs and ops are fixed tokens, so no escaping is needed; the
     * two structured payloads (schema, per-file stats) are base64-wrapped
-    * so the commit line itself stays escape-free. */
+    * so the commit line itself stays escape-free. `sidecars` references
+    * files under `_txlog/_sidecar/` carrying sharded stats / deletion-
+    * vector payloads too big for one line (multi-part checkpoints, bulk
+    * vectored deletes) — the commit line stays the atomic manifest, the
+    * heavy per-file payloads move out (the Delta multi-part parquet-
+    * checkpoint / DV-sidecar shape, re-derived on the text log). */
   final case class Commit(
       version: Long,
       op: String,
@@ -78,7 +83,8 @@ object TxStore {
       txn: Option[String] = None,
       schema: Option[String] = None,
       stats: Option[String] = None,
-      dv: Option[String] = None)
+      dv: Option[String] = None,
+      sidecars: Seq[String] = Nil)
 
   /** One column's [min, max] over a file's NON-NULL values: exact
     * decimals for numeric primitives, raw strings (ASCII-only, ≤ 64
@@ -101,13 +107,17 @@ object TxStore {
 
   /** What a write op asks the commit loop to publish at the next
     * version. `stats` ride with added files; `dv` marks row positions
-    * of LIVE files as deleted (merge-on-read — see [[deleteVectored]]). */
+    * of LIVE files as deleted (merge-on-read — see [[deleteVectored]]);
+    * `sidecars` reference already-written sidecar files carrying sharded
+    * stats/dv payloads instead of (never in addition to) the inline
+    * fields they shard. */
   private final case class CommitSpec(
       add: Seq[String],
       remove: Seq[String],
       schema: Option[String],
       stats: Option[String] = None,
-      dv: Option[String] = None)
+      dv: Option[String] = None,
+      sidecars: Seq[String] = Nil)
 
   // ── schema in the log ──────────────────────────────────────────────
   // The table schema travels in commit entries (base64 of Spark's schema
@@ -383,6 +393,124 @@ object TxStore {
       parseDv(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
     }
 
+  // ── sidecar files (multi-part checkpoints, bulk deletion vectors) ──
+  // A commit line is one atomic driver-side JSON line; restating a large
+  // table's per-file stats (checkpoint) or a bulk delete's positions
+  // inline makes that line O(live files × payload) — correct but
+  // metadata-io-poor past ~10⁵ files, exactly why Delta moved
+  // checkpoints to multi-part parquet and deletion vectors to bitmap
+  // sidecar files. Here the heavy payloads shard into immutable files
+  // under _txlog/_sidecar/<uuid>.sc, referenced from the commit line
+  // (which stays the atomic manifest): writers create them BEFORE the
+  // commit attempt (invisible until a commit names them — the same
+  // stage-then-publish story as data files), losers of a commit race
+  // delete and restage, and vacuum reclaims aged unreferenced ones.
+
+  private val SidecarDirName = "_sidecar"
+
+  private def sidecarPath(path: String, name: String): Path =
+    new Path(s"$path/$LogDir/$SidecarDirName/$name")
+
+  /** Packed deletion-vector codec for sidecars: per file, sorted
+    * positions as delta-encoded LEB128 varints, base64-wrapped —
+    * {"file":"b64",...}. 1–2 bytes per mark on realistic (clustered or
+    * sparse) deletes vs ~8–12 for the inline decimal CSV; the compressed
+    * position-bitmap trade DV sidecars exist for. */
+  private def renderDvPacked(m: Map[String, Seq[Long]]): String = {
+    def pack(rows: Seq[Long]): String = {
+      val out = new java.io.ByteArrayOutputStream()
+      var prev = -1L
+      rows.sorted.distinct.foreach { p =>
+        var d = p - prev // ≥ 1: positions are distinct ascending, prev starts at −1
+        prev = p
+        while (d >= 0x80L) { out.write(((d & 0x7fL) | 0x80L).toInt); d >>>= 7 }
+        out.write(d.toInt)
+      }
+      java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+    }
+    m.toSeq.sortBy(_._1).map { case (f, rows) => s""""$f":"${pack(rows)}"""" }
+      .mkString("{", ",", "}")
+  }
+
+  private def parseDvPacked(s: String): Map[String, Seq[Long]] = {
+    def unpack(b64: String): Seq[Long] = {
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      var prev = -1L
+      while (i < bytes.length) {
+        var d = 0L
+        var shift = 0
+        var b = 0
+        while ({
+          b = bytes(i) & 0xff; i += 1
+          d |= (b & 0x7fL) << shift; shift += 7
+          (b & 0x80) != 0
+        }) ()
+        prev += d
+        buf += prev
+      }
+      buf.toSeq
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    var i = 0
+    def expect(c: Char): Unit = {
+      require(i < s.length && s.charAt(i) == c, s"corrupt packed dv payload at $i in $s")
+      i += 1
+    }
+    def str(): String = {
+      expect('"'); val j = s.indexOf('"', i)
+      val r = s.substring(i, j); i = j + 1; r
+    }
+    expect('{')
+    while (i < s.length && s.charAt(i) != '}') {
+      if (s.charAt(i) == ',') i += 1
+      val file = str()
+      expect(':')
+      out(file) = unpack(str())
+    }
+    out.toMap
+  }
+
+  /** Write one sidecar holding a shard of restated per-file stats and/or
+    * packed deletion-vector marks. Plain create under a fresh UUID name
+    * — no race possible, and the file is invisible to replay until a
+    * commit references it. Content: up to two lines, `stats:<b64 of
+    * renderStats>` and `dvp:<b64 of renderDvPacked>`. */
+  private def writeSidecar(
+      f: FileSystem,
+      path: String,
+      stats: FileStats,
+      dv: Map[String, Seq[Long]]): String = {
+    def b64(v: String) =
+      java.util.Base64.getEncoder.encodeToString(v.getBytes(StandardCharsets.UTF_8))
+    val name = s"${UUID.randomUUID()}.sc"
+    val sb = new StringBuilder
+    if (stats.nonEmpty) sb.append("stats:").append(b64(renderStats(stats))).append('\n')
+    if (dv.nonEmpty) sb.append("dvp:").append(b64(renderDvPacked(dv))).append('\n')
+    val out = f.create(sidecarPath(path, name), /* overwrite = */ false)
+    try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    name
+  }
+
+  /** Read (memoized — sidecar files are immutable) one sidecar's
+    * (stats shard, dv shard). */
+  private def readSidecar(
+      f: FileSystem, path: String, name: String): (FileStats, Map[String, Seq[Long]]) =
+    memo(s"$path/$name", 'c') {
+      def deb64(v: String) =
+        new String(java.util.Base64.getDecoder.decode(v), StandardCharsets.UTF_8)
+      val txt = readText(f, sidecarPath(path, name))
+      var stats: FileStats = Map.empty
+      var dv: Map[String, Seq[Long]] = Map.empty
+      txt.split('\n').foreach { line =>
+        if (line.startsWith("stats:")) stats = parseStats(deb64(line.substring(6)))
+        else if (line.startsWith("dvp:")) dv = parseDvPacked(deb64(line.substring(4)))
+      }
+      (stats, dv)
+    }
+
   private def normalize(
       s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
@@ -474,7 +602,8 @@ object TxStore {
     val sch = c.schema.fold("")(s => s""","schema":"$s"""")
     val sts = c.stats.fold("")(s => s""","stats":"$s"""")
     val dvs = c.dv.fold("")(s => s""","dv":"$s"""")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs}"""
+    val scs = if (c.sidecars.isEmpty) "" else s""","sidecars":${arr(c.sidecars)}"""
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs$scs}"""
   }
 
   private def parse(s: String): Commit = {
@@ -500,7 +629,8 @@ object TxStore {
       txn = fieldOpt("txn").map(_.drop(1).takeWhile(_ != '"')),
       schema = fieldOpt("schema").map(_.drop(1).takeWhile(_ != '"')),
       stats = fieldOpt("stats").map(_.drop(1).takeWhile(_ != '"')),
-      dv = fieldOpt("dv").map(_.drop(1).takeWhile(_ != '"')))
+      dv = fieldOpt("dv").map(_.drop(1).takeWhile(_ != '"')),
+      sidecars = fieldOpt("sidecars").map(strArr).getOrElse(Nil))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -531,7 +661,7 @@ object TxStore {
       .map(n => parse(readText(f, new Path(dir, n))))
   }
 
-  private def replay(cs: Seq[Commit]): Snapshot = {
+  private def replay(f: FileSystem, path: String, cs: Seq[Commit]): Snapshot = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, ColRange]]
@@ -540,15 +670,24 @@ object TxStore {
     cs.foreach { c =>
       c.remove.foreach { n => live -= n; stats.remove(n): Unit; dv.remove(n): Unit }
       c.add.foreach(n => live += n)
+      val addSet = c.add.toSet
       c.stats.foreach { b64 =>
-        val addSet = c.add.toSet
-        decodeStats(b64).foreach { case (f, m) => if (addSet(f)) stats(f) = m }
+        decodeStats(b64).foreach { case (fl, m) => if (addSet(fl)) stats(fl) = m }
       }
       // vectors only ever target files live at their commit; concurrent
       // vectors on one file UNION (position marks commute)
-      c.dv.foreach(b64 => decodeDv(b64).foreach { case (f, rows) =>
-        if (live(f)) dv(f) = (dv.getOrElse(f, Nil) ++ rows).distinct.sorted
+      c.dv.foreach(b64 => decodeDv(b64).foreach { case (fl, rows) =>
+        if (live(fl)) dv(fl) = (dv.getOrElse(fl, Nil) ++ rows).distinct.sorted
       })
+      // sidecar payloads apply under exactly the inline rules (a commit
+      // carries a payload inline OR sharded, never both)
+      c.sidecars.foreach { n =>
+        val (scStats, scDv) = readSidecar(f, path, n)
+        scStats.foreach { case (fl, m) => if (addSet(fl)) stats(fl) = m }
+        scDv.foreach { case (fl, rows) =>
+          if (live(fl)) dv(fl) = (dv.getOrElse(fl, Nil) ++ rows).distinct.sorted
+        }
+      }
       if (c.schema.isDefined) schema = c.schema
     }
     Snapshot(
@@ -557,8 +696,10 @@ object TxStore {
   }
 
   /** Current snapshot (version 0 = empty table, no log yet). */
-  def snapshot(spark: SparkSession, path: String): Snapshot =
-    replay(commits(fs(spark, path), path))
+  def snapshot(spark: SparkSession, path: String): Snapshot = {
+    val f = fs(spark, path)
+    replay(f, path, commits(f, path))
+  }
 
   /** Snapshot as of an historical version — time travel. Works for any
     * version in the retained (post-checkpoint) log; the files behind it
@@ -566,9 +707,10 @@ object TxStore {
     * vacuum's `retainVersions` window (see the retention contract
     * there). */
   def snapshotAt(spark: SparkSession, path: String, version: Long): Snapshot = {
-    val cs = commits(fs(spark, path), path).filter(_.version <= version)
+    val f = fs(spark, path)
+    val cs = commits(f, path).filter(_.version <= version)
     require(cs.nonEmpty || version == 0, s"version $version predates the retained log at $path")
-    replay(cs)
+    replay(f, path, cs)
   }
 
   /** Commit history, oldest first (op + files per version). */
@@ -681,12 +823,12 @@ object TxStore {
     val f = fs(spark, path)
     var tries = 0
     while (tries < MaxRetries) {
-      val snap = replay(commits(f, path))
+      val snap = replay(f, path, commits(f, path))
       attempt(snap) match {
         case None => return None
         case Some(spec) =>
           val c = Commit(snap.version + 1, op, spec.add, spec.remove, txn,
-            spec.schema, spec.stats, spec.dv)
+            spec.schema, spec.stats, spec.dv, spec.sidecars)
           if (tryCommit(f, path, c)) return Some(c)
       }
       tries += 1
@@ -873,8 +1015,9 @@ object TxStore {
     * snapshot and resume CDC from its version. */
   def readAppendsSince(
       spark: SparkSession, path: String, sinceVersion: Long): (Long, DataFrame) = {
-    val cs = commits(fs(spark, path), path)
-    val snap = replay(cs)
+    val f = fs(spark, path)
+    val cs = commits(f, path)
+    val snap = replay(f, path, cs)
     // a position AHEAD of the log is a consumer pointed at the wrong /
     // wiped / recreated table — answering (0, empty) would silently
     // reset its position and re-deliver everything it already consumed
@@ -889,8 +1032,10 @@ object TxStore {
           s"v${cs.head.version} (checkpoint truncated history) — re-read the snapshot")
     val tail = cs.filter(c => c.version > sinceVersion && c.op != "checkpoint")
     // a deletion-vector commit changes ROWS without touching the file
-    // set — for file-level CDC it is a rewrite exactly like delete
-    val rewrites = tail.filter(c => c.remove.nonEmpty || c.dv.isDefined)
+    // set — for file-level CDC it is a rewrite exactly like delete;
+    // sidecar-carrying non-checkpoint commits are dv commits by
+    // construction (bulk vectored deletes), refused the same way
+    val rewrites = tail.filter(c => c.remove.nonEmpty || c.dv.isDefined || c.sidecars.nonEmpty)
     require(
       rewrites.isEmpty,
       s"($sinceVersion, ${snap.version}] contains rewrite commits " +
@@ -984,10 +1129,14 @@ object TxStore {
     * the files they annotate, and a periodic compact bounds read-side
     * anti-join work exactly as in Delta's DV design.
     *
-    * The marked positions are inherently log-sized data (they travel in
-    * the commit), so the op REFUSES deletes bigger than `maxDvRows` —
-    * use [[delete]] (copy-on-write) for bulk deletes; the production
-    * growth path is a compressed bitmap sidecar, same trade Delta makes.
+    * Mark-set size: up to `inlineDvRows` positions travel INLINE in the
+    * commit line; bigger mark sets ride a compressed (delta-varint)
+    * SIDECAR file referenced from the commit — the production DV form
+    * (a 0.1% delete on a 10⁹-row table is 10⁶ positions; that cannot
+    * live on the line every replay parses). `maxDvRows` remains the
+    * driver-memory guard on the probe collect itself — past it, the
+    * delete is bulk by any definition and [[delete]] (copy-on-write)
+    * is the right physical trade.
     *
     * Same SQL DELETE NULL semantics as [[delete]] (a NULL predicate
     * keeps the row — only predicate-TRUE rows are marked) and the same
@@ -999,7 +1148,8 @@ object TxStore {
       spark: SparkSession,
       path: String,
       predicate: Column,
-      maxDvRows: Int = 100000): Option[Long] = {
+      maxDvRows: Int = 10000000,
+      inlineDvRows: Int = 10000): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
     val hits = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true)
@@ -1012,14 +1162,26 @@ object TxStore {
         "a delete this large should rewrite files: use delete() instead")
     val marks: Map[String, Seq[Long]] =
       hits.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq.sorted).toMap
-    commitLoop(spark, path, "delete-dv") { snap =>
-      val vanished = marks.keys.filterNot(snap.files.contains)
-      if (vanished.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
-          s"delete-dv at $path conflicts: marked files removed concurrently: " +
-            vanished.take(3).mkString(", "))
-      Some(CommitSpec(Nil, Nil, snap.schema.map(encodeSchema), None, Some(encodeDv(marks))))
-    }.map(_.version)
+    val f = fs(spark, path)
+    // the marks don't depend on the snapshot — one sidecar serves every
+    // commit attempt; deleted if the loop throws (vacuum catches a crash)
+    val sc = if (hits.length > inlineDvRows) Seq(writeSidecar(f, path, Map.empty, marks)) else Nil
+    try
+      commitLoop(spark, path, "delete-dv") { snap =>
+        val vanished = marks.keys.filterNot(snap.files.contains)
+        if (vanished.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"delete-dv at $path conflicts: marked files removed concurrently: " +
+              vanished.take(3).mkString(", "))
+        if (sc.isEmpty)
+          Some(CommitSpec(Nil, Nil, snap.schema.map(encodeSchema), None, Some(encodeDv(marks))))
+        else Some(CommitSpec(Nil, Nil, snap.schema.map(encodeSchema), None, None, sc))
+      }.map(_.version)
+    catch {
+      case e: Throwable =>
+        sc.foreach(n => f.delete(sidecarPath(path, n), false))
+        throw e
+    }
   }
 
   /** Keyed MERGE (upsert): rows of `updates` replace current rows with the
@@ -1171,22 +1333,49 @@ object TxStore {
     * history. Contends like any commit (it removes nothing, adds nothing
     * logically — `add` restates the live set).
     *
-    * Size note: the restated stats/vector payloads make a checkpoint
-    * O(live files) — at millions of files that is one very large line,
-    * which is exactly why Delta moved checkpoints to (multi-part)
-    * parquet. The known growth path here is the same: shard the
-    * restatement into a sidecar file per N files; the single-line form
-    * is correct at any scale, just not metadata-io-optimal past ~10⁵
-    * files. */
-  def checkpoint(spark: SparkSession, path: String): Long =
-    commitLoop(spark, path, "checkpoint") { snap =>
-      val sts =
-        if (snap.stats.isEmpty) None
-        else Some(java.util.Base64.getEncoder.encodeToString(
-          renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
-      val dvs = if (snap.dv.isEmpty) None else Some(encodeDv(snap.dv))
-      Some(CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs))
-    }.get.version
+    * MULTI-PART: when more than `shardFiles` live files carry stats or
+    * deletion-vector payloads, the restatement is sharded into sidecar
+    * files of ≤ `shardFiles` files each (the Delta multi-part parquet-
+    * checkpoint shape re-derived on the text log) and the commit line
+    * carries only the live-file manifest plus sidecar references — the
+    * heavy per-file payloads stop riding the line that every replay
+    * parses and every commit race re-reads. Sidecars are staged fresh
+    * per commit attempt (a lost race restates against the newer
+    * snapshot; the loser's sidecars are deleted, and any crash-orphan
+    * is reclaimed by [[vacuum]] once aged). Small tables keep the
+    * single-line form — one file to read beats several. */
+  def checkpoint(spark: SparkSession, path: String, shardFiles: Int = 512): Long = {
+    require(shardFiles >= 1, s"shardFiles must be ≥ 1: $shardFiles")
+    val f = fs(spark, path)
+    var staged: Seq[String] = Nil
+    def discard(): Unit = {
+      staged.foreach(n => f.delete(sidecarPath(path, n), false))
+      staged = Nil
+    }
+    try
+      commitLoop(spark, path, "checkpoint") { snap =>
+        discard() // a retried attempt restates against the fresh snapshot
+        val payloadFiles = (snap.stats.keySet ++ snap.dv.keySet).toSeq.sorted
+        if (payloadFiles.size <= shardFiles) {
+          val sts =
+            if (snap.stats.isEmpty) None
+            else Some(java.util.Base64.getEncoder.encodeToString(
+              renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
+          val dvs = if (snap.dv.isEmpty) None else Some(encodeDv(snap.dv))
+          Some(CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs))
+        } else {
+          staged = payloadFiles.grouped(shardFiles).map { group =>
+            val g = group.toSet
+            writeSidecar(f, path,
+              snap.stats.view.filterKeys(g).toMap,
+              snap.dv.view.filterKeys(g).toMap)
+          }.toSeq
+          Some(CommitSpec(
+            snap.files, Nil, snap.schema.map(encodeSchema), None, None, staged))
+        }
+      }.get.version
+    catch { case e: Throwable => discard(); throw e }
+  }
 
   // ── reads ──────────────────────────────────────────────────────────
 
@@ -1426,7 +1615,8 @@ object TxStore {
     * target snapshot. Fails loudly if vacuum already reclaimed a
     * target file (restore reach = the vacuum retention window, the
     * same trade Delta documents). */
-  def restore(spark: SparkSession, path: String, version: Long): Long = {
+  def restore(
+      spark: SparkSession, path: String, version: Long, shardFiles: Int = 512): Long = {
     val target = snapshotAt(spark, path, version)
     val f = fs(spark, path)
     val missing =
@@ -1434,16 +1624,37 @@ object TxStore {
     require(missing.isEmpty,
       s"restore to v$version impossible: ${missing.size} file(s) already reclaimed by " +
         s"vacuum (outside the retention window): ${missing.take(3).mkString(", ")}")
-    val sts =
-      if (target.stats.isEmpty) None
-      else Some(java.util.Base64.getEncoder.encodeToString(
-        renderStats(target.stats).getBytes(StandardCharsets.UTF_8)))
-    val dvs = if (target.dv.isEmpty) None else Some(encodeDv(target.dv))
-    commitLoop(spark, path, "restore") { snap =>
-      // remove the CURRENT live set (fresh per retry) and re-add the
-      // target's — same last-writer-wins semantics as overwrite
-      Some(CommitSpec(target.files, snap.files, target.schema.map(encodeSchema), sts, dvs))
-    }.get.version
+    // same multi-part restatement as checkpoint: the target's per-file
+    // payloads are fixed (not per-attempt), so sidecars stage once
+    val payloadFiles = (target.stats.keySet ++ target.dv.keySet).toSeq.sorted
+    val (sts, dvs, sc) =
+      if (payloadFiles.size <= shardFiles) {
+        val s0 =
+          if (target.stats.isEmpty) None
+          else Some(java.util.Base64.getEncoder.encodeToString(
+            renderStats(target.stats).getBytes(StandardCharsets.UTF_8)))
+        val d0 = if (target.dv.isEmpty) None else Some(encodeDv(target.dv))
+        (s0, d0, Nil: Seq[String])
+      } else {
+        val shards = payloadFiles.grouped(shardFiles).map { group =>
+          val g = group.toSet
+          writeSidecar(f, path,
+            target.stats.view.filterKeys(g).toMap,
+            target.dv.view.filterKeys(g).toMap)
+        }.toSeq
+        (None, None, shards)
+      }
+    try
+      commitLoop(spark, path, "restore") { snap =>
+        // remove the CURRENT live set (fresh per retry) and re-add the
+        // target's — same last-writer-wins semantics as overwrite
+        Some(CommitSpec(target.files, snap.files, target.schema.map(encodeSchema), sts, dvs, sc))
+      }.get.version
+    catch {
+      case e: Throwable =>
+        sc.foreach(n => f.delete(sidecarPath(path, n), false))
+        throw e
+    }
   }
 
   /** DESCRIBE DETAIL — the operational numbers an operator actually
@@ -1570,6 +1781,23 @@ object TxStore {
           .map(c => logPath(path, c.version))
     }
     prunedLogs.foreach(f.delete(_, false))
-    victims.size + staleStages.size + staleTmps.size + prunedLogs.size
+    // SIDECAR GC: a sidecar is reclaimable once no surviving commit file
+    // references it — either its commit was just pruned above, or it is
+    // a crash/lost-race orphan that was never referenced. The age grace
+    // protects a mid-commit writer's freshly-staged sidecar exactly as
+    // it protects staged data files.
+    val prunedNames = prunedLogs.map(_.getName).toSet
+    val referencedSc = all
+      .filterNot(c => prunedNames.contains(logPath(path, c.version).getName))
+      .flatMap(_.sidecars)
+      .toSet
+    val scDir = new Path(s"$path/$LogDir/$SidecarDirName")
+    val staleSidecars =
+      if (!f.exists(scDir)) Nil
+      else f.listStatus(scDir).toSeq
+        .filter(s => !referencedSc.contains(s.getPath.getName) && aged(s))
+        .map(_.getPath)
+    staleSidecars.foreach(f.delete(_, false))
+    victims.size + staleStages.size + staleTmps.size + prunedLogs.size + staleSidecars.size
   }
 }

@@ -742,4 +742,87 @@ class TxStoreSpec extends SparkSpec {
     val (_, _, skipF) = TxStore.pruneFiles(spark, t2, col("f") > 0.5)
     assert(skipF.size === 1)
   }
+
+  /** Sidecar payload files on disk (excluding Hadoop LocalFileSystem's
+    * .crc checksum twins, which f.delete reclaims alongside). */
+  private def sidecarFiles(t: String): Set[String] = {
+    val dir = new java.io.File(s"$t/_txlog/_sidecar")
+    Option(dir.list()).map(_.toSet.filter(_.endsWith(".sc"))).getOrElse(Set.empty)
+  }
+
+  test("multi-part checkpoint: sidecars carry the restatement; replay is checkpoint + tail") {
+    val t = tmpDir()
+    // 6 single-file appends (per-file stats) + vectors on two of them
+    (0 until 6).foreach(k => TxStore.append(rows(100, from = k * 100).coalesce(1), t))
+    TxStore.deleteVectored(spark, t, col("id") % 97 === 0L) // v7
+    val ck = TxStore.checkpoint(spark, t, shardFiles = 2) // v8 — 3 sidecars
+    assert(ck === 8L)
+    val head = TxStore.history(spark, t).head
+    assert(head.op === "checkpoint")
+    assert(head.sidecars.size === 3, s"6 payload files / 2 per shard: ${head.sidecars}")
+    assert(head.stats.isEmpty && head.dv.isEmpty, "sharded checkpoint carries no inline payload")
+    // restated stats still prune; restated vectors still apply
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, col("id") === 250L)
+    assert(kept.size === 1 && skipped.size === 5, "sidecar stats prune to one file")
+    val expect = (0L until 600L).filterNot(_ % 97 == 0).toSet
+    assert(TxStore.read(spark, t).select("id").as[Long].collect().toSet === expect)
+    // the tail after the checkpoint composes on top of sidecar state
+    TxStore.append(rows(10, from = 600).coalesce(1), t) // v9
+    assert(TxStore.read(spark, t).count() === (expect.size + 10).toLong)
+    // vacuum prunes pre-checkpoint commit files but keeps referenced
+    // sidecars — replay is now PHYSICALLY checkpoint + tail
+    TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0)
+    val logs = new java.io.File(s"$t/_txlog").list().filter(_.endsWith(".json"))
+    assert(logs.sorted.head.contains("00000008"), s"pre-checkpoint logs pruned: ${logs.toSeq}")
+    assert(sidecarFiles(t).size === 3, "referenced sidecars survive vacuum")
+    assert(TxStore.read(spark, t).count() === (expect.size + 10).toLong)
+    // a LATER inline checkpoint supersedes; its vacuum reclaims the
+    // now-unreferenced sidecars
+    TxStore.checkpoint(spark, t) // v10, inline (payload fits one line)
+    TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0)
+    assert(sidecarFiles(t).isEmpty, "unreferenced sidecars reclaimed")
+    assert(TxStore.read(spark, t).count() === (expect.size + 10).toLong)
+  }
+
+  test("bulk vectored delete rides a packed sidecar; rewrites retire it; CDC refuses it") {
+    val t = tmpDir()
+    TxStore.append(rows(500).repartition(2), t) // v1
+    val filesBefore = TxStore.snapshot(spark, t).files.toSet
+    // force the sidecar path regardless of mark count
+    assert(TxStore.deleteVectored(spark, t, col("id") % 3 === 0L, inlineDvRows = 0) === Some(2L))
+    val c = TxStore.history(spark, t).last
+    assert(c.op === "delete-dv" && c.dv.isEmpty && c.sidecars.size === 1,
+      "marks travel in the sidecar, not the commit line")
+    assert(TxStore.snapshot(spark, t).files.toSet === filesBefore, "still merge-on-read")
+    val got = TxStore.read(spark, t).select("id").as[Long].collect().toSet
+    assert(got === (0L until 500L).filterNot(_ % 3 == 0).toSet)
+    // stats-pruned reads and time travel apply sidecar marks too
+    assert(TxStore.readWhere(spark, t, col("id") < 10L).count() === 6L)
+    assert(TxStore.readAt(spark, t, 1L).count() === 500L)
+    // file-level CDC cannot represent a sidecar dv commit — fail loudly
+    val e = intercept[IllegalArgumentException](TxStore.readAppendsSince(spark, t, 1L))
+    assert(e.getMessage.contains("rewrite"))
+    // a rewrite materializes the sidecar marks like inline ones
+    TxStore.compact(spark, t, target = 1)
+    assert(TxStore.snapshot(spark, t).dv.isEmpty)
+    assert(TxStore.read(spark, t).count() === got.size.toLong)
+    // the retired sidecar is reclaimable only once its commit is pruned
+    TxStore.checkpoint(spark, t)
+    TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0)
+    assert(sidecarFiles(t).isEmpty, "retired dv sidecar reclaimed after log pruning")
+  }
+
+  test("restore restates a large snapshot through sidecars") {
+    val t = tmpDir()
+    (0 until 4).foreach(k => TxStore.append(rows(50, from = k * 50).coalesce(1), t)) // v1–v4
+    TxStore.deleteVectored(spark, t, col("id") === 7L) // v5
+    TxStore.overwrite(rows(3, from = 900), t) // v6 — the accident
+    val v = TxStore.restore(spark, t, 5L, shardFiles = 1) // v7: 4 payload files → 4 sidecars
+    assert(v === 7L)
+    val c = TxStore.history(spark, t).last
+    assert(c.op === "restore" && c.stats.isEmpty && c.dv.isEmpty && c.sidecars.size === 4)
+    assert(TxStore.read(spark, t).count() === 199L, "files AND vectors restored via sidecars")
+    val (_, kept, _) = TxStore.pruneFiles(spark, t, col("id") === 150L)
+    assert(kept.size === 1, "sidecar-restated stats still prune")
+  }
 }
