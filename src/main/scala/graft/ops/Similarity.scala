@@ -380,10 +380,31 @@ object Similarity {
     val seeds = embeddings.orderBy("vec_id").limit(k)
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
     require(seeds.length == k, s"corpus has only ${seeds.length} rows — need $k seed cells")
+    clusterBalancedSample(embeddings, seeds, quota)
+  }
+
+  /** EXT40b — the TRAINED-quantizer form of [[clusterBalancedSample]]:
+    * caller supplies the centroids (typically [[kmeansCentroids]], the
+    * production quantizer — cells follow the corpus's actual density
+    * modes instead of whatever the k lowest-id vectors happen to span).
+    * Same [[assignCell]] seam, same seeded per-cell quota; the trade is
+    * oracle-exactness — trained centroids depend on float summation
+    * order in the Lloyd averages, so this form is verified by property
+    * (quota honored, mode imbalance flattened vs a uniform cut —
+    * DedupSimilaritySpec) rather than by value, exactly the
+    * [[topKBlocked]] → [[topKIvf]] relationship on the sampling side.
+    * The plan is identical: one pure-expression assignment pass (k
+    * codegen'd kernels per row, centroids as literals), one keyed
+    * quota window — no shuffle beyond the cell exchange. */
+  def clusterBalancedSample(
+      embeddings: DataFrame,
+      centroids: Array[Array[Float]],
+      quota: Int): DataFrame = {
+    require(centroids.nonEmpty && quota >= 1)
     val win = Window.partitionBy("cell")
       .orderBy(pmod(col("vec_id") * 40503L, lit(1048576L)), col("vec_id"))
     embeddings
-      .select(col("vec_id"), assignCell(col("embedding"), seeds).cast("long").as("cell"))
+      .select(col("vec_id"), assignCell(col("embedding"), centroids).cast("long").as("cell"))
       .withColumn("__rk", row_number().over(win))
       .filter(col("__rk") <= quota)
       .select("vec_id", "cell")

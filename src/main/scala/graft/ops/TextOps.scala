@@ -330,6 +330,63 @@ object TextOps {
     * shorter than this many tokens (positions at/past it raise). */
   val WinnowPosCap: Long = 10000000000L
 
+  /** EXT41b — MOSS-style shared-fingerprint pair report: which document
+    * pairs share [[winnowFingerprints]] selections, and how much of the
+    * smaller document's fingerprint set the overlap covers. The
+    * composition the winnowing guarantee exists for — any common run of
+    * ≥ w + k − 1 tokens between two documents shares ≥ 1 fingerprint,
+    * so a pair with `shared ≥ minShared` is the cheap containment
+    * screen: at density ~2/(w+1) the join input is a small fraction of
+    * the (doc, shingle) rows the [[Dedup.decontamPairs]] shape would
+    * move for the same coverage (Schleimer, Wilkerson & Aiken 2003).
+    *
+    * Scale shape: fingerprint sets are distinct per doc, so the
+    * inverted-index self-join fans a fingerprint shared by d docs into
+    * C(d, 2) pairs — bounded by the same boilerplate guard as decontam:
+    * fingerprints in more than `maxDf` documents are dropped BEFORE the
+    * join (doc frequencies from a map-side-combined groupBy, never a
+    * count-over window; the over-cap list is small by pigeonhole and
+    * anti-joined, AQE broadcasts it). Capping can only lower measured
+    * containment, and only for grams too common to identify a document
+    * — the [[Dedup.decontamPairs]] `maxTrainDf` contract verbatim.
+    * `containment` = shared / |smaller doc's full fingerprint set|
+    * (sizes from the UNGUARDED sets, so the guard never inflates the
+    * ratio). */
+  def winnowPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxDf: Long = 1000L,
+      tok: Column => Column = tokens): DataFrame = {
+    require(minShared >= 1L)
+    // fingerprint SETS (positions dropped): feeds the size aggregate,
+    // the df guard, and both join aliases — persist so winnowing runs
+    // once (the decontam eval-index rule)
+    val fps = winnowFingerprints(docs, k, w, tok)
+      .select("doc_id", "fp").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val guarded =
+      if (maxDf <= 0L) fps
+      else {
+        val hot = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf).select("fp")
+        fps.join(hot, Seq("fp"), "left_anti")
+      }
+    guarded.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(guarded.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("__na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("__nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        graft.Num.rnd(
+          col("shared").cast("double") /
+            least(col("__na"), col("__nb")).cast("double"), 4).as("containment"))
+  }
+
   /** EXT35b — BIGRAM conditional LM scoring: per-document mean
     * ln p(w_i | w_{i-1}) under the corpus's own MLE bigram model
     * (p = c(w_{i-1} w_i) / c_prefix(w_{i-1}), prefix counts over the

@@ -1630,7 +1630,133 @@ object ExtQueries {
           |FROM jac j
           |JOIN documents x ON x.doc_id = j.doc_a
           |JOIN documents y ON y.doc_id = j.doc_b
-          |WHERE j.jaccard >= 0.5 AND levenshtein(x.text, y.text) <= 5""".stripMargin)))
+          |WHERE j.jaccard >= 0.5 AND levenshtein(x.text, y.text) <= 5""".stripMargin)),
+
+    // ── EXT34c — SemDeDup at TAIL RECALL over an INEXACT-neighbor
+    //    corpus: the ext34 lanes plant exact copies (found structurally
+    //    at any LSH sizing); this lane plants GENUINELY PERTURBED
+    //    neighbors — every 10th vector re-inserted with its first
+    //    component nudged by 0.1·‖e‖, cosine ≈ 0.995, θ > 0 — and runs
+    //    the HIGH-RECALL sign-LSH preset (planes=16, tables=16). Per
+    //    signLshPairRecall the preset's miss probability at the planted
+    //    angle is ~5·10⁻⁷ per pair (vs ~7·10⁻³ at the exact-copy
+    //    default — which would flake a 200-pair corpus roughly every
+    //    other run; at the 0.95 threshold itself the gap is ~0.96 vs
+    //    ~0.49, pinned in DedupSimilaritySpec where a hash compare
+    //    can't flake). The oracle prunes against exact all-pairs
+    //    ground truth: green ⇔ the tail preset surfaced every inexact
+    //    semantic dup the greedy rule needed, at an angle where the
+    //    default's hash-compare would not be reliably green. The
+    //    perturbation replays exactly — both engines
+    //    compute e[0] + 0.1·sqrt(Σe·e) in double over float-promoted
+    //    inputs and round once through FLOAT (the stored column type).
+    QueryDef(
+      "ext34_semdedup_tail",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val nudged = e.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(10000000L))
+          .withColumn("embedding",
+            concat(
+              array((element_at(col("embedding"), 1) +
+                lit(0.1) * Similarity.norm(col("embedding"))).cast("float")),
+              slice(col("embedding"), 2, 63)))
+        val corpus = e.unionByName(nudged)
+        val dropIds = Similarity.nearDupPairsLsh(corpus, planes = 16, tables = 16)
+          .select(col("vec_b").as("vec_id")).distinct()
+        corpus.join(dropIds, Seq("vec_id"), "left_anti").select("vec_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+             |), pe AS (
+             |  SELECT vec_id, emb FROM base
+             |  UNION ALL
+             |  SELECT vec_id + 10000000,
+             |         [CAST(CAST(emb[1] + 0.1 * sqrt(list_dot_product(emb, emb))
+             |            AS FLOAT) AS DOUBLE)] || emb[2:] AS emb
+             |  FROM base WHERE vec_id % 10 = 0
+             |), e AS (
+             |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM pe
+             |), drop_ids AS (
+             |  SELECT DISTINCT b.vec_id
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.95
+             |)
+             |SELECT vec_id FROM pe
+             |WHERE vec_id NOT IN (SELECT vec_id FROM drop_ids)""".stripMargin)),
+
+    // ── EXT41b — winnowing CONTAINMENT pairs: the MOSS composition —
+    //    join documents on shared winnow fingerprints (density ~2/(w+1)
+    //    of the grams, so the join input is a fraction of what the raw
+    //    decontam shingle join moves), count shared selections per
+    //    pair, normalize by the smaller doc's full fingerprint set.
+    //    Doc-frequency guard (map-side groupBy → anti-join, the
+    //    decontam maxTrainDf shape) bounds the per-fingerprint C(d,2)
+    //    fan-out. Oracle replays the winnow selection bit-identically
+    //    (same encoding as ext41) and the same join — green ⇔ the
+    //    fingerprint sets AND the pair arithmetic both replay.
+    QueryDef(
+      "ext41_winnow_pairs",
+      (s, d) => TextOps.winnowPairs(Tables.documents(s, d)),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+             |), occ AS (
+             |  SELECT doc_id, unnest(range(1, greatest(len(l) - 3 + 2, 1))) AS g, l FROM d
+             |), o2 AS (
+             |  SELECT doc_id, CAST(g AS BIGINT) - 1 AS pos,
+             |         md5(array_to_string(l[g:g + 2], ' ')) AS h
+             |  FROM occ
+             |), n AS (
+             |  SELECT doc_id, COUNT(*) AS ng FROM o2 GROUP BY 1
+             |), enc AS (
+             |  SELECT doc_id, pos,
+             |         h || '#' || lpad(CAST(10000000000 - pos AS VARCHAR), 11, '0') AS e
+             |  FROM o2
+             |), selw AS (
+             |  SELECT doc_id, pos,
+             |         MIN(e) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+             |  FROM enc
+             |), wfp AS (
+             |  SELECT DISTINCT s.doc_id, string_split(s.sel, '#')[1] AS fp
+             |  FROM selw s JOIN n USING (doc_id)
+             |  WHERE s.pos <= n.ng - 4
+             |), sz AS (
+             |  SELECT doc_id, COUNT(*) AS n_fp FROM wfp GROUP BY 1
+             |), dfq AS (
+             |  SELECT fp, COUNT(*) AS dfc FROM wfp GROUP BY 1
+             |), g2 AS (
+             |  SELECT w.doc_id, w.fp FROM wfp w JOIN dfq USING (fp) WHERE dfc <= 1000
+             |), sh AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         CAST(COUNT(*) AS BIGINT) AS shared
+             |  FROM g2 a JOIN g2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |)
+             |SELECT doc_a, doc_b, shared,
+             |       """.stripMargin +
+        Sql.rnd(
+          "CAST(shared AS DOUBLE) / CAST(least(na.n_fp, nb.n_fp) AS DOUBLE)", 4) +
+        """ AS containment
+          |FROM sh JOIN sz na ON na.doc_id = doc_a
+          |JOIN sz nb ON nb.doc_id = doc_b""".stripMargin)),
+
+    // ── EXT40b — cluster-balanced subsampling under a TRAINED
+    //    quantizer (kmeansCentroids, the production form): cells follow
+    //    the corpus's actual density modes instead of the k lowest-id
+    //    seeds. Trained centroids depend on float summation order in
+    //    the Lloyd averages, so no portable oracle exists — rows-only
+    //    here; the balance PROPERTIES (per-cell quota honored, mode
+    //    imbalance flattened vs a uniform cut) are pinned in
+    //    DedupSimilaritySpec, the same trade as topKIvf vs topKBlocked.
+    QueryDef(
+      "ext40_cluster_balance_trained",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = Similarity.kmeansCentroids(e, k = 8, iters = 3)
+        Similarity.clusterBalancedSample(e, cents, quota = 50)
+      },
+      None))
 
   /** DuckDB mirror of [[graft.ops.QualityFunnel.filterFlags]]: integer
     * token stats + the ext35 LM score CTE, rules as the same exact

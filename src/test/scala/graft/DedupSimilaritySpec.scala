@@ -314,6 +314,69 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cell0.forall(_ % 2 == 0), "the +x mode landed in the +x seed's cell")
   }
 
+  test("tail-recall preset finds inexact neighbors the exact-copy default misses") {
+    // Plant 40 genuinely-inexact neighbors at cosines spread over
+    // ~[0.95, 0.999]: nudge the first component by α·‖e‖ with α cycling
+    // through 4 magnitudes (worst-case cosine 1/√(1+α²)). At these
+    // angles signLshPairRecall gives the default (24, 8) ~0.49–0.99 per
+    // pair and the tail preset (16, 16) ~0.96–1.0; on the FIXED plane
+    // matrix the outcome is deterministic, so the inclusion and the
+    // strict gap are pinned facts, not flaky probabilities.
+    val alphas = Seq(0.33, 0.25, 0.15, 0.05) // cosines ≈ 0.95, 0.97, 0.989, 0.9988
+    val planted = embs.filter(col("vec_id") < 40)
+      .withColumn("__a",
+        element_at(typedLit(alphas), (pmod(col("vec_id"), lit(4)) + 1).cast("int")))
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array((element_at(col("embedding"), 1) +
+            col("__a") * Similarity.norm(col("embedding"))).cast("float")),
+          slice(col("embedding"), 2, 63)).as("embedding"),
+        col("label"))
+    val corpus = embs.unionByName(planted)
+    // ground truth: exact all-pairs over the planted ids at the 0.95
+    // threshold (some α=0.33 plants fall below it — that's the point:
+    // the threshold, not the planting, defines a true pair)
+    val truth = Similarity.nearDupPairs(corpus).select("vec_a", "vec_b")
+      .as[(Long, Long)].collect().toSet
+    assert(truth.size >= 30, s"planted pairs above threshold: ${truth.size}")
+    val tail = Similarity.nearDupPairsLsh(corpus, planes = 16, tables = 16)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val dflt = Similarity.nearDupPairsLsh(corpus)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(tail == truth,
+      s"tail preset must reach full recall here (missed ${(truth -- tail).size})")
+    assert(dflt.subsetOf(truth), "both configs verify exactly — no false pairs")
+    assert(dflt.size < truth.size,
+      s"the exact-copy default misses inexact tails (found ${dflt.size}/${truth.size})")
+  }
+
+  test("trained-quantizer cluster balance honors quotas and flattens the planted mode") {
+    // Same two-mode corpus as the frozen-quantizer test, but the cells
+    // come from kmeansCentroids — centroid VALUES depend on float
+    // summation order, so assertions are properties, not values: quota
+    // per cell, total, and the 80/20 imbalance flattened to 50/50.
+    def v(main: Int, i: Int): Seq[Float] = {
+      val arr = Array.fill(64)(0f)
+      arr(main) = 1f
+      arr(2 + (i % 8)) = 0.01f * ((i % 5) + 1)
+      arr.toSeq
+    }
+    val corpus =
+      ((0 until 80).map(i => (i * 2L, v(0, i))) ++
+        (0 until 20).map(i => (i * 2L + 1L, v(1, i))))
+        .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, k = 2, iters = 5)
+    val got = Similarity.clusterBalancedSample(corpus, cents, quota = 10)
+      .as[(Long, Long)].collect()
+    val byCell = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byCell.values.forall(_ <= 10), s"per-cell quota is a hard cap: $byCell")
+    assert(got.length === 20, s"two true modes ⇒ both cells filled: $byCell")
+    // trained cells must separate the modes: each selected cell is pure
+    val parity = got.groupBy(_._2).view.mapValues(_.map(_._1 % 2).distinct.length).toMap
+    assert(parity.values.forall(_ == 1), s"each trained cell holds one mode: $parity")
+  }
+
   test("signLshPairRecall: exact dups are structural; documented defaults and knob direction hold") {
     assert(Similarity.signLshPairRecall(1.0, 24, 8) === 1.0, "θ=0 collides in every table")
     val atDefaults = Similarity.signLshPairRecall(0.95, 24, 8)

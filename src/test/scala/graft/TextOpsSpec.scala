@@ -98,6 +98,38 @@ class TextOpsSpec extends SparkSpec {
     assert(fps.forall { case (_, pos, _) => pos >= 0 }, "positions parse back")
   }
 
+  test("winnow pairs: planted overlap surfaces, disjoint docs don't, boilerplate guard caps df") {
+    // A and B share a 9-token run (≥ w+k−1 = 6 ⇒ the guarantee applies
+    // with room to spare); C is fully disjoint; D1..D20 all share ONE
+    // boilerplate sentence whose fingerprints the df guard must drop
+    // (maxDf=10 < 20 docs) — without creating any D-D pair from it.
+    val shared = (1 to 9).map(i => s"ov$i").mkString(" ")
+    val boiler = (1 to 9).map(i => s"bp$i").mkString(" ")
+    def filler(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"${filler("xa", 10)} $shared ${filler("ya", 10)}"),
+      (2L, s"${filler("xb", 12)} $shared ${filler("yb", 8)}"),
+      (3L, filler("zc", 30))) ++
+      (1 to 20).map(i => (100L + i, s"${filler(s"d${i}f", 10)} $boiler"))
+    val docs = corpus.toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(docs, minShared = 1L, maxDf = 10L)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"the planted 9-token overlap must surface: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "disjoint doc pairs with nobody")
+    assert(!pairs.exists(p => p._1 > 100L && p._2 > 100L),
+      s"boilerplate shared by 20 docs is over the df cap — no D-D pairs: ${pairs.toSeq}")
+    // containment normalizes by the SMALLER doc's full fingerprint set
+    val ab = pairs.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(ab._4 > 0.0 && ab._4 <= 1.0, s"containment in (0,1]: ${ab._4}")
+    // with the guard off, the boilerplate pairs DO appear — the cap is
+    // what suppressed them, not the winnowing
+    val unguarded = TextOps.winnowPairs(docs, minShared = 1L, maxDf = 0L)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(unguarded.exists(p => p._1 > 100L && p._2 > 100L),
+      "without the cap the boilerplate fingerprints pair D docs")
+  }
+
   test("bigram LM: a rare continuation of common words scores low; unigrams cannot see it") {
     // "big cat" appears once while "big dog"×3 and "sly cat"×3 make
     // both of its words individually common — the bigram model scores
