@@ -1756,7 +1756,82 @@ object ExtQueries {
         val cents = Similarity.kmeansCentroids(e, k = 8, iters = 3)
         Similarity.clusterBalancedSample(e, cents, quota = 50)
       },
-      None))
+      None),
+
+    // ── EXT42 — BPE vocabulary induction (Sennrich et al. 2016): the
+    //    first 3 merge rules learned from the documents corpus. The
+    //    oracle UNROLLS the training loop — per stage: adjacent-pair
+    //    counts weighted by word frequency, the (count desc, pair asc)
+    //    argmax, then the greedy left-to-right non-overlapping merge
+    //    replayed via run-parity windows (occurrences of (x,x) in a
+    //    run merge at odd run positions — the island trick; for x ≠ y
+    //    occurrences never overlap and every one merges). Green ⇔ the
+    //    engine's fold-based merge and the oracle's window-based merge
+    //    agree on the full merge-resume chain, the portability question
+    //    that makes BPE oracles genuinely hard.
+    QueryDef(
+      "ext42_bpe",
+      (s, d) => graft.ops.Bpe.bpeMerges(Tables.documents(s, d), merges = 3),
+      Some(BpeOracleK3)))
+
+  /** DuckDB mirror of [[graft.ops.Bpe.bpeMerges]] at merges = 3,
+    * mechanically unrolled: stage r computes pair counts over v{r-1},
+    * picks the argmax into t{r}, and rebuilds v{r} with the greedy
+    * merge. Greedy left-to-right replay: occurrence positions of the
+    * winning pair are grouped into consecutive runs (i − row_number
+    * island key); within a run, odd positions merge (for x ≠ y every
+    * run has length 1, so every occurrence merges — the two cases
+    * unify). A merged position emits `lft || rgt`; the position after
+    * a merged one is consumed; everything else passes through. */
+  private def BpeOracleK3: String = {
+    def stage(r: Int): String = {
+      val pv = s"v${r - 1}"
+      s"""p$r AS (
+         |  SELECT s.syms[i] AS lft, s.syms[i + 1] AS rgt, SUM(s.cnt) AS c
+         |  FROM $pv s, unnest(range(1, len(s.syms))) AS u(i)
+         |  GROUP BY 1, 2
+         |), t$r AS (
+         |  SELECT lft, rgt, c FROM p$r ORDER BY c DESC, lft, rgt LIMIT 1
+         |), occ$r AS (
+         |  SELECT s.w, s.cnt, i, s.syms[i] AS sym, t.lft AS mlft, t.rgt AS mrgt,
+         |         COALESCE(s.syms[i] = t.lft AND s.syms[i + 1] = t.rgt, FALSE) AS is_occ
+         |  FROM $pv s CROSS JOIN t$r t, unnest(range(1, len(s.syms) + 1)) AS u(i)
+         |), mg$r AS (
+         |  SELECT w, cnt, i, sym, mlft, mrgt,
+         |         CASE WHEN is_occ THEN
+         |           (ROW_NUMBER() OVER (PARTITION BY w, is_occ, i - rn ORDER BY i) % 2 = 1)
+         |         ELSE FALSE END AS merged
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY w, is_occ ORDER BY i) AS rn
+         |        FROM occ$r)
+         |), rb$r AS (
+         |  SELECT w, cnt, i,
+         |         CASE WHEN merged THEN mlft || mrgt
+         |              WHEN COALESCE(LAG(merged) OVER (PARTITION BY w ORDER BY i), FALSE)
+         |                THEN NULL
+         |              ELSE sym END AS tokn
+         |  FROM mg$r
+         |), v$r AS (
+         |  SELECT w, ANY_VALUE(cnt) AS cnt,
+         |         list(tokn ORDER BY i) FILTER (WHERE tokn IS NOT NULL) AS syms
+         |  FROM rb$r GROUP BY w
+         |)""".stripMargin
+    }
+    """WITH w0 AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1
+      |), v0 AS (
+      |  SELECT w, cnt, list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
+      |  FROM w0
+      |), """.stripMargin +
+      (1 to 3).map(stage).mkString(", ") + """
+      |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lft, rgt,
+      |       CAST(pair_count AS BIGINT) AS pair_count
+      |FROM (
+      |  SELECT 1 AS merge_rank, lft, rgt, c AS pair_count FROM t1
+      |  UNION ALL SELECT 2, lft, rgt, c FROM t2
+      |  UNION ALL SELECT 3, lft, rgt, c FROM t3)""".stripMargin
+  }
 
   /** DuckDB mirror of [[graft.ops.QualityFunnel.filterFlags]]: integer
     * token stats + the ext35 LM score CTE, rules as the same exact
