@@ -351,13 +351,24 @@ object TextOps {
     * — the [[Dedup.decontamPairs]] `maxTrainDf` contract verbatim.
     * `containment` = shared / |smaller doc's full fingerprint set|
     * (sizes from the UNGUARDED sets, so the guard never inflates the
-    * ratio). */
+    * ratio).
+    *
+    * Sizing `maxDf` (measured, sf10 = 500 k docs): the fingerprint df
+    * distribution is BIMODAL — true containment signals live at df ≤
+    * ~30 while background vocabulary 3-grams pile up at df 300–1000,
+    * and because background df grows WITH the corpus, a generous cap
+    * admits Σ C(df, 2) ≈ 3·10⁹ join pairs at 500 k docs (an OOM found
+    * by the round-11 century, not a slowdown). The default 100 keeps
+    * the admitted volume at ~7·10⁶ there; it is a SIGNAL threshold —
+    * a gram in 100+ documents identifies none of them — so it does
+    * not need to scale with the corpus the way the volume bound
+    * would. */
   def winnowPairs(
       docs: DataFrame,
       k: Int = 3,
       w: Int = 4,
       minShared: Long = 2L,
-      maxDf: Long = 1000L,
+      maxDf: Long = 100L,
       tok: Column => Column = tokens): DataFrame = {
     require(minShared >= 1L)
     // fingerprint SETS (positions dropped): feeds the size aggregate,

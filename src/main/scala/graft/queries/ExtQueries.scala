@@ -1666,7 +1666,8 @@ object ExtQueries {
           .select(col("vec_b").as("vec_id")).distinct()
         corpus.join(dropIds, Seq("vec_id"), "left_anti").select("vec_id")
       },
-      Some("""WITH base AS (
+      bench = true,
+      sql = Some("""WITH base AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
              |), pe AS (
              |  SELECT vec_id, emb FROM base
@@ -1698,7 +1699,8 @@ object ExtQueries {
     QueryDef(
       "ext41_winnow_pairs",
       (s, d) => TextOps.winnowPairs(Tables.documents(s, d)),
-      Some("""WITH d AS (
+      bench = true,
+      sql = Some("""WITH d AS (
              |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
              |), occ AS (
              |  SELECT doc_id, unnest(range(1, greatest(len(l) - 3 + 2, 1))) AS g, l FROM d
@@ -1726,7 +1728,7 @@ object ExtQueries {
              |), dfq AS (
              |  SELECT fp, COUNT(*) AS dfc FROM wfp GROUP BY 1
              |), g2 AS (
-             |  SELECT w.doc_id, w.fp FROM wfp w JOIN dfq USING (fp) WHERE dfc <= 1000
+             |  SELECT w.doc_id, w.fp FROM wfp w JOIN dfq USING (fp) WHERE dfc <= 100
              |), sh AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |         CAST(COUNT(*) AS BIGINT) AS shared
@@ -1772,7 +1774,8 @@ object ExtQueries {
     QueryDef(
       "ext42_bpe",
       (s, d) => graft.ops.Bpe.bpeMerges(Tables.documents(s, d), merges = 3),
-      Some(BpeOracleK3)))
+      bench = true,
+      sql = Some(BpeOracleK3)))
 
   /** DuckDB mirror of [[graft.ops.Bpe.bpeMerges]] at merges = 3,
     * mechanically unrolled: stage r computes pair counts over v{r-1},

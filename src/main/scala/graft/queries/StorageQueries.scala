@@ -572,7 +572,8 @@ object StorageQueries {
         require(skipped.nonEmpty, "sidecar-restated stats must still prune files")
         eventsCols(TxStore.read(s, store))
       },
-      Some(eventsSql(" WHERE event_id % 100 <> 0"))),
+      bench = true,
+      sql = Some(eventsSql(" WHERE event_id % 100 <> 0"))),
 
     // ── S30 — BULK vectored delete through the DV SIDECAR: the %3 rows
     //    (a third of the table — far past any sane inline-line budget)

@@ -131,7 +131,12 @@ class PlanAuditSpec extends SparkSpec {
       "ext39_edit_neardup" -> 0,  // all joins broadcast at this SF
       "ext40_cluster_balance" -> 1, // the per-cell quota window only
       "ext35_bigram_logprob" -> 3,  // bigram tf + prefix tf + per-doc agg
-      "ext36_relaxation" -> 4)      // flags' LM chain + the one-row counter agg
+      "ext36_relaxation" -> 4,      // flags' LM chain + the one-row counter agg
+      // round-11 additions
+      "ext41_winnow_pairs" -> 0,   // fp sets ride the cached lineage; every
+                                   // consumer join broadcasts at this SF
+      "ext34_semdedup_tail" -> 5)  // 16-table keyed self-join + verify joins
+                                   // + the drop-id distinct + anti-join
     val measured = bounds.toSeq.sortBy(_._1).map { case (name, maxShuffles) =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       df.collect() // finalize the AQE plan
