@@ -599,6 +599,32 @@ object StorageQueries {
           "sidecar delete must not add or remove data files")
         eventsCols(TxStore.read(s, store))
       },
+      Some(eventsSql(" WHERE event_id % 3 <> 0"))),
+
+    // ── S31 — DISTRIBUTED parquet deletion vectors: the bulk path with
+    //    NO driver row collect at all — executors write the marked
+    //    (file, row) positions as parquet under _txlog/_sidecar/, the
+    //    commit references the dir through a text sidecar listing the
+    //    covered files (file-level metadata only), and every read path
+    //    unions the dir into the anti-join. The production Delta DV
+    //    shape: vector payloads are data-plane files; the log carries
+    //    references. REQUIRED: the commit line stays payload-free, the
+    //    file set stays byte-identical, and the oracle pins that
+    //    parquet-vector marks apply exactly like inline ones.
+    QueryDef(
+      "s31_tx_delete_dv_distributed",
+      (s, d) => {
+        val store = freshStore(s, "s31-dvdist", d)
+        TxStore.append(Tables.events(s, d), store) // v1
+        val before = TxStore.snapshot(s, store).files.toSet
+        TxStore.deleteVectoredBulk(s, store, col("event_id") % 3 === 0) // v2
+        val c = TxStore.history(s, store).last
+        require(c.op == "delete-dv" && c.dv.isEmpty && c.sidecars.size == 1,
+          "bulk marks must ride the parquet dir, never the commit line")
+        require(TxStore.snapshot(s, store).files.toSet == before,
+          "distributed-dv delete must not add or remove data files")
+        eventsCols(TxStore.read(s, store))
+      },
       Some(eventsSql(" WHERE event_id % 3 <> 0"))))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a

@@ -103,7 +103,13 @@ object TxStore {
       files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       stats: FileStats = Map.empty,
-      dv: Map[String, Seq[Long]] = Map.empty)
+      dv: Map[String, Seq[Long]] = Map.empty,
+      /** Data file → PARQUET deletion-vector sidecar dirs whose marks
+        * apply to it (see [[deleteVectoredBulk]]): positions live in
+        * executor-written parquet under `_txlog/_sidecar/<uuid>.dvpq/`,
+        * never on the driver — reads union them into the same anti-join
+        * as inline marks. */
+      dvp: Map[String, Seq[String]] = Map.empty)
 
   /** What a write op asks the commit loop to publish at the next
     * version. `stats` ride with added files; `dv` marks row positions
@@ -477,17 +483,30 @@ object TxStore {
     * — no race possible, and the file is invisible to replay until a
     * commit references it. Content: up to two lines, `stats:<b64 of
     * renderStats>` and `dvp:<b64 of renderDvPacked>`. */
+  /** One sidecar's decoded payloads: a stats shard, a packed-inline dv
+    * shard, and references to PARQUET deletion-vector dirs (each with
+    * the data files its marks apply to — file-LEVEL metadata, so replay
+    * never opens the parquet). */
+  private final case class SidecarPayload(
+      stats: FileStats,
+      dv: Map[String, Seq[Long]],
+      dvParquet: Seq[(String, Seq[String])])
+
   private def writeSidecar(
       f: FileSystem,
       path: String,
       stats: FileStats,
-      dv: Map[String, Seq[Long]]): String = {
+      dv: Map[String, Seq[Long]],
+      dvParquet: Seq[(String, Seq[String])] = Nil): String = {
     def b64(v: String) =
       java.util.Base64.getEncoder.encodeToString(v.getBytes(StandardCharsets.UTF_8))
     val name = s"${UUID.randomUUID()}.sc"
     val sb = new StringBuilder
     if (stats.nonEmpty) sb.append("stats:").append(b64(renderStats(stats))).append('\n')
     if (dv.nonEmpty) sb.append("dvp:").append(b64(renderDvPacked(dv))).append('\n')
+    dvParquet.foreach { case (dir, files) =>
+      sb.append("dvpq:").append(b64(dir + "\n" + files.mkString(","))).append('\n')
+    }
     val out = f.create(sidecarPath(path, name), /* overwrite = */ false)
     try out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -495,20 +514,24 @@ object TxStore {
   }
 
   /** Read (memoized — sidecar files are immutable) one sidecar's
-    * (stats shard, dv shard). */
-  private def readSidecar(
-      f: FileSystem, path: String, name: String): (FileStats, Map[String, Seq[Long]]) =
+    * payloads. */
+  private def readSidecar(f: FileSystem, path: String, name: String): SidecarPayload =
     memo(s"$path/$name", 'c') {
       def deb64(v: String) =
         new String(java.util.Base64.getDecoder.decode(v), StandardCharsets.UTF_8)
       val txt = readText(f, sidecarPath(path, name))
       var stats: FileStats = Map.empty
       var dv: Map[String, Seq[Long]] = Map.empty
+      val dvq = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
       txt.split('\n').foreach { line =>
         if (line.startsWith("stats:")) stats = parseStats(deb64(line.substring(6)))
-        else if (line.startsWith("dvp:")) dv = parseDvPacked(deb64(line.substring(4)))
+        else if (line.startsWith("dvpq:")) {
+          val body = deb64(line.substring(5))
+          val nl = body.indexOf('\n')
+          dvq += ((body.substring(0, nl), body.substring(nl + 1).split(',').toSeq))
+        } else if (line.startsWith("dvp:")) dv = parseDvPacked(deb64(line.substring(4)))
       }
-      (stats, dv)
+      SidecarPayload(stats, dv, dvq.toSeq)
     }
 
   private def normalize(
@@ -666,9 +689,12 @@ object TxStore {
     val stats = scala.collection.mutable.LinkedHashMap
       .empty[String, Map[String, ColRange]]
     val dv = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    val dvp = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     var schema: Option[String] = None
     cs.foreach { c =>
-      c.remove.foreach { n => live -= n; stats.remove(n): Unit; dv.remove(n): Unit }
+      c.remove.foreach { n =>
+        live -= n; stats.remove(n): Unit; dv.remove(n): Unit; dvp.remove(n): Unit
+      }
       c.add.foreach(n => live += n)
       val addSet = c.add.toSet
       c.stats.foreach { b64 =>
@@ -680,19 +706,27 @@ object TxStore {
         if (live(fl)) dv(fl) = (dv.getOrElse(fl, Nil) ++ rows).distinct.sorted
       })
       // sidecar payloads apply under exactly the inline rules (a commit
-      // carries a payload inline OR sharded, never both)
+      // carries a payload inline OR sharded, never both); parquet-dv
+      // REFERENCES attach per listed file, and die with the file — a
+      // later restore that re-adds the file restates only the refs live
+      // at the target version, so retired marks never resurrect
       c.sidecars.foreach { n =>
-        val (scStats, scDv) = readSidecar(f, path, n)
-        scStats.foreach { case (fl, m) => if (addSet(fl)) stats(fl) = m }
-        scDv.foreach { case (fl, rows) =>
+        val p = readSidecar(f, path, n)
+        p.stats.foreach { case (fl, m) => if (addSet(fl)) stats(fl) = m }
+        p.dv.foreach { case (fl, rows) =>
           if (live(fl)) dv(fl) = (dv.getOrElse(fl, Nil) ++ rows).distinct.sorted
+        }
+        p.dvParquet.foreach { case (dir, fls) =>
+          fls.foreach { fl =>
+            if (live(fl)) dvp(fl) = (dvp.getOrElse(fl, Nil) :+ dir).distinct
+          }
         }
       }
       if (c.schema.isDefined) schema = c.schema
     }
     Snapshot(
       if (cs.isEmpty) 0L else cs.last.version, live.toSeq,
-      schema.map(decodeSchema), stats.toMap, dv.toMap)
+      schema.map(decodeSchema), stats.toMap, dv.toMap, dvp.toMap)
   }
 
   /** Current snapshot (version 0 = empty table, no log yet). */
@@ -809,7 +843,8 @@ object TxStore {
     * removes the marked files (the vanished-file check on the dv side). */
   private def dvDrifted(base: Snapshot, snap: Snapshot, inputs: Seq[String]): Boolean = {
     val in = inputs.toSet
-    base.dv.view.filterKeys(in).toMap != snap.dv.view.filterKeys(in).toMap
+    base.dv.view.filterKeys(in).toMap != snap.dv.view.filterKeys(in).toMap ||
+      base.dvp.view.filterKeys(in).toMap != snap.dvp.view.filterKeys(in).toMap
   }
 
   /** Optimistic-commit loop shared by every write op. `attempt` sees the
@@ -893,7 +928,8 @@ object TxStore {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
     val (compacted, cStats) =
-      stage(readFiles(spark, path, base.files, base.schema, base.dv).repartition(target), path)
+      stage(readFiles(spark, path, base.files, base.schema, base.dv, dvp = base.dvp)
+        .repartition(target), path)
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "compact") { snap =>
       if (!base.files.forall(snap.files.contains)) None
@@ -929,7 +965,7 @@ object TxStore {
       bits: Int = 6): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
-    val df = readFiles(spark, path, base.files, base.schema, base.dv)
+    val df = readFiles(spark, path, base.files, base.schema, base.dv, dvp = base.dvp)
     require(!df.columns.contains("__z"), "table must not carry the reserved __z column")
     // persisted: the z-bucket fold is an interpreted HOF evaluated in
     // both the range-sampling and the write pass (see the s24 lane note)
@@ -1081,7 +1117,8 @@ object TxStore {
   def delete(spark: SparkSession, path: String, predicate: Column): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
-    val hit = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true)
+    val hit = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
+      dvp = base.dvp)
       .filter(predicate)
       .select(col("__file"))
       .distinct()
@@ -1092,7 +1129,8 @@ object TxStore {
     // reading THROUGH the vectors: the rewrite also materializes any
     // deletion vectors on the hit files (their marks die with the files)
     val kept =
-      readFiles(spark, path, hit, base.schema, base.dv).filter(not(predicate <=> lit(true)))
+      readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp)
+        .filter(not(predicate <=> lit(true)))
     val (staged, dStats) = stage(kept, path)
     val f = fs(spark, path)
     try
@@ -1135,8 +1173,10 @@ object TxStore {
     * (a 0.1% delete on a 10⁹-row table is 10⁶ positions; that cannot
     * live on the line every replay parses). `maxDvRows` remains the
     * driver-memory guard on the probe collect itself — past it, the
-    * delete is bulk by any definition and [[delete]] (copy-on-write)
-    * is the right physical trade.
+    * delete is bulk by any definition: use [[deleteVectoredBulk]]
+    * (executor-written parquet vectors, no collect, no ceiling) to stay
+    * merge-on-read, or [[delete]] (copy-on-write) when most rows of the
+    * touched files are going anyway.
     *
     * Same SQL DELETE NULL semantics as [[delete]] (a NULL predicate
     * keeps the row — only predicate-TRUE rows are marked) and the same
@@ -1152,14 +1192,16 @@ object TxStore {
       inlineDvRows: Int = 10000): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
-    val hits = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true)
+    val hits = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
+      dvp = base.dvp)
       .filter(predicate <=> lit(true))
       .select(col("__file"), col("__row"))
       .collect()
     if (hits.isEmpty) return None
     require(hits.length <= maxDvRows,
       s"deleteVectored matched ${hits.length} rows (> maxDvRows = $maxDvRows) — " +
-        "a delete this large should rewrite files: use delete() instead")
+        "a delete this bulky should not collect to the driver: use " +
+        "deleteVectoredBulk() (distributed vectors) or delete() (copy-on-write)")
     val marks: Map[String, Seq[Long]] =
       hits.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq.sorted).toMap
     val f = fs(spark, path)
@@ -1180,6 +1222,70 @@ object TxStore {
     catch {
       case e: Throwable =>
         sc.foreach(n => f.delete(sidecarPath(path, n), false))
+        throw e
+    }
+  }
+
+  /** Merge-on-read DELETE with fully DISTRIBUTED deletion vectors — the
+    * form with NO row-count ceiling at all: marked (file, row) positions
+    * are written by the EXECUTORS as parquet under
+    * `_txlog/_sidecar/<uuid>.dvpq/` (never collected to the driver —
+    * [[deleteVectored]]'s `maxDvRows` guard exists because its probe
+    * collects; this op's probe writes), and the commit references the
+    * dir through a text sidecar that lists WHICH data files the marks
+    * cover — file-LEVEL metadata, so log replay stays driver-cheap and
+    * never opens the parquet. Reads union the dir into the same
+    * (file, row) anti-join as inline marks, restricted per the ref map
+    * (so marks retired by a rewrite can never re-apply to a
+    * restore-re-added file). This is the Delta production DV shape:
+    * vector payloads are data-plane files, the log carries references.
+    *
+    * Trade vs [[deleteVectored]]: a billion-mark delete costs one
+    * distributed parquet write and a file-level collect of the touched
+    * file NAMES; the read-side anti-join is no longer a guaranteed
+    * broadcast (AQE decides from the marks' actual size). For
+    * small/selective deletes the inline path remains the better plan —
+    * one log line, broadcast anti-join, no extra file IO per read.
+    *
+    * Same SQL DELETE NULL semantics, same write-serializable conflict
+    * rules (marked files must still be live at commit; rewrites detect
+    * ref drift via the same dvDrifted check as inline marks). Returns
+    * None (no commit, sidecars cleaned) when nothing matches. */
+  def deleteVectoredBulk(
+      spark: SparkSession,
+      path: String,
+      predicate: Column): Option[Long] = {
+    val base = snapshot(spark, path)
+    if (base.files.isEmpty) return None
+    val f = fs(spark, path)
+    val dir = s"${UUID.randomUUID()}.dvpq"
+    val dirPath = sidecarPath(path, dir)
+    readFiles(spark, path, base.files, base.schema, base.dv, withFile = true, dvp = base.dvp)
+      .filter(predicate <=> lit(true))
+      .select(col("__file"), col("__row"))
+      .write.parquet(dirPath.toString)
+    // file-LEVEL collect: which data files carry marks (bounded by the
+    // snapshot's file count, never by row count)
+    val marked = spark.read.schema("__file STRING, __row BIGINT").parquet(dirPath.toString)
+      .select("__file").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (marked.isEmpty) {
+      f.delete(dirPath, true)
+      return None
+    }
+    val sc = writeSidecar(f, path, Map.empty, Map.empty, Seq(dir -> marked))
+    try
+      commitLoop(spark, path, "delete-dv") { snap =>
+        val vanished = marked.filterNot(snap.files.contains)
+        if (vanished.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"delete-dv at $path conflicts: marked files removed concurrently: " +
+              vanished.take(3).mkString(", "))
+        Some(CommitSpec(Nil, Nil, snap.schema.map(encodeSchema), None, None, Seq(sc)))
+      }.map(_.version)
+    catch {
+      case e: Throwable =>
+        f.delete(sidecarPath(path, sc), false)
+        f.delete(dirPath, true)
         throw e
     }
   }
@@ -1285,7 +1391,8 @@ object TxStore {
       if (base.files.isEmpty) Nil
       else {
         val cur =
-          readFiles(spark, path, base.files, base.schema, base.dv, withFile = true)
+          readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
+            dvp = base.dvp)
         cur
           .join(distinctKeys, keys, "left_semi")
           .select("__file")
@@ -1309,7 +1416,8 @@ object TxStore {
     val kept =
       if (hit.isEmpty) None
       else Some(
-        readFiles(spark, path, hit, base.schema, base.dv).join(distinctKeys, keys, "left_anti"))
+        readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp)
+          .join(distinctKeys, keys, "left_anti"))
     val out = kept.fold(updates)(_.unionByName(updates, allowMissingColumns = true))
     val (staged, mStats) = stage(out, path, collectStats)
     val f = fs(spark, path)
@@ -1355,6 +1463,13 @@ object TxStore {
     try
       commitLoop(spark, path, "checkpoint") { snap =>
         discard() // a retried attempt restates against the fresh snapshot
+        // parquet-vector REFERENCES restate as one sidecar of (dir →
+        // live files) lines — the dirs themselves are immutable data-
+        // plane files and are never rewritten by a checkpoint
+        val dvpRefs = dvpByDir(snap)
+        def dvpSidecar(): Seq[String] =
+          if (dvpRefs.isEmpty) Nil
+          else Seq(writeSidecar(f, path, Map.empty, Map.empty, dvpRefs))
         val payloadFiles = (snap.stats.keySet ++ snap.dv.keySet).toSeq.sorted
         if (payloadFiles.size <= shardFiles) {
           val sts =
@@ -1362,19 +1477,30 @@ object TxStore {
             else Some(java.util.Base64.getEncoder.encodeToString(
               renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
           val dvs = if (snap.dv.isEmpty) None else Some(encodeDv(snap.dv))
-          Some(CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs))
+          staged = dvpSidecar()
+          Some(CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, staged))
         } else {
           staged = payloadFiles.grouped(shardFiles).map { group =>
             val g = group.toSet
             writeSidecar(f, path,
               snap.stats.view.filterKeys(g).toMap,
               snap.dv.view.filterKeys(g).toMap)
-          }.toSeq
+          }.toSeq ++ dvpSidecar()
           Some(CommitSpec(
             snap.files, Nil, snap.schema.map(encodeSchema), None, None, staged))
         }
       }.get.version
     catch { case e: Throwable => discard(); throw e }
+  }
+
+  /** A snapshot's parquet-vector refs regrouped by DIR (the sidecar
+    * line shape): dir → the live files its marks still apply to. */
+  private def dvpByDir(snap: Snapshot): Seq[(String, Seq[String])] = {
+    val byDir = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
+    snap.dvp.toSeq.sortBy(_._1).foreach { case (fl, dirs) =>
+      dirs.foreach(d => byDir(d) = fl :: byDir.getOrElse(d, Nil))
+    }
+    byDir.view.mapValues(_.reverse: Seq[String]).toSeq
   }
 
   // ── reads ──────────────────────────────────────────────────────────
@@ -1399,13 +1525,26 @@ object TxStore {
       files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       dv: Map[String, Seq[Long]] = Map.empty,
-      withFile: Boolean = false): DataFrame = {
+      withFile: Boolean = false,
+      dvp: Map[String, Seq[String]] = Map.empty): DataFrame = {
     require(files.nonEmpty, s"empty snapshot at $path")
     val reader = schema.fold(spark.read)(s => spark.read.schema(s))
     val base = reader.parquet(files.map(n => s"$path/$DataDir/$n"): _*)
     val fileSet = files.toSet
     val relevant = dv.view.filterKeys(fileSet).toMap
-    if (relevant.isEmpty && !withFile) base
+    // parquet-vector dirs relevant to THIS read, each restricted to the
+    // files its refs still cover (a dir may also hold marks for files
+    // since removed — or removed-then-restored, where the marks must
+    // NOT re-apply; the ref map is the source of truth, the parquet is
+    // just position storage)
+    val relevantP: Map[String, Seq[String]] = {
+      val byDir = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
+      dvp.foreach { case (fl, dirs) =>
+        if (fileSet(fl)) dirs.foreach(d => byDir(d) = fl :: byDir.getOrElse(d, Nil))
+      }
+      byDir.view.mapValues(_.reverse: Seq[String]).toMap
+    }
+    if (relevant.isEmpty && relevantP.isEmpty && !withFile) base
     else {
       require(!base.columns.contains("__file") && !base.columns.contains("__row"),
         "table must not carry the reserved __file/__row columns")
@@ -1414,14 +1553,28 @@ object TxStore {
         col("_metadata.file_name").as("__file"),
         col("_metadata.row_index").as("__row")): _*)
       val filtered =
-        if (relevant.isEmpty) withMeta
+        if (relevant.isEmpty && relevantP.isEmpty) withMeta
         else {
           import spark.implicits._
-          val dvDf = relevant.toSeq
-            .flatMap { case (f, rows) => rows.map(r => (f, r)) }
-            .toDF("__file", "__row")
-          withMeta.join(
-            org.apache.spark.sql.functions.broadcast(dvDf), Seq("__file", "__row"), "left_anti")
+          val inline =
+            if (relevant.isEmpty) None
+            else Some(relevant.toSeq
+              .flatMap { case (f, rows) => rows.map(r => (f, r)) }
+              .toDF("__file", "__row"))
+          val parquetMarks = relevantP.toSeq.map { case (dir, applicable) =>
+            spark.read
+              .schema("__file STRING, __row BIGINT")
+              .parquet(sidecarPath(path, dir).toString)
+              .filter(col("__file").isin(applicable: _*))
+          }
+          val marks = (inline.toSeq ++ parquetMarks).reduce(_ unionByName _)
+          // inline-only marks are log-sized — broadcast unconditionally
+          // (the historical plan); once executor-written parquet marks
+          // are in play their size is data-dependent, so leave the
+          // strategy to AQE
+          val marksSide =
+            if (relevantP.isEmpty) org.apache.spark.sql.functions.broadcast(marks) else marks
+          withMeta.join(marksSide, Seq("__file", "__row"), "left_anti")
         }
       // withFile keeps BOTH meta columns — the DV probe needs the row
       // position; the copy-on-write probes just ignore it
@@ -1432,14 +1585,14 @@ object TxStore {
   /** Read the current snapshot. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val snap = snapshot(spark, path)
-    readFiles(spark, path, snap.files, snap.schema, snap.dv)
+    readFiles(spark, path, snap.files, snap.schema, snap.dv, dvp = snap.dvp)
   }
 
   /** Read an historical snapshot — time travel, with the schema AS OF
     * that version (a later-added column does not haunt the past). */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
     val snap = snapshotAt(spark, path, version)
-    readFiles(spark, path, snap.files, snap.schema, snap.dv)
+    readFiles(spark, path, snap.files, snap.schema, snap.dv, dvp = snap.dvp)
   }
 
   // ── data skipping (stats-pruned reads) ─────────────────────────────
@@ -1598,7 +1751,7 @@ object TxStore {
     if (kept.isEmpty) {
       val schema = snap.schema.getOrElse(org.apache.spark.sql.types.StructType(Nil))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readFiles(spark, path, kept, snap.schema, snap.dv).filter(predicate)
+    } else readFiles(spark, path, kept, snap.schema, snap.dv, dvp = snap.dvp).filter(predicate)
   }
 
   /** Delta-style RESTORE: ONE commit rewinds the table to the state at
@@ -1625,7 +1778,14 @@ object TxStore {
       s"restore to v$version impossible: ${missing.size} file(s) already reclaimed by " +
         s"vacuum (outside the retention window): ${missing.take(3).mkString(", ")}")
     // same multi-part restatement as checkpoint: the target's per-file
-    // payloads are fixed (not per-attempt), so sidecars stage once
+    // payloads are fixed (not per-attempt), so sidecars stage once;
+    // parquet-vector refs restate as one (dir → files) sidecar — the
+    // restore's remove-all leg resets current refs, this re-attaches
+    // the target's
+    val dvpRefs = dvpByDir(target)
+    val dvpSc =
+      if (dvpRefs.isEmpty) Nil
+      else Seq(writeSidecar(f, path, Map.empty, Map.empty, dvpRefs))
     val payloadFiles = (target.stats.keySet ++ target.dv.keySet).toSeq.sorted
     val (sts, dvs, sc) =
       if (payloadFiles.size <= shardFiles) {
@@ -1634,7 +1794,7 @@ object TxStore {
           else Some(java.util.Base64.getEncoder.encodeToString(
             renderStats(target.stats).getBytes(StandardCharsets.UTF_8)))
         val d0 = if (target.dv.isEmpty) None else Some(encodeDv(target.dv))
-        (s0, d0, Nil: Seq[String])
+        (s0, d0, dvpSc)
       } else {
         val shards = payloadFiles.grouped(shardFiles).map { group =>
           val g = group.toSet
@@ -1642,7 +1802,7 @@ object TxStore {
             target.stats.view.filterKeys(g).toMap,
             target.dv.view.filterKeys(g).toMap)
         }.toSeq
-        (None, None, shards)
+        (None, None, shards ++ dvpSc)
       }
     try
       commitLoop(spark, path, "restore") { snap =>
@@ -1677,12 +1837,21 @@ object TxStore {
       val p = new Path(s"$path/$DataDir/$n")
       if (f.exists(p)) f.getFileStatus(p).getLen else 0L
     }.sum
+    // live mark count = inline marks + parquet-sidecar marks that still
+    // apply to a live file (a distributed count — parquet vectors are
+    // data-plane files by design and never driver-materialized)
+    val dvpMarks = dvpByDir(snap).map { case (dir, applicable) =>
+      spark.read.schema("__file STRING, __row BIGINT")
+        .parquet(sidecarPath(path, dir).toString)
+        .filter(col("__file").isin(applicable: _*))
+        .count()
+    }.sum
     TableDetail(
       snap.version,
       snap.files.size,
       bytes,
       snap.files.count(snap.stats.contains),
-      snap.dv.values.map(_.size.toLong).sum,
+      snap.dv.values.map(_.size.toLong).sum + dvpMarks,
       snap.schema.map(_.fieldNames.toSeq).getOrElse(Nil))
   }
 
@@ -1791,13 +1960,24 @@ object TxStore {
       .filterNot(c => prunedNames.contains(logPath(path, c.version).getName))
       .flatMap(_.sidecars)
       .toSet
+    // parquet-vector DIRS are referenced indirectly — through the
+    // surviving text sidecars' dvpq lines — so collect those too before
+    // sweeping (a dir referenced only from pruned sidecars is garbage;
+    // the text sidecars are immutable, so the reads are memoized)
+    val referencedDvpq = referencedSc.toSeq
+      .flatMap(n => scala.util.Try(readSidecar(f, path, n).dvParquet).getOrElse(Nil))
+      .map(_._1)
+      .toSet
     val scDir = new Path(s"$path/$LogDir/$SidecarDirName")
     val staleSidecars =
       if (!f.exists(scDir)) Nil
       else f.listStatus(scDir).toSeq
-        .filter(s => !referencedSc.contains(s.getPath.getName) && aged(s))
+        .filter { s =>
+          val n = s.getPath.getName
+          !referencedSc.contains(n) && !referencedDvpq.contains(n) && aged(s)
+        }
         .map(_.getPath)
-    staleSidecars.foreach(f.delete(_, false))
+    staleSidecars.foreach(f.delete(_, /* recursive = */ true))
     victims.size + staleStages.size + staleTmps.size + prunedLogs.size + staleSidecars.size
   }
 }

@@ -812,6 +812,102 @@ class TxStoreSpec extends SparkSpec {
     assert(sidecarFiles(t).isEmpty, "retired dv sidecar reclaimed after log pruning")
   }
 
+  test("distributed parquet deletion vectors: no driver collect, full read/rewrite lifecycle") {
+    val t = tmpDir()
+    TxStore.append(rows(600).repartition(3), t) // v1
+    val filesBefore = TxStore.snapshot(spark, t).files.toSet
+    assert(TxStore.deleteVectoredBulk(spark, t, col("id") % 3 === 0L) === Some(2L))
+    val c = TxStore.history(spark, t).last
+    assert(c.op === "delete-dv" && c.dv.isEmpty && c.sidecars.size === 1,
+      "marks ride a parquet dir referenced through one text sidecar")
+    assert(TxStore.snapshot(spark, t).files.toSet === filesBefore, "merge-on-read: no rewrite")
+    val dvpDirs = new java.io.File(s"$t/_txlog/_sidecar")
+      .list().filter(_.endsWith(".dvpq"))
+    assert(dvpDirs.length === 1, "executor-written parquet dir staged under _sidecar")
+    val expect = (0L until 600L).filterNot(_ % 3 == 0).toSet
+    assert(TxStore.read(spark, t).select("id").as[Long].collect().toSet === expect)
+    // pruned reads and time travel apply parquet marks too
+    assert(TxStore.readWhere(spark, t, col("id") < 9L).select("id").as[Long]
+      .collect().toSet === Set(1L, 2L, 4L, 5L, 7L, 8L))
+    assert(TxStore.readAt(spark, t, 1L).count() === 600L)
+    // detail counts parquet marks as live marks
+    assert(TxStore.detail(spark, t).dvMarkedRows === 200L)
+    // marks COMPOSE with a later inline vectored delete
+    TxStore.deleteVectored(spark, t, col("id") === 1L) // v3, inline
+    assert(TxStore.read(spark, t).count() === (expect.size - 1).toLong)
+    // file-level CDC refuses the dv commit
+    val e = intercept[IllegalArgumentException](TxStore.readAppendsSince(spark, t, 1L))
+    assert(e.getMessage.contains("rewrite"))
+    // a rewrite materializes parquet marks and retires the refs
+    TxStore.compact(spark, t, target = 1)
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.dvp.isEmpty && snap.dv.isEmpty, "rewrite retires all vector state")
+    assert(TxStore.read(spark, t).count() === (expect.size - 1).toLong)
+    // after checkpoint + vacuum the now-unreferenced dir is reclaimed
+    TxStore.checkpoint(spark, t)
+    TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0)
+    val left = new java.io.File(s"$t/_txlog/_sidecar")
+    assert(!left.exists() || left.list().forall(n => !n.endsWith(".dvpq")),
+      "retired parquet-vector dir reclaimed once its commits are pruned")
+    assert(TxStore.read(spark, t).count() === (expect.size - 1).toLong)
+  }
+
+  test("parquet vectors survive checkpoint+vacuum; restore re-scopes them per version") {
+    val t = tmpDir()
+    TxStore.append(rows(300).repartition(2), t) // v1
+    TxStore.deleteVectoredBulk(spark, t, col("id") < 100L) // v2
+    TxStore.checkpoint(spark, t) // v3 restates the (dir -> files) refs
+    TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0)
+    val logs = new java.io.File(s"$t/_txlog").list().filter(_.endsWith(".json"))
+    assert(logs.sorted.head.contains("00000003"), "replay is physically checkpoint + tail")
+    assert(TxStore.read(spark, t).count() === 200L, "marks survive through the checkpoint")
+    assert(new java.io.File(s"$t/_txlog/_sidecar").list().count(_.endsWith(".dvpq")) === 1,
+      "the referenced parquet dir survives vacuum")
+    // restore semantics on an untruncated log (restore reach = the
+    // retention window, so this scenario runs on its own table)
+    val t2 = tmpDir()
+    TxStore.append(rows(300).repartition(2), t2) // v1
+    TxStore.deleteVectoredBulk(spark, t2, col("id") < 100L) // v2
+    TxStore.overwrite(rows(5, from = 900), t2) // v3 — the accident
+    TxStore.restore(spark, t2, 2L) // v4
+    assert(TxStore.read(spark, t2).count() === 200L, "restore reattaches parquet-vector refs")
+    // a restore to the PRE-delete state (possible while v1's files
+    // live) must NOT re-apply the marks to the re-added files
+    TxStore.restore(spark, t2, 1L) // v5
+    assert(TxStore.read(spark, t2).count() === 300L,
+      "restore to pre-delete drops the refs — retired marks never resurrect")
+  }
+
+  test("racing rewrite vs BULK parquet-vector delete never resurrects a committed delete") {
+    (0 until 3).foreach { round =>
+      val t = tmpDir()
+      TxStore.append(rows(200).repartition(2), t)
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      val compactF = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = { start.await(); TxStore.compact(spark, t, target = 1) }
+      })
+      val dvF = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = {
+          start.await()
+          try TxStore.deleteVectoredBulk(spark, t, col("id") === 13L)
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              TxStore.deleteVectoredBulk(spark, t, col("id") === 13L)
+          }
+        }
+      })
+      start.countDown()
+      val (c, dv) = (compactF.get(120, TimeUnit.SECONDS), dvF.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(dv.isDefined, s"round $round: the bulk vectored delete must eventually commit")
+      val ids = TxStore.read(spark, t).select("id").as[Long].collect().toSet
+      assert(!ids.contains(13L),
+        s"round $round: committed delete resurrected (compact=$c, dv=$dv)")
+      assert(ids.size === 199, s"round $round: no other row lost")
+    }
+  }
+
   test("restore restates a large snapshot through sidecars") {
     val t = tmpDir()
     (0 until 4).foreach(k => TxStore.append(rows(50, from = k * 50).coalesce(1), t)) // v1–v4
