@@ -98,6 +98,31 @@ object Bpe {
     learned.toSeq.toDF("merge_rank", "lft", "rgt", "pair_count")
   }
 
+  /** Corpus-scale ENCODE under learned merge rules: per-document BPE
+    * token counts — the number every budget decision downstream
+    * (chunking, packing, truncation, pricing) actually needs, computed
+    * WITHOUT running the merge fold per document. The fold runs once
+    * per DISTINCT WORD ([[applyMerges]], vocabulary-scale); documents
+    * then meet the vocabulary in a keyed enrich join (word → symbol
+    * count) and reduce with a map-side-combinable sum — the same
+    * two-tier shape as TF-IDF, so corpus cost is one tokenize pass +
+    * one vocab join, independent of merge count. Documents with no
+    * tokens produce no row (nothing to count), in both engines. */
+  def encodeCounts(
+      docs: DataFrame,
+      rules: Seq[(String, String)],
+      tok: Column => Column = TextOps.tokens): DataFrame = {
+    val vocab = applyMerges(docs, rules, tok)
+      .select(col("w"), size(col("syms")).cast("long").as("__nsym"))
+    docs
+      .select(col("doc_id"), explode(tok(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("__c"))
+      .join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("__c") * col("__nsym")).as("n_bpe_tokens"))
+  }
+
   /** The trained vocabulary state after [[bpeMerges]]' rules are
     * applied: (word, count, symbol array) — what a tokenizer builder
     * persists alongside the merge table. Re-runs the same fold chain;

@@ -363,6 +363,58 @@ object TextOps {
     * a gram in 100+ documents identifies none of them — so it does
     * not need to scale with the corpus the way the volume bound
     * would. */
+  /** EXT41c — winnowing-based DECONTAMINATION: containment of each
+    * eval doc's fingerprint set in each train doc's — the
+    * [[Dedup.decontamPairs]] screen run over winnow fingerprints
+    * instead of raw shingles. The winnowing guarantee is what makes
+    * this sound as a SCREEN: any eval span of ≥ w + k − 1 tokens
+    * appearing verbatim in a train doc shares ≥ 1 fingerprint, and at
+    * density ~2/(w+1) the train side ships a fraction of the (doc,
+    * shingle) rows full shingle decontam moves — the cheap first pass
+    * at lake scale, with shingle decontam as the precise second pass
+    * on the flagged pairs. Fingerprint selection is PER-DOC (windows
+    * never cross documents), so each corpus winnows independently and
+    * identically to how it would inside any larger corpus.
+    *
+    * `maxTrainDf` is the train-side boilerplate guard (same contract
+    * and same sizing reality as [[winnowPairs]]' `maxDf`: background
+    * df grows with the train corpus; capping only lowers measured
+    * containment, and only for grams too common to identify a
+    * document). `containment` = shared / |eval doc's full fingerprint
+    * set| — the asymmetric measure decontamination needs (a 50-token
+    * eval question buried in a 5 000-token train page is fully
+    * leaked). */
+  def winnowContainment(
+      train: DataFrame,
+      eval: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      minOverlap: Double = 0.1,
+      maxTrainDf: Long = 100L,
+      tok: Column => Column = tokens): DataFrame = {
+    val evalFps = winnowFingerprints(eval, k, w, tok)
+      .select(col("doc_id").as("eval_doc"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEval = evalFps.groupBy("eval_doc").agg(count(lit(1)).as("__ne"))
+    val trainFps0 = winnowFingerprints(train, k, w, tok)
+      .select(col("doc_id").as("train_doc"), col("fp")).distinct()
+    val guarded =
+      if (maxTrainDf <= 0L) trainFps0
+      else {
+        val t = trainFps0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = t.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxTrainDf).select("fp")
+        t.join(hot, Seq("fp"), "left_anti")
+      }
+    guarded.join(evalFps, Seq("fp"))
+      .groupBy("train_doc", "eval_doc").agg(count(lit(1)).as("shared"))
+      .join(nEval, "eval_doc")
+      .filter(col("shared").cast("double") / col("__ne").cast("double") >= minOverlap)
+      .select(col("eval_doc"), col("train_doc"), col("shared"),
+        graft.Num.rnd(
+          col("shared").cast("double") / col("__ne").cast("double"), 4).as("containment"))
+  }
+
   def winnowPairs(
       docs: DataFrame,
       k: Int = 3,

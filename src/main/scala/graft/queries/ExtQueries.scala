@@ -1775,7 +1775,93 @@ object ExtQueries {
       "ext42_bpe",
       (s, d) => graft.ops.Bpe.bpeMerges(Tables.documents(s, d), merges = 3),
       bench = true,
-      sql = Some(BpeOracleK3)))
+      sql = Some(BpeOracleK3)),
+
+    // ── EXT42b — corpus-scale BPE ENCODE: per-doc token counts under
+    //    the merges just learned (train + apply in one lane — the
+    //    merge-resume chain AND the encode join both replay). The fold
+    //    runs per DISTINCT WORD; docs meet the vocabulary in a keyed
+    //    enrich join (the TF-IDF two-tier shape), so corpus cost is
+    //    one tokenize pass + one join regardless of merge count.
+    QueryDef(
+      "ext42_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val rules = graft.ops.Bpe.bpeMerges(docs, merges = 3)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.ops.Bpe.encodeCounts(docs, rules)
+      },
+      Some(BpeStagesK3 + """,
+        |docw AS (
+        |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(c * len(v3.syms)) AS BIGINT) AS n_bpe_tokens
+        |FROM docw JOIN v3 USING (w)
+        |GROUP BY doc_id""".stripMargin)),
+
+    // ── EXT41c — winnowing-based DECONTAMINATION: the two-corpus
+    //    containment screen over winnow fingerprints (train = %5 ≠ 0,
+    //    eval = %5 = 0 — the ext20 split), with the train-side df
+    //    guard. The guarantee makes the screen sound: any leaked eval
+    //    span of ≥ w+k−1 tokens shares a fingerprint; density ~2/(w+1)
+    //    makes it the cheap first pass before exact shingle decontam
+    //    on flagged pairs. Fingerprints are per-doc, so each corpus
+    //    winnows independently — the oracle winnows ALL documents once
+    //    and splits after, proving exactly that property.
+    QueryDef(
+      "ext41_winnow_decontam",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextOps.winnowContainment(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+             |), occ AS (
+             |  SELECT doc_id, unnest(range(1, greatest(len(l) - 3 + 2, 1))) AS g, l FROM d
+             |), o2 AS (
+             |  SELECT doc_id, CAST(g AS BIGINT) - 1 AS pos,
+             |         md5(array_to_string(l[g:g + 2], ' ')) AS h
+             |  FROM occ
+             |), n AS (
+             |  SELECT doc_id, COUNT(*) AS ng FROM o2 GROUP BY 1
+             |), enc AS (
+             |  SELECT doc_id, pos,
+             |         h || '#' || lpad(CAST(10000000000 - pos AS VARCHAR), 11, '0') AS e
+             |  FROM o2
+             |), selw AS (
+             |  SELECT doc_id, pos,
+             |         MIN(e) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+             |  FROM enc
+             |), wfp AS (
+             |  SELECT DISTINCT s.doc_id, string_split(s.sel, '#')[1] AS fp
+             |  FROM selw s JOIN n USING (doc_id)
+             |  WHERE s.pos <= n.ng - 4
+             |), tr AS (
+             |  SELECT doc_id AS train_doc, fp FROM wfp WHERE doc_id % 5 <> 0
+             |), ev AS (
+             |  SELECT doc_id AS eval_doc, fp FROM wfp WHERE doc_id % 5 = 0
+             |), ne AS (
+             |  SELECT eval_doc, COUNT(*) AS n_eval FROM ev GROUP BY 1
+             |), dfq AS (
+             |  SELECT fp, COUNT(*) AS dfc FROM tr GROUP BY 1
+             |), g2 AS (
+             |  SELECT t.train_doc, t.fp FROM tr t JOIN dfq USING (fp) WHERE dfc <= 100
+             |), sh AS (
+             |  SELECT train_doc, eval_doc, CAST(COUNT(*) AS BIGINT) AS shared
+             |  FROM g2 JOIN ev USING (fp)
+             |  GROUP BY 1, 2
+             |)
+             |SELECT eval_doc, train_doc, shared,
+             |       """.stripMargin +
+        Sql.rnd("CAST(shared AS DOUBLE) / CAST(n_eval AS DOUBLE)", 4) +
+        """ AS containment
+          |FROM sh JOIN ne USING (eval_doc)
+          |WHERE CAST(shared AS DOUBLE) / CAST(n_eval AS DOUBLE) >= 0.1""".stripMargin)))
 
   /** DuckDB mirror of [[graft.ops.Bpe.bpeMerges]] at merges = 3,
     * mechanically unrolled: stage r computes pair counts over v{r-1},
@@ -1786,9 +1872,17 @@ object ExtQueries {
     * run has length 1, so every occurrence merges — the two cases
     * unify). A merged position emits `lft || rgt`; the position after
     * a merged one is consumed; everything else passes through. */
-  private def BpeOracleK3: String = {
-    def stage(r: Int): String = {
-      val pv = s"v${r - 1}"
+  private def BpeOracleK3: String =
+    BpeStagesK3 + """
+      |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lft, rgt,
+      |       CAST(pair_count AS BIGINT) AS pair_count
+      |FROM (
+      |  SELECT 1 AS merge_rank, lft, rgt, c AS pair_count FROM t1
+      |  UNION ALL SELECT 2, lft, rgt, c FROM t2
+      |  UNION ALL SELECT 3, lft, rgt, c FROM t3)""".stripMargin
+
+  private def bpeStage(r: Int): String = {
+    val pv = s"v${r - 1}"
       s"""p$r AS (
          |  SELECT s.syms[i] AS lft, s.syms[i + 1] AS rgt, SUM(s.cnt) AS c
          |  FROM $pv s, unnest(range(1, len(s.syms))) AS u(i)
@@ -1818,7 +1912,11 @@ object ExtQueries {
          |         list(tokn ORDER BY i) FILTER (WHERE tokn IS NOT NULL) AS syms
          |  FROM rb$r GROUP BY w
          |)""".stripMargin
-    }
+  }
+
+  /** The shared WITH-prefix of the BPE oracles: char-split vocabulary
+    * v0 plus three unrolled merge stages ending at v3. */
+  private def BpeStagesK3: String =
     """WITH w0 AS (
       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -1827,14 +1925,7 @@ object ExtQueries {
       |  SELECT w, cnt, list_transform(range(1, length(w) + 1), i -> w[i]) AS syms
       |  FROM w0
       |), """.stripMargin +
-      (1 to 3).map(stage).mkString(", ") + """
-      |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lft, rgt,
-      |       CAST(pair_count AS BIGINT) AS pair_count
-      |FROM (
-      |  SELECT 1 AS merge_rank, lft, rgt, c AS pair_count FROM t1
-      |  UNION ALL SELECT 2, lft, rgt, c FROM t2
-      |  UNION ALL SELECT 3, lft, rgt, c FROM t3)""".stripMargin
-  }
+      (1 to 3).map(bpeStage).mkString(", ")
 
   /** DuckDB mirror of [[graft.ops.QualityFunnel.filterFlags]]: integer
     * token stats + the ext35 LM score CTE, rules as the same exact

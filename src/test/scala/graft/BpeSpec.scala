@@ -54,6 +54,18 @@ class BpeSpec extends SparkSpec {
     assert(got.isEmpty, "single-character words have no pairs to merge")
   }
 
+  test("encode counts BPE tokens per doc through the vocabulary join") {
+    // after merging (l,o) then (lo,w): low=1 sym, lower=3 (low,e,r),
+    // hi=2 (h,i) — counts follow the doc's word multiset
+    val docs = Seq((1L, "low low hi"), (2L, "lower")).toDF("doc_id", "text")
+    val got = Bpe.encodeCounts(docs, Seq(("l", "o"), ("lo", "w")))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 4L, 2L -> 3L))
+    // zero merges degenerate to character counts per doc
+    val chars = Bpe.encodeCounts(docs, Nil).as[(Long, Long)].collect().toMap
+    assert(chars === Map(1L -> 8L, 2L -> 5L))
+  }
+
   test("frequency weighting: a pair in a frequent word beats a pair in a rare long word") {
     // 'xy' appears 10 times -> (x,y)=10; 'abcde' once -> each pair =1
     val docs = Seq((1L, (Seq.fill(10)("xy") :+ "abcde").mkString(" "))).toDF("doc_id", "text")

@@ -130,6 +130,27 @@ class TextOpsSpec extends SparkSpec {
       "without the cap the boilerplate fingerprints pair D docs")
   }
 
+  test("winnow decontam: a leaked eval span is flagged with containment; clean evals are not") {
+    // eval doc 1 is a 10-token question buried VERBATIM inside train
+    // doc 100's much longer page (the asymmetric case containment
+    // exists for); eval doc 2 shares nothing with any train doc.
+    val question = (1 to 10).map(i => s"q$i").mkString(" ")
+    def filler(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val train = Seq(
+      (100L, s"${filler("ta", 30)} $question ${filler("tb", 30)}"),
+      (101L, filler("tc", 40))).toDF("doc_id", "text")
+    val eval = Seq((1L, question), (2L, filler("ze", 10))).toDF("doc_id", "text")
+    val got = TextOps.winnowContainment(train, eval, minOverlap = 0.1)
+      .as[(Long, Long, Long, Double)].collect()
+    val leaked = got.filter(_._1 == 1L)
+    assert(leaked.length === 1 && leaked.head._2 === 100L,
+      s"the buried question must flag against its train page: ${got.toSeq}")
+    // the eval doc IS the span — every one of its fingerprints comes
+    // from the shared run, so containment is total
+    assert(leaked.head._4 === 1.0, s"full containment for a verbatim leak: ${leaked.head}")
+    assert(!got.exists(_._1 == 2L), "a clean eval doc flags nothing")
+  }
+
   test("bigram LM: a rare continuation of common words scores low; unigrams cannot see it") {
     // "big cat" appears once while "big dog"×3 and "sly cat"×3 make
     // both of its words individually common — the bigram model scores
