@@ -625,7 +625,42 @@ object StorageQueries {
           "distributed-dv delete must not add or remove data files")
         eventsCols(TxStore.read(s, store))
       },
-      Some(eventsSql(" WHERE event_id % 3 <> 0"))))
+      Some(eventsSql(" WHERE event_id % 3 <> 0"))),
+
+    // ── S32 — ROW-LEVEL CDC: the change-data-feed read. Three commits
+    //    — append, merge-on-read vectored delete (parquet marks), and a
+    //    copy-on-write delete — then ONE readChangesSince(0) must emit
+    //    every logical row change with its type and version: the
+    //    appended rows as v1 inserts, the newly marked positions as v2
+    //    deletes (positions identify rows without any diff), and the
+    //    rewrite's effective-row exceptAll as v3 deletes (the marks
+    //    already dead at v2 must NOT re-emit — the oracle's v3 branch
+    //    excludes them). This is the seam an incremental consumer polls
+    //    instead of re-scanning 100 TB; readAppendsSince stays as the
+    //    cheaper appends-only sibling.
+    QueryDef(
+      "s32_tx_cdc_row",
+      (s, d) => {
+        val store = freshStore(s, "s32-cdc", d)
+        TxStore.append(Tables.events(s, d), store) // v1: inserts
+        TxStore.deleteVectoredBulk(s, store, col("event_id") % 100 === 0) // v2: MoR deletes
+        TxStore.delete(s, store, col("user_id") === 7L) // v3: CoW deletes
+        val (v, ch) = TxStore.readChangesSince(s, store, 0L)
+        require(v == 3L, s"expected log at v3, got v$v")
+        ch.select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+          col("event_type"), col("value"), col("props"),
+          col("_change_type"), col("_commit_version"))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+             |       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+             |FROM events
+             |UNION ALL
+             |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+             |       'delete', 2 FROM events WHERE event_id % 100 = 0
+             |UNION ALL
+             |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+             |       'delete', 3 FROM events
+             |WHERE user_id = 7 AND event_id % 100 <> 0""".stripMargin)))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

@@ -1093,6 +1093,148 @@ object TxStore {
     (snap.version, df)
   }
 
+  /** The data files a delete-dv commit marks, from the commit's own
+    * (file-level) metadata — inline map keys, packed-sidecar map keys,
+    * parquet-vector ref lists. Never opens mark parquet. */
+  private def dvTouchedFiles(f: FileSystem, path: String, c: Commit): Seq[String] = {
+    val inline = c.dv.toSeq.flatMap(b64 => decodeDv(b64).keys)
+    val side = c.sidecars.flatMap { n =>
+      val p = readSidecar(f, path, n)
+      p.dv.keys.toSeq ++ p.dvParquet.flatMap(_._2)
+    }
+    (inline ++ side).distinct
+  }
+
+  /** ROW-level CDC: every logical row change after `sinceVersion`, as
+    * the table's CURRENT schema plus `_change_type` ('insert'/'delete';
+    * an update surfaces as its delete + insert pair) and
+    * `_commit_version` — the change-data-feed contract
+    * ([[readAppendsSince]] is the cheaper appends-only sibling this
+    * generalizes). Everything is derived from the log, distributed, per
+    * commit op:
+    *
+    *  - `append`: the added files' rows → inserts. Exact, cost = the
+    *    appended bytes.
+    *  - `delete-dv`: the NEWLY marked positions (this version's mark
+    *    frame anti-joined against the previous version's) joined back to
+    *    their rows → deletes. Exact, cost = the touched files — row
+    *    positions identify the deleted rows without any diff.
+    *  - `compact` / `optimize-zorder`: data-preserving by contract —
+    *    no events.
+    *  - `delete` (copy-on-write): the rewritten inputs' effective rows
+    *    `exceptAll` the replacement files' rows → deletes. Cost ∝ the
+    *    rewritten bytes (already paid once by the rewrite itself).
+    *  - `merge`: the same diff in both directions → deletes + inserts.
+    *  - `overwrite`: full-replace semantics — every prior effective row
+    *    a delete, every new row an insert (the Delta CDF shape; cost is
+    *    inherent to the op).
+    *  - `restore`: effective-row diff between the two versions, both
+    *    directions — a restore after a small accident emits the small
+    *    delta, not the table.
+    *
+    * Same loud refusals as [[readAppendsSince]]: a consumer position
+    * ahead of the log, or history truncated past it by a [[checkpoint]]
+    * — re-read the snapshot and resume from its version. Removed files
+    * referenced by in-range commits must still exist: the same
+    * [[vacuum]] retention contract as time travel. */
+  def readChangesSince(
+      spark: SparkSession, path: String, sinceVersion: Long): (Long, DataFrame) = {
+    val f = fs(spark, path)
+    val cs = commits(f, path)
+    val snap = replay(f, path, cs)
+    require(
+      sinceVersion <= snap.version,
+      s"consumer position v$sinceVersion is ahead of the log at $path " +
+        s"(latest v${snap.version}) — wrong path, or the table was recreated")
+    if (cs.nonEmpty)
+      require(
+        cs.head.version <= sinceVersion + 1,
+        s"changes since v$sinceVersion are not derivable: the retained log starts at " +
+          s"v${cs.head.version} (checkpoint truncated history) — re-read the snapshot")
+    val tail = cs.filter(c => c.version > sinceVersion && c.op != "checkpoint")
+    // CDF reads in the CURRENT schema (old files' missing columns are
+    // NULL via schema-on-read) — one schema across every emitted frame
+    val readSchema = snap.schema
+
+    def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
+    // readFiles restricts marks to the read file set itself
+    def effective(s0: Snapshot, files: Seq[String]): DataFrame =
+      readFiles(spark, path, files, readSchema, s0.dv, dvp = s0.dvp)
+
+    val parts: Seq[DataFrame] = tail.flatMap { c =>
+      lazy val before = replay(f, path, cs.filter(_.version < c.version))
+      lazy val after = replay(f, path, cs.filter(_.version <= c.version))
+      c.op match {
+        case "append" =>
+          if (c.add.isEmpty) Nil
+          else Seq(tagged(readFiles(spark, path, c.add, readSchema), "insert", c.version))
+        case "compact" | "optimize-zorder" => Nil
+        case "delete-dv" =>
+          val touched = dvTouchedFiles(f, path, c).filter(after.files.contains)
+          if (touched.isEmpty) Nil
+          else {
+            val (bdv, bdvp) = restrictMarks(before.dv, before.dvp, touched)
+            val beforeMarks = dvMarks(spark, path, bdv, bdvp)
+            val (adv, advp) = restrictMarks(after.dv, after.dvp, touched)
+            val afterMarks = dvMarks(spark, path, adv, advp)
+            require(afterMarks.isDefined, s"delete-dv commit v${c.version} carries no marks")
+            val fresh = beforeMarks.map(_._1).fold(afterMarks.get._1)(b =>
+              afterMarks.get._1.join(b, Seq("__file", "__row"), "left_anti"))
+            val rows = readFiles(spark, path, touched, readSchema, withFile = true)
+              .join(fresh, Seq("__file", "__row"))
+              .drop("__file", "__row")
+            Seq(tagged(rows, "delete", c.version))
+          }
+        case "delete" =>
+          if (c.remove.isEmpty) Nil
+          else {
+            val old = effective(before, c.remove)
+            val gone =
+              if (c.add.isEmpty) old
+              else old.exceptAll(readFiles(spark, path, c.add, readSchema))
+            Seq(tagged(gone, "delete", c.version))
+          }
+        case "merge" =>
+          val old = if (c.remove.isEmpty) None else Some(effective(before, c.remove))
+          val neu =
+            if (c.add.isEmpty) None else Some(readFiles(spark, path, c.add, readSchema))
+          val dels = old.map(o => tagged(neu.fold(o)(o.exceptAll), "delete", c.version))
+          val ins = neu.map(n => tagged(old.fold(n)(n.exceptAll), "insert", c.version))
+          dels.toSeq ++ ins.toSeq
+        case "overwrite" =>
+          val dels =
+            if (before.files.isEmpty) Nil
+            else Seq(tagged(effective(before, before.files), "delete", c.version))
+          val ins =
+            if (c.add.isEmpty) Nil
+            else Seq(tagged(readFiles(spark, path, c.add, readSchema), "insert", c.version))
+          dels ++ ins
+        case "restore" =>
+          val b = if (before.files.isEmpty) None else Some(effective(before, before.files))
+          val a = if (after.files.isEmpty) None else Some(effective(after, after.files))
+          val dels = b.map(bf => tagged(a.fold(bf)(bf.exceptAll), "delete", c.version))
+          val ins = a.map(af => tagged(b.fold(af)(af.exceptAll), "insert", c.version))
+          dels.toSeq ++ ins.toSeq
+        case other =>
+          throw new IllegalStateException(
+            s"row-level CDC cannot derive changes for op '$other' at v${c.version}")
+      }
+    }
+
+    val df = parts match {
+      case Nil =>
+        val base = readSchema match {
+          case Some(s) =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          case None => spark.emptyDataFrame
+        }
+        tagged(base, "insert", snap.version)
+      case ps => ps.reduce(_.unionByName(_))
+    }
+    (snap.version, df)
+  }
+
   /** Copy-on-write DELETE. Two phases, both distributed:
     *
     *  1. PROBE — scan the snapshot for files that contain a matching row.
@@ -1519,6 +1661,54 @@ object TxStore {
     * file name) for the copy-on-write probes — `_metadata.file_name`
     * is captured AT the scan, so unlike `input_file_name()` it
     * survives the anti-join. */
+  /** A snapshot's deletion-vector state restricted to `files`: the
+    * inline (file → positions) map, and the parquet-vector dirs each
+    * restricted to the files its refs still cover (a dir may also hold
+    * marks for files since removed — or removed-then-restored, where
+    * the marks must NOT re-apply; the ref map is the source of truth,
+    * the parquet is just position storage). */
+  private def restrictMarks(
+      dv: Map[String, Seq[Long]],
+      dvp: Map[String, Seq[String]],
+      files: Seq[String]): (Map[String, Seq[Long]], Map[String, Seq[String]]) = {
+    val fileSet = files.toSet
+    val relevant = dv.view.filterKeys(fileSet).toMap
+    val relevantP: Map[String, Seq[String]] = {
+      val byDir = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
+      dvp.foreach { case (fl, dirs) =>
+        if (fileSet(fl)) dirs.foreach(d => byDir(d) = fl :: byDir.getOrElse(d, Nil))
+      }
+      byDir.view.mapValues(_.reverse: Seq[String]).toMap
+    }
+    (relevant, relevantP)
+  }
+
+  /** Materialize [[restrictMarks]]' output as one (__file, __row) frame
+    * — inline marks from the log, parquet marks from their sidecar dirs
+    * — or None when there are no marks. The flag reports whether every
+    * mark is inline (log-sized, safe to broadcast unconditionally). */
+  private def dvMarks(
+      spark: SparkSession,
+      path: String,
+      inline: Map[String, Seq[Long]],
+      parquetDirs: Map[String, Seq[String]]): Option[(DataFrame, Boolean)] =
+    if (inline.isEmpty && parquetDirs.isEmpty) None
+    else {
+      import spark.implicits._
+      val inlineDf =
+        if (inline.isEmpty) None
+        else Some(inline.toSeq
+          .flatMap { case (f, rows) => rows.map(r => (f, r)) }
+          .toDF("__file", "__row"))
+      val parquetMarks = parquetDirs.toSeq.map { case (dir, applicable) =>
+        spark.read
+          .schema("__file STRING, __row BIGINT")
+          .parquet(sidecarPath(path, dir).toString)
+          .filter(col("__file").isin(applicable: _*))
+      }
+      Some(((inlineDf.toSeq ++ parquetMarks).reduce(_ unionByName _), parquetDirs.isEmpty))
+    }
+
   private def readFiles(
       spark: SparkSession,
       path: String,
@@ -1530,20 +1720,7 @@ object TxStore {
     require(files.nonEmpty, s"empty snapshot at $path")
     val reader = schema.fold(spark.read)(s => spark.read.schema(s))
     val base = reader.parquet(files.map(n => s"$path/$DataDir/$n"): _*)
-    val fileSet = files.toSet
-    val relevant = dv.view.filterKeys(fileSet).toMap
-    // parquet-vector dirs relevant to THIS read, each restricted to the
-    // files its refs still cover (a dir may also hold marks for files
-    // since removed — or removed-then-restored, where the marks must
-    // NOT re-apply; the ref map is the source of truth, the parquet is
-    // just position storage)
-    val relevantP: Map[String, Seq[String]] = {
-      val byDir = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
-      dvp.foreach { case (fl, dirs) =>
-        if (fileSet(fl)) dirs.foreach(d => byDir(d) = fl :: byDir.getOrElse(d, Nil))
-      }
-      byDir.view.mapValues(_.reverse: Seq[String]).toMap
-    }
+    val (relevant, relevantP) = restrictMarks(dv, dvp, files)
     if (relevant.isEmpty && relevantP.isEmpty && !withFile) base
     else {
       require(!base.columns.contains("__file") && !base.columns.contains("__row"),
@@ -1552,30 +1729,17 @@ object TxStore {
       val withMeta = base.select(dataCols ++ Seq(
         col("_metadata.file_name").as("__file"),
         col("_metadata.row_index").as("__row")): _*)
-      val filtered =
-        if (relevant.isEmpty && relevantP.isEmpty) withMeta
-        else {
-          import spark.implicits._
-          val inline =
-            if (relevant.isEmpty) None
-            else Some(relevant.toSeq
-              .flatMap { case (f, rows) => rows.map(r => (f, r)) }
-              .toDF("__file", "__row"))
-          val parquetMarks = relevantP.toSeq.map { case (dir, applicable) =>
-            spark.read
-              .schema("__file STRING, __row BIGINT")
-              .parquet(sidecarPath(path, dir).toString)
-              .filter(col("__file").isin(applicable: _*))
-          }
-          val marks = (inline.toSeq ++ parquetMarks).reduce(_ unionByName _)
+      val filtered = dvMarks(spark, path, relevant, relevantP) match {
+        case None => withMeta
+        case Some((marks, inlineOnly)) =>
           // inline-only marks are log-sized — broadcast unconditionally
           // (the historical plan); once executor-written parquet marks
           // are in play their size is data-dependent, so leave the
           // strategy to AQE
           val marksSide =
-            if (relevantP.isEmpty) org.apache.spark.sql.functions.broadcast(marks) else marks
+            if (inlineOnly) org.apache.spark.sql.functions.broadcast(marks) else marks
           withMeta.join(marksSide, Seq("__file", "__row"), "left_anti")
-        }
+      }
       // withFile keeps BOTH meta columns — the DV probe needs the row
       // position; the copy-on-write probes just ignore it
       if (withFile) filtered else filtered.drop("__row", "__file")

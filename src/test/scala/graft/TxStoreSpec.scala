@@ -921,4 +921,99 @@ class TxStoreSpec extends SparkSpec {
     val (_, kept, _) = TxStore.pruneFiles(spark, t, col("id") === 150L)
     assert(kept.size === 1, "sidecar-restated stats still prune")
   }
+
+  /** Collect a change stream as (id, payload, type, version) tuples. */
+  private def changes(t: String, since: Long): (Long, Seq[(Long, String, String, Long)]) = {
+    val (v, df) = TxStore.readChangesSince(spark, t, since)
+    (v, df.select(col("id"), col("payload"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, String, Long)].collect().toSeq)
+  }
+
+  test("row CDC: append/dv/cow-delete/merge/compact each derive exact row deltas") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t) // v1: +0..9
+    TxStore.deleteVectored(spark, t, col("id") % 5 === 0) // v2: −{0,5}, merge-on-read
+    TxStore.delete(spark, t, col("id") === 7L) // v3: −{7}, copy-on-write
+    val updates = Seq((3L, "u3"), (11L, "v11")).toDF("id", "payload")
+    TxStore.merge(spark, t, updates, Seq("id")) // v4: 3 updated, 11 inserted
+    TxStore.compact(spark, t) // v5: pure physical — silent
+    val (v, ch) = changes(t, 0L)
+    assert(v === 5L)
+    val byVersion = ch.groupBy(_._4).view.mapValues(_.map(c => (c._1, c._2, c._3)).toSet).toMap
+    assert(byVersion(1L) === (0 until 10).map(i => (i.toLong, s"v$i", "insert")).toSet)
+    assert(byVersion(2L) === Set((0L, "v0", "delete"), (5L, "v5", "delete")))
+    assert(byVersion(3L) === Set((7L, "v7", "delete")))
+    // the update surfaces as its delete + insert pair
+    assert(byVersion(4L) ===
+      Set((3L, "v3", "delete"), (3L, "u3", "insert"), (11L, "v11", "insert")))
+    assert(!byVersion.contains(5L), "compact is data-preserving — no events")
+    // THE CDC LAW: inserts minus deletes (as multisets) = the live table
+    val ins = ch.filter(_._3 == "insert").map(c => (c._1, c._2))
+    val del = ch.filter(_._3 == "delete").map(c => (c._1, c._2))
+    val folded = ins.diff(del).sorted
+    val live = TxStore.read(spark, t).as[(Long, String)].collect().toSeq.sorted
+    assert(folded === live)
+  }
+
+  test("row CDC: overwrite is full-replace; restore emits only the accident's delta") {
+    val t = tmpDir()
+    TxStore.append(rows(4), t) // v1
+    TxStore.overwrite(rows(2, from = 100), t) // v2: −all, +2
+    TxStore.restore(spark, t, 1L) // v3: back — delta vs v2
+    val (v, ch) = changes(t, 0L)
+    assert(v === 3L)
+    val byVersion = ch.groupBy(_._4).view.mapValues(_.map(c => (c._1, c._2, c._3)).toSet).toMap
+    assert(byVersion(2L) ===
+      ((0 until 4).map(i => (i.toLong, s"v$i", "delete")).toSet ++
+        Seq(100, 101).map(i => (i.toLong, s"v$i", "insert"))))
+    assert(byVersion(3L) ===
+      ((0 until 4).map(i => (i.toLong, s"v$i", "insert")).toSet ++
+        Seq(100, 101).map(i => (i.toLong, s"v$i", "delete"))))
+    val ins = ch.filter(_._3 == "insert").map(c => (c._1, c._2))
+    val del = ch.filter(_._3 == "delete").map(c => (c._1, c._2))
+    assert(ins.diff(del).sorted === TxStore.read(spark, t).as[(Long, String)].collect().toSeq.sorted)
+  }
+
+  test("row CDC: successive vectored deletes emit only NEWLY marked rows; bulk path included") {
+    val t = tmpDir()
+    TxStore.append(rows(100).coalesce(1), t) // v1
+    TxStore.deleteVectored(spark, t, col("id") % 10 === 0) // v2: 10 marks
+    TxStore.deleteVectoredBulk(spark, t, col("id") % 5 === 0) // v3: parquet marks; %10 already dead
+    TxStore.delete(spark, t, col("id") >= 90L) // v4: CoW through PARQUET marks
+    val (_, ch) = changes(t, 1L) // consumer already saw the inserts
+    val byVersion = ch.groupBy(_._4).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byVersion(2L) === (0 until 100 by 10).map(_.toLong).toSet)
+    assert(byVersion(3L) === (5 until 100 by 10).map(_.toLong).toSet,
+      "the bulk commit must emit only positions not already marked")
+    assert(byVersion(4L) === Set(91L, 92L, 93L, 94L, 96L, 97L, 98L, 99L),
+      "the rewrite diff must read its inputs THROUGH the parquet marks — " +
+        "90 and 95 were already dead")
+    assert(ch.forall(_._3 == "delete"))
+  }
+
+  test("row CDC: refuses a position ahead of the log and history truncated by checkpoint") {
+    val t = tmpDir()
+    TxStore.append(rows(5), t) // v1
+    val ahead = intercept[IllegalArgumentException](TxStore.readChangesSince(spark, t, 9L))
+    assert(ahead.getMessage.contains("ahead of the log"))
+    TxStore.append(rows(5, from = 5), t) // v2
+    TxStore.checkpoint(spark, t) // v3 truncates replay below it
+    val gone = intercept[IllegalArgumentException](TxStore.readChangesSince(spark, t, 1L))
+    assert(gone.getMessage.contains("checkpoint truncated history"))
+    // caught up: empty delta at the current version, never an error
+    val (v, df) = TxStore.readChangesSince(spark, t, 3L)
+    assert(v === 3L && df.count() === 0L)
+    assert(df.columns.toSeq === Seq("id", "payload", "_change_type", "_commit_version"))
+  }
+
+  test("row CDC: changes read in the CURRENT schema — old inserts carry NULL for new columns") {
+    val t = tmpDir()
+    TxStore.append(rows(3), t) // v1 — (id, payload)
+    TxStore.append( // v2 evolves: + flag column
+      Seq((100L, "x", true)).toDF("id", "payload", "flag"), t)
+    val (_, df) = TxStore.readChangesSince(spark, t, 0L)
+    val got = df.select("id", "flag", "_commit_version")
+      .as[(Long, Option[Boolean], Long)].collect().toSet
+    assert(got === Set((0L, None, 1L), (1L, None, 1L), (2L, None, 1L), (100L, Some(true), 2L)))
+  }
 }
