@@ -489,6 +489,43 @@ object TextOps {
         graft.Num.rnd(col("__s") / col("n_bigrams").cast("double"), 4).as("avg_logp"))
   }
 
+  /** EXT43 — CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020):
+    * split the corpus into `buckets` equal quantile slices of the
+    * language-model score — the head/middle/tail partition CCNet feeds
+    * to downstream sampling (train mostly on the head, keep a
+    * controlled slice of the tail for diversity). Scoring is
+    * [[unigramLogProb]] (the portable core of the KenLM ranking — its
+    * canonical 4-dp rounding is what makes the ORDER an exact
+    * cross-engine contract); ranking is [[Chunking.globalRankBy]]'s
+    * two-pass range-partitioned rank — the corpus is never pulled
+    * through a global window (PlanAuditSpec bans those) and never to
+    * the driver. Bucket `i` of rank r (1-based) is
+    * `floor((r−1)·b/n) + 1` — the uniform partition, replayed verbatim
+    * by a `row_number()` oracle. Ties in the rounded score break by
+    * doc_id, so membership is deterministic in any engine. Documents
+    * with no tokens have no score and no bucket (no row), matching the
+    * scorer's contract. */
+  def perplexityBuckets(
+      docs: DataFrame,
+      buckets: Int = 3,
+      tok: Column => Column = tokens): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets: $buckets")
+    val scored = unigramLogProb(docs, tok)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = scored.count() // one doc-level metadata action; scored is reused by the rank
+    val ranked = Chunking.globalRankBy(
+      scored, Seq(col("avg_logp").desc, col("doc_id")), "__rn")
+    // exact INTEGER division (Spark's `/` on longs is double division)
+    val b = expr(s"((__rn - 1) * $buckets) div $n") + 1
+    ranked
+      .withColumn("bucket", b.cast("long"))
+      .withColumn("label",
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === buckets, lit("tail"))
+          .otherwise(lit("middle")))
+      .drop("__rn")
+  }
+
   /** EXT38 — sliding-window text chunking: fixed `chunkSize`-token
     * windows every `stride` tokens per document — the RAG-indexing /
     * context-window shaping pass (overlapping windows keep boundary

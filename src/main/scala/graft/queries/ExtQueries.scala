@@ -1861,7 +1861,45 @@ object ExtQueries {
         Sql.rnd("CAST(shared AS DOUBLE) / CAST(n_eval AS DOUBLE)", 4) +
         """ AS containment
           |FROM sh JOIN ne USING (eval_doc)
-          |WHERE CAST(shared AS DOUBLE) / CAST(n_eval AS DOUBLE) >= 0.1""".stripMargin)))
+          |WHERE CAST(shared AS DOUBLE) / CAST(n_eval AS DOUBLE) >= 0.1""".stripMargin)),
+
+    // ── EXT43 — CCNet-style perplexity bucketing: head/middle/tail
+    //    quantile slices of the LM score (Wenzek et al. 2020 — train
+    //    mostly on the head, keep a controlled tail slice for
+    //    diversity). The rank is globalRankBy's two-pass
+    //    range-partitioned shape — NO global window anywhere (the
+    //    oracle's row_number() OVER () is the semantics, not the plan);
+    //    the 4-dp canonical rounding of avg_logp is what makes the
+    //    order (ties → doc_id) an exact cross-engine contract.
+    QueryDef(
+      "ext43_ppl_buckets",
+      (s, d) => TextOps.perplexityBuckets(Tables.documents(s, d)),
+      bench = true,
+      sql = Some(s"""WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+          |), tf AS (
+          |  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM tf
+          |), scored AS (
+          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          |         ${Sql.rnd(
+             "(SUM(ln(CAST(cnt AS DOUBLE))) - COUNT(*) * ln(total)) / COUNT(*)", 4)}
+          |           AS avg_logp
+          |  FROM tok JOIN tf USING (token), tot
+          |  GROUP BY doc_id, total
+          |), ranked AS (
+          |  SELECT doc_id, n_tokens, avg_logp,
+          |         row_number() OVER (ORDER BY avg_logp DESC, doc_id) AS rn,
+          |         COUNT(*) OVER () AS n
+          |  FROM scored
+          |)
+          |SELECT doc_id, n_tokens, avg_logp,
+          |       CAST((rn - 1) * 3 // n + 1 AS BIGINT) AS bucket,
+          |       CASE WHEN (rn - 1) * 3 // n + 1 = 1 THEN 'head'
+          |            WHEN (rn - 1) * 3 // n + 1 = 3 THEN 'tail'
+          |            ELSE 'middle' END AS label
+          |FROM ranked""".stripMargin)))
 
   /** DuckDB mirror of [[graft.ops.Bpe.bpeMerges]] at merges = 3,
     * mechanically unrolled: stage r computes pair counts over v{r-1},

@@ -29,7 +29,10 @@ class PlanAuditSpec extends SparkSpec {
       "ext36_filter_flags", "ext36_funnel",
       // round 10: inherits the funnel's single-row broadcast-scalar
       // cross (the unigramLogProb grand total), same as its siblings
-      "ext36_relaxation")
+      "ext36_relaxation",
+      // late round 11: scores through unigramLogProb — same single-row
+      // broadcast-scalar cross as ext35 itself
+      "ext43_ppl_buckets")
 
   test("no cartesians, unintended nested-loop joins, or global windows anywhere") {
     SparkEntry.registry.foreach { q =>

@@ -151,6 +151,23 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 2L), "a clean eval doc flags nothing")
   }
 
+  test("perplexity buckets: quantile slices follow the LM order; sizes split evenly") {
+    // 6 docs of sharply different probability mass: docs repeating the
+    // corpus-dominant token score highest (head); rare-token docs land
+    // in the tail. 6 docs / 3 buckets = 2 each.
+    val docs = Seq(
+      (1L, "a a a a a a a a"), (2L, "a a a a b"), (3L, "a a b b"),
+      (4L, "b b c c"), (5L, "c c d d"), (6L, "e f g h")).toDF("doc_id", "text")
+    val got = TextOps.perplexityBuckets(docs)
+      .select("doc_id", "bucket", "label").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.values.map(_._1).groupBy(identity).view.mapValues(_.size).toMap ===
+      Map(1L -> 2, 2L -> 2, 3L -> 2), s"even split: $got")
+    assert(got(1L) === (1L, "head"), s"the most probable doc heads: $got")
+    assert(got(6L) === (3L, "tail"), s"the all-rare doc tails: $got")
+    assert(got(2L)._2 === "head" && got(5L)._2 === "tail" && got(3L)._2 === "middle")
+  }
+
   test("bigram LM: a rare continuation of common words scores low; unigrams cannot see it") {
     // "big cat" appears once while "big dog"×3 and "sly cat"×3 make
     // both of its words individually common — the bigram model scores
