@@ -127,7 +127,7 @@ object Curation {
     * BigInt (no Long overflow for any seed); per-row intermediates are
     * bounded by (p−1)² ≈ 1.0e18 < 2⁶³, exact in any BIGINT engine —
     * the oracle replays the permutation from (doc_id, seed) alone. */
-  private def shuffleHash(key: Column, seed: Long): Column = {
+  private[ops] def shuffleHash(key: Column, seed: Long): Column = {
     val p = 1000000007L
     val m = (BigInt(seed) * 2654435761L).mod(BigInt(p - 1)).toLong + 1
     pmod(pmod(key, lit(p)) * lit(m) + lit(Math.floorMod(seed, p)), lit(p))

@@ -202,4 +202,96 @@ object Sampling {
       .orderBy(col("weight").desc, col("doc_id"))
       .limit(quota)
   }
+
+  /** EXT44 — TOKEN-budget corpus mixing: fill each source's token quota
+    * in the EXT30 seeded-permutation order. [[sampleByRates]] /
+    * [[temperatureMixture]] mix by ROW rates, but training recipes are
+    * stated in TOKENS per source ("300 B web, 30 B books…") and document
+    * lengths vary by orders of magnitude — a row rate realizes a token
+    * mix only in expectation. Here each source keeps its
+    * permutation-ordered prefix of documents while the tokens BEFORE a
+    * document stay under the budget, so the first budget-crossing
+    * document is included ("fill to at least the budget" — downstream
+    * packing/truncation trims the overshoot; a budget smaller than the
+    * first document still yields that one document, never an empty
+    * source). Sources absent from `budgets` drop entirely.
+    *
+    * Determinism is the whole contract: the order is
+    * [[Curation.shuffleHash]]'s exact-arithmetic seeded bijection (ties
+    * → doc_id), token counts are `size(tok(text))`, and the cutoff is a
+    * per-source running sum — membership replays bit-identically in any
+    * engine, and changing `seed` re-rolls WHICH documents fill each
+    * quota without touching the quotas.
+    *
+    * The naive plan — one running-sum window partitioned by source —
+    * serializes EACH SOURCE through one task, and source cardinality is
+    * tens, not millions: a 10⁹-doc source would funnel through a single
+    * executor thread. So the cutoff runs as a bucketed prefix sum
+    * instead: (1) a map-side-combinable token total per (source,
+    * hash-bucket of the permutation value — `hashBuckets` ranges); (2)
+    * driver-side bucket classification over source×bucket SUMS
+    * (metadata, like the `budgets` map itself): a bucket wholly under
+    * its source's budget keeps every doc, wholly past it drops, and the
+    * one CROSSING bucket per source — ~1/hashBuckets of that source —
+    * goes through the exact window with the preceding buckets' total as
+    * its offset. Identical membership (the window applies the same
+    * strict rule, offset included), but the serial section shrinks by
+    * the bucket factor and non-budgeted sources are filtered before any
+    * shuffle. */
+  def tokenBudgetMix(
+      docs: DataFrame,
+      sourceCol: Column,
+      budgets: Map[String, Long],
+      seed: Long = 42L,
+      tok: Column => Column = TextOps.tokens,
+      hashBuckets: Int = 1024): DataFrame = {
+    require(budgets.values.forall(_ >= 0), s"budgets must be ≥ 0: $budgets")
+    require(hashBuckets >= 1, s"hashBuckets must be ≥ 1: $hashBuckets")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val p = 1000000007L // shuffleHash's modulus: values in [0, p)
+    val bw = (p + hashBuckets - 1) / hashBuckets
+    val budgeted = budgets.keys.foldLeft(lit(false)) { (acc, s0) =>
+      acc || col("source") === s0
+    }
+    val base = docs
+      .select(col("doc_id"), sourceCol.cast("string").as("source"),
+        size(tok(col("text"))).cast("long").as("n_tokens"),
+        Curation.shuffleHash(col("doc_id"), seed).as("__h"))
+      .filter(budgeted) // sources without a budget never shuffle at all
+      .withColumn("__b", expr(s"__h div $bw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // source×bucket totals — driver state is budgets-cardinality ×
+    // hashBuckets longs, independent of corpus size
+    val totals = base.groupBy("source", "__b").agg(sum("n_tokens").as("__t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val classified = totals.groupBy(_._1).toSeq.flatMap { case (src, bs) =>
+      val budget = budgets.getOrElse(src, 0L)
+      var cum = 0L
+      bs.sortBy(_._2).map { case (_, b, t) =>
+        val cls =
+          if (cum + t < budget) "keep" // strictly under: every doc's before-sum < budget
+          else if (cum < budget) "win" // the crossing bucket: exact rule below
+          else "drop"
+        val row = (src, b, cls, cum)
+        cum += t
+        row
+      }.filter(_._3 != "drop")
+    }
+    val cdf = classified.toDF("source", "__b", "__cls", "__off")
+    val joined = base.join(broadcast(cdf), Seq("source", "__b"))
+    val keepAll = joined.filter(col("__cls") === "keep")
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (s0, b)) =>
+      when(col("source") === s0, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy("source", "__b").orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val crossing = joined.filter(col("__cls") === "win")
+      .withColumn("__before", col("__off") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("__before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    keepAll.unionByName(crossing)
+  }
 }

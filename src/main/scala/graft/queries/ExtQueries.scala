@@ -1899,7 +1899,41 @@ object ExtQueries {
           |       CASE WHEN (rn - 1) * 3 // n + 1 = 1 THEN 'head'
           |            WHEN (rn - 1) * 3 // n + 1 = 3 THEN 'tail'
           |            ELSE 'middle' END AS label
-          |FROM ranked""".stripMargin)))
+          |FROM ranked""".stripMargin)),
+
+    // ── EXT44 — token-budget corpus mixing: fill each source's TOKEN
+    //    quota in the EXT30 seeded-permutation order (training recipes
+    //    are stated in tokens, not rows — row rates realize a token mix
+    //    only in expectation). The budget-crossing doc is included
+    //    (fill-to-at-least; packing trims overshoot downstream), a
+    //    budget under the first doc still yields that doc, an absent
+    //    source drops. src0 takes all (budget > corpus at this SF is
+    //    fine — prefix = everything), src1 truncates, src2 crosses on
+    //    its first docs; the permutation hash replays exactly in SQL.
+    QueryDef(
+      "ext44_token_mix",
+      (s, d) => graft.ops.Sampling.tokenBudgetMix(
+        Tables.documents(s, d), col("source"),
+        Map("src0" -> 400L, "src1" -> 700L, "src2" -> 50L)),
+      bench = true,
+      sql = Some("""WITH t AS (
+          |  SELECT doc_id, source,
+          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |         ((doc_id % 1000000007)
+          |            * ((42 * 2654435761) % 1000000006 + 1)
+          |          + 42) % 1000000007 AS h
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, source, n_tokens,
+          |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+          |           ORDER BY h, doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          |  FROM t
+          |)
+          |SELECT doc_id, source, n_tokens FROM c
+          |WHERE bef < CASE source WHEN 'src0' THEN 400
+          |                        WHEN 'src1' THEN 700
+          |                        WHEN 'src2' THEN 50 ELSE 0 END""".stripMargin)))
 
   /** DuckDB mirror of [[graft.ops.Bpe.bpeMerges]] at merges = 3,
     * mechanically unrolled: stage r computes pair counts over v{r-1},

@@ -151,6 +151,46 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 2L), "a clean eval doc flags nothing")
   }
 
+  test("token-budget mix: quotas fill in permutation order; crossing doc included; absent source drops") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.functions.col
+    // src a: 4 docs × 3 tokens; budget 7 → prefix of 3 docs (0+3 < 7,
+    // 3+3 < 7 is false for the 3rd? no: before-sums are 0,3,6,9 → the
+    // three docs with before < 7). src b: budget 2 < first doc's 5
+    // tokens → exactly the one crossing doc. src c: no budget → gone.
+    val docs = Seq(
+      (1L, "a", "t t t"), (2L, "a", "t t t"), (3L, "a", "t t t"), (4L, "a", "t t t"),
+      (10L, "b", "u u u u u"), (11L, "b", "u u u u u"),
+      (20L, "c", "v v")).toDF("doc_id", "src", "text")
+    val got = Sampling.tokenBudgetMix(docs, col("src"), Map("a" -> 7L, "b" -> 2L))
+      .as[(Long, String, Long)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc("a").size === 3, s"before-sums 0,3,6 < 7; 9 is not: $got")
+    assert(bySrc("b").size === 1, "the budget-crossing first doc is included")
+    assert(!bySrc.contains("c"), "a source without a budget drops")
+    assert(got.forall(r => r._2 != "a" || r._3 === 3L))
+    // determinism: same seed → same membership; different seed → same
+    // QUOTAS (sizes) with possibly different members
+    val again = Sampling.tokenBudgetMix(docs, col("src"), Map("a" -> 7L, "b" -> 2L))
+      .as[(Long, String, Long)].collect()
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    val reseed = Sampling.tokenBudgetMix(docs, col("src"), Map("a" -> 7L, "b" -> 2L), seed = 7L)
+      .as[(Long, String, Long)].collect()
+    assert(reseed.count(_._2 == "a") === 3 && reseed.count(_._2 == "b") === 1)
+    // the bucketed prefix-sum path is a pure optimization: hashBuckets=1
+    // degenerates to the naive single-window cutoff — membership must be
+    // identical at any bucketing on a corpus spanning many buckets
+    val wide = (0 until 300).map(i => (i.toLong, s"s${i % 3}",
+      ("w " * (1 + i % 7)).trim)).toDF("doc_id", "src", "text")
+    val quotas = Map("s0" -> 120L, "s1" -> 1L, "s2" -> 10000L)
+    val bucketed = Sampling.tokenBudgetMix(wide, col("src"), quotas)
+      .as[(Long, String, Long)].collect().toSet
+    val naive = Sampling.tokenBudgetMix(wide, col("src"), quotas, hashBuckets = 1)
+      .as[(Long, String, Long)].collect().toSet
+    assert(bucketed === naive, "bucket classification changed membership")
+    assert(bucketed.count(_._2 == "s2") === 100, "an over-budget quota keeps the whole source")
+  }
+
   test("perplexity buckets: quantile slices follow the LM order; sizes split evenly") {
     // 6 docs of sharply different probability mass: docs repeating the
     // corpus-dominant token score highest (head); rare-token docs land
