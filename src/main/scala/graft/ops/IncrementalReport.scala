@@ -110,4 +110,57 @@ object IncrementalReport {
     } finally deltaRollup.unpersist(): Unit
     version
   }
+
+  private val CountKeys = Seq("user_id", "event_type")
+
+  /** Stamp prefix for [[advanceCounts]] rollup stores. */
+  val CountsWriterId: String = "graft-incr-counts"
+
+  /** The source version an [[advanceCounts]] rollup has consumed
+    * through. */
+  def countsConsumedThrough(spark: SparkSession, rollupStore: String): Long =
+    TxStore.history(spark, rollupStore)
+      .flatMap(_.txn)
+      .collect { case s if s.startsWith(CountsWriterId + ":") =>
+        s.substring(CountsWriterId.length + 1).toLong }
+      .maxOption
+      .getOrElse(0L)
+
+  /** One maintenance step of a per-(user_id, event_type) COUNT rollup
+    * driven by ROW-level CDC — [[advance]]'s generalization to sources
+    * that DELETE: [[TxStore.readChangesSince]] emits every logical row
+    * change, and a count rollup is self-maintainable under both
+    * directions (an insert folds as +1, a delete as −1 — the classic
+    * incremental view-maintenance rule for distributive aggregates;
+    * all-integer state, so the fold is exact, never a float
+    * cancellation). Keys deleted down to zero stay as zero-count rows
+    * in the store (a keyed merge cannot drop rows; consumers filter
+    * `n_events != 0` — compacting them away is a separate maintenance
+    * choice). Exactly-once via the same stamp-in-the-rollup-log
+    * protocol as [[advance]]: position and fold commit atomically, a
+    * replayed step no-ops on the found stamp. */
+  def advanceCounts(spark: SparkSession, srcStore: String, rollupStore: String): Long = {
+    val since = countsConsumedThrough(spark, rollupStore)
+    val (version, changes) = TxStore.readChangesSince(spark, srcStore, since)
+    if (version == since) return version
+    val delta = changes
+      .groupBy(CountKeys.map(col): _*)
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L)).as("n_events"))
+      .persist()
+    try {
+      val updates =
+        if (TxStore.history(spark, rollupStore).isEmpty) delta
+        else {
+          val current = TxStore.read(spark, rollupStore)
+          val touched = delta.select(CountKeys.map(col): _*)
+          current.join(touched, CountKeys, "left_semi")
+            .unionByName(delta)
+            .groupBy(CountKeys.map(col): _*)
+            .agg(sum("n_events").as("n_events"))
+        }
+      TxStore.mergeOnce(spark, rollupStore, updates, CountKeys, CountsWriterId,
+        batchId = version, collectStats = false)
+    } finally delta.unpersist(): Unit
+    version
+  }
 }

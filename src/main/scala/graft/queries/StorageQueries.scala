@@ -660,7 +660,37 @@ object StorageQueries {
              |UNION ALL
              |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
              |       'delete', 3 FROM events
-             |WHERE user_id = 7 AND event_id % 100 <> 0""".stripMargin)))
+             |WHERE user_id = 7 AND event_id % 100 <> 0""".stripMargin)),
+
+    // ── S33 — incremental rollup maintenance from ROW-level CDC: the
+    //    s20 materialized-view pattern generalized to a source that
+    //    DELETES. Step 1 folds the appended rows (+1 each); vectored +
+    //    copy-on-write deletes land; step 2 folds BOTH delete commits
+    //    as −1s — never re-scanning the table, exact because the state
+    //    is all-integer. A third advance must no-op (exactly-once: the
+    //    position rides in the rollup store's own commit stamps). The
+    //    oracle is the full recompute over the surviving rows — green
+    //    means two incremental folds ≡ the from-scratch rollup.
+    QueryDef(
+      "s33_tx_cdc_rollup",
+      (s, d) => {
+        val src = freshStore(s, "s33-src", d)
+        val rep = freshStore(s, "s33-rep", d)
+        TxStore.append(Tables.events(s, d), src) // v1
+        IncrementalReport.advanceCounts(s, src, rep) // fold inserts
+        TxStore.deleteVectoredBulk(s, src, col("event_id") % 100 === 0) // v2
+        TxStore.delete(s, src, col("user_id") === 7L) // v3
+        val v = IncrementalReport.advanceCounts(s, src, rep) // fold deletes
+        require(v == 3L, s"expected to consume through v3, got v$v")
+        require(IncrementalReport.advanceCounts(s, src, rep) == 3L,
+          "a caught-up advance must no-op at the same position")
+        TxStore.read(s, rep).filter(col("n_events") =!= 0L)
+          .select(col("user_id"), col("event_type"), col("n_events"))
+      },
+      Some("""SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+             |FROM events
+             |WHERE event_id % 100 <> 0 AND user_id <> 7
+             |GROUP BY 1, 2""".stripMargin)))
 
   /** A per-(query, dir, process) TxStore path, wiped before use — a
     * reused log would replay the previous run's commits on top of this

@@ -1006,6 +1006,33 @@ class TxStoreSpec extends SparkSpec {
     assert(df.columns.toSeq === Seq("id", "payload", "_change_type", "_commit_version"))
   }
 
+  test("row CDC rollup: deletes fold as negatives; zero rows linger filtered; replay no-ops") {
+    import graft.ops.IncrementalReport
+    val src = tmpDir(); val rep = tmpDir()
+    val ev = Seq((1L, 10L, "click", "x"), (2L, 10L, "click", "y"), (3L, 20L, "view", "z"))
+      .toDF("event_id", "user_id", "event_type", "payload")
+    TxStore.append(ev, src) // v1
+    assert(IncrementalReport.advanceCounts(spark, src, rep) === 1L)
+    TxStore.delete(spark, src, col("user_id") === 20L) // v2: kills the only view row
+    TxStore.deleteVectored(spark, src, col("event_id") === 1L) // v3
+    assert(IncrementalReport.advanceCounts(spark, src, rep) === 3L)
+    val state = TxStore.read(spark, rep)
+      .select("user_id", "event_type", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(state === Set((10L, "click", 1L), (20L, "view", 0L)),
+      "zero-count keys stay as explicit zeros in the store")
+    // crash-replay: a third advance with nothing new must not move the
+    // position or the state
+    assert(IncrementalReport.advanceCounts(spark, src, rep) === 3L)
+    assert(TxStore.read(spark, rep).as[(Long, String, Long)].collect().toSet === state)
+    // a re-insert resurrects the zero-count key additively
+    TxStore.append(Seq((9L, 20L, "view", "w")).toDF("event_id", "user_id", "event_type", "payload"), src)
+    IncrementalReport.advanceCounts(spark, src, rep)
+    assert(TxStore.read(spark, rep).filter(col("n_events") =!= 0L)
+      .as[(Long, String, Long)].collect().toSet ===
+      Set((10L, "click", 1L), (20L, "view", 1L)))
+  }
+
   test("row CDC: changes read in the CURRENT schema — old inserts carry NULL for new columns") {
     val t = tmpDir()
     TxStore.append(rows(3), t) // v1 — (id, payload)
