@@ -138,8 +138,17 @@ class PlanAuditSpec extends SparkSpec {
       // round-11 additions
       "ext41_winnow_pairs" -> 0,   // fp sets ride the cached lineage; every
                                    // consumer join broadcasts at this SF
-      "ext34_semdedup_tail" -> 5)  // 16-table keyed self-join + verify joins
+      "ext34_semdedup_tail" -> 5,  // 16-table keyed self-join + verify joins
                                    // + the drop-id distinct + anti-join
+      // late round-11 additions
+      "ext42_bpe_encode" -> 3,      // word tf + doc×word agg + per-doc sum;
+                                    // the vocab fold is vocab-scale, joins broadcast
+      "ext41_winnow_decontam" -> 0, // both corpora's fp sets ride cached lineages;
+                                    // df guard + containment joins broadcast at this SF
+      "ext43_ppl_buckets" -> 0,     // scores cached; the rank's range exchange
+                                    // rides the cached lineage
+      "ext44_token_mix" -> 1)       // the crossing-bucket window only; totals agg
+                                    // rides the cached base, classification broadcasts
     val measured = bounds.toSeq.sortBy(_._1).map { case (name, maxShuffles) =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       df.collect() // finalize the AQE plan
