@@ -453,6 +453,105 @@ object Dedup {
       .select(col("eval_doc"), col("train_doc"), graft.Num.rnd(col("overlap"), 4).as("overlap"))
   }
 
+  /** Distributed Bloom-filter build over one string column: k seeded
+    * xxhash64 bit positions per value, OR-combined into 64-bit blocks by
+    * a map-side-combinable `bit_or` aggregate, collected as ONE array of
+    * `numBits / 64` longs. The collect is MODEL-bounded — the filter's
+    * own size (e.g. 2²² bits = 512 KiB), never the data — the same
+    * contract as the k-means/PQ training collects. Intended use: build
+    * over the SMALL side of an asymmetric join, broadcast (a `lit`
+    * array literal is one object in the plan), probe with
+    * [[mightContain]] on the large side BEFORE its shuffle. */
+  def bloomBuild(values: DataFrame, valueCol: String, numBits: Int, numHashes: Int): Array[Long] = {
+    require(numBits >= 64 && numBits % 64 == 0, s"numBits must be a positive multiple of 64: $numBits")
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    val pos = (0 until numHashes).map(i => pmod(xxhash64(lit(i), col(valueCol)), lit(numBits.toLong)))
+    val blocks = values
+      .select(explode(array(pos: _*)).as("__pos"))
+      .select((col("__pos") / 64L).cast("long").as("__block"),
+        call_function("shiftleft", lit(1L), pmod(col("__pos"), lit(64L)).cast("int")).as("__mask"))
+      .groupBy("__block")
+      .agg(bit_or(col("__mask")).as("__bits"))
+      .collect()
+    val arr = new Array[Long](numBits / 64)
+    blocks.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe against a [[bloomBuild]] filter: true iff all k
+    * seeded bit positions are set. Pure built-in Column arithmetic
+    * (xxhash64 / element_at on an array LITERAL / bitwise and) — stays
+    * inside whole-stage codegen, no UDF, no custom Expression. May
+    * return false positives (rate ≈ (1 − e^(−kn/m))^k), NEVER false
+    * negatives — the law the ext45 lane pins cross-engine. */
+  def mightContain(blocks: Array[Long], numHashes: Int, value: Column): Column = {
+    val numBits = blocks.length * 64L
+    val blocksLit = lit(blocks)
+    (0 until numHashes)
+      .map { i =>
+        val p = pmod(xxhash64(lit(i), value), lit(numBits))
+        (element_at(blocksLit, ((p / 64L).cast("long") + 1L).cast("int"))
+          .bitwiseAND(call_function("shiftleft", lit(1L), pmod(p, lit(64L)).cast("int")))) =!= 0L
+      }
+      .reduce(_ && _)
+  }
+
+  /** EXT45 — [[decontamPairs]] with a broadcast-Bloom train-side
+    * prefilter: the eval corpus's shingle set (the SMALL side — a
+    * benchmark suite, not the lake) is compressed into a fixed-size
+    * Bloom filter on the driver, and every train shingle is probed
+    * AGAINST THE FILTER BEFORE THE SHUFFLE — only shingles that might
+    * appear in some eval doc cross the wire. At 100 TB this is the
+    * difference between shuffling the full train shingle projection
+    * (∝ corpus) and shuffling its eval-overlapping sliver (∝ leakage,
+    * typically ≪ 1%), for a fixed broadcast of numBits/8 bytes.
+    *
+    * The result is EXACTLY [[decontamPairs]]' result, proven by the
+    * registered lane hash-matching ext20's exact-intersection oracle:
+    * Bloom false negatives cannot occur (a shared shingle always passes
+    * its own bits), and a false positive merely lets through a train
+    * shingle that then finds no eval partner in the equi-join —
+    * intersection counts and the eval-side denominator are untouched.
+    * The df guard still runs FIRST (on the unfiltered train side): its
+    * cap semantics are defined against true corpus doc-frequencies,
+    * and boilerplate that overlaps eval must stay capped. */
+  def decontamPairsBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      w: Int = 3,
+      minOverlap: Double = 0.5,
+      maxTrainDf: Long = 0L,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 5): DataFrame = {
+    val invE = TextOps.shingleRows(eval, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEval = invE.groupBy("doc_id").agg(count(lit(1)).as("n_eval"))
+    val bloom = bloomBuild(invE, "shingle", numBits, numHashes)
+    val invT0 = TextOps.shingleRows(train, w)
+      .select(col("doc_id").as("train_doc"), col("shingle"))
+    val guarded =
+      if (maxTrainDf <= 0L) invT0
+      else {
+        val invT = invT0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hot = invT
+          .groupBy("shingle")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxTrainDf)
+          .select("shingle")
+        invT.join(hot, Seq("shingle"), "left_anti")
+      }
+    val common = guarded
+      .filter(mightContain(bloom, numHashes, col("shingle")))
+      .join(invE.select(col("doc_id").as("eval_doc"), col("shingle")), "shingle")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(nEval.select(col("doc_id").as("eval_doc"), col("n_eval")), "eval_doc")
+      .withColumn("overlap", col("common").cast("double") / col("n_eval").cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("eval_doc"), col("train_doc"), graft.Num.rnd(col("overlap"), 4).as("overlap"))
+  }
+
   /** Per-eval-doc rollup of [[decontamPairs]]: how many train docs
     * contaminate each eval doc, and how badly. The "can I trust this
     * benchmark" view — an eval doc with any row here needs excluding (or

@@ -759,6 +759,30 @@ object ExtQueries {
            |FROM ov WHERE overlap >= 0.5""".stripMargin),
       bench = true),
 
+    // ── EXT45 — Bloom-prefiltered decontamination: ext20's semantics
+    //    through the broadcast-Bloom train-side prefilter (the eval
+    //    shingle set compressed to 2¹⁸ bits, every train shingle probed
+    //    with pure built-in Column arithmetic BEFORE the shuffle — at
+    //    lake scale only the eval-overlapping sliver of the train
+    //    shingle projection crosses the wire). The oracle is the SAME
+    //    exact-intersection SQL as ext20: the lane hash-matching it IS
+    //    the no-false-negative law, cross-engine — the filter may only
+    //    pass extra shingles (which then find no equi-join partner),
+    //    never drop a shared one. Prefilter selectivity + planted
+    //    disjoint-corpus behavior are pinned in DedupSimilaritySpec.
+    QueryDef(
+      "ext45_bloom_decontam",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontamPairsBloom(
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+          maxTrainDf = DecontamTrainDfCap, numBits = 1 << 18, numHashes = 5)
+      },
+      Some(DecontamCtes +
+        s"""SELECT eval_doc, train_doc, ${Sql.rnd("overlap", 4)} AS overlap
+           |FROM ov WHERE overlap >= 0.5""".stripMargin),
+      bench = true),
+
     // ── EXT20b — the per-eval-doc contamination report (how many train
     //    docs leak each eval doc, and the worst overlap).
     QueryDef(

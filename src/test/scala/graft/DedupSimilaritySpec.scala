@@ -564,4 +564,54 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got == Set((1000L, 1L, 1.0)), s"got $got")
   }
+
+  test("bloom decontam equals exact decontam on the fixture split (no false negatives)") {
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    val exact = Dedup.decontamPairs(train, eval, maxTrainDf = 200L)
+      .as[(Long, Long, Double)].collect().toSet
+    val bloomed = Dedup.decontamPairsBloom(train, eval, maxTrainDf = 200L,
+        numBits = 1 << 16, numHashes = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture split produced no contamination pairs — test is vacuous")
+    assert(bloomed == exact, s"bloom path diverged: missing=${exact -- bloomed} extra=${bloomed -- exact}")
+  }
+
+  test("bloom prefilter drops nearly all train shingles of a disjoint corpus") {
+    // Disjoint vocabularies: every train shingle is absent from the eval
+    // set, so only Bloom false positives survive the probe. At k=5,
+    // m=2^16 bits and n ≈ 3·10³ inserted shingles the fp rate is ~1e-5 —
+    // assert a generous < 1% bound, and that the pair result is empty.
+    val train = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("alpha"), col("id"), lit("beta"), col("id") + 1,
+          lit("gamma"), col("id") + 2, lit("delta"), col("id") % 97).as("text"))
+    val eval = spark.range(0, 500)
+      .select((col("id") + 10000).as("doc_id"),
+        concat_ws(" ", lit("omega"), col("id"), lit("psi"), col("id") + 1,
+          lit("chi"), col("id") + 2, lit("phi"), col("id") % 89).as("text"))
+    val invE = graft.ops.TextOps.shingleRows(eval)
+    val bloom = Dedup.bloomBuild(invE, "shingle", 1 << 16, 5)
+    val invT = graft.ops.TextOps.shingleRows(train)
+    val total = invT.count()
+    val passed = invT.filter(Dedup.mightContain(bloom, 5, col("shingle"))).count()
+    assert(total > 3000L, s"expected a substantial train shingle set, got $total")
+    assert(passed.toDouble / total < 0.01,
+      s"prefilter passed $passed of $total disjoint shingles — fp rate too high")
+    assert(Dedup.decontamPairsBloom(train, eval).isEmpty)
+  }
+
+  test("bloom probe stays inside whole-stage codegen (no UDF, no fallback expression)") {
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    val invE = graft.ops.TextOps.shingleRows(eval)
+    val bloom = Dedup.bloomBuild(invE, "shingle", 1 << 16, 5)
+    val probe = graft.ops.TextOps.shingleRows(docs.filter(col("doc_id") % 5 =!= 0))
+      .filter(Dedup.mightContain(bloom, 5, col("shingle")))
+    probe.collect() // finalize the AQE plan before reading it
+    val plan = probe.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n) Operator" in the final plan string
+    assert(plan.contains("*("), s"probe fell out of codegen:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
+      s"probe used a UDF:\n$plan")
+  }
 }
