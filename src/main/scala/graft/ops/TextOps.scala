@@ -489,6 +489,99 @@ object TextOps {
         graft.Num.rnd(col("__s") / col("n_bigrams").cast("double"), 4).as("avg_logp"))
   }
 
+  /** EXT35c — TRIGRAM STUPID-BACKOFF scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the score Google
+    * ran over web-scale corpora precisely BECAUSE it needs no
+    * discounting, only raw counts): score every trigram position of an
+    * EVAL corpus under a model counted from a TRAIN corpus,
+    *
+    *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c₂(w₁w₂)        if the trigram is seen
+    *              = α·c(w₂w₃)/c₁(w₂)           else if the bigram is
+    *              = α²·c(w₃)/N                 else if the unigram is
+    *              = α³·1/N                     else (OOV floor),
+    *
+    * with α = 0.4 and every denominator the count over the SAME
+    * n-gram-position population as its numerator (conditionals sum to
+    * 1 per history, the [[bigramLogProb]] discipline). The cross-corpus
+    * split is what makes this the ladder step [[bigramLogProb]] cannot
+    * take: self-scored corpora never back off (every n-gram is
+    * in-model); scoring eval under train exercises all four tiers, and
+    * the per-tier position counts ride along as the OOV diagnostic a
+    * curation pipeline actually reads. Documents with < 3 tokens have
+    * no trigram position and no row, in both engines. ln-sums are
+    * rounded once at 4 dp (order-independent up to that rounding —
+    * the established LM-lane hash contract).
+    *
+    * Shape: train is touched ONCE per n-gram order (three map-side-
+    * combined count aggregates, vocabulary-sized outputs); prefix
+    * denominators attach to their numerator tables by vocabulary-scale
+    * joins; eval trigram positions come from a per-row nested zip_with
+    * (ZERO shuffle, no window) and meet the three enriched count
+    * tables through LEFT joins keyed by the n-gram — never a broadcast
+    * vocabulary, never a driver-side model beyond the single total-
+    * token scalar. */
+  def backoffLogProb(
+      train: DataFrame,
+      eval: DataFrame,
+      tok: Column => Column = tokens): DataFrame = {
+    val alpha = 0.4
+    def grams(df: DataFrame, w: Int): DataFrame = {
+      val t = tok(col("text"))
+      val n = greatest(size(t) - (w - 1), lit(0))
+      val slices = (1 to w).map(o => slice(t, lit(o), n))
+      val g = slices.reduceLeft((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y)))
+      df.select(col("doc_id"), explode(g).as("g"))
+    }
+    val t3 = grams(train, 3)
+    val t2 = grams(train, 2)
+    val t1 = grams(train, 1)
+    // numerator counts + their position-population prefix denominators
+    val c3 = t3.groupBy("g").agg(count(lit(1)).as("ct"))
+    val p2 = t3.select(substring_index(col("g"), " ", 2).as("pre2"))
+      .groupBy("pre2").agg(count(lit(1)).as("cbp"))
+    val c2 = t2.groupBy("g").agg(count(lit(1)).as("cb"))
+    val p1 = t2.select(substring_index(col("g"), " ", 1).as("prev"))
+      .groupBy("prev").agg(count(lit(1)).as("cup"))
+    val c1 = t1.groupBy("g").agg(count(lit(1)).as("cu"))
+    // one scalar to the driver: the train token total (the unigram
+    // denominator) — model-bounded like unigramModel's logTotal
+    val nTot = c1.agg(coalesce(sum("cu"), lit(0L))).head().getLong(0)
+    require(nTot > 0, "backoffLogProb: train corpus has no tokens — the model is undefined")
+    val tri3 = c3.withColumn("pre2", substring_index(col("g"), " ", 2))
+      .join(p2, "pre2").select(col("g").as("tri"), col("ct"), col("cbp"))
+    val bi2 = c2.withColumn("prev", substring_index(col("g"), " ", 1))
+      .join(p1, "prev").select(col("g").as("bg"), col("cb"), col("cup"))
+    val uni = c1.select(col("g").as("w"), col("cu"))
+    val ev = grams(eval, 3)
+      .select(col("doc_id"), col("g").as("tri"),
+        substring_index(col("g"), " ", -2).as("bg"),
+        substring_index(col("g"), " ", -1).as("w"))
+    val tier = ev
+      .join(tri3, Seq("tri"), "left")
+      .join(bi2, Seq("bg"), "left")
+      .join(uni, Seq("w"), "left")
+      .withColumn("logs",
+        when(col("ct").isNotNull,
+          log(col("ct").cast("double")) - log(col("cbp").cast("double")))
+          .when(col("cb").isNotNull,
+            lit(math.log(alpha)) + log(col("cb").cast("double")) - log(col("cup").cast("double")))
+          .when(col("cu").isNotNull,
+            lit(2 * math.log(alpha)) + log(col("cu").cast("double")) - lit(math.log(nTot.toDouble)))
+          .otherwise(lit(3 * math.log(alpha)) - lit(math.log(nTot.toDouble))))
+      .withColumn("tier",
+        when(col("ct").isNotNull, lit("tri"))
+          .when(col("cb").isNotNull, lit("bi"))
+          .when(col("cu").isNotNull, lit("uni"))
+          .otherwise(lit("oov")))
+    tier.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("tier") === "tri", 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("tier") === "bi", 1L).otherwise(0L)).as("n_bi_hits"),
+        sum(when(col("tier") === "uni", 1L).otherwise(0L)).as("n_uni_hits"),
+        sum(when(col("tier") === "oov", 1L).otherwise(0L)).as("n_oov"),
+        graft.Num.rnd(sum(col("logs")) / count(lit(1)).cast("double"), 4).as("avg_logs"))
+  }
+
   /** EXT43 — CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020):
     * split the corpus into `buckets` equal quantile slices of the
     * language-model score — the head/middle/tail partition CCNet feeds

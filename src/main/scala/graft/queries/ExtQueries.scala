@@ -1567,6 +1567,68 @@ object ExtQueries {
               |FROM bo JOIN btf USING (bg) JOIN ptf USING (prev)
               |GROUP BY doc_id""".stripMargin)),
 
+    // ── EXT35c — trigram stupid-backoff scoring (Brants et al. 2007):
+    //    the eval slice (doc_id % 5 = 0) scored under a model counted
+    //    from the train slice (% 5 ≠ 0) — the cross-corpus form that
+    //    actually exercises all four backoff tiers (self-scored corpora
+    //    never back off). The oracle recomputes counts, prefix
+    //    denominators, the tiered CASE and the per-tier diagnostics
+    //    from first principles over the same split.
+    QueryDef(
+      "ext35_backoff_logprob",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextOps.backoffLogProb(
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+              |), t3 AS (
+              |  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g,
+              |         l[i] || ' ' || l[i+1] AS pre2
+              |  FROM (SELECT doc_id, unnest(range(1, len(l) - 1)) AS i, l FROM d WHERE doc_id % 5 <> 0)
+              |), t2 AS (
+              |  SELECT doc_id, l[i] || ' ' || l[i+1] AS g, l[i] AS prev
+              |  FROM (SELECT doc_id, unnest(range(1, len(l))) AS i, l FROM d WHERE doc_id % 5 <> 0)
+              |), t1 AS (
+              |  SELECT doc_id, unnest(l) AS g FROM d WHERE doc_id % 5 <> 0
+              |), c3 AS (SELECT g, COUNT(*) AS ct FROM t3 GROUP BY 1),
+              |   p2 AS (SELECT pre2, COUNT(*) AS cbp FROM t3 GROUP BY 1),
+              |   c2 AS (SELECT g, COUNT(*) AS cb FROM t2 GROUP BY 1),
+              |   p1 AS (SELECT prev, COUNT(*) AS cup FROM t2 GROUP BY 1),
+              |   c1 AS (SELECT g, COUNT(*) AS cu FROM t1 GROUP BY 1),
+              |   nt AS (SELECT SUM(cu) AS n FROM c1),
+              |   tri3 AS (SELECT c3.g AS tri, ct, cbp
+              |            FROM c3 JOIN p2 ON p2.pre2 = array_to_string(string_split(c3.g, ' ')[1:2], ' ')),
+              |   bi2 AS (SELECT c2.g AS bg, cb, cup
+              |           FROM c2 JOIN p1 ON p1.prev = string_split(c2.g, ' ')[1]),
+              |   ev AS (
+              |  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri,
+              |         l[i+1] || ' ' || l[i+2] AS bg, l[i+2] AS w
+              |  FROM (SELECT doc_id, unnest(range(1, len(l) - 1)) AS i, l FROM d WHERE doc_id % 5 = 0)
+              |), tier AS (
+              |  SELECT ev.doc_id,
+              |         CASE WHEN ct IS NOT NULL THEN ln(CAST(ct AS DOUBLE)) - ln(CAST(cbp AS DOUBLE))
+              |              WHEN cb IS NOT NULL THEN ln(0.4) + ln(CAST(cb AS DOUBLE)) - ln(CAST(cup AS DOUBLE))
+              |              WHEN cu IS NOT NULL THEN 2 * ln(0.4) + ln(CAST(cu AS DOUBLE)) - ln(CAST((SELECT n FROM nt) AS DOUBLE))
+              |              ELSE 3 * ln(0.4) - ln(CAST((SELECT n FROM nt) AS DOUBLE)) END AS logs,
+              |         CASE WHEN ct IS NOT NULL THEN 'tri'
+              |              WHEN cb IS NOT NULL THEN 'bi'
+              |              WHEN cu IS NOT NULL THEN 'uni' ELSE 'oov' END AS tier
+              |  FROM ev
+              |  LEFT JOIN tri3 ON ev.tri = tri3.tri
+              |  LEFT JOIN bi2 ON ev.bg = bi2.bg
+              |  LEFT JOIN c1 ON ev.w = c1.g
+              |)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+              |       CAST(SUM(CASE WHEN tier = 'tri' THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+              |       CAST(SUM(CASE WHEN tier = 'bi' THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_hits,
+              |       CAST(SUM(CASE WHEN tier = 'uni' THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_hits,
+              |       CAST(SUM(CASE WHEN tier = 'oov' THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+              |       ${Sql.rnd("SUM(logs) / COUNT(*)", 4)} AS avg_logs
+              |FROM tier GROUP BY doc_id""".stripMargin),
+      bench = true),
+
     // ── EXT41 — winnowing fingerprints (Schleimer et al. 2003, MOSS):
     //    per-doc rightmost-min of each w-window of k-gram md5 hashes,
     //    distinct — the guarantee-carrying fingerprint set (any

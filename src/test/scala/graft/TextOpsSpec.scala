@@ -239,6 +239,35 @@ class TextOpsSpec extends SparkSpec {
     assert(z.map(_.getLong(0)).toSet === Set(7L), "zero-token doc drops out cleanly")
   }
 
+  test("stupid backoff: all four tiers score hand-checked values; short docs drop out") {
+    // train "a b c a b d": trigram counts {abc,bca,cab,abd}=1, pre2
+    // counts {"a b":2,"b c":1,"c a":1}; bigram counts {"a b":2,others 1},
+    // prev counts {a:2,b:2,c:1}; unigrams a:2 b:2 c:1 d:1, N=6.
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b c"), // tri tier: ln(c(abc)/c2(ab)) = ln(1/2)
+      (11L, "d a b"), // bi tier: tri "d a b" unseen; ln(0.4) + ln(c(ab)/c1(a)) = ln(0.4) + ln(2/2)
+      (12L, "b d c"), // uni tier: tri+bg unseen, c(c)=1 → 2ln(0.4) + ln(1/6)
+      (13L, "a b x"), // oov tier: x unseen anywhere → 3ln(0.4) − ln(6)
+      (14L, "a b")    // < 3 tokens — no trigram position, no row
+    ).toDF("doc_id", "text")
+    val got = TextOps.backoffLogProb(train, eval)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def rnd4(x: Double) = math.floor(x.abs * 1e4 + 0.5) / 1e4 * math.signum(x)
+    val a = math.log(0.4)
+    assert(got.keySet === Set(10L, 11L, 12L, 13L), s"got ${got.keySet}")
+    assert(got(10L) === ((10L, 1L, 1L, 0L, 0L, 0L, rnd4(math.log(1.0 / 2.0)))), s"${got(10L)}")
+    assert(got(11L) === ((11L, 1L, 0L, 1L, 0L, 0L, rnd4(a + math.log(2.0 / 2.0)))), s"${got(11L)}")
+    assert(got(12L) === ((12L, 1L, 0L, 0L, 1L, 0L, rnd4(2 * a + math.log(1.0 / 6.0)))), s"${got(12L)}")
+    assert(got(13L) === ((13L, 1L, 0L, 0L, 0L, 1L, rnd4(3 * a - math.log(6.0)))), s"${got(13L)}")
+    // self-scoring never backs off: every position lands in the tri tier
+    val self = TextOps.backoffLogProb(train, train)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].head()
+    assert(self._2 === self._3 && self._5 === 0L && self._6 === 0L,
+      s"self-scored corpus backed off: $self")
+  }
+
   test("tokenizer seam: regexTokens swaps tokenization without forking the operator") {
     // "a" (single char) and "T1" (uppercase) are whitespace tokens but
     // not [a-z]{2,} runs; "foo-bar" is ONE whitespace token but TWO
