@@ -566,6 +566,65 @@ object Dedup {
       .groupBy("eval_doc")
       .agg(count(lit(1)).as("n_train_docs"), max("overlap").as("max_overlap"))
 
+  /** EXT46 — LINE-LEVEL dedup (the RefinedWeb / Falcon curation pass,
+    * Penedo et al. 2023 §3: drop LINES duplicated across many
+    * documents — navigation menus, cookie banners, like-counters —
+    * while keeping the documents themselves): a line whose distinct-
+    * document frequency reaches `maxDf` is removed from EVERY document,
+    * and each document is reassembled from its surviving lines in
+    * original order. This is the intra-document complement of
+    * [[SpanDedup]]: span dedup trims a copied RUN between two specific
+    * docs; line dedup kills corpus-wide boilerplate wherever it
+    * appears.
+    *
+    * THE SEGMENTATION SEAM: `seg: Column => Column` maps the text
+    * column to its array of lines — `split(text, "\n")` on a real
+    * corpus; the registered lane uses aligned fixed-width token windows
+    * because the fixture is newline-free (the oracle replays the same
+    * segmentation). `joinSep` is the reassembly separator. One row per
+    * INPUT doc always comes back (a fully-boilerplate doc returns
+    * empty text, `n_lines_removed` = `n_lines`) — dropping empties is
+    * the caller's policy, not the operator's.
+    *
+    * Shape: one posexplode per doc; the df table is a two-level keyed
+    * aggregate ((line, doc_id) distinct → per-line count, both
+    * map-side combinable — never a count-distinct shuffle of raw
+    * occurrence rows); boilerplate removal is a left-anti join against
+    * the (small, zipfian) over-threshold line list, which AQE
+    * broadcasts; reassembly is array_sort over a per-doc collect_list
+    * of (line_no, line) structs — grouped by doc_id, so the sort is
+    * per-document in the aggregate buffer, NOT a window or global
+    * sort. */
+  def lineDedup(
+      docs: DataFrame,
+      maxDf: Long = 2L,
+      seg: Column => Column = split(_, "\n"),
+      joinSep: String = "\n"): DataFrame = {
+    require(maxDf >= 2L, s"maxDf < 2 would remove every line: $maxDf")
+    val lines = docs
+      .select(col("doc_id"), posexplode(seg(col("text"))).as(Seq("line_no", "line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = lines
+      .select("line", "doc_id").distinct()
+      .groupBy("line").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= maxDf)
+      .select("line")
+    val kept = lines.join(hot, Seq("line"), "left_anti")
+    val rebuilt = kept
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("__n_kept"),
+        array_sort(collect_list(struct(col("line_no"), col("line")))).as("__ls"))
+      .select(col("doc_id"), col("__n_kept"),
+        array_join(transform(col("__ls"), s => s.getField("line")), joinSep).as("__text"))
+    docs
+      .select(col("doc_id"), size(seg(col("text"))).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__text"), lit("")).as("text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_lines_removed"))
+  }
+
   /** EXT2e — connected components over an undirected near-dup pair graph
     * (doc_a, doc_b): returns (doc_id, component) for every doc appearing
     * in ≥ 1 pair, where component = the smallest doc_id transitively

@@ -40,6 +40,21 @@ object TextOps {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit(AlphaTokenPattern), lit(0))
 
+  /** Aligned fixed-width token-window segmentation — the "lines" used
+    * by [[Dedup.lineDedup]]'s registered lane on the newline-free
+    * fixture (a real corpus passes `split(_, "\n")` instead). Window i
+    * covers tokens [i·width+1, (i+1)·width]; the tail window is kept
+    * short. Pure per-row array arithmetic, zero shuffle; a zero-token
+    * document segments to zero lines. */
+  def tokenWindowLines(width: Int, tok: Column => Column = tokens): Column => Column = { text =>
+    val t = tok(text)
+    val n = size(t)
+    when(n <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((n - 1).cast("double") / width).cast("int")),
+        i => concat_ws(" ", slice(t, i * width + 1, lit(width)))))
+  }
+
   /** (doc_id, shingle) rows — distinct w-token shingles per document,
     * generated with posexplode + `lead` windows rather than higher-order
     * array functions: HOFs are CodegenFallback (interpreted, no

@@ -1567,6 +1567,47 @@ object ExtQueries {
               |FROM bo JOIN btf USING (bg) JOIN ptf USING (prev)
               |GROUP BY doc_id""".stripMargin)),
 
+    // ── EXT46 — line-level dedup (RefinedWeb, Penedo et al. 2023):
+    //    lines appearing in ≥ 2 distinct documents are boilerplate and
+    //    removed from every document; docs reassemble from surviving
+    //    lines in order (one output row per input doc, empties kept).
+    //    The fixture is newline-free, so "lines" are aligned 8-token
+    //    windows (the segmentation-seam default on a real corpus is
+    //    split-on-newline); the oracle replays segmentation, distinct-df,
+    //    removal and ordered reassembly exactly. The fixture's exact-dup
+    //    clusters make the removal observable (their every line has
+    //    df ≥ 2).
+    QueryDef(
+      "ext46_line_dedup",
+      (s, d) =>
+        Dedup.lineDedup(Tables.documents(s, d), maxDf = 2L,
+          seg = TextOps.tokenWindowLines(8)),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+             |), lines AS (
+             |  SELECT doc_id, i AS line_no,
+             |         array_to_string(l[8 * i + 1 : 8 * i + 8], ' ') AS line
+             |  FROM (SELECT doc_id, l,
+             |               unnest(range(0, CAST(ceil(len(l) / 8.0) AS BIGINT))) AS i
+             |        FROM d)
+             |), hot AS (
+             |  SELECT line
+             |  FROM (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1)
+             |  WHERE df >= 2
+             |), kept AS (
+             |  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)
+             |), reb AS (
+             |  SELECT doc_id, COUNT(*) AS n_kept,
+             |         string_agg(line, chr(10) ORDER BY line_no) AS text2
+             |  FROM kept GROUP BY 1
+             |)
+             |SELECT d.doc_id, COALESCE(reb.text2, '') AS text,
+             |       CAST(ceil(len(d.l) / 8.0) AS BIGINT) AS n_lines,
+             |       CAST(ceil(len(d.l) / 8.0) AS BIGINT) - COALESCE(reb.n_kept, 0)
+             |         AS n_lines_removed
+             |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id""".stripMargin),
+      bench = true),
+
     // ── EXT35c — trigram stupid-backoff scoring (Brants et al. 2007):
     //    the eval slice (doc_id % 5 = 0) scored under a model counted
     //    from the train slice (% 5 ≠ 0) — the cross-corpus form that

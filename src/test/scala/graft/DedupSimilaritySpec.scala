@@ -565,6 +565,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Set((1000L, 1L, 1.0)), s"got $got")
   }
 
+  test("line dedup removes cross-doc boilerplate lines, keeps order, and keeps emptied docs") {
+    val banner = "accept cookies to continue"
+    val docs = Seq(
+      (1L, s"unique alpha body\n$banner\nunique alpha tail"),
+      (2L, s"$banner\nunique beta body"),
+      (3L, banner), // fully boilerplate — must come back as an empty row
+      (4L, "repeated inside\nrepeated inside\nonly here") // within-doc repeat, df = 1 → kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, maxDf = 2L)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "unique alpha body\nunique alpha tail", 3L, 1L)), s"${got(1L)}")
+    assert(got(2L) === ((2L, "unique beta body", 2L, 1L)), s"${got(2L)}")
+    assert(got(3L) === ((3L, "", 1L, 1L)), s"${got(3L)}")
+    assert(got(4L) === ((4L, "repeated inside\nrepeated inside\nonly here", 3L, 0L)),
+      s"within-doc repetition is NOT boilerplate (df counts distinct docs): ${got(4L)}")
+  }
+
+  test("token-window segmentation covers every token; lineDedup round-trips an untouched corpus") {
+    // all-unique corpus: nothing removed, reassembly must reproduce the
+    // window join of the original text exactly
+    val docs = spark.range(0, 50)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("w"), col("id"), lit("x"), col("id") + 1, lit("y"),
+          col("id") + 2, lit("z"), col("id") % 7, lit("tail"), col("id")).as("text"))
+    val out = Dedup.lineDedup(docs, maxDf = 2L,
+      seg = graft.ops.TextOps.tokenWindowLines(4), joinSep = "\n")
+    assert(out.filter(col("n_lines_removed") =!= 0L).isEmpty)
+    val bad = out.join(docs.select(col("doc_id"), col("text").as("orig")), "doc_id")
+      .filter(regexp_replace(col("text"), "\n", " ") =!= col("orig"))
+    assert(bad.isEmpty, "reassembled windows lost or reordered tokens")
+  }
+
   test("bloom decontam equals exact decontam on the fixture split (no false negatives)") {
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val eval = docs.filter(col("doc_id") % 5 === 0)
