@@ -597,6 +597,50 @@ object TextOps {
         graft.Num.rnd(sum(col("logs")) / count(lit(1)).cast("double"), 4).as("avg_logs"))
   }
 
+  /** EXT47 — HASHING-TRICK LINEAR CLASSIFIER scoring (the fastText
+    * shape of Joulin et al. 2016 that CCNet/GPT-3-style pipelines run
+    * as the learned quality gate): each token hashes into one of 256
+    * buckets (first two hex chars of md5 — engine-portable, no
+    * murmur), the document's score is the SUM of the broadcast weight
+    * vector over its token features, and `keep` is the sign. The
+    * weight vector is a CALLER INPUT — production passes trained
+    * weights; the registered lane passes a deterministic integer
+    * vector so the oracle can replay the weights as arithmetic.
+    * TRAINING is out of scope by design (a 256-float logistic fit is
+    * driver-side math, not a data-scale operator); APPLYING the model
+    * to 100 TB is the operator, and it is one codegen'd projection
+    * (md5/ascii/element_at on an array literal) plus ONE map-side-
+    * combinable keyed aggregate. Integer weights make `score_sum`
+    * hash-exact cross-engine; the mean rounds once at 4 dp. Documents
+    * with zero token features have no row (the LM-lane contract). */
+  def hashedClassifierScore(
+      docs: DataFrame,
+      weights: Array[Long],
+      tok: Column => Column = tokens): DataFrame = {
+    require(weights.length == 256, s"weight vector must have 256 buckets: ${weights.length}")
+    def hexVal(c: Column): Column =
+      when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+    val h = md5(col("tok"))
+    val bucket = hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))
+    docs
+      .select(col("doc_id"), explode(tok(col("text"))).as("tok"))
+      .select(col("doc_id"), element_at(lit(weights), bucket + 1).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum(col("w")).as("score_sum"))
+      .select(col("doc_id"), col("n_features"), col("score_sum"),
+        graft.Num.rnd(col("score_sum").cast("double") / col("n_features").cast("double"), 4)
+          .as("mean_score"),
+        (col("score_sum") >= 0L).as("keep"))
+  }
+
+  /** The registered lane's deterministic weight vector: w(b) =
+    * ((b·37) mod 21) − 10 ∈ [−10, 10] — fake-but-fixed so the DuckDB
+    * oracle replays the weights as arithmetic instead of carrying a
+    * 256-literal array. Production calls [[hashedClassifierScore]]
+    * with trained weights instead. */
+  val DemoClassifierWeights: Array[Long] =
+    Array.tabulate(256)(b => ((b.toLong * 37L) % 21L) - 10L)
+
   /** EXT43 — CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020):
     * split the corpus into `buckets` equal quantile slices of the
     * language-model score — the head/middle/tail partition CCNet feeds

@@ -1567,6 +1567,39 @@ object ExtQueries {
               |FROM bo JOIN btf USING (bg) JOIN ptf USING (prev)
               |GROUP BY doc_id""".stripMargin)),
 
+    // ── EXT47 — hashing-trick linear classifier (fastText shape,
+    //    Joulin et al. 2016): tokens hash to 256 buckets via the first
+    //    two md5 hex chars; the doc score is the broadcast weight
+    //    vector summed over features. The lane's weights are the
+    //    deterministic DemoClassifierWeights so the oracle replays
+    //    them as arithmetic; integer score_sum is hash-exact.
+    QueryDef(
+      "ext47_hash_classifier",
+      (s, d) =>
+        TextOps.hashedClassifierScore(
+          Tables.documents(s, d), TextOps.DemoClassifierWeights),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+              |), h AS (
+              |  SELECT doc_id,
+              |         (CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97
+              |               THEN ascii(substr(md5(tok), 1, 1)) - 87
+              |               ELSE ascii(substr(md5(tok), 1, 1)) - 48 END) * 16 +
+              |         (CASE WHEN ascii(substr(md5(tok), 2, 1)) >= 97
+              |               THEN ascii(substr(md5(tok), 2, 1)) - 87
+              |               ELSE ascii(substr(md5(tok), 2, 1)) - 48 END) AS b
+              |  FROM tk
+              |), sc AS (
+              |  SELECT doc_id, COUNT(*) AS n, SUM(((b * 37) % 21) - 10) AS s
+              |  FROM h GROUP BY 1
+              |)
+              |SELECT doc_id, CAST(n AS BIGINT) AS n_features,
+              |       CAST(s AS BIGINT) AS score_sum,
+              |       ${Sql.rnd("CAST(s AS DOUBLE) / n", 4)} AS mean_score,
+              |       s >= 0 AS keep
+              |FROM sc""".stripMargin),
+      bench = true),
+
     // ── EXT46 — line-level dedup (RefinedWeb, Penedo et al. 2023):
     //    lines appearing in ≥ 2 distinct documents are boilerplate and
     //    removed from every document; docs reassemble from surviving

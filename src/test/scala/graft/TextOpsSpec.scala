@@ -239,6 +239,30 @@ class TextOpsSpec extends SparkSpec {
     assert(z.map(_.getLong(0)).toSet === Set(7L), "zero-token doc drops out cleanly")
   }
 
+  test("hashed classifier: bucket arithmetic is md5-derived, weights are a caller seam") {
+    // hand-check one token: bucket = hexval(md5[0])·16 + hexval(md5[1])
+    val tok = "spark"
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hv(c: Char) = if (c >= 'a') c - 'a' + 10 else c - '0'
+    val bucket = hv(hex(0)) * 16 + hv(hex(1))
+    val expectW = ((bucket.toLong * 37L) % 21L) - 10L
+    val one = Seq((1L, tok)).toDF("doc_id", "text")
+    val r = TextOps.hashedClassifierScore(one, TextOps.DemoClassifierWeights)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(r === ((1L, 1L, expectW, expectW.toDouble, expectW >= 0L)), s"got $r")
+    // the weight vector is a genuine seam: flipping it flips the verdict
+    val flipped = TextOps.DemoClassifierWeights.map(w => -w)
+    val r2 = TextOps.hashedClassifierScore(one, flipped)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(r2._3 === -expectW && r2._5 === (-expectW >= 0L), s"got $r2")
+    // a zero-feature doc (regexTokens over non-alpha text) has no row
+    val zero = Seq((2L, "123 !!!"), (3L, "words here")).toDF("doc_id", "text")
+    val z = TextOps.hashedClassifierScore(zero, TextOps.DemoClassifierWeights,
+      tok = TextOps.regexTokens)
+    assert(z.select("doc_id").as[Long].collect().toSet === Set(3L))
+  }
+
   test("stupid backoff: all four tiers score hand-checked values; short docs drop out") {
     // train "a b c a b d": trigram counts {abc,bca,cab,abd}=1, pre2
     // counts {"a b":2,"b c":1,"c a":1}; bigram counts {"a b":2,others 1},
