@@ -294,4 +294,35 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tokens"))
     keepAll.unionByName(crossing)
   }
+
+  /** EXT48 — LEAKAGE-SAFE train/val/test split: assignment is by
+    * near-dup GROUP, not by document. A doc-keyed [[hashSplit]] puts
+    * the two halves of a near-duplicate pair in different splits with
+    * probability ≈ 1 − Σpᵢ² — test-set contamination manufactured by
+    * the splitter itself (the failure Lee et al. 2022 measure as
+    * inflated eval scores on deduplicated-after-split corpora). Here
+    * every document adopts the minimum doc_id transitively reachable
+    * through `pairs` ([[Dedup.connectedComponents]]) as its
+    * `group_id` — singletons keep their own id via the left-join
+    * coalesce — and the split hashes the GROUP id, so a near-dup
+    * cluster moves as one unit by construction.
+    *
+    * `pairs` is the caller's near-dup relation — the exact
+    * [[Dedup.jaccardPairs]] twin in the registered lane (oracle
+    * replayable), [[Dedup.minhashLshPairs]] at lake scale: the same
+    * exact/banded seam every dedup consumer here shares. Shape: the
+    * component fold is the iterated keyed join (O(log diameter)
+    * rounds), then ONE left join docs→components and the split
+    * projection — no window, no driver data. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      splits: Seq[(String, Int)],
+      bucketFn: Column => Column = hashBucket): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs)
+    val grouped = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("group_id"))
+    hashSplit(grouped, col("group_id"), splits, bucketFn)
+  }
 }

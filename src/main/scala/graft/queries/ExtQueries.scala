@@ -1567,6 +1567,40 @@ object ExtQueries {
               |FROM bo JOIN btf USING (bg) JOIN ptf USING (prev)
               |GROUP BY doc_id""".stripMargin)),
 
+    // ── EXT48 — leakage-safe split: train/val/test assignment by
+    //    near-dup GROUP (connected component of the Jaccard-0.5 pair
+    //    graph; singletons are their own group), so a near-dup cluster
+    //    never straddles splits. modBucket on the group id keeps the
+    //    oracle exact: the recursive CTE recomputes the closure and the
+    //    same modular cut. The straddle-prevention law is pinned in
+    //    SamplingSpec with a planted cross-split near-dup pair.
+    QueryDef(
+      "ext48_leakage_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Sampling.leakageSafeSplit(
+          docs, Dedup.jaccardPairs(docs, 3, 0.5),
+          Seq(("train", 80), ("val", 10), ("test", 10)), Sampling.modBucket)
+      },
+      Some(DocShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5
+          |), reach(doc_id, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+          |), comp AS (
+          |  SELECT doc_id, MIN(r) AS component FROM reach GROUP BY 1
+          |)
+          |SELECT d.doc_id,
+          |       COALESCE(c.component, d.doc_id) AS group_id,
+          |       CASE WHEN COALESCE(c.component, d.doc_id) % 100 < 80 THEN 'train'
+          |            WHEN COALESCE(c.component, d.doc_id) % 100 < 90 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin)),
+
     // ── EXT47 — hashing-trick linear classifier (fastText shape,
     //    Joulin et al. 2016): tokens hash to 256 buckets via the first
     //    two md5 hex chars; the doc score is the broadcast weight

@@ -1,6 +1,7 @@
 package graft
 
-import graft.ops.TextOps
+import graft.ops.{Dedup, Sampling, TextOps}
+import org.apache.spark.sql.functions.{col, countDistinct}
 
 /** Hand-computed fixtures for the repetition quality signals — the oracle
   * row (ext4_repetition) pins engine parity at corpus scale; this pins the
@@ -237,6 +238,40 @@ class TextOpsSpec extends SparkSpec {
     val zero = Seq((6L, "!!! ??? 123"), (7L, "real words here")).toDF("doc_id", "text")
     val z = TextOps.bigramLogProb(zero, tok = TextOps.regexTokens).collect()
     assert(z.map(_.getLong(0)).toSet === Set(7L), "zero-token doc drops out cleanly")
+  }
+
+  test("leakage-safe split: a near-dup pair planted across split boundaries moves as one") {
+    // docs 5 and 96 are near-identical; a doc-keyed modBucket split puts
+    // 5 in train (5 < 80) and 96 in test (96 >= 90) — the leakage the
+    // group-keyed split exists to prevent. Filler docs are all unique.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val base = Seq(
+      (5L, s"$shared one"),
+      (96L, s"$shared two")
+    ) ++ (100L to 140L).map(i => (i, s"filler doc number $i with its own content $i"))
+    val docs = base.toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, 3, 0.5)
+    assert(pairs.as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      === Set((5L, 96L)), "exactly the planted pair is near-dup")
+    val naive = Sampling.hashSplit(docs.select(col("doc_id")), col("doc_id"),
+      Seq(("train", 80), ("val", 10), ("test", 10)), Sampling.modBucket)
+      .as[(Long, String)].collect().toMap
+    assert(naive(5L) === "train" && naive(96L) === "test",
+      "the naive split must actually straddle for this test to bind")
+    val safe = Sampling.leakageSafeSplit(docs, pairs,
+      Seq(("train", 80), ("val", 10), ("test", 10)), Sampling.modBucket)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(safe(5L) === ((5L, "train")) && safe(96L) === ((5L, "train")),
+      s"cluster must adopt min id 5 and ITS split: ${safe(5L)} ${safe(96L)}")
+    // singletons keep their own id and every input doc comes back
+    assert(safe.size === docs.count())
+    assert(safe(100L)._1 === 100L)
+    // the global law: one split per group, no exceptions
+    val viol = Sampling.leakageSafeSplit(docs, pairs,
+      Seq(("train", 80), ("val", 10), ("test", 10)), Sampling.modBucket)
+      .groupBy("group_id").agg(countDistinct("split").as("n"))
+      .filter(col("n") =!= 1L)
+    assert(viol.isEmpty, "a group straddled splits")
   }
 
   test("hashed classifier: bucket arithmetic is md5-derived, weights are a caller seam") {
