@@ -263,6 +263,38 @@ object StorageQueries {
              |FROM events
              |WHERE event_id % 10 <> 0 OR event_id % 5 = 0""".stripMargin)),
 
+    // ── S34 — CONDITIONAL three-clause MERGE (Delta's WHEN MATCHED AND
+    //    … THEN UPDATE / DELETE, WHEN NOT MATCHED AND … THEN INSERT):
+    //    the update wave (%5 slice, value negated) UPDATES matched
+    //    clicks, DELETES matched purchases, KEEPS every other matched
+    //    row untouched, and INSERTS only even-user unmatched rows. All
+    //    four paths are populated at every fixture SF; the oracle
+    //    derives each from the modular structure (%10 = 0 ⊂ %5 = 0
+    //    makes the unmatched slice exactly the %10 rows).
+    QueryDef(
+      "s34_tx_merge_conditional",
+      (s, d) => {
+        val store = freshStore(s, "s34-txmergecond", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 10 =!= 0), store) // v1
+        val updates = ev.filter(col("event_id") % 5 === 0)
+          .withColumn("value", -col("value"))
+        TxStore.mergeConditional(s, store, updates, keys = Seq("event_id"),
+          matchedUpdate = Some(col("t.event_type") === "click"),
+          matchedDelete = Some(col("t.event_type") === "purchase"),
+          notMatchedInsert = Some(col("s.user_id") % 2 === 0)) // v2
+        eventsCols(TxStore.read(s, store))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             |       CASE WHEN event_id % 10 = 0 THEN -value
+             |            WHEN event_id % 5 = 0 AND event_type = 'click' THEN -value
+             |            ELSE value END AS value,
+             |       props
+             |FROM events
+             |WHERE (event_id % 10 <> 0
+             |       AND NOT (event_id % 5 = 0 AND event_type = 'purchase'))
+             |   OR (event_id % 10 = 0 AND user_id % 2 = 0)""".stripMargin)),
+
     // ── S18 — schema evolution through the commit log. The first wave
     //    lands WITHOUT `props`; the second wave adds it, evolving the
     //    table schema additively. The read must surface the evolved

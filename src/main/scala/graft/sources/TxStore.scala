@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, count_distinct, lit, not, struct}
+import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, not, struct}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -1576,6 +1576,117 @@ object TxStore {
         staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
         throw e
     }
+  }
+
+  /** CONDITIONAL keyed MERGE — the full three-clause MERGE surface
+    * (Delta/ANSI `WHEN MATCHED AND c THEN UPDATE`, `WHEN MATCHED AND c
+    * THEN DELETE`, `WHEN NOT MATCHED AND c THEN INSERT`) re-derived on
+    * the commit log; [[merge]] is the unconditional-update special
+    * case. Conditions are Columns over TWO ALIASES: `t` is the current
+    * table row, `s` the update row — e.g. `col("s.ts") > col("t.ts")`
+    * is the "only update if newer" CDC guard. A NULL condition value
+    * counts as false (SQL WHERE semantics).
+    *
+    * Per matched target row the precedence is: `matchedDelete` first,
+    * then `matchedUpdate`, else the row is KEPT unchanged — and every
+    * matched target row evaluates independently (a multi-row key
+    * updates row by row against its single source row; source rows
+    * must be unique per key, same as [[merge]]). Unmatched source rows
+    * insert iff `notMatchedInsert` passes; unmatched target rows are
+    * untouched (their files are not even rewritten).
+    *
+    * Same copy-on-write + SERIALIZABLE shape as [[merge]]: a semi-join
+    * probe finds files holding any matching key; only those files
+    * rewrite (kept + conditionally-updated rows + inserts union into
+    * the staged output); any commit landing after the decided snapshot
+    * conflicts. The anti-join for inserts runs against the HIT-file
+    * content only — sufficient, because by construction every current
+    * row sharing a key with `updates` lives in a hit file. Additive
+    * schema evolution works like [[merge]] (kept rows read new
+    * columns as NULL). */
+  def mergeConditional(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      matchedUpdate: Option[Column] = Some(lit(true)),
+      matchedDelete: Option[Column] = None,
+      notMatchedInsert: Option[Column] = Some(lit(true)),
+      collectStats: Boolean = true): Long = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(!updates.columns.contains("__m"), "updates must not carry the reserved __m column")
+    val base = snapshot(spark, path)
+    updates.persist()
+    try {
+      val counts = updates
+        .agg(count(lit(1)).as("n"), count_distinct(struct(keys.map(col): _*)).as("k"))
+        .head()
+      val nUpdates = counts.getLong(0)
+      if (nUpdates == 0) return base.version
+      require(
+        counts.getLong(1) == nUpdates,
+        s"updates must be unique per key (${keys.mkString(", ")}) — ambiguous winners")
+      base.schema.foreach { t =>
+        val missing = t.fieldNames.filterNot(updates.columns.contains)
+        require(
+          missing.isEmpty,
+          s"updates must carry every table column (full-row merge); missing: " +
+            missing.mkString(", "))
+      }
+      val evolved = evolve(base.schema, updates.schema, sessionCaseSensitive(spark))
+      val distinctKeys = updates.select(keys.map(col): _*).distinct()
+      val hit =
+        if (base.files.isEmpty) Nil
+        else
+          readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
+            dvp = base.dvp)
+            .join(distinctKeys, keys, "left_semi")
+            .select("__file").distinct().collect().map(_.getString(0)).toSeq
+      val srcCols = updates.columns.toSeq
+      val src = updates.withColumn("__m", lit(true)).alias("s")
+      val out: DataFrame =
+        if (hit.isEmpty) {
+          // nothing matched anywhere: the table is untouched except inserts
+          notMatchedInsert.fold(updates.limit(0))(c =>
+            src.filter(coalesce(c, lit(false))).select(srcCols.map(n => col(s"s.$n")): _*))
+        } else {
+          val cur = readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp)
+          val tgtCols = cur.columns.toSeq
+          val tgt = cur.alias("t")
+          val keyEq = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+          val joined = tgt.join(src, keyEq, "left")
+          val matched = coalesce(col("__m"), lit(false))
+          val doDel = matched && coalesce(matchedDelete.getOrElse(lit(false)), lit(false))
+          val doUpd = matched && coalesce(matchedUpdate.getOrElse(lit(false)), lit(false))
+          val keptRows = joined.filter(!doDel && !doUpd)
+            .select(tgtCols.map(n => col(s"t.$n")): _*)
+          val updatedRows = joined.filter(!doDel && doUpd)
+            .select(srcCols.map(n => col(s"s.$n")): _*)
+          val inserts = notMatchedInsert.fold(updates.limit(0)) { c =>
+            src.join(cur.select(keys.map(col): _*).distinct(), keys, "left_anti")
+              .filter(coalesce(c, lit(false)))
+              .select(srcCols.map(n => col(s"s.$n")): _*)
+          }
+          keptRows
+            .unionByName(updatedRows, allowMissingColumns = true)
+            .unionByName(inserts, allowMissingColumns = true)
+        }
+      val (staged, mStats) = stage(out, path, collectStats)
+      val f = fs(spark, path)
+      try
+        commitLoop(spark, path, "merge", txn = None) { snap =>
+          if (snap.version != base.version)
+            throw new java.util.ConcurrentModificationException(
+              s"conditional merge at $path conflicts: table advanced from " +
+                s"v${base.version} to v${snap.version} after the probe")
+          Some(CommitSpec(staged, hit, Some(encodeSchema(evolved)), mStats))
+        }.get.version
+      catch {
+        case e: Throwable =>
+          staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+          throw e
+      }
+    } finally updates.unpersist(): Unit
   }
 
   /** Write a checkpoint commit: the full live set as one log entry, so

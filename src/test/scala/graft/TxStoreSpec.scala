@@ -196,6 +196,77 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.snapshot(spark, t).version === 2L)
   }
 
+  test("conditional merge: update/delete/keep/insert clauses fire per their conditions") {
+    val t = tmpDir()
+    // table: (id, payload) v0..v9
+    TxStore.append(rows(10), t)
+    // updates touch ids 2,3,4 (matched) and 11,12 (unmatched)
+    val updates = Seq(
+      (2L, "u2"), (3L, "u3"), (4L, "u4"), (11L, "u11"), (12L, "u12")
+    ).toDF("id", "payload")
+    TxStore.mergeConditional(spark, t, updates, keys = Seq("id"),
+      matchedUpdate = Some(col("t.id") === 2L), // only id 2 updates
+      matchedDelete = Some(col("t.id") === 3L), // id 3 deletes
+      // id 4 matches but neither clause fires -> kept unchanged
+      notMatchedInsert = Some(col("s.id") % 2 === 0L)) // 12 inserts, 11 does not
+    val got = TxStore.read(spark, t).as[(Long, String)].collect().toSet
+    val expect = Set(0L -> "v0", 1L -> "v1", 2L -> "u2", 4L -> "v4", 5L -> "v5",
+      6L -> "v6", 7L -> "v7", 8L -> "v8", 9L -> "v9", 12L -> "u12")
+      .map { case (k, v) => (k, v) }
+    assert(got === expect, s"got $got")
+    // delete precedence: a row matching BOTH clauses deletes
+    val both = Seq((2L, "x2")).toDF("id", "payload")
+    TxStore.mergeConditional(spark, t, both, keys = Seq("id"),
+      matchedUpdate = Some(lit(true)), matchedDelete = Some(lit(true)),
+      notMatchedInsert = None)
+    assert(!TxStore.read(spark, t).as[(Long, String)].collect().toMap.contains(2L))
+    // a NULL condition value counts as false (kept, not crashed)
+    val nulled = Seq((4L, "n4")).toDF("id", "payload")
+    TxStore.mergeConditional(spark, t, nulled, keys = Seq("id"),
+      matchedUpdate = Some(lit(null).cast("boolean")), matchedDelete = None,
+      notMatchedInsert = None)
+    assert(TxStore.read(spark, t).as[(Long, String)].collect().toMap.apply(4L) === "v4")
+  }
+
+  test("conditional merge with default clauses equals plain merge; ambiguity still rejected") {
+    val ta = tmpDir(); val tb = tmpDir()
+    TxStore.append(rows(10), ta); TxStore.append(rows(10), tb)
+    val updates = (5 until 13).map(i => (i.toLong, s"u$i")).toDF("id", "payload")
+    TxStore.merge(spark, ta, updates, keys = Seq("id"))
+    TxStore.mergeConditional(spark, tb, updates, keys = Seq("id"))
+    assert(TxStore.read(spark, ta).as[(Long, String)].collect().toSet
+      === TxStore.read(spark, tb).as[(Long, String)].collect().toSet)
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "payload")
+    val e = intercept[IllegalArgumentException](
+      TxStore.mergeConditional(spark, tb, dup, Seq("id")))
+    assert(e.getMessage.contains("unique per key"))
+  }
+
+  test("racing conditional merges serialize like plain merges") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t)
+    val ua = Seq((0L, "A")).toDF("id", "payload")
+    val ub = Seq((9L, "B")).toDF("id", "payload")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    def submit(df: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          start.await()
+          try Right(TxStore.mergeConditional(spark, t, df, Seq("id")))
+          catch { case e: Throwable => Left(e) }
+        }
+      })
+    val (ra, rb) = (submit(ua), submit(ub))
+    start.countDown()
+    val outcomes = Seq(ra.get(120, TimeUnit.SECONDS), rb.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    outcomes.collect { case Left(e) => e }.foreach(e =>
+      assert(e.isInstanceOf[java.util.ConcurrentModificationException], e.toString))
+    assert(outcomes.count(_.isRight) >= 1, "at least one conditional merge must commit")
+    assert(TxStore.read(spark, t).count() === 10)
+  }
+
   test("racing merges serialize: each either commits against the latest snapshot or conflicts") {
     val t = tmpDir()
     TxStore.append(rows(10), t)
