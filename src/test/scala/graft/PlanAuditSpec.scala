@@ -147,8 +147,21 @@ class PlanAuditSpec extends SparkSpec {
                                     // df guard + containment joins broadcast at this SF
       "ext43_ppl_buckets" -> 0,     // scores cached; the rank's range exchange
                                     // rides the cached lineage
-      "ext44_token_mix" -> 1)       // the crossing-bucket window only; totals agg
+      "ext44_token_mix" -> 1,       // the crossing-bucket window only; totals agg
                                     // rides the cached base, classification broadcasts
+      // round-11 session-3 additions
+      "ext45_bloom_decontam" -> 0,   // bloom probe is a scan-side filter; the
+                                     // cached shingle lineages + broadcasts
+                                     // absorb every join at this SF
+      "ext35_backoff_logprob" -> 6,  // five vocab-scale count aggs (c3/p2/c2/
+                                     // p1/c1) + the per-doc agg; enrich joins
+                                     // broadcast
+      "ext46_line_dedup" -> 3,       // line df agg + removal agg + per-doc
+                                     // reassembly agg; anti-join broadcasts
+      "ext47_hash_classifier" -> 1,  // one keyed per-doc agg — the weight
+                                     // lookup is a pure projection
+      "ext48_leakage_split" -> 2)    // components' keyed join rounds on the
+                                     // tiny pair graph; jaccard lineage cached
     val measured = bounds.toSeq.sortBy(_._1).map { case (name, maxShuffles) =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       df.collect() // finalize the AQE plan
