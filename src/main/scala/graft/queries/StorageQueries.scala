@@ -263,6 +263,30 @@ object StorageQueries {
              |FROM events
              |WHERE event_id % 10 <> 0 OR event_id % 5 = 0""".stripMargin)),
 
+    // ── S35 — copy-on-write UPDATE … SET … WHERE: the last of the four
+    //    classic row-level ops. SET value = -value, event_type =
+    //    'neg:' || type WHERE event_id % 7 = 0 — both RHS evaluate
+    //    against the OLD row in one projection; non-matching rows are
+    //    byte-identical carried-over or rewritten-unchanged rows. The
+    //    oracle is the same CASE over the full table.
+    QueryDef(
+      "s35_tx_update",
+      (s, d) => {
+        val store = freshStore(s, "s35-txupdate", d)
+        TxStore.append(Tables.events(s, d), store) // v1
+        TxStore.update(s, store, col("event_id") % 7 === 0,
+          Map(
+            "value" -> -col("value"),
+            "event_type" -> concat(lit("neg:"), col("event_type")))) // v2
+        eventsCols(TxStore.read(s, store))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+             |       CASE WHEN event_id % 7 = 0 THEN 'neg:' || event_type
+             |            ELSE event_type END AS event_type,
+             |       CASE WHEN event_id % 7 = 0 THEN -value ELSE value END AS value,
+             |       props
+             |FROM events""".stripMargin)),
+
     // ── S34 — CONDITIONAL three-clause MERGE (Delta's WHEN MATCHED AND
     //    … THEN UPDATE / DELETE, WHEN NOT MATCHED AND … THEN INSERT):
     //    the update wave (%5 slice, value negated) UPDATES matched

@@ -1298,6 +1298,78 @@ object TxStore {
     }
   }
 
+  /** Copy-on-write UPDATE … SET … WHERE — [[delete]]'s sibling and the
+    * last of the four classic row-level ops (INSERT=append, DELETE,
+    * MERGE, UPDATE). Same two-phase shape: the predicate-pushed PROBE
+    * finds files containing a matching row (stats prune the rest), and
+    * only those files REWRITE with the assignments applied to their
+    * matching rows.
+    *
+    * `set` maps existing column names to replacement expressions over
+    * the row. ALL right-hand sides evaluate against the OLD row (one
+    * projection, SQL UPDATE semantics — `SET a = b, b = a` swaps), and
+    * each is cast back to the column's existing type so an update can
+    * never silently evolve the schema. Rows where the predicate is
+    * NULL are NOT updated (matching [[delete]]'s NULL discipline);
+    * assignments may not target a missing column — that's a loud
+    * require, not an implicit evolution.
+    *
+    * Write-serializable like [[delete]]: vanished rewrite inputs and
+    * deletion-vector drift on them both conflict loudly. Returns None
+    * (no commit) when nothing matched. */
+  def update(
+      spark: SparkSession,
+      path: String,
+      predicate: Column,
+      set: Map[String, Column]): Option[Long] = {
+    require(set.nonEmpty, "update needs at least one SET assignment")
+    val base = snapshot(spark, path)
+    if (base.files.isEmpty) return None
+    val hit = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
+      dvp = base.dvp)
+      .filter(predicate)
+      .select(col("__file"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    if (hit.isEmpty) return None
+    val cur = readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp)
+    val missing = set.keys.filterNot(cur.columns.contains)
+    require(missing.isEmpty,
+      s"UPDATE may only SET existing columns; missing: ${missing.mkString(", ")}")
+    val updated = cur.select(cur.columns.toIndexedSeq.map { c =>
+      set.get(c) match {
+        case Some(v) =>
+          org.apache.spark.sql.functions
+            .when(predicate <=> lit(true), v.cast(cur.schema(c).dataType))
+            .otherwise(col(c))
+            .as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val (staged, uStats) = stage(updated, path)
+    val f = fs(spark, path)
+    try
+      commitLoop(spark, path, "update") { snap =>
+        val vanished = hit.filterNot(snap.files.contains)
+        if (vanished.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"update at $path conflicts: rewrite inputs removed concurrently: " +
+              vanished.take(3).mkString(", "))
+        if (dvDrifted(base, snap, hit))
+          throw new java.util.ConcurrentModificationException(
+            s"update at $path conflicts: deletion vectors advanced on rewrite " +
+              "inputs after the probe")
+        Some(CommitSpec(staged, hit, snap.schema.map(encodeSchema), uStats))
+      }.map(_.version)
+    catch {
+      case e: Throwable =>
+        staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+        throw e
+    }
+  }
+
   /** Merge-on-read DELETE via DELETION VECTORS — the selective-delete
     * path where [[delete]]'s copy-on-write is the wrong trade: removing
     * three rows from a 1 GB file should cost one tiny log entry, not a

@@ -196,6 +196,39 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.snapshot(spark, t).version === 2L)
   }
 
+  test("update: old-row RHS semantics, NULL predicate keeps, missing column rejected") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val t = tmpDir()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("a", LongType), StructField("b", LongType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(1L, 10L, 20L), Row(2L, 30L, 40L), Row(3L, null, 50L)),
+      schema)
+    TxStore.append(df, t)
+    // SET a = b, b = a must SWAP (both RHS read the old row);
+    // predicate a > 15 is NULL for id=3 — not updated (SQL UPDATE)
+    assert(TxStore.update(spark, t, col("a") > 15L,
+      Map("a" -> col("b"), "b" -> col("a"))) === Some(2L))
+    val got = TxStore.read(spark, t).as[(Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some(10L), Some(20L))), s"id 1 (a=10 ≤ 15) untouched: ${got(1L)}")
+    assert(got(2L) === ((Some(40L), Some(30L))), s"id 2 swapped: ${got(2L)}")
+    assert(got(3L) === ((None, Some(50L))), s"NULL predicate keeps id 3: ${got(3L)}")
+    // no match: no commit, None
+    assert(TxStore.update(spark, t, col("a") > 1000L, Map("b" -> lit(0L))) === None)
+    assert(TxStore.snapshot(spark, t).version === 2L)
+    // SET of a missing column is a loud reject, never implicit evolution
+    val e = intercept[IllegalArgumentException](
+      TxStore.update(spark, t, lit(true), Map("nope" -> lit(1L))))
+    assert(e.getMessage.contains("existing columns"))
+    // RHS casts back to the column type — no silent widening
+    TxStore.update(spark, t, col("id") === 1L, Map("a" -> lit(3.9)))
+    assert(TxStore.read(spark, t).schema("a").dataType === LongType)
+    assert(TxStore.read(spark, t).filter(col("id") === 1L)
+      .select("a").as[Long].head() === 3L)
+  }
+
   test("conditional merge: update/delete/keep/insert clauses fire per their conditions") {
     val t = tmpDir()
     // table: (id, payload) v0..v9
