@@ -552,6 +552,37 @@ object Dedup {
       .select(col("eval_doc"), col("train_doc"), graft.Num.rnd(col("overlap"), 4).as("overlap"))
   }
 
+  /** EXT49 — N-GRAM NOVELTY against a reference corpus: for each eval
+    * document, the fraction of its distinct w-gram shingles that appear
+    * NOWHERE in the reference corpus — the "how much of this is new
+    * text" signal (the document-level complement of the memorized-
+    * continuation metrics in Lee et al. 2022): novelty 0 is a verbatim
+    * re-read, novelty 1 is entirely unseen text. Deduplication asks
+    * "which pairs overlap"; mixing asks "how much does this SOURCE add"
+    * — this is the latter, and unlike [[decontamPairs]] it needs no
+    * per-pair join: the reference collapses to its DISTINCT global
+    * shingle set (map-side-combined, vocabulary-of-shingles-sized) and
+    * eval shingles LEFT-SEMI/ANTI against it, one keyed join per doc
+    * shingle. At lake scale the same [[mightContain]] Bloom probe
+    * prefilters the reference join (overcounting seen-ness only by the
+    * fp rate); the registered lane is the exact form. */
+  def noveltyScores(
+      reference: DataFrame,
+      eval: DataFrame,
+      w: Int = 3): DataFrame = {
+    val refSet = TextOps.shingleRows(reference, w).select("shingle").distinct()
+    val invE = TextOps.shingleRows(eval, w)
+    val seen = invE.join(refSet, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    invE.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        graft.Num.rnd(
+          (col("n_grams") - coalesce(col("n_seen"), lit(0L))).cast("double") /
+            col("n_grams").cast("double"), 4).as("novelty"))
+  }
+
   /** Per-eval-doc rollup of [[decontamPairs]]: how many train docs
     * contaminate each eval doc, and how badly. The "can I trust this
     * benchmark" view — an eval doc with any row here needs excluding (or

@@ -783,6 +783,40 @@ object ExtQueries {
            |FROM ov WHERE overlap >= 0.5""".stripMargin),
       bench = true),
 
+    // ── EXT49 — n-gram novelty vs the reference corpus: the decontam
+    //    split re-read as a MIXING question — what fraction of each
+    //    eval doc's distinct 3-grams appears nowhere in train. No
+    //    per-pair join: the reference collapses to its distinct global
+    //    shingle set and eval semi-joins it once.
+    QueryDef(
+      "ext49_novelty",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.noveltyScores(
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              |), shing AS (
+              |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              |                                FOR i IN range(1, len(t) - 1)]) AS sh
+              |  FROM toks WHERE len(t) >= 3
+              |), inv AS (
+              |  SELECT doc_id, unnest(sh) AS shingle FROM shing
+              |), refset AS (
+              |  SELECT DISTINCT shingle FROM inv WHERE doc_id % 5 <> 0
+              |), ev AS (
+              |  SELECT doc_id, shingle, shingle IN (SELECT shingle FROM refset) AS seen
+              |  FROM inv WHERE doc_id % 5 = 0
+              |)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+              |       CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+              |       ${Sql.rnd(
+                 "CAST(COUNT(*) - SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)}
+              |         AS novelty
+              |FROM ev GROUP BY doc_id""".stripMargin),
+      bench = true),
+
     // ── EXT20b — the per-eval-doc contamination report (how many train
     //    docs leak each eval doc, and the worst overlap).
     QueryDef(

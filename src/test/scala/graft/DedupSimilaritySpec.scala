@@ -597,6 +597,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, "reassembled windows lost or reordered tokens")
   }
 
+  test("novelty: verbatim re-read scores 0, unseen text 1, mixtures the exact fraction") {
+    val ref = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // all 3 shingles seen → 0
+      (11L, "zeta eta theta iota kappa"),      // all 3 unseen → 1
+      // "beta gamma delta" seen; other 3 of 4 shingles unseen → 3/4
+      (12L, "x beta gamma delta y z")
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(ref, eval)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) === ((10L, 3L, 3L, 0.0)), s"${got(10L)}")
+    assert(got(11L) === ((11L, 3L, 0L, 1.0)), s"${got(11L)}")
+    assert(got(12L) === ((12L, 4L, 1L, 0.75)), s"${got(12L)}")
+  }
+
   test("bloom decontam equals exact decontam on the fixture split (no false negatives)") {
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     val eval = docs.filter(col("doc_id") % 5 === 0)

@@ -160,8 +160,10 @@ class PlanAuditSpec extends SparkSpec {
                                      // reassembly agg; anti-join broadcasts
       "ext47_hash_classifier" -> 1,  // one keyed per-doc agg — the weight
                                      // lookup is a pure projection
-      "ext48_leakage_split" -> 2)    // components' keyed join rounds on the
+      "ext48_leakage_split" -> 2,    // components' keyed join rounds on the
                                      // tiny pair graph; jaccard lineage cached
+      "ext49_novelty" -> 1)          // the per-doc agg; the reference distinct
+                                     // + semi-join broadcast at this SF
     val measured = bounds.toSeq.sortBy(_._1).map { case (name, maxShuffles) =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       df.collect() // finalize the AQE plan
