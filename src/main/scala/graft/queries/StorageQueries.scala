@@ -263,6 +263,24 @@ object StorageQueries {
              |FROM events
              |WHERE event_id % 10 <> 0 OR event_id % 5 = 0""".stripMargin)),
 
+    // ── EXT50 — ANN index persistence: train the IVF coarse quantizer
+    //    and the PQ codebooks, round-trip both through parquet
+    //    artifacts, and require the LOADED index to return byte-
+    //    identical full query results (symmetric exceptAll), not just
+    //    similar recall — floats round-trip parquet exactly, so a
+    //    persisted index is the same index. This is the artifact
+    //    lifecycle a production ANN deployment needs: retraining per
+    //    job silently shifts cell boundaries (k-means is float-order
+    //    sensitive); the frozen artifact is the stable contract.
+    QueryDef(
+      "ext50_index_roundtrip",
+      (s, d) =>
+        graft.ops.IndexStore.roundTripReport(
+          Tables.embeddings(s, d), freshStore(s, "ext50-index", d)),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |       true AS ivf_roundtrip_exact, true AS pq_roundtrip_exact
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)),
+
     // ── S35 — copy-on-write UPDATE … SET … WHERE: the last of the four
     //    classic row-level ops. SET value = -value, event_type =
     //    'neg:' || type WHERE event_id % 7 = 0 — both RHS evaluate

@@ -13,6 +13,31 @@ class PqSpec extends SparkSpec {
 
   private def embs = Tables.embeddings(spark, sf("sf0.001"))
 
+  test("index artifacts round-trip bit-exactly; partial artifacts fail loudly") {
+    import graft.ops.IndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-indexstore").toString
+    val cent = graft.ops.Similarity.kmeansCentroids(embs, k = 8, iters = 2)
+    IndexStore.saveCentroids(spark, cent, s"$dir/c")
+    val cBack = IndexStore.loadCentroids(spark, s"$dir/c")
+    assert(cBack.length === cent.length)
+    cent.zip(cBack).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    val pq = Pq.trainPq(embs, numSub = 8, codebookSize = 16, dim = 64, iters = 2)
+    IndexStore.savePq(spark, pq, s"$dir/pq")
+    val pBack = IndexStore.loadPq(spark, s"$dir/pq")
+    assert(pBack.numSub === pq.numSub && pBack.codebookSize === pq.codebookSize
+      && pBack.subDim === pq.subDim)
+    pq.codebooks.zip(pBack.codebooks).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // a holey artifact (one (cell, d) entry missing) must refuse, not
+    // zero-fill: a silently-padded quantizer is a DIFFERENT index
+    import org.apache.spark.sql.functions.{col, not => fnot}
+    spark.read.parquet(s"$dir/c")
+      .filter(fnot(col("cell") === 0 && col("d") === 0))
+      .write.mode("overwrite").parquet(s"$dir/holey")
+    val e = intercept[IllegalArgumentException](IndexStore.loadCentroids(spark, s"$dir/holey"))
+    assert(e.getMessage.contains("holes"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("trained codebooks have the declared shape and finite entries") {
     val model = Pq.trainPq(embs, numSub = 8, codebookSize = 16, dim = 64, iters = 2)
     assert(model.codebooks.length == 8)
