@@ -333,6 +333,56 @@ object TemporalQueries {
              |            AS BIGINT) AS rolling_7d_cents
              |FROM daily""".stripMargin)),
 
+    // ── AN19 — COHORT RETENTION: users cohorted by the ISO week of
+    //    their first event; each later week counts the cohort's still-
+    //    active distinct users and the retention fraction. The product-
+    //    analytics staple that needs no window at all: first-touch is a
+    //    keyed min aggregate, activity a fact⋈(user → cohort) keyed
+    //    join, the matrix a (cohort, offset) count-distinct, cohort
+    //    sizes a broadcast enrich. Week offsets are exact integer
+    //    arithmetic on Monday-truncated dates (both engines truncate
+    //    ISO weeks), retention rounds once at 4 dp.
+    QueryDef(
+      "an19_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val firsts = ev.groupBy("user_id")
+          .agg(min(col("ts")).as("__ts0"))
+          .select(col("user_id"),
+            date_trunc("week", Tables.tsMicros("__ts0")).cast("date").as("cw"))
+        val sizes = firsts.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+        ev.select(col("user_id"),
+            date_trunc("week", Tables.tsMicros("ts")).cast("date").as("w"))
+          .join(firsts, "user_id")
+          .groupBy("cw", "w")
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .join(sizes, "cw")
+          .select(
+            date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            (datediff(col("w"), col("cw")) / 7).cast("long").as("week_offset"),
+            col("n_users"), col("cohort_size"),
+            graft.Num.rnd(
+              col("n_users").cast("double") / col("cohort_size").cast("double"), 4)
+              .as("retention"))
+      },
+      Some(s"""WITH f AS (
+              |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+              |  FROM events GROUP BY 1
+              |), sizes AS (
+              |  SELECT cw, COUNT(*) AS cohort_size FROM f GROUP BY 1
+              |), act AS (
+              |  SELECT f.cw, CAST(date_trunc('week', e.ts) AS DATE) AS w,
+              |         COUNT(DISTINCT e.user_id) AS n_users
+              |  FROM events e JOIN f USING (user_id)
+              |  GROUP BY 1, 2
+              |)
+              |SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week,
+              |       CAST((a.w - a.cw) // 7 AS BIGINT) AS week_offset,
+              |       CAST(n_users AS BIGINT) AS n_users,
+              |       CAST(cohort_size AS BIGINT) AS cohort_size,
+              |       ${Sql.rnd("CAST(n_users AS DOUBLE) / cohort_size", 4)} AS retention
+              |FROM act a JOIN sizes s ON a.cw = s.cw""".stripMargin)),
+
     // ── AN18 — per-entity event-sequence extraction (the behavioral-
     //    path primitive: attribution path analysis, session n-grams,
     //    user-journey features for training data). One keyed hash
