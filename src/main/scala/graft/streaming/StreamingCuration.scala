@@ -84,4 +84,43 @@ object StreamingCuration {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** EXT47's ingest path: gate each micro-batch by the hashing-trick
+    * linear classifier ([[graft.ops.TextOps.hashedClassifierScore]])
+    * under a STATIC weight vector — the learned-quality-gate twin of
+    * [[runCurate]]'s heuristic funnel. The weights are frozen for the
+    * stream's lifetime (exactly like the funnel's reference LM): a
+    * retrained classifier is a NEW stream with a new checkpoint, never
+    * a mid-stream swap that would make batch boundaries change
+    * verdicts. Survivors (keep = score ≥ 0) append exactly-once via
+    * the same (writerId, batchId) stamp contract. */
+  def runClassifierGate(
+      spark: SparkSession,
+      landingDir: String,
+      weights: Array[Long],
+      checkpoint: String,
+      tablePath: String,
+      writerId: Option[String] = None,
+      maxFilesPerTrigger: Int = 32): StreamingQuery = {
+    val writer = writerId
+      .getOrElse(StreamingIngest.writerIdFor(spark, checkpoint, "graft-clsgate-"))
+    readDocs(spark, landingDir, maxFilesPerTrigger)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val kept = batch.join(
+            graft.ops.TextOps.hashedClassifierScore(batch, weights)
+              .filter(col("keep"))
+              .select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          if (!kept.isEmpty)
+            TxStore.appendOnce(kept, tablePath, writer, batchId): Unit
+        } finally batch.unpersist(): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -64,6 +64,30 @@ class StreamingCurationSpec extends SparkSpec {
     assert(TxStore.read(spark, table).count() === n1)
   }
 
+  test("two-wave classifier gate equals the batch classifier; replay no-ops") {
+    val w = TextOps.DemoClassifierWeights
+    val ckpt = Files.createTempDirectory("graft-cls-ckpt").toString
+    val landing = Files.createTempDirectory("graft-cls-land").toString
+    val table = Files.createTempDirectory("graft-cls-table").toString
+    refDocs.filter($"doc_id" % 2 === 0).write.parquet(s"$landing/w1")
+    StreamingCuration.runClassifierGate(spark, s"$landing/*/", w, ckpt, table)
+      .awaitTermination(120000)
+    refDocs.filter($"doc_id" % 2 =!= 0).write.parquet(s"$landing/w2")
+    StreamingCuration.runClassifierGate(spark, s"$landing/*/", w, ckpt, table)
+      .awaitTermination(120000)
+    val streamed = TxStore.read(spark, table).select("doc_id").as[Long].collect().toSet
+    val batch = TextOps.hashedClassifierScore(refDocs, w)
+      .filter($"keep").select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch, "streamed survivors equal the batch classifier")
+    assert(streamed.nonEmpty && streamed.size < refDocs.count(),
+      "the gate must keep some and reject some or the test is vacuous")
+    // replay with nothing new landed: stamped appendOnce no-ops
+    val v = TxStore.snapshot(spark, table).version
+    StreamingCuration.runClassifierGate(spark, s"$landing/*/", w, ckpt, table)
+      .awaitTermination(120000)
+    assert(TxStore.snapshot(spark, table).version === v)
+  }
+
   test("model scoring: OOV tokens take the add-one floor, not a dropped row") {
     val (tf, total) = TextOps.unigramModel(refDocs)
     // a doc of pure out-of-vocabulary tokens still gets scored — at the
