@@ -196,6 +196,89 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.snapshot(spark, t).version === 2L)
   }
 
+  test("op-soup stress: final table equals the in-memory fold of committed ops in version order") {
+    // Three writers race a seeded-random mix of append / merge /
+    // conditional-merge / update / delete. Each records the VERSION its
+    // committed ops landed at (losers throw ConcurrentModification and
+    // record nothing). Afterwards the table must equal a sequential
+    // in-memory fold of exactly the committed ops sorted by version —
+    // the serializable-history law the per-op race tests check pairwise,
+    // here checked across the whole mixed history.
+    val t = tmpDir()
+    TxStore.append(rows(20), t)
+    type Op = (String, Seq[(Long, String)], Long) // kind, payload rows, pred key
+    val rnd = new scala.util.Random(42)
+    val plans: Seq[Seq[Op]] = (0 until 3).map { w =>
+      (0 until 6).map { i =>
+        val base = 100L * (w + 1) + i * 7
+        rnd.synchronized(rnd.nextInt(5)) match {
+          case 0 => ("append", Seq((base, s"a$w-$i")), 0L)
+          case 1 => ("merge", Seq((base % 20, s"m$w-$i"), (base, s"m2$w-$i")), 0L)
+          case 2 => ("mergeCond", Seq((base % 20, s"c$w-$i")), 0L)
+          case 3 => ("update", Nil, base % 20)
+          case 4 => ("delete", Nil, base % 20)
+        }
+      }
+    }
+    val committed = new java.util.concurrent.ConcurrentHashMap[Long, Op]()
+    val pool = Executors.newFixedThreadPool(3)
+    val start = new CountDownLatch(1)
+    val futures = plans.map { ops =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          ops.foreach { op =>
+            try {
+              val v: Option[Long] = op._1 match {
+                case "append" => Some(TxStore.append(op._2.toDF("id", "payload"), t))
+                case "merge" => Some(TxStore.merge(spark, t, op._2.toDF("id", "payload"), Seq("id")))
+                case "mergeCond" => Some(TxStore.mergeConditional(spark, t,
+                  op._2.toDF("id", "payload"), Seq("id"),
+                  matchedUpdate = Some(col("t.id") % 2 === 0L),
+                  matchedDelete = Some(col("t.id") % 2 =!= 0L)))
+                case "update" => TxStore.update(spark, t, col("id") === op._3,
+                  Map("payload" -> concat(col("payload"), lit("!"))))
+                case "delete" => TxStore.delete(spark, t, col("id") === op._3)
+              }
+              v.foreach(ver => committed.put(ver, op))
+            } catch { case _: java.util.ConcurrentModificationException => () }
+          }
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    // sequential in-memory fold of the committed history
+    var state = scala.collection.mutable.Map((0 until 20).map(i => i.toLong -> s"v$i"): _*)
+    import scala.jdk.CollectionConverters._
+    val hist = committed.asScala.toSeq.sortBy(_._1)
+    assert(hist.nonEmpty, "no op committed — the stress is vacuous")
+    hist.foreach { case (_, op) =>
+      op._1 match {
+        case "append" => op._2.foreach { case (k, v) => state(k) = v } // fresh keys only by construction
+        case "merge" =>
+          op._2.foreach { case (k, v) => state(k) = v }
+        case "mergeCond" =>
+          op._2.foreach { case (k, v) =>
+            state.get(k) match {
+              case Some(_) if k % 2 == 0 => state(k) = v
+              case Some(_) => state.remove(k): Unit
+              case None => state(k) = v
+            }
+          }
+        case "update" => if (state.contains(op._3)) state(op._3) = state(op._3) + "!"
+        case "delete" => state.remove(op._3): Unit
+      }
+    }
+    val rowsBack = TxStore.read(spark, t).as[(Long, String)].collect()
+    assert(rowsBack.length === state.size,
+      s"row count ${rowsBack.length} != model ${state.size} — duplicates or losses")
+    val got = rowsBack.toMap
+    assert(got === state.toMap,
+      s"diverged: extra=${got.toSet -- state.toSet} missing=${state.toSet -- got.toSet}")
+  }
+
   test("update: old-row RHS semantics, NULL predicate keeps, missing column rejected") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
