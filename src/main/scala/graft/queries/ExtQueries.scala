@@ -1635,6 +1635,41 @@ object ExtQueries {
           |            ELSE 'test' END AS split
           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin)),
 
+    // ── EXT48b — the PRODUCTION leakage-safe split: the pair relation
+    //    comes from banded MinHash LSH (guarded m=2, the sf10-surviving
+    //    config) instead of the exact inverted-index join. On the
+    //    fixture LSH finds exactly the exact-Jaccard pair set (the
+    //    ext2_minhash_lsh_guarded contract), so the SAME recursive
+    //    closure oracle applies — the lane proves the scale path drops
+    //    into the pairs seam with zero semantic drift.
+    QueryDef(
+      "ext48_leakage_split_lsh",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Sampling.leakageSafeSplit(
+          docs, Dedup.minhashLshPairs(docs, minBandMatches = 2)
+            .select("doc_a", "doc_b"),
+          Seq(("train", 80), ("val", 10), ("test", 10)), Sampling.modBucket)
+      },
+      Some(DocShinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5
+          |), reach(doc_id, r) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id
+          |), comp AS (
+          |  SELECT doc_id, MIN(r) AS component FROM reach GROUP BY 1
+          |)
+          |SELECT d.doc_id,
+          |       COALESCE(c.component, d.doc_id) AS group_id,
+          |       CASE WHEN COALESCE(c.component, d.doc_id) % 100 < 80 THEN 'train'
+          |            WHEN COALESCE(c.component, d.doc_id) % 100 < 90 THEN 'val'
+          |            ELSE 'test' END AS split
+          |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""".stripMargin)),
+
     // ── EXT47 — hashing-trick linear classifier (fastText shape,
     //    Joulin et al. 2016): tokens hash to 256 buckets via the first
     //    two md5 hex chars; the doc score is the broadcast weight
