@@ -203,6 +203,118 @@ object AnalyticsQueries {
             hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n_users_sketch"),
             graft.Num.rnd(expr("approx_percentile(value, 0.5, 10000)"), 2).as("p50_value"),
             count(lit(1)).as("n")),
-      None)
+      None),
+
+    // ── AN20 — PAGERANK (power iteration, k=3, d=0.85) over the
+    //    symmetrized customer↔supplier trade graph (edge = the pair
+    //    traded at least once, via lineitem⋈orders). The canonical
+    //    joins-as-message-passing workload: per iteration exactly one
+    //    keyed join (ranks⋈edges, both hash-partitioned on src) + one
+    //    map-side-combinable groupBy(dst); edges persist ONCE with
+    //    out-degree pre-attached; localCheckpoint truncates the
+    //    iterated lineage (GraphOps.pageRank). Symmetrization makes
+    //    every node a source, so no dangling-mass term. The oracle
+    //    unrolls the same three iterations as CTEs; ranks round once
+    //    at 8 dp (sum-order ulp noise ~1e-15 « granularity; the
+    //    teleport constant is written (1.0 - 0.85) in BOTH engines so
+    //    the IEEE value matches bit-for-bit).
+    QueryDef(
+      "an20_pagerank",
+      (s, d) => {
+        val e0 = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ops.GraphOps.pageRank(edges, iterations = 3, damping = 0.85)
+          .select(col("node"), graft.Num.rnd(col("rank"), 8).as("rank"))
+      },
+      Some(s"""WITH e0 AS (
+              |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+              |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |), edges AS (
+              |  SELECT src, dst FROM e0
+              |  UNION ALL SELECT dst AS src, src AS dst FROM e0
+              |), deg AS (
+              |  SELECT src, COUNT(*) AS d FROM edges GROUP BY 1
+              |), nodes AS (
+              |  SELECT DISTINCT src AS node FROM edges
+              |), nn AS (SELECT COUNT(*) AS n FROM nodes),
+              |r0 AS (
+              |  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+              |), r1 AS (
+              |  SELECT nd.node,
+              |         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * COALESCE(m.s, 0.0) AS rank
+              |  FROM nodes nd LEFT JOIN (
+              |    SELECT e.dst AS node, SUM(r.rank / dg.d) AS s
+              |    FROM edges e JOIN r0 r ON e.src = r.node JOIN deg dg ON e.src = dg.src
+              |    GROUP BY 1) m ON nd.node = m.node
+              |), r2 AS (
+              |  SELECT nd.node,
+              |         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * COALESCE(m.s, 0.0) AS rank
+              |  FROM nodes nd LEFT JOIN (
+              |    SELECT e.dst AS node, SUM(r.rank / dg.d) AS s
+              |    FROM edges e JOIN r1 r ON e.src = r.node JOIN deg dg ON e.src = dg.src
+              |    GROUP BY 1) m ON nd.node = m.node
+              |), r3 AS (
+              |  SELECT nd.node,
+              |         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * COALESCE(m.s, 0.0) AS rank
+              |  FROM nodes nd LEFT JOIN (
+              |    SELECT e.dst AS node, SUM(r.rank / dg.d) AS s
+              |    FROM edges e JOIN r2 r ON e.src = r.node JOIN deg dg ON e.src = dg.src
+              |    GROUP BY 1) m ON nd.node = m.node
+              |)
+              |SELECT node, ${Sql.rnd("rank", 8)} AS rank FROM r3""".stripMargin),
+      bench = true),
+
+    // ── AN21 — EVENT FUNNEL (view → click → purchase, strictly
+    //    ordered): the product-analytics conversion funnel as a chain
+    //    of conditional-min aggregates — step k's entry time is the
+    //    user's earliest qualifying event AFTER their step-(k−1) time.
+    //    Windowless by construction: each step is a filter + keyed
+    //    join + map-side-combinable MIN; the per-step headcount is a
+    //    metadata-scale scalar. Timestamps stay epoch-nanos longs
+    //    end-to-end in Spark while the oracle compares native
+    //    timestamps — only ORDER is consulted, so representation
+    //    parity is free.
+    QueryDef(
+      "an21_event_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val st1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val st2 = ev.filter(col("event_type") === "click")
+          .join(st1, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val st3 = ev.filter(col("event_type") === "purchase")
+          .join(st2, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        st1.agg(count(lit(1)).as("n_users"))
+          .select(lit(1L).as("step_idx"), lit("view").as("step"), col("n_users"))
+          .union(st2.agg(count(lit(1)).as("n_users"))
+            .select(lit(2L).as("step_idx"), lit("click").as("step"), col("n_users")))
+          .union(st3.agg(count(lit(1)).as("n_users"))
+            .select(lit(3L).as("step_idx"), lit("purchase").as("step"), col("n_users")))
+      },
+      Some("""WITH s1 AS (
+             |  SELECT user_id, MIN(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1
+             |), s2 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             |  JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+             |), s3 AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             |  JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+             |)
+             |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, COUNT(*) AS n_users FROM s1
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
+             |UNION ALL
+             |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3""".stripMargin))
   )
 }

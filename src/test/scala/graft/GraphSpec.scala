@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.GraphOps
+import org.apache.spark.sql.functions._
+
+/** GraphOps.pageRank laws + the an20/an21 lane properties. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-test reference: dense power iteration over Scala maps. */
+  private def refPageRank(
+      edges: Seq[(String, String)], k: Int, d: Double): Map[String, Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nodes = edges.map(_._1).distinct
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to k) {
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(v => v -> ((1.0 - d) / n + d * in.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches dense reference on a hand graph") {
+    val edges = Seq(
+      "a" -> "b", "b" -> "a", "a" -> "c", "c" -> "a", "b" -> "c", "c" -> "b",
+      "c" -> "d", "d" -> "c")
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iterations = 4)
+      .as[(String, Double)].collect().toMap
+    val want = refPageRank(edges, 4, 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, r) => assert(math.abs(r - want(v)) < 1e-12, s"node $v") }
+  }
+
+  test("pageRank on a symmetric regular graph is uniform and conserves mass") {
+    // 2-cycle: both nodes keep rank 0.5 at every iteration.
+    val ring = Seq("x" -> "y", "y" -> "x").toDF("src", "dst")
+    val r = GraphOps.pageRank(ring, iterations = 3).as[(String, Double)].collect().toMap
+    assert(math.abs(r("x") - 0.5) < 1e-15 && math.abs(r("y") - 0.5) < 1e-15)
+    // Lane-scale mass conservation (symmetrized graph → no dangling leak).
+    val lane = SparkEntry.queries("an20_pagerank")(spark, sf("sf0.001"))
+    val total = lane.agg(sum("rank")).as[Double].head()
+    assert(math.abs(total - 1.0) < 1e-6, s"rank mass $total")
+  }
+
+  test("funnel counts strictly-ordered steps only") {
+    // u1 completes the funnel in order; u2 clicks BEFORE its first view
+    // (click must not count); u3 views only.
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 50L, "click"), (2L, 60L, "view"),
+      (3L, 70L, "view")
+    ).toDF("user_id", "ts", "event_type")
+    val st1 = ev.filter($"event_type" === "view").groupBy("user_id").agg(min($"ts").as("t1"))
+    val st2 = ev.filter($"event_type" === "click").join(st1, "user_id")
+      .filter($"ts" > $"t1").groupBy("user_id").agg(min($"ts").as("t2"))
+    val st3 = ev.filter($"event_type" === "purchase").join(st2, "user_id")
+      .filter($"ts" > $"t2").groupBy("user_id").agg(min($"ts").as("t3"))
+    assert(st1.count() == 3 && st2.count() == 1 && st3.count() == 1)
+    // Lane shape: monotone non-increasing step counts.
+    val lane = SparkEntry.queries("an21_event_funnel")(spark, sf("sf0.001"))
+      .orderBy("step_idx").select("n_users").as[Long].collect()
+    assert(lane.length == 3 && lane(0) >= lane(1) && lane(1) >= lane(2), lane.toSeq)
+  }
+}
