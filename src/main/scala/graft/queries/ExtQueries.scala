@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Sql, Tables}
-import graft.ops.{Curation, Dedup, Diff, Multimodal, Packing, Pq, Profiling, QualityFunnel, Sampling, Sessionize, Similarity, SpanDedup, TextOps}
+import graft.ops.{Curation, Dedup, Diff, Multimodal, Packing, Pq, Profiling, QualityFunnel, Retrieval, Sampling, Sessionize, Similarity, SpanDedup, TextOps}
 import org.apache.spark.sql.functions._
 
 /** EXT1–EXT6 (SURVEY.md §2.11) — the LLM-training-data-pipeline operators,
@@ -1399,7 +1399,69 @@ object ExtQueries {
              |  SELECT doc_id, MIN(r) AS component FROM reach GROUP BY 1
              |)
              |SELECT vec_id FROM pe
-             |WHERE vec_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)""".stripMargin))
+             |WHERE vec_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)""".stripMargin)),
+
+    // ── EXT51 — BM25 full-text retrieval (Robertson & Walker 1994,
+    //    Lucene-shape idf): top-5 documents per keyword query. The
+    //    corpus is touched twice (tf groupBy + doc-length projection);
+    //    a broadcast semi-restriction to the query vocabulary makes
+    //    df/scoring/ranking posting-list-sized; N and avgdl attach as a
+    //    broadcast one-row cross-join (no collect). avgdl is an AVG of
+    //    BIGINTs (< 2^53 — order-independent exact sum), idf/termScore
+    //    use the identical expression tree in both engines, and the
+    //    only order-dependent float op — the Σ over ≤ 3 query terms —
+    //    rounds at 4 dp. Ranking ties break by doc_id; docs with equal
+    //    (tf, dl) profiles score bit-identically in both engines.
+    QueryDef(
+      "ext51_bm25",
+      (s, d) => {
+        import s.implicits._
+        val queries = Seq(
+          (1, "merge"), (1, "join"),
+          (2, "window"), (2, "sort"),
+          (3, "stream"), (3, "batch"), (3, "spark"))
+          .toDF("query_id", "term")
+        Retrieval.bm25(Tables.documents(s, d), queries)
+          .select(col("query_id"), col("doc_id"), col("rank"),
+            graft.Num.rnd(col("score"), 4).as("score"))
+      },
+      Some(s"""WITH q(query_id, term) AS (
+              |  VALUES (1, 'merge'), (1, 'join'),
+              |         (2, 'window'), (2, 'sort'),
+              |         (3, 'stream'), (3, 'batch'), (3, 'spark')
+              |), tk AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+              |), dl AS (
+              |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              |  FROM documents
+              |), nstat AS (SELECT COUNT(*) AS n_docs FROM documents),
+              |astat AS (SELECT AVG(dl) AS avgdl FROM dl),
+              |tf AS (
+              |  SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2
+              |), rtf AS (
+              |  SELECT q.query_id, q.term, tf.doc_id, tf.tf
+              |  FROM tf JOIN q ON tf.term = q.term
+              |), df AS (
+              |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM rtf GROUP BY 1
+              |), sc AS (
+              |  SELECT r.query_id, r.doc_id,
+              |         SUM(ln(1.0 + ((SELECT n_docs FROM nstat) - df.df + 0.5)
+              |                        / (df.df + 0.5))
+              |             * (r.tf * (1.2 + 1.0))
+              |             / (r.tf + 1.2 * (1.0 - 0.75
+              |                + 0.75 * dl.dl / (SELECT avgdl FROM astat)))) AS score
+              |  FROM rtf r JOIN df ON r.term = df.term JOIN dl ON r.doc_id = dl.doc_id
+              |  GROUP BY 1, 2
+              |), rk AS (
+              |  SELECT query_id, doc_id, score,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id
+              |                            ORDER BY score DESC, doc_id) AS rank
+              |  FROM sc
+              |)
+              |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+              |       ${Sql.rnd("score", 4)} AS score
+              |FROM rk WHERE rank <= 5""".stripMargin),
+      bench = true)
   )
 
   /** EXT35 lane list appendix — see [[graft.ops.TextOps.unigramLogProb]].
