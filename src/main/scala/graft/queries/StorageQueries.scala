@@ -305,6 +305,35 @@ object StorageQueries {
              |       props
              |FROM events""".stripMargin)),
 
+    // ── S36 — SHALLOW CLONE: the source's snapshot (including its live
+    //    inline deletion vectors) publishes as version 1 of a fresh
+    //    table with the data plane transferred as hard links — zero
+    //    bytes rewritten. The lane then DIVERGES both tables: a
+    //    copy-on-write delete on the clone and an append on the source;
+    //    the readback proves the clone carried the DV state and that
+    //    neither side's change leaks across (the require pins the
+    //    source still holding the rows the clone dropped). Inode
+    //    sharing under vacuum is pinned in TxStoreSpec.
+    QueryDef(
+      "s36_tx_clone",
+      (s, d) => {
+        val src = freshStore(s, "s36-src", d)
+        val dst = freshStore(s, "s36-dst", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0), src) // v1
+        TxStore.deleteVectored(s, src, col("event_id") % 10 === 0) // v2: inline DV
+        TxStore.cloneTable(s, src, dst) // dest v1
+        TxStore.delete(s, dst, col("event_id") % 3 === 0) // clone-only CoW delete
+        TxStore.append(ev.filter(col("event_id") % 2 === 1), src) // source-only append
+        require(TxStore.read(s, src)
+          .filter(col("event_id") % 3 === 0 && col("event_id") % 10 =!= 0)
+          .limit(1).count() == 1,
+          "source lost rows the clone deleted — isolation broken")
+        eventsCols(TxStore.read(s, dst))
+      },
+      Some(eventsSql(
+        " WHERE event_id % 2 = 0 AND event_id % 10 <> 0 AND event_id % 3 <> 0"))),
+
     // ── S34 — CONDITIONAL three-clause MERGE (Delta's WHEN MATCHED AND
     //    … THEN UPDATE / DELETE, WHEN NOT MATCHED AND … THEN INSERT):
     //    the update wave (%5 slice, value negated) UPDATES matched

@@ -1788,35 +1788,156 @@ object TxStore {
     try
       commitLoop(spark, path, "checkpoint") { snap =>
         discard() // a retried attempt restates against the fresh snapshot
-        // parquet-vector REFERENCES restate as one sidecar of (dir →
-        // live files) lines — the dirs themselves are immutable data-
-        // plane files and are never rewritten by a checkpoint
-        val dvpRefs = dvpByDir(snap)
-        def dvpSidecar(): Seq[String] =
-          if (dvpRefs.isEmpty) Nil
-          else Seq(writeSidecar(f, path, Map.empty, Map.empty, dvpRefs))
-        val payloadFiles = (snap.stats.keySet ++ snap.dv.keySet).toSeq.sorted
-        if (payloadFiles.size <= shardFiles) {
-          val sts =
-            if (snap.stats.isEmpty) None
-            else Some(java.util.Base64.getEncoder.encodeToString(
-              renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
-          val dvs = if (snap.dv.isEmpty) None else Some(encodeDv(snap.dv))
-          staged = dvpSidecar()
-          Some(CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, staged))
-        } else {
-          staged = payloadFiles.grouped(shardFiles).map { group =>
-            val g = group.toSet
-            writeSidecar(f, path,
-              snap.stats.view.filterKeys(g).toMap,
-              snap.dv.view.filterKeys(g).toMap)
-          }.toSeq ++ dvpSidecar()
-          Some(CommitSpec(
-            snap.files, Nil, snap.schema.map(encodeSchema), None, None, staged))
-        }
+        val (spec, sc) = restateSpec(f, path, snap, shardFiles)
+        staged = sc
+        Some(spec)
       }.get.version
     catch { case e: Throwable => discard(); throw e }
   }
+
+  /** The checkpoint-shape restatement of `snap` as a CommitSpec for
+    * `path`: the full live set in `add`, per-file stats / inline
+    * deletion vectors inline when ≤ `shardFiles` files carry payloads,
+    * sharded into sidecar files otherwise; parquet-vector REFERENCES
+    * always restate as one (dir → live files) sidecar — the dirs
+    * themselves are immutable data-plane files and are never rewritten.
+    * Returns (spec, staged sidecar names) so callers can discard the
+    * sidecars of a lost attempt. Shared by [[checkpoint]] and
+    * [[cloneTable]]. */
+  private def restateSpec(
+      f: FileSystem,
+      path: String,
+      snap: Snapshot,
+      shardFiles: Int): (CommitSpec, Seq[String]) = {
+    val dvpRefs = dvpByDir(snap)
+    def dvpSidecar(): Seq[String] =
+      if (dvpRefs.isEmpty) Nil
+      else Seq(writeSidecar(f, path, Map.empty, Map.empty, dvpRefs))
+    val payloadFiles = (snap.stats.keySet ++ snap.dv.keySet).toSeq.sorted
+    if (payloadFiles.size <= shardFiles) {
+      val sts =
+        if (snap.stats.isEmpty) None
+        else Some(java.util.Base64.getEncoder.encodeToString(
+          renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
+      val dvs = if (snap.dv.isEmpty) None else Some(encodeDv(snap.dv))
+      val sc = dvpSidecar()
+      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, sc), sc)
+    } else {
+      val sc = payloadFiles.grouped(shardFiles).map { group =>
+        val g = group.toSet
+        writeSidecar(f, path,
+          snap.stats.view.filterKeys(g).toMap,
+          snap.dv.view.filterKeys(g).toMap)
+      }.toSeq ++ dvpSidecar()
+      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), None, None, sc), sc)
+    }
+  }
+
+  /** SHALLOW CLONE: publish `source`'s current snapshot as version 1 of
+    * a fresh table at `dest` without rewriting a byte of data. The data
+    * plane transfers as hard links when source and destination share a
+    * local filesystem (zero-copy, O(live files) metadata ops — the
+    * same driver-side class as [[checkpoint]]), falling back to a byte
+    * copy per file otherwise (HDFS/object stores have no link
+    * primitive). Parquet deletion-vector sidecar dirs referenced by the
+    * snapshot transfer the same way; inline stats/DV restate through
+    * the checkpoint sharding shape.
+    *
+    * Isolation comes free from the engine's immutable-data-file
+    * invariant plus link semantics: writes to either table stage NEW
+    * uuid-named files, and a [[vacuum]] on one side unlinks only its
+    * own directory entry — the shared inode survives until both sides
+    * drop it. The clone's log starts at the clone commit, so its
+    * history (and time travel) begins at the clone point — Delta's
+    * shallow-clone contract, re-derived for the name-addressed log.
+    *
+    * Refuses a non-empty `dest` (clone creates tables, it never merges
+    * into one); a racing first commit at `dest` loses to exactly one
+    * winner through the ordinary version-1 commit race. */
+  def cloneTable(
+      spark: SparkSession, source: String, dest: String, shardFiles: Int = 512): Long = {
+    require(source != dest, s"clone source and destination are both $source")
+    val f = fs(spark, source)
+    val snap = snapshot(spark, source)
+    require(snap.files.nonEmpty, s"nothing to clone at $source")
+    val destF = fs(spark, dest)
+    require(!destF.exists(new Path(s"$dest/$LogDir")),
+      s"clone target $dest already has a transaction log")
+    snap.files.foreach { n =>
+      linkOrCopy(f, new Path(s"$source/$DataDir/$n"), destF, new Path(s"$dest/$DataDir/$n"))
+    }
+    dvpByDir(snap).map(_._1).distinct.foreach { dir =>
+      f.listStatus(sidecarPath(source, dir)).foreach { st =>
+        linkOrCopy(f, st.getPath, destF, new Path(sidecarPath(dest, dir), st.getPath.getName))
+      }
+    }
+    var staged: Seq[String] = Nil
+    def discard(): Unit = {
+      staged.foreach(n => destF.delete(sidecarPath(dest, n), false))
+      staged = Nil
+    }
+    try
+      commitLoop(spark, dest, "clone") { dsnap =>
+        if (dsnap.version != 0 || dsnap.files.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"clone target $dest is no longer empty (v${dsnap.version})")
+        discard()
+        val (spec, sc) = restateSpec(destF, dest, snap, shardFiles)
+        staged = sc
+        Some(spec)
+      }.get.version
+    catch {
+      case e: Throwable =>
+        discard()
+        snap.files.foreach(n => destF.delete(new Path(s"$dest/$DataDir/$n"), false))
+        throw e
+    }
+  }
+
+  /** Hard-link `src` to `dst` when both sit on a local filesystem (the
+    * zero-copy clone path — link(2) shares the immutable inode), else
+    * byte-copy. Never overwrites. */
+  private def linkOrCopy(
+      srcFs: FileSystem, src: Path, dstFs: FileSystem, dst: Path): Unit = {
+    dstFs.mkdirs(dst.getParent)
+    if (srcFs.getScheme == "file" && dstFs.getScheme == "file") {
+      val s = java.nio.file.Paths.get(srcFs.makeQualified(src).toUri)
+      val d = java.nio.file.Paths.get(dstFs.makeQualified(dst).toUri)
+      try {
+        java.nio.file.Files.createLink(d, s)
+        return
+      } catch {
+        // cross-device / FS without link support → fall through to copy;
+        // an existing destination is a real error and copy rethrows it
+        case _: UnsupportedOperationException => ()
+        case _: java.nio.file.FileSystemException => ()
+      }
+    }
+    require(
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dst, false, srcFs.getConf),
+      s"copy failed: $src -> $dst")
+  }
+
+  /** The latest version whose commit file was PUBLISHED at or before
+    * `tsMillis` (epoch millis) — timestamp time travel, resolved from
+    * commit-file modification times exactly like Delta's
+    * `timestampAsOf` (the log file's mtime is the only clock the table
+    * has; an external clock-skewed writer shifts history the same way
+    * it does there). O(retained commits) metadata lookups, no data IO. */
+  def versionAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val f = fs(spark, path)
+    val cs = commits(f, path)
+    require(cs.nonEmpty, s"no transaction log at $path")
+    val at = cs.filter(c =>
+      f.getFileStatus(logPath(path, c.version)).getModificationTime <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis predates the retained log at $path")
+    at.last.version
+  }
+
+  /** [[readAt]] with the version resolved by [[versionAtTimestamp]]. */
+  def readAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readAt(spark, path, versionAtTimestamp(spark, path, tsMillis))
 
   /** A snapshot's parquet-vector refs regrouped by DIR (the sidecar
     * line shape): dir → the live files its marks still apply to. */

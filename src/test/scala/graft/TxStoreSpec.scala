@@ -1230,4 +1230,64 @@ class TxStoreSpec extends SparkSpec {
       .as[(Long, Option[Boolean], Long)].collect().toSet
     assert(got === Set((0L, None, 1L), (1L, None, 1L), (2L, None, 1L), (100L, Some(true), 2L)))
   }
+
+  test("shallow clone diverges independently and refuses non-empty targets") {
+    val src = tmpDir()
+    val dst = s"${tmpDir()}/t"
+    TxStore.append(rows(10), src)
+    TxStore.deleteVectored(spark, src, $"id" === 9L) // inline DV must transfer
+    assert(TxStore.cloneTable(spark, src, dst) === 1L)
+    assert(TxStore.read(spark, dst).as[(Long, String)].collect().toSet ===
+      (0 until 9).map(i => (i.toLong, s"v$i")).toSet)
+    // diverge both ways: neither side's change leaks
+    TxStore.delete(spark, dst, $"id" < 5L)
+    TxStore.append(rows(1, from = 50), src)
+    assert(TxStore.read(spark, dst).as[(Long, String)].collect().toSet ===
+      (5 until 9).map(i => (i.toLong, s"v$i")).toSet)
+    assert(TxStore.read(spark, src).count() === 10) // 9 live + 1 appended
+    // a second clone onto the same target must refuse
+    intercept[IllegalArgumentException](TxStore.cloneTable(spark, src, dst))
+  }
+
+  test("clone survives source checkpoint + vacuum dropping the shared files") {
+    val src = tmpDir()
+    val dst = s"${tmpDir()}/t"
+    TxStore.append(rows(8), src) // v1: files F
+    TxStore.cloneTable(spark, src, dst)
+    TxStore.overwrite(rows(2, from = 100), src) // v2: F unreferenced in src
+    TxStore.checkpoint(spark, src) // v3: replay no longer starts before v3
+    val dropped = TxStore.vacuum(spark, src, retainVersions = 1, ageGraceMs = 0L)
+    assert(dropped > 0, "vacuum should reclaim the pre-overwrite files")
+    // the clone's hard links keep the shared inodes alive
+    assert(TxStore.read(spark, dst).as[(Long, String)].collect().toSet ===
+      (0 until 8).map(i => (i.toLong, s"v$i")).toSet)
+  }
+
+  test("clone carries parquet deletion-vector sidecars") {
+    val src = tmpDir()
+    val dst = s"${tmpDir()}/t"
+    TxStore.append(rows(20), src)
+    TxStore.deleteVectoredBulk(spark, src, $"id" % 4 === 0L) // executor-written marks
+    TxStore.cloneTable(spark, src, dst)
+    val want = (0 until 20).filter(_ % 4 != 0).map(i => (i.toLong, s"v$i")).toSet
+    assert(TxStore.read(spark, dst).as[(Long, String)].collect().toSet === want)
+    // the marks are the clone's own copy: restoring the SOURCE to v1
+    // must not resurrect rows in the clone
+    TxStore.restore(spark, src, 1L)
+    assert(TxStore.read(spark, dst).as[(Long, String)].collect().toSet === want)
+  }
+
+  test("timestamp time travel resolves versions by commit publish time") {
+    val t = tmpDir()
+    TxStore.append(rows(3), t) // v1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    TxStore.overwrite(rows(2, from = 10), t) // v2
+    assert(TxStore.versionAtTimestamp(spark, t, between) === 1L)
+    assert(TxStore.readAtTimestamp(spark, t, between).count() === 3)
+    assert(TxStore.versionAtTimestamp(spark, t, System.currentTimeMillis()) === 2L)
+    intercept[IllegalArgumentException](
+      TxStore.versionAtTimestamp(spark, t, between - 3600 * 1000L))
+  }
 }
