@@ -1684,7 +1684,8 @@ object TxStore {
       matchedUpdate: Option[Column] = Some(lit(true)),
       matchedDelete: Option[Column] = None,
       notMatchedInsert: Option[Column] = Some(lit(true)),
-      collectStats: Boolean = true): Long = {
+      collectStats: Boolean = true,
+      txn: Option[String] = None): Long = {
     require(keys.nonEmpty, "merge needs at least one key column")
     require(!updates.columns.contains("__m"), "updates must not carry the reserved __m column")
     val base = snapshot(spark, path)
@@ -1746,7 +1747,7 @@ object TxStore {
       val (staged, mStats) = stage(out, path, collectStats)
       val f = fs(spark, path)
       try
-        commitLoop(spark, path, "merge", txn = None) { snap =>
+        commitLoop(spark, path, "merge", txn) { snap =>
           if (snap.version != base.version)
             throw new java.util.ConcurrentModificationException(
               s"conditional merge at $path conflicts: table advanced from " +
@@ -1759,6 +1760,37 @@ object TxStore {
           throw e
       }
     } finally updates.unpersist(): Unit
+  }
+
+  /** Exactly-once [[mergeConditional]] under a (writerId, batchId)
+    * stamp — the CDC-apply primitive a streaming upsert sink replays
+    * safely: a batch whose stamp is already in the log no-ops (same
+    * contract as [[appendOnce]]/[[mergeOnce]]). */
+  def mergeConditionalOnce(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      writerId: String,
+      batchId: Long,
+      matchedUpdate: Option[Column] = Some(lit(true)),
+      matchedDelete: Option[Column] = None,
+      notMatchedInsert: Option[Column] = Some(lit(true)),
+      collectStats: Boolean = true): Long = {
+    require(
+      writerId.nonEmpty && !writerId.exists(c => c == '"' || c == '\\' || c == ':'),
+      "writerId must be non-empty and free of quotes, backslashes and colons")
+    val stamp = s"$writerId:$batchId"
+    def committed: Option[Long] =
+      commits(fs(spark, path), path).find(_.txn.contains(stamp)).map(_.version)
+    committed.getOrElse {
+      try mergeConditional(spark, path, updates, keys, matchedUpdate, matchedDelete,
+        notMatchedInsert, collectStats, Some(stamp))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          committed.getOrElse(throw e)
+      }
+    }
   }
 
   /** Write a checkpoint commit: the full live set as one log entry, so
