@@ -604,10 +604,10 @@ object TextOps {
     * murmur), the document's score is the SUM of the broadcast weight
     * vector over its token features, and `keep` is the sign. The
     * weight vector is a CALLER INPUT — production passes trained
-    * weights; the registered lane passes a deterministic integer
+    * weights (see [[trainHashedClassifier]] for the in-engine fit);
+    * the registered lane passes a deterministic integer
     * vector so the oracle can replay the weights as arithmetic.
-    * TRAINING is out of scope by design (a 256-float logistic fit is
-    * driver-side math, not a data-scale operator); APPLYING the model
+    * APPLYING the model
     * to 100 TB is the operator, and it is one codegen'd projection
     * (md5/ascii/element_at on an array literal) plus ONE map-side-
     * combinable keyed aggregate. Integer weights make `score_sum`
@@ -640,6 +640,73 @@ object TextOps {
     * with trained weights instead. */
   val DemoClassifierWeights: Array[Long] =
     Array.tabulate(256)(b => ((b.toLong * 37L) % 21L) - 10L)
+
+  /** EXT52 — TRAIN the hashing-trick logistic classifier (the learning
+    * half of [[hashedClassifierScore]] — together they are the
+    * fastText-style train/apply pair every curation pipeline runs:
+    * fit on labeled seed data, gate the lake with the frozen weights).
+    *
+    * Full-batch gradient descent on logistic loss, `iterations` fixed
+    * steps from w = 0 at rate `lr`:
+    *
+    *   margin_d = Σ_b w_b·cnt_{d,b}     p_d = 1/(1+e^{−margin_d})
+    *   grad_b   = Σ_d (p_d − y_d)·cnt_{d,b}     w ← w − lr·grad/N
+    *
+    * Distribution contract: the (doc, bucket, cnt) feature table is
+    * built once (one tokenize pass + one map-side-combinable groupBy)
+    * and persisted; each iteration is a codegen'd weight lookup
+    * (element_at on a 256-literal array — no join) + a per-doc margin
+    * aggregate + a per-bucket gradient aggregate (256 groups,
+    * map-side-combined). Only the 256-float weight vector touches the
+    * driver per iteration — the model-bounded collect contract
+    * (Pq.scala's k-means rule). Labels come from a caller Column so
+    * any supervision source (language, source tags, a seed list)
+    * plugs in.
+    *
+    * Determinism across engines: iteration 1 is EXACT (w = 0 →
+    * margins 0, p = ½, gradient terms ±cnt/2 are dyadic — order-free);
+    * later iterations accumulate only sum-order/libm-ulp noise
+    * (~1e-13 against weights of ~1e-2), far under the lane's 6-dp
+    * rounding. Returns the full (bucket, weight) vector — untouched
+    * buckets keep weight 0. */
+  def trainHashedClassifier(
+      docs: DataFrame,
+      label: Column,
+      lr: Double = 0.5,
+      iterations: Int = 3,
+      tok: Column => Column = tokens): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def hexVal(c: Column): Column =
+      when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
+    val h = md5(col("tok"))
+    val bucket = (hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))).cast("long")
+    val x = docs
+      .select(col("doc_id"), explode(tok(col("text"))).as("tok"))
+      .select(col("doc_id"), bucket.as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val y = docs.select(col("doc_id"), label.cast("long").as("y"))
+    val n = docs.count() // scalar normalizer, metadata-bounded
+    var w = Array.fill(256)(0.0)
+    for (_ <- 1 to iterations) {
+      val grad = x
+        .select(col("doc_id"), col("b"), col("cnt"),
+          (element_at(lit(w), col("b").cast("int") + 1) * col("cnt")).as("__t"))
+        .groupBy("doc_id").agg(sum("__t").as("__margin"))
+        .join(y, "doc_id")
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("__margin"))) - col("y")).as("__e"))
+        .join(x, "doc_id")
+        .groupBy("b").agg(sum(col("__e") * col("cnt")).as("g"))
+        .as[(Long, Double)].collect().toMap // 256 rows — model-bounded
+      w = Array.tabulate(256)(b => w(b) - (lr * grad.getOrElse(b.toLong, 0.0)) / n)
+    }
+    x.unpersist()
+    spark.createDataset(w.toSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) })
+      .toDF("bucket", "weight")
+  }
 
   /** EXT43 — CCNet-style PERPLEXITY BUCKETING (Wenzek et al. 2020):
     * split the corpus into `buckets` equal quantile slices of the

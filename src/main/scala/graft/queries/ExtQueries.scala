@@ -1461,8 +1461,67 @@ object ExtQueries {
               |SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
               |       ${Sql.rnd("score", 4)} AS score
               |FROM rk WHERE rank <= 5""".stripMargin),
+      bench = true),
+
+    // ── EXT52 — classifier TRAINING (the learning half of ext47's
+    //    fastText-shape gate): full-batch logistic GD, 3 fixed
+    //    iterations from w = 0, labels = (lang = 'en'). The feature
+    //    table builds once and persists; per iteration the weight
+    //    lookup is a codegen'd array literal (no join), margins and
+    //    gradients are map-side-combinable keyed aggregates, and only
+    //    the 256-float vector touches the driver. The oracle unrolls
+    //    the same three steps as CTEs; iteration 1 is exactly dyadic,
+    //    later sum-order/libm noise (~1e-13) sits far under the 6-dp
+    //    rounding.
+    QueryDef(
+      "ext52_classifier_train",
+      (s, d) =>
+        TextOps.trainHashedClassifier(
+          Tables.documents(s, d), col("lang") === "en")
+          .select(col("bucket"), graft.Num.rnd(col("weight"), 6).as("weight")),
+      Some(s"""WITH tk AS (
+              |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+              |), hx AS (
+              |  SELECT doc_id,
+              |         CAST((CASE WHEN ascii(substr(md5(tok), 1, 1)) >= 97
+              |               THEN ascii(substr(md5(tok), 1, 1)) - 87
+              |               ELSE ascii(substr(md5(tok), 1, 1)) - 48 END) * 16 +
+              |              (CASE WHEN ascii(substr(md5(tok), 2, 1)) >= 97
+              |               THEN ascii(substr(md5(tok), 2, 1)) - 87
+              |               ELSE ascii(substr(md5(tok), 2, 1)) - 48 END) AS BIGINT) AS b
+              |  FROM tk
+              |), x AS (
+              |  SELECT doc_id, b, COUNT(*) AS cnt FROM hx GROUP BY 1, 2
+              |), y AS (
+              |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y FROM documents
+              |), nn AS (SELECT COUNT(*) AS n FROM documents),
+              |w0 AS (
+              |  SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS b, 0.0 AS weight
+              |), ${(1 to 3).map(classifierGdStage).mkString(", ")}
+              |SELECT b AS bucket, ${Sql.rnd("weight", 6)} AS weight FROM w3""".stripMargin),
       bench = true)
   )
+
+  /** One unrolled gradient-descent stage for the ext52 oracle: margins
+    * from the previous weight vector, logistic residuals, per-bucket
+    * gradient, rate-0.5 update (COALESCE keeps untouched buckets). */
+  private def classifierGdStage(i: Int): String = {
+    val prev = s"w${i - 1}"
+    s"""m$i AS (
+       |  SELECT x.doc_id, SUM(w.weight * x.cnt) AS margin
+       |  FROM x JOIN $prev w ON x.b = w.b GROUP BY 1
+       |), e$i AS (
+       |  SELECT m.doc_id, 1.0 / (1.0 + exp(-m.margin)) - y.y AS e
+       |  FROM m$i m JOIN y ON m.doc_id = y.doc_id
+       |), g$i AS (
+       |  SELECT x.b, SUM(e.e * x.cnt) AS g
+       |  FROM e$i e JOIN x ON e.doc_id = x.doc_id GROUP BY 1
+       |), w$i AS (
+       |  SELECT w.b,
+       |         w.weight - (0.5 * COALESCE(g.g, 0.0)) / (SELECT n FROM nn) AS weight
+       |  FROM $prev w LEFT JOIN g$i g ON w.b = g.b
+       |)""".stripMargin
+  }
 
   /** EXT35 lane list appendix — see [[graft.ops.TextOps.unigramLogProb]].
     * (A `def`, not a `val`: `all` initializes first in the object body.) */

@@ -376,4 +376,30 @@ class TextOpsSpec extends SparkSpec {
     assert(scored.count() === docs.count())
   }
 
+  test("classifier training learns the planted separation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 20 positive docs of one token, 20 negative of another
+    val docs = ((0 until 20).map(i => (i.toLong, "excellent excellent excellent")) ++
+      (20 until 40).map(i => (i.toLong, "terrible terrible terrible")))
+      .toDF("doc_id", "text")
+    def bucketOf(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val (bGood, bBad) = (bucketOf("excellent"), bucketOf("terrible"))
+    assert(bGood != bBad, "planted tokens collided; pick different tokens")
+    def weights(iters: Int): Map[Long, Double] =
+      TextOps.trainHashedClassifier(docs, col("doc_id") < 20L, iterations = iters)
+        .as[(Long, Double)].collect().toMap
+    val w1 = weights(1)
+    val w5 = weights(5)
+    assert(w5(bGood) > 0 && w5(bBad) < 0, s"${w5(bGood)} / ${w5(bBad)}")
+    // more steps move further down the separable gradient
+    assert(w5(bGood) > w1(bGood) && w5(bBad) < w1(bBad))
+    // untouched buckets stay exactly 0
+    assert(w5.count { case (_, v) => v == 0.0 } == 254)
+  }
+
 }
