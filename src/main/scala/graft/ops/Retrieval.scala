@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * always human-scale), so df aggregation, scoring joins and the final
   * ranking all run on posting lists of the query vocabulary, never the
   * corpus vocabulary. Corpus-level stats (N, avgdl) are one scalar agg
-  * row attached by broadcast cross-join — no driver collect. The only
+  * row to the driver, re-entering the plan as literals. The only
   * window partitions by query_id over each query's CANDIDATE set
   * (docs sharing ≥1 query term) — bounded by posting-list size, the
   * usual IR working set; a per-query TakeOrdered variant would be the
@@ -45,7 +45,12 @@ object Retrieval {
         c => split(c, " ")): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tok(col("text"))).as("term"))
     val dl = docs.select(col("doc_id"), size(tok(col("text"))).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    // Corpus stats are ONE scalar aggregate row to the driver (the
+    // metadata-bounded collect contract) and re-enter the plan as
+    // literals — a 1-row cross join would plan a nested-loop join node,
+    // which the engine bans categorically (PlanAuditSpec).
+    val st = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")).head()
+    val (nDocs, avgdl) = (st.getLong(0), st.getDouble(1))
 
     // One corpus-scale shuffle; then the broadcast semi-restriction to
     // query vocabulary makes everything downstream posting-list-sized.
@@ -54,14 +59,13 @@ object Retrieval {
     val df = rtf.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
 
     val termScore =
-      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
         (col("tf") * (lit(k1) + lit(1.0))) /
-        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
 
     val scored = rtf
       .join(broadcast(df), "term")
       .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"), termScore.as("__ts"))
       .groupBy("query_id", "doc_id")
       .agg(sum("__ts").as("score"))

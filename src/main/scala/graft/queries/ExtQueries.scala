@@ -1405,8 +1405,8 @@ object ExtQueries {
     //    Lucene-shape idf): top-5 documents per keyword query. The
     //    corpus is touched twice (tf groupBy + doc-length projection);
     //    a broadcast semi-restriction to the query vocabulary makes
-    //    df/scoring/ranking posting-list-sized; N and avgdl attach as a
-    //    broadcast one-row cross-join (no collect). avgdl is an AVG of
+    //    df/scoring/ranking posting-list-sized; N and avgdl are one
+    //    scalar driver row re-entering as literals. avgdl is an AVG of
     //    BIGINTs (< 2^53 — order-independent exact sum), idf/termScore
     //    use the identical expression tree in both engines, and the
     //    only order-dependent float op — the Σ over ≤ 3 query terms —

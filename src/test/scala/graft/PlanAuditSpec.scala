@@ -127,8 +127,10 @@ class PlanAuditSpec extends SparkSpec {
       "ext25_pack_spans" -> 1,   // one shard exchange feeding the per-shard cumsum
       "ext26_shards" -> 1,       // rank's range exchange rides the cached lineage;
                                  // only the shard rollup shuffles per consumer
-      "ext27_dup_audit" -> 1,    // df agg only: inv is cached doc_id-partitioned,
-                                 // the enrich broadcasts, the doc agg reuses it
+      "ext27_dup_audit" -> 2,    // df agg + the shingle-keyed enrich join
+                                 // (shared exchange) + doc agg; was 1 while AQE
+                                 // broadcast the df side at this SF — 2 is the
+                                 // honest keyed-join count it settled on
       // round-10 additions
       "ext38_chunk_windows" -> 0, // pure per-row explode — ZERO shuffle, pinned
       "ext39_edit_neardup" -> 0,  // all joins broadcast at this SF
@@ -162,8 +164,19 @@ class PlanAuditSpec extends SparkSpec {
                                      // lookup is a pure projection
       "ext48_leakage_split" -> 2,    // components' keyed join rounds on the
                                      // tiny pair graph; jaccard lineage cached
-      "ext49_novelty" -> 1)          // the per-doc agg; the reference distinct
+      "ext49_novelty" -> 1,          // the per-doc agg; the reference distinct
                                      // + semi-join broadcast at this SF
+      // round-11 session-4 additions
+      "an20_pagerank" -> 0,      // audited plan reads the final localCheckpoint;
+                                 // per-iteration joins/aggs are pinned by shape
+                                 // in GraphOps (one keyed join + one agg each)
+      "an21_event_funnel" -> 7,  // 3 conditional-min aggs + 2 keyed joins +
+                                 // the 3 scalar counts' single-partition folds
+      "ext51_bm25" -> 6,         // tf agg + dl join + df agg + score agg +
+                                 // per-query ranking window + stats cross-join
+      "ext52_classifier_train" -> 0) // result is the model-bounded weight
+                                     // vector; training aggs run inside the
+                                     // iteration collects
     val measured = bounds.toSeq.sortBy(_._1).map { case (name, maxShuffles) =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       df.collect() // finalize the AQE plan
