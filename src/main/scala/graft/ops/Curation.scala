@@ -132,4 +132,31 @@ object Curation {
     val m = (BigInt(seed) * 2654435761L).mod(BigInt(p - 1)).toLong + 1
     pmod(pmod(key, lit(p)) * lit(m) + lit(Math.floorMod(seed, p)), lit(p))
   }
+
+  /** EXT53 — PER-SOURCE DOCUMENT CAPS (the CommonCrawl "domain cap"
+    * staple: no single domain/source may dominate the corpus): keep at
+    * most `maxPerGroup` documents per source, chosen by the caller's
+    * preference order (the registered lane prefers longer documents,
+    * doc_id breaking ties — any deterministic quality order plugs in).
+    *
+    * Scale shape: the rank ≤ N filter adjacent to the per-source
+    * row_number makes Catalyst plan a WindowGroupLimit PAIR — a
+    * PARTIAL top-N per input partition BEFORE the shuffle, then the
+    * final top-N after — so each partition ships at most N rows per
+    * source it touches, never a mega-domain's full membership. That is
+    * the property that lets the cap run over a lake where one domain
+    * is 10% of the corpus (asserted on the executed plan in
+    * CurationSpec). */
+  def sourceCap(
+      docs: DataFrame,
+      maxPerGroup: Int,
+      order: Seq[Column] = Seq(col("n_chars").desc, col("doc_id"))): DataFrame = {
+    require(maxPerGroup >= 1, s"cap must be >= 1: $maxPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(order: _*)
+    docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= maxPerGroup)
+      .select("source", "doc_id", "rk")
+  }
 }

@@ -1479,7 +1479,29 @@ object ExtQueries {
         TextOps.trainHashedClassifier(
           Tables.documents(s, d), col("lang") === "en")
           .select(col("bucket"), graft.Num.rnd(col("weight"), 6).as("weight")),
-      Some(s"""WITH tk AS (
+      Some(ClassifierTrainOracle),
+      bench = true),
+
+    // ── EXT53 — per-source document caps (the CommonCrawl domain-cap
+    //    staple): at most 10 docs per source, longest-first. The rank
+    //    filter plans a WindowGroupLimit pair — partial top-N per
+    //    partition BEFORE the shuffle — so a mega-domain never ships
+    //    its full membership (CurationSpec pins the plan).
+    QueryDef(
+      "ext53_source_cap",
+      (s, d) => Curation.sourceCap(Tables.documents(s, d), maxPerGroup = 10),
+      Some("""WITH rk AS (
+             |  SELECT source, doc_id,
+             |         ROW_NUMBER() OVER (PARTITION BY source
+             |                            ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents
+             |)
+             |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+             |FROM rk WHERE rk <= 10""".stripMargin))
+  )
+
+  private def ClassifierTrainOracle: String =
+    s"""WITH tk AS (
               |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
               |), hx AS (
               |  SELECT doc_id,
@@ -1498,9 +1520,7 @@ object ExtQueries {
               |w0 AS (
               |  SELECT CAST(unnest(range(0, 256)) AS BIGINT) AS b, 0.0 AS weight
               |), ${(1 to 3).map(classifierGdStage).mkString(", ")}
-              |SELECT b AS bucket, ${Sql.rnd("weight", 6)} AS weight FROM w3""".stripMargin),
-      bench = true)
-  )
+              |SELECT b AS bucket, ${Sql.rnd("weight", 6)} AS weight FROM w3""".stripMargin
 
   /** One unrolled gradient-descent stage for the ext52 oracle: margins
     * from the previous weight vector, logistic residuals, per-bucket

@@ -80,4 +80,24 @@ class CurationSpec extends SparkSpec {
       (col("x.pa") < col("y.pa")) =!= (col("x.pc") < col("y.pc"))).count()
     assert(discordant > 0, "changing the seed must invert some within-shard order")
   }
+
+  test("sourceCap keeps at most N per source, longest-first, via WindowGroupLimit") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val capped = graft.ops.Curation.sourceCap(docs, maxPerGroup = 3)
+    val perSource = capped.groupBy("source").count().select("count").as[Long].collect()
+    assert(perSource.nonEmpty && perSource.forall(_ <= 3))
+    // the kept set is exactly the 3 longest (doc_id tie-break) per source
+    val want = docs.select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).values.flatMap(g =>
+        g.sortBy(t => (-t._3, t._2)).take(3).map(t => (t._1, t._2))).toSet
+    val got = capped.select($"source", $"doc_id").as[(String, Long)].collect().toSet
+    assert(got === want)
+    // scale shape: partial top-N runs BEFORE the exchange
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.indexOf("WindowGroupLimit") != plan.lastIndexOf("WindowGroupLimit"),
+      "expected a partial+final WindowGroupLimit pair\n" + plan)
+  }
 }
