@@ -38,9 +38,14 @@ object GraphOps {
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
-    // One shuffle to co-key edges with out-degrees, then the frame every
-    // iteration re-joins; persist so the scan + degree agg run once.
-    val withDeg = edges.join(deg, "src").persist()
+    // Co-key edges with out-degrees and HASH-PARTITION BY src before
+    // persisting: the persisted partitioning satisfies the join's
+    // distribution requirement in every iteration, so the data-scale
+    // edge frame crosses the wire ONCE for k iterations — only the
+    // node-scale rank frame shuffles per step. (Broadcasting ranks
+    // would be faster at test SF but is not the 100 TB shape: node
+    // count grows with the graph.)
+    val withDeg = edges.join(deg, "src").repartition(col("src")).persist()
     val nodes = withDeg.select(col("src").as("node")).distinct().persist()
     val n = nodes.count() // scalar, metadata-bounded
     val teleport = (1.0 - damping) / n
