@@ -334,6 +334,31 @@ object StorageQueries {
       Some(eventsSql(
         " WHERE event_id % 2 = 0 AND event_id % 10 <> 0 AND event_id % 3 <> 0"))),
 
+    // ── S37 — BLOOM-FILTER FILE SKIPPING (Delta's bloom index on the
+    //    text log): the table lands round-robin scattered, so every
+    //    file spans ~the full event_id domain and min/max ranges refute
+    //    NOTHING for a point lookup (REQUIRED below); one bloom commit
+    //    later the same IN-list prunes most files from pure log
+    //    metadata. The readback oracle pins soundness — bloom pruning
+    //    may only ever skip files that cannot hold a matching row.
+    QueryDef(
+      "s37_tx_bloom_skipping",
+      (s, d) => {
+        val store = freshStore(s, "s37-bloom", d)
+        TxStore.append(Tables.events(s, d).repartition(16), store) // v1: scattered
+        val probe = col("event_id").isin(123L, 4567L, 891L)
+        val (_, _, skipBefore) = TxStore.pruneFiles(s, store, probe)
+        require(skipBefore.isEmpty,
+          s"scattered layout must be range-unprunable, yet skipped ${skipBefore.size}")
+        TxStore.buildBlooms(s, store, Seq("event_id")) // v2: bloom annotation
+        val (_, _, skipAfter) = TxStore.pruneFiles(s, store, probe)
+        require(skipAfter.size >= 8,
+          s"bloom index should prune most of 16 files, skipped ${skipAfter.size}")
+        eventsCols(TxStore.readWhere(s, store, probe))
+      },
+      Some(eventsSql(" WHERE event_id IN (123, 4567, 891)")),
+      bench = true),
+
     // ── S34 — CONDITIONAL three-clause MERGE (Delta's WHEN MATCHED AND
     //    … THEN UPDATE / DELETE, WHEN NOT MATCHED AND … THEN INSERT):
     //    the update wave (%5 slice, value negated) UPDATES matched

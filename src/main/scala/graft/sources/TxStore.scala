@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, not, struct}
+import org.apache.spark.sql.functions.{array, bit_or, call_function, coalesce, col, count, count_distinct, explode, lit, not, pmod, struct, xxhash64}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -92,6 +92,16 @@ object TxStore {
   sealed trait ColRange
   final case class NumRange(lo: BigDecimal, hi: BigDecimal) extends ColRange
   final case class StrRange(lo: String, hi: String) extends ColRange
+
+  /** Per-file BLOOM FILTER over one column's values — the point-lookup
+    * complement of min/max ranges (a round-robin-scattered table has
+    * useless ranges but perfectly selective blooms). Stored in the
+    * stats map under the synthetic key `<col>#b` so a column can carry
+    * BOTH a range and a bloom; `tpe` records the hashed Catalyst type
+    * ('L' = LongType, 'S' = StringType) so the driver-side probe
+    * hashes the literal with byte-identical semantics. k seeded
+    * xxhash64 positions per value (the ext45 Bloom shape). */
+  final case class BloomSum(tpe: Char, k: Int, bits: Array[Long]) extends ColRange
 
   /** Per-file column ranges carried by the log: file → column → range.
     * Only top-level primitives are tracked (see [[fileStats]]); a
@@ -185,6 +195,12 @@ object TxStore {
           s""""$c":[${lo.bigDecimal.toPlainString},${hi.bigDecimal.toPlainString}]"""
         case (c, StrRange(lo, hi)) =>
           s""""$c":["${b64(lo)}","${b64(hi)}"]"""
+        case (c, BloomSum(t, k, bits)) =>
+          // "#B" cannot open a base64 body ('#' is outside the alphabet)
+          // so the two-string slot stays unambiguous
+          val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+          bits.foreach(bb.putLong)
+          s""""$c":["#B$t$k","${java.util.Base64.getEncoder.encodeToString(bb.array())}"]"""
       }.mkString(",")
       s""""$f":{$body}"""
     }.mkString("{", ",", "}")
@@ -220,9 +236,14 @@ object TxStore {
         val cname = str()
         expect(':'); expect('[')
         val range: ColRange =
-          if (s.charAt(i) == '"') { // string bounds
+          if (s.charAt(i) == '"') { // string bounds OR a bloom payload
             val lo = str(); expect(','); val hi = str()
-            StrRange(deb64(lo), deb64(hi))
+            if (lo.startsWith("#B")) {
+              val bytes = java.util.Base64.getDecoder.decode(hi)
+              val bb = java.nio.ByteBuffer.wrap(bytes)
+              val bits = Array.fill(bytes.length / 8)(bb.getLong())
+              BloomSum(lo.charAt(2), lo.substring(3).toInt, bits)
+            } else StrRange(deb64(lo), deb64(hi))
           } else {
             val lo = num(','); expect(','); val hi = num(']')
             NumRange(lo, hi)
@@ -696,9 +717,14 @@ object TxStore {
         live -= n; stats.remove(n): Unit; dv.remove(n): Unit; dvp.remove(n): Unit
       }
       c.add.foreach(n => live += n)
-      val addSet = c.add.toSet
+      // stats attach to files LIVE after this commit (historically only
+      // ever the commit's own adds; bloom commits also annotate already-
+      // live files) and MERGE per column — a bloom landing later must
+      // not drop the min/max that rode the append, and vice versa
       c.stats.foreach { b64 =>
-        decodeStats(b64).foreach { case (fl, m) => if (addSet(fl)) stats(fl) = m }
+        decodeStats(b64).foreach { case (fl, m) =>
+          if (live(fl)) stats(fl) = stats.getOrElse(fl, Map.empty[String, ColRange]) ++ m
+        }
       }
       // vectors only ever target files live at their commit; concurrent
       // vectors on one file UNION (position marks commute)
@@ -712,7 +738,9 @@ object TxStore {
       // at the target version, so retired marks never resurrect
       c.sidecars.foreach { n =>
         val p = readSidecar(f, path, n)
-        p.stats.foreach { case (fl, m) => if (addSet(fl)) stats(fl) = m }
+        p.stats.foreach { case (fl, m) =>
+          if (live(fl)) stats(fl) = stats.getOrElse(fl, Map.empty[String, ColRange]) ++ m
+        }
         p.dv.foreach { case (fl, rows) =>
           if (live(fl)) dv(fl) = (dv.getOrElse(fl, Nil) ++ rows).distinct.sorted
         }
@@ -2148,26 +2176,38 @@ object TxStore {
         (lt && lo < t) || (eq && lo <= t && t <= hi) || (gt && hi > t)
       case _ => true // kind mismatch (e.g. string literal vs numeric range)
     }
-    // col OP v with OP's (lt,eq,gt); the flipped orientation (v OP col)
-    // mirrors the flags
-    def test(a: Expression, b: Expression, lt: Boolean, eq: Boolean, gt: Boolean): Boolean =
-      (attr(a), value(b), attr(b), value(a)) match {
-        case (Some(c), Some(v), _, _) => range(c).forall(r => sat(r, v, lt, eq, gt))
-        case (_, _, Some(c), Some(v)) => range(c).forall(r => sat(r, v, gt, eq, lt))
+    // a PURE-EQUALITY comparison additionally consults the column's
+    // bloom filter when one was built (`<col>#b` in the stats map): a
+    // literal the bloom rejects cannot appear in the file. Range and
+    // bloom refutations compose — either alone may skip.
+    def bloomSat(name: String, v: Either[BigDecimal, String]): Boolean =
+      range(name + "#b") match {
+        case Some(b: BloomSum) => bloomContains(b, v)
         case _ => true
       }
+    // col OP v with OP's (lt,eq,gt); the flipped orientation (v OP col)
+    // mirrors the flags
+    def test(a: Expression, b: Expression, lt: Boolean, eq: Boolean, gt: Boolean): Boolean = {
+      val pureEq = eq && !lt && !gt
+      (attr(a), value(b), attr(b), value(a)) match {
+        case (Some(c), Some(v), _, _) =>
+          range(c).forall(r => sat(r, v, lt, eq, gt)) && (!pureEq || bloomSat(c, v))
+        case (_, _, Some(c), Some(v)) =>
+          range(c).forall(r => sat(r, v, gt, eq, lt)) && (!pureEq || bloomSat(c, v))
+        case _ => true
+      }
+    }
     def inList(a: Expression, vs: Seq[Expression]): Boolean =
       attr(a) match {
-        case Some(c) => range(c) match {
-          case Some(r) =>
-            // satisfiable iff ANY literal falls inside the range; a
-            // non-literal element keeps the file
-            vs.exists(x => value(x) match {
-              case Some(v) => sat(r, v, lt = false, eq = true, gt = false)
-              case None => true
-            })
-          case None => true
-        }
+        case Some(c) =>
+          // satisfiable iff ANY literal survives both the range and the
+          // bloom; a non-literal element keeps the file
+          vs.exists(x => value(x) match {
+            case Some(v) =>
+              range(c).forall(r => sat(r, v, lt = false, eq = true, gt = false)) &&
+                bloomSat(c, v)
+            case None => true
+          })
         case None => true
       }
     // The Spark-4 Column DSL yields UnresolvedFunction("and" | ">=" |
@@ -2199,6 +2239,111 @@ object TxStore {
       case GreaterThanOrEqual(a, b) => test(a, b, lt = false, eq = true, gt = true)
       case In(a, vs) if vs.nonEmpty => inList(a, vs)
       case _ => true
+    }
+  }
+
+  /** Build per-file BLOOM FILTERS over `cols` and publish them as one
+    * stats-annotation commit — Delta's bloom-filter index re-derived on
+    * the text log. Point lookups (`=` / `IN`) on a column whose values
+    * scatter across files (unique ids round-robin-landed — the layout
+    * where min/max ranges refute nothing) then prune every file whose
+    * bloom rejects the literal: fp-rate-bounded false keeps, NEVER a
+    * false skip (the Bloom no-false-negative law, probed with the
+    * byte-identical driver-side hash in [[mayMatch]]).
+    *
+    * Distribution: the bit sets build in ONE distributed pass over the
+    * live files (k seeded xxhash64 positions per value, map-side
+    * `bit_or` into 64-bit blocks keyed by (file, block) — the ext45
+    * Bloom shape per file). The driver collect is files × numBits/8
+    * bytes (8 KiB/file at the default) — the checkpoint O(live files)
+    * metadata class, NOT row-scale. Supported column types: LongType
+    * and StringType (the point-lookup types; the probe must hash the
+    * predicate literal byte-identically, so types are pinned).
+    * Rewritten files (compact/optimize) drop their blooms with their
+    * stats — rebuild after large rewrites. Returns the commit version.
+    */
+  def buildBlooms(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      numBits: Int = 65536,
+      numHashes: Int = 7): Long = {
+    require(cols.nonEmpty, "buildBlooms needs at least one column")
+    require(cols.forall(!_.contains("#")), "column names may not contain '#'")
+    require(numBits >= 64 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64: $numBits")
+    require(numHashes >= 1 && numHashes <= 64, s"numHashes out of range: $numHashes")
+    val base = snapshot(spark, path)
+    require(base.files.nonEmpty, s"nothing to index at $path")
+    val schema = base.schema.getOrElse(
+      throw new IllegalArgumentException(s"$path carries no log schema to type-check against"))
+    val tpes: Map[String, Char] = cols.map { c =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"no such column: $c"))
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType => c -> 'L'
+        case org.apache.spark.sql.types.StringType => c -> 'S'
+        case other => throw new IllegalArgumentException(
+          s"bloom index supports bigint/string columns only; $c is $other")
+      }
+    }.toMap
+    val raw = spark.read.schema(schema).parquet(base.files.map(n => s"$path/$DataDir/$n"): _*)
+      .select(col("_metadata.file_name").as("__file") +: cols.map(col): _*)
+    // one exploded (file, col, block, mask) projection → one combinable agg
+    val posCols = cols.flatMap { c =>
+      (0 until numHashes).map(i => struct(
+        lit(c).as("c"),
+        pmod(xxhash64(lit(i), col(c)), lit(numBits.toLong)).as("p")))
+    }
+    val perFile = raw
+      .select(col("__file"), explode(array(posCols: _*)).as("h"))
+      .filter(col("h.p").isNotNull)
+      .groupBy(col("__file"), col("h.c").as("__c"), (col("h.p") / 64L).cast("long").as("__block"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), pmod(col("h.p"), lit(64L)).cast("int")))
+        .as("__bits"))
+      .collect() // files × cols × numBits/8 bytes — O(live files) metadata class
+    val built = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, ColRange]]
+    perFile.groupBy(r => (r.getString(0), r.getString(1))).foreach { case ((file, c), rows) =>
+      val bits = new Array[Long](numBits / 64)
+      rows.foreach(r => bits(r.getLong(2).toInt) = r.getLong(3))
+      built(file) = built.getOrElse(file, Map.empty) +
+        (s"$c#b" -> BloomSum(tpes(c), numHashes, bits))
+    }
+    val payload = java.util.Base64.getEncoder.encodeToString(
+      renderStats(built.toMap).getBytes(StandardCharsets.UTF_8))
+    commitLoop(spark, path, "bloom") { snap =>
+      val vanished = base.files.toSet -- snap.files.toSet
+      if (vanished.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"bloom build at $path conflicts: indexed files rewritten concurrently: " +
+            vanished.take(3).mkString(", "))
+      Some(CommitSpec(Nil, Nil, None, Some(payload)))
+    }.get.version
+  }
+
+  /** Driver-side twin of the distributed bloom build's membership test:
+    * hash the predicate literal with the SAME Catalyst xxhash64 the
+    * build ran on column values (same seed chain, same input types), so
+    * a set bit answers may-contain and a clear bit is a sound skip. */
+  private def bloomContains(b: BloomSum, v: Either[BigDecimal, String]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val typed: Option[CLit] = (b.tpe, v) match {
+      case ('L', scala.Left(n)) =>
+        if (n.isWhole && n.isValidLong) Some(CLit(n.toLongExact, LongType))
+        else None // non-integral literal can't equal a bigint; keep (sound)
+      case ('S', scala.Right(t)) =>
+        Some(CLit(org.apache.spark.unsafe.types.UTF8String.fromString(t), StringType))
+      case _ => None // kind mismatch — keep the file
+    }
+    typed.forall { litV =>
+      val m = b.bits.length * 64L
+      (0 until b.k).forall { i =>
+        val h = XxHash64(Seq(CLit(i, IntegerType), litV), 42L)
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
+        val p = ((h % m) + m) % m
+        (b.bits((p / 64L).toInt) & (1L << (p % 64L).toInt)) != 0L
+      }
     }
   }
 

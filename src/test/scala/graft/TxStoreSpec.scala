@@ -1277,6 +1277,57 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.read(spark, dst).as[(Long, String)].collect().toSet === want)
   }
 
+  test("bloom index prunes point lookups where ranges cannot; never a false skip") {
+    val t = tmpDir()
+    // round-robin scatter: every file spans ~the full id domain, so
+    // min/max ranges refute nothing for any point lookup
+    TxStore.append(rows(2000).repartition(8), t)
+    val probe = $"id" === 1234L
+    val (_, _, skipRange) = TxStore.pruneFiles(spark, t, probe)
+    assert(skipRange.isEmpty, "scattered layout must be range-unprunable")
+    TxStore.buildBlooms(spark, t, Seq("id", "payload"))
+    val (_, scan, skipBloom) = TxStore.pruneFiles(spark, t, probe)
+    assert(skipBloom.size >= 5, s"bloom should skip most of 8 files, skipped ${skipBloom.size}")
+    assert(TxStore.readWhere(spark, t, probe).count() === 1)
+    // no false skips: every present id is found post-index (sampled)
+    (0 until 2000 by 97).foreach { id =>
+      assert(TxStore.readWhere(spark, t, $"id" === id.toLong).count() === 1, s"id $id")
+    }
+    // string bloom: present value found, absent value prunes everything
+    assert(TxStore.readWhere(spark, t, $"payload" === "v7").count() === 1)
+    val (_, _, skipAbsent) = TxStore.pruneFiles(spark, t, $"payload" === "no-such-value")
+    assert(skipAbsent.size === 8, s"absent literal should prune all files: ${skipAbsent.size}")
+    // IN-list keeps files holding ANY member
+    assert(TxStore.readWhere(spark, t, $"id".isin(3L, 5000L)).count() === 1)
+    assert(scan.nonEmpty)
+  }
+
+  test("blooms survive checkpoint restatement and die with rewritten files") {
+    val t = tmpDir()
+    TxStore.append(rows(500).repartition(4), t)
+    TxStore.buildBlooms(spark, t, Seq("id"))
+    TxStore.checkpoint(spark, t)
+    val (_, _, afterCk) = TxStore.pruneFiles(spark, t, $"id" === 77L)
+    assert(afterCk.nonEmpty, "checkpoint must restate the blooms")
+    // a compaction rewrites the files: stale blooms must not carry over
+    TxStore.compact(spark, t, target = 2)
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.stats.values.flatMap(_.keys).forall(!_.endsWith("#b")),
+      "rewritten files must not inherit blooms")
+    assert(TxStore.readWhere(spark, t, $"id" === 77L).count() === 1)
+    // rebuild over the compacted layout works
+    TxStore.buildBlooms(spark, t, Seq("id"))
+    assert(TxStore.readWhere(spark, t, $"id" === 77L).count() === 1)
+  }
+
+  test("bloom build refuses unsupported column types and racing rewrites") {
+    val t = tmpDir()
+    TxStore.append(Seq((1L, 1.5)).toDF("id", "score"), t)
+    intercept[IllegalArgumentException](TxStore.buildBlooms(spark, t, Seq("score")))
+    intercept[IllegalArgumentException](TxStore.buildBlooms(spark, t, Seq("missing")))
+    intercept[IllegalArgumentException](TxStore.buildBlooms(spark, t, Seq("id#b")))
+  }
+
   test("timestamp time travel resolves versions by commit publish time") {
     val t = tmpDir()
     TxStore.append(rows(3), t) // v1
