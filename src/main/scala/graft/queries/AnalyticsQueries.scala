@@ -315,6 +315,33 @@ object AnalyticsQueries {
              |UNION ALL
              |SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
              |UNION ALL
-             |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3""".stripMargin))
+             |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3""".stripMargin)),
+
+    // ── AN22 — CO-PURCHASE FREQUENT PAIRS (association mining, the
+    //    market-basket k=2 staple): part pairs ordered together in ≥ 2
+    //    distinct orders. The inverted-index self-join shape the dedup
+    //    family uses everywhere — candidates are Σ_order C(items, 2),
+    //    bounded by basket size (TPC-H ≤ 7 items/order), never |parts|²;
+    //    the support count is a map-side-combinable keyed agg and the
+    //    min-support gate drops the long singleton tail before any
+    //    output materializes. All-integer output — hash-exact.
+    QueryDef(
+      "an22_copurchase",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2L)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+             |)
+             |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
+             |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
   )
 }
