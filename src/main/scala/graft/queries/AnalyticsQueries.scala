@@ -342,6 +342,117 @@ object AnalyticsQueries {
              |)
              |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
              |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
+
+    // ── AN23 — MARKOV-CHAIN ATTRIBUTION (removal effects): credit each
+    //    channel by how much the absorbing chain's start→conv
+    //    probability drops when transitions into it redirect to null —
+    //    the data-driven multi-touch model beside the reference's IHC
+    //    scorer. Path/transition extraction is the data-scale pass
+    //    (per-user windows, (ts, event_id) tie-breaks, paths truncate
+    //    after the first conversion, non-converters absorb into null);
+    //    the matrix math is state-scale driver arithmetic mirrored by
+    //    the oracle's unrolled 6-iteration CTE blocks (one per removed
+    //    channel — the fixture's four non-purchase event types, pinned
+    //    here; the op derives channels from data). Doubles round once
+    //    at 6 dp; the only cross-engine drift is sum-order ulps in
+    //    ≤ 7-term dot products.
+    QueryDef(
+      "an23_markov_attribution",
+      (s, d) => {
+        val eff = graft.ops.Markov.removalEffects(
+          graft.ops.Markov.transitions(Tables.events(s, d)))
+        eff.select(col("channel"),
+          graft.Num.rnd(col("p_base"), 6).as("p_base"),
+          graft.Num.rnd(col("p_removed"), 6).as("p_removed"),
+          graft.Num.rnd(col("removal_effect"), 6).as("removal_effect"),
+          graft.Num.rnd(col("share"), 6).as("share"))
+      },
+      Some(MarkovOracle),
+      bench = true)
   )
+
+  /** Channels removed one at a time in the an23 oracle — the fixture's
+    * non-purchase event types (the OP derives these from data; the
+    * static SQL must pin them). */
+  /** (A `def`, not a `val`: `all` initializes first in the object body —
+    * the Ext35 rule.) */
+  private def MarkovChannels = Seq("click", "error", "signup", "view")
+
+  /** One absorption iteration over transition table `tp` (suffix keeps
+    * the per-removal blocks apart). */
+  private def markovIter(sfx: String, tp: String, i: Int): String =
+    s"""p${i}_$sfx AS (
+       |  SELECT st.s,
+       |         CASE WHEN st.s = 'conv' THEN 1.0
+       |              WHEN st.s = 'null' THEN 0.0
+       |              ELSE COALESCE((SELECT SUM(t.p * pp.p)
+       |                             FROM $tp t JOIN p${i - 1}_$sfx pp ON t.dst = pp.s
+       |                             WHERE t.src = st.s), 0.0) END AS p
+       |  FROM states st
+       |)""".stripMargin
+
+  private def markovAbsorbBlock(sfx: String, tp: String): String =
+    (s"""p0_$sfx AS (
+        |  SELECT s, CASE WHEN s = 'conv' THEN 1.0 ELSE 0.0 END AS p FROM states
+        |)""".stripMargin +: (1 to 6).map(markovIter(sfx, tp, _))).mkString(", ")
+
+  private def MarkovOracle: String = {
+    val removalBlocks = MarkovChannels.map { c =>
+      s"""tpr_$c AS (
+         |  SELECT src, CASE WHEN dst = '$c' THEN 'null' ELSE dst END AS dst,
+         |         SUM(p) AS p
+         |  FROM tp WHERE src <> '$c' GROUP BY 1, 2
+         |), ${markovAbsorbBlock(c, s"tpr_$c")}""".stripMargin
+    }.mkString(", ")
+    val effRows = MarkovChannels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |       (SELECT p FROM p6_base WHERE s = 'start') AS p_base,
+         |       (SELECT p FROM p6_$c WHERE s = 'start') AS p_removed""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH st0 AS (
+       |  SELECT user_id, ts, event_id,
+       |         CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS state
+       |  FROM events
+       |), stt AS (
+       |  SELECT user_id, ts, event_id, state FROM (
+       |    SELECT user_id, ts, event_id, state,
+       |           COUNT(*) FILTER (WHERE state = 'conv')
+       |             OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+       |    FROM st0)
+       |  WHERE COALESCE(pc, 0) = 0
+       |), tr AS (
+       |  SELECT COALESCE(LAG(state) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+       |                  'start') AS src,
+       |         state AS dst
+       |  FROM stt
+       |  UNION ALL
+       |  SELECT state AS src, 'null' AS dst FROM (
+       |    SELECT state,
+       |           ROW_NUMBER() OVER (PARTITION BY user_id
+       |                              ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM stt)
+       |  WHERE rn = 1 AND state <> 'conv'
+       |), tc AS (
+       |  SELECT src, dst, COUNT(*) AS n FROM tr GROUP BY 1, 2
+       |), tp AS (
+       |  SELECT src, dst, CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+       |  FROM tc
+       |), states AS (
+       |  SELECT DISTINCT src AS s FROM tc UNION SELECT DISTINCT dst FROM tc
+       |), ${markovAbsorbBlock("base", "tp")}, $removalBlocks,
+       |eff AS (
+       |$effRows
+       |), eff2 AS (
+       |  SELECT channel, p_base, p_removed,
+       |         1.0 - p_removed / p_base AS removal_effect
+       |  FROM eff
+       |)
+       |SELECT channel, ${Sql.rnd("p_base", 6)} AS p_base,
+       |       ${Sql.rnd("p_removed", 6)} AS p_removed,
+       |       ${Sql.rnd("removal_effect", 6)} AS removal_effect,
+       |       ${Sql.rnd("removal_effect / (SELECT SUM(removal_effect) FROM eff2)", 6)} AS share
+       |FROM eff2""".stripMargin
+  }
 }
