@@ -345,12 +345,18 @@ object StorageQueries {
       "s37_tx_bloom_skipping",
       (s, d) => {
         val store = freshStore(s, "s37-bloom", d)
-        TxStore.append(Tables.events(s, d).repartition(16), store) // v1: scattered
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.repartition(16), store) // v1: scattered
         val probe = col("event_id").isin(123L, 4567L, 891L)
         val (_, _, skipBefore) = TxStore.pruneFiles(s, store, probe)
         require(skipBefore.isEmpty,
           s"scattered layout must be range-unprunable, yet skipped ${skipBefore.size}")
-        TxStore.buildBlooms(s, store, Seq("event_id")) // v2: bloom annotation
+        // SIZE THE FILTER TO THE DATA: ~10 bits per value per file. A
+        // fixed 64 Kbit default saturates at sf10 (625 k values/file →
+        // fp ≈ 1 → zero pruning) — found by the century measurement,
+        // which is exactly what it exists to catch.
+        TxStore.buildBlooms(s, store, Seq("event_id"),
+          numBits = TxStore.bloomBits(ev.count() / 16L)) // v2
         val (_, _, skipAfter) = TxStore.pruneFiles(s, store, probe)
         require(skipAfter.size >= 8,
           s"bloom index should prune most of 16 files, skipped ${skipAfter.size}")

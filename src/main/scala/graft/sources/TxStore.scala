@@ -2262,6 +2262,15 @@ object TxStore {
     * Rewritten files (compact/optimize) drop their blooms with their
     * stats — rebuild after large rewrites. Returns the commit version.
     */
+  /** Filter-sizing helper: ~`bitsPerValue` bits per expected value per
+    * file (rounded up to a 64-bit block; floor 64 Kbit). m/n ≈ 10 with
+    * k = 7 sits at ~0.8% fp; an UNDER-sized filter saturates (fp → 1)
+    * and prunes nothing — size to the data, not the default. */
+  def bloomBits(rowsPerFile: Long, bitsPerValue: Int = 10): Int = {
+    require(rowsPerFile >= 0 && bitsPerValue >= 1, "bad bloom sizing inputs")
+    math.max(65536L, rowsPerFile * bitsPerValue / 64L * 64L + 64L).toInt
+  }
+
   def buildBlooms(
       spark: SparkSession,
       path: String,
