@@ -35,6 +35,64 @@ object GraphOps {
     * Returns (node, rank) with rank unrounded (callers round once for
     * cross-engine hash parity).
     */
+  /** Triangle listing by degree-ordered orientation (the MapReduce
+    * node-iterator++ shape: Suri & Vassilvitskii 2011, "Counting
+    * triangles and the curse of the last reducer").
+    *
+    * `edges`: undirected edge list as (a, b) BIGINT node pairs — any
+    * orientation, parallel duplicates and self-loops tolerated (deduped
+    * / dropped here). Returns one row per triangle as the sorted triple
+    * (n1 < n2 < n3) — all-integer, hash-exact.
+    *
+    * Why orientation matters at 100 TB: the naive wedge join pairs ALL
+    * neighbors of every node — a hub with d neighbors costs C(d, 2)
+    * wedges (quadratic in the hottest key, the "last reducer"). Orienting
+    * every edge from its lower endpoint to its higher endpoint under the
+    * TOTAL order (degree, node) caps out-degree at O(√m), so wedge volume
+    * is Σ_v C(outdeg(v), 2) = O(m^1.5) worst case and far less on real
+    * skewed graphs — the hub's C(d,2) disappears because a hub (highest
+    * degree) has out-degree ~0. Every triangle keeps exactly ONE node
+    * with two out-edges (the orientation is acyclic), so each is listed
+    * exactly once, no post-dedup. Three keyed shuffles total (degree agg,
+    * wedge self-join, closing-edge semi-join); no windows, no driver row
+    * traffic. */
+  def triangles(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    // canonical undirected set: u < v, distinct (drops self-loops/dups)
+    val e = edges.select(
+        least(col(edges.columns(0)), col(edges.columns(1))).as("u"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("v"))
+      .filter(col("u") < col("v")).distinct().persist()
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val lowFirst: Column = // (deg, node) total order: u is the lower endpoint
+      col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+      .persist()
+    // wedges: pairs of out-neighbors of one source, id-ordered so the
+    // candidate closing edge (x, y) is already canonical (x < y)
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("w"), col("o1.dst").as("x"), col("o2.dst").as("y"))
+    val tri = wedges
+      .join(e, col("x") === col("u") && col("y") === col("v"), "left_semi")
+      .select(
+        least(col("w"), col("x"), col("y")).as("n1"),
+        (col("w") + col("x") + col("y")
+          - least(col("w"), col("x"), col("y"))
+          - greatest(col("w"), col("x"), col("y"))).as("n2"),
+        greatest(col("w"), col("x"), col("y")).as("n3"))
+    val out = tri.localCheckpoint(true) // materialize before unpersist
+    e.unpersist(); oriented.unpersist()
+    out
+  }
+
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))

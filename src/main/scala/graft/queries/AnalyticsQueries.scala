@@ -369,6 +369,43 @@ object AnalyticsQueries {
           graft.Num.rnd(col("share"), 6).as("share"))
       },
       Some(MarkovOracle),
+      bench = true),
+
+    // ── AN24 — TRIANGLE LISTING (degree-ordered orientation) over the
+    //    co-purchase part graph (edge = two parts share an order). The
+    //    graph-structure complement of an22's pair support: triangles
+    //    are the unit of clustering coefficients and community density.
+    //    GraphOps.triangles orients every edge low→high under the
+    //    (degree, node) total order, so wedge volume is Σ C(outdeg, 2)
+    //    = O(m^1.5) — the hub's C(d, 2) blowup ("the curse of the last
+    //    reducer") structurally cannot happen, where the naive
+    //    neighbor-pair join dies on the first power-law key. Each
+    //    triangle is listed exactly ONCE (the orientation is acyclic —
+    //    no post-dedup); output is the sorted all-integer triple,
+    //    hash-exact. The oracle lists each triangle from its SMALLEST
+    //    node (two incident edges + the closing edge) — an independent
+    //    formulation of counted-exactly-once.
+    QueryDef(
+      "an24_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("a"), col("b.pk").as("b"))
+        graft.ops.GraphOps.triangles(edges)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+             |), e AS (
+             |  SELECT DISTINCT a.pk AS u, b.pk AS v
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |)
+             |SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+             |FROM e e1
+             |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+             |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin),
       bench = true)
   )
 

@@ -63,4 +63,39 @@ class GraphSpec extends SparkSpec {
       .orderBy("step_idx").select("n_users").as[Long].collect()
     assert(lane.length == 3 && lane(0) >= lane(1) && lane(1) >= lane(2), lane.toSeq)
   }
+
+  /** In-test reference: brute-force triangle listing over Scala sets. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    (for {
+      i <- nodes; j <- nodes if i < j && e((i, j))
+      k <- nodes if j < k && e((j, k)) && e((i, k))
+    } yield (i, j, k)).toSet
+  }
+
+  test("triangles: K4 has 4, path has 0, star has 0, counted exactly once") {
+    def run(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+      GraphOps.triangles(edges.toDF("a", "b")).as[(Long, Long, Long)].collect().toSeq
+    // K4 — every 3-subset is a triangle
+    val k4 = for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)
+    val gotK4 = run(k4)
+    assert(gotK4.size == 4 && gotK4.toSet == refTriangles(k4)) // once each, no dups
+    // path and star are triangle-free
+    assert(run(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)).isEmpty)
+    assert(run((2L to 8L).map(1L -> _)).isEmpty)
+  }
+
+  test("triangles: tolerates duplicates/reversed edges/self-loops; matches brute force") {
+    val rnd = new scala.util.Random(7)
+    val base = (for (_ <- 1 to 120)
+      yield (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong)).distinct
+    // adversarial input: both orientations, duplicates, self-loops
+    val messy = base ++ base.map(_.swap) ++ Seq((3L, 3L), (5L, 5L)) ++ base.take(10)
+    val got = GraphOps.triangles(messy.toDF("a", "b"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == got.distinct.length, "each triangle listed exactly once")
+    assert(got.toSet == refTriangles(base), s"got ${got.length} triangles")
+  }
 }
