@@ -365,6 +365,44 @@ object StorageQueries {
       Some(eventsSql(" WHERE event_id IN (123, 4567, 891)")),
       bench = true),
 
+    // ── S38 — CHECK CONSTRAINTS (Delta's ALTER TABLE … ADD CONSTRAINT):
+    //    the write-time data-quality gate. addConstraint validates
+    //    EXISTING data in one distributed scan (so the live table always
+    //    satisfies its set — the invariant that makes write-time checks
+    //    sufficient); every subsequent append validates its batch in one
+    //    aggregate pass and a violating write REFUSES LOUDLY, leaving
+    //    the table byte-identical. The lane exercises the whole
+    //    lifecycle: gated appends land, a violating append refuses, the
+    //    constraint survives a checkpoint's restatement (replay truncates
+    //    there — anything not restated is lost), and the final readback
+    //    hash-matches the source SQL. At 100 TB the economics are the
+    //    point: a post-hoc quality sweep is a full-table scan, the gate
+    //    is O(batch).
+    QueryDef(
+      "s38_tx_constraints",
+      (s, d) => {
+        val store = freshStore(s, "s38-constraints", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0), store) // v1
+        TxStore.addConstraint(s, store, "value_nonneg", "value >= 0.0") // v2
+        TxStore.addConstraint(s, store, "typed_event", "event_type IS NOT NULL") // v3
+        TxStore.append(ev.filter(col("event_id") % 2 =!= 0), store) // v4 (gated, lands)
+        val refused =
+          try { TxStore.append(ev.limit(5).withColumn("value", -col("value") - 1.0), store); false }
+          catch { case _: IllegalArgumentException => true }
+        require(refused, "violating append must refuse")
+        TxStore.checkpoint(s, store) // v5 — constraints restate through it
+        val refusedAfterCk =
+          try {
+            TxStore.append(
+              ev.limit(5).withColumn("event_type", lit(null).cast("string")), store)
+            false
+          } catch { case _: IllegalArgumentException => true }
+        require(refusedAfterCk, "post-checkpoint violating append must refuse")
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(""))),
+
     // ── S34 — CONDITIONAL three-clause MERGE (Delta's WHEN MATCHED AND
     //    … THEN UPDATE / DELETE, WHEN NOT MATCHED AND … THEN INSERT):
     //    the update wave (%5 slice, value negated) UPDATES matched

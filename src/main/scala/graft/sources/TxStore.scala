@@ -84,7 +84,11 @@ object TxStore {
       schema: Option[String] = None,
       stats: Option[String] = None,
       dv: Option[String] = None,
-      sidecars: Seq[String] = Nil)
+      sidecars: Seq[String] = Nil,
+      /** Base64 payload carrying the table's full CHECK-constraint set
+        * (name → SQL expression); like `schema`, the latest commit
+        * carrying one defines the set (see [[addConstraint]]). */
+      constraints: Option[String] = None)
 
   /** One column's [min, max] over a file's NON-NULL values: exact
     * decimals for numeric primitives, raw strings (ASCII-only, ≤ 64
@@ -119,7 +123,11 @@ object TxStore {
         * executor-written parquet under `_txlog/_sidecar/<uuid>.dvpq/`,
         * never on the driver — reads union them into the same anti-join
         * as inline marks. */
-      dvp: Map[String, Seq[String]] = Map.empty)
+      dvp: Map[String, Seq[String]] = Map.empty,
+      /** Live CHECK constraints, (name, SQL expression) in declaration
+        * order — every write of new row values is validated against
+        * them (see [[addConstraint]]). */
+      constraints: Seq[(String, String)] = Nil)
 
   /** What a write op asks the commit loop to publish at the next
     * version. `stats` ride with added files; `dv` marks row positions
@@ -133,7 +141,8 @@ object TxStore {
       schema: Option[String],
       stats: Option[String] = None,
       dv: Option[String] = None,
-      sidecars: Seq[String] = Nil)
+      sidecars: Seq[String] = Nil,
+      constraints: Option[String] = None)
 
   // ── schema in the log ──────────────────────────────────────────────
   // The table schema travels in commit entries (base64 of Spark's schema
@@ -170,6 +179,54 @@ object TxStore {
         .fromJson(new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
+
+  // ── CHECK constraints in the log ───────────────────────────────────
+  // The constraint set travels like the schema: base64 payload, latest
+  // commit carrying one defines the full set (so drop = restate minus
+  // one). Payload grammar: one `name<TAB>sqlExpr` line per constraint —
+  // names are token-restricted and expressions are forbidden tabs/
+  // newlines at addConstraint, so no escaping is needed.
+
+  private def encodeConstraints(cs: Seq[(String, String)]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      cs.map { case (n, e) => s"$n\t$e" }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  private def decodeConstraints(b64: String): Seq[(String, String)] =
+    memo(b64, 'k') {
+      val txt = new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
+      if (txt.isEmpty) Nil
+      else txt.split("\n", -1).toSeq.map { line =>
+        val i = line.indexOf('\t')
+        require(i > 0, s"corrupt constraints payload line: $line")
+        (line.substring(0, i), line.substring(i + 1))
+      }
+    }
+
+  /** ANSI CHECK semantics: a row VIOLATES iff the expression evaluates
+    * to FALSE — a NULL result passes (unknown is not a violation; same
+    * rule as SQL CHECK and Delta's constraint). */
+  private def violatesConstraint(exprSql: String): Column =
+    not(coalesce(org.apache.spark.sql.functions.expr(exprSql).cast("boolean"), lit(true)))
+
+  /** Validate `df` against every constraint in ONE aggregate pass (a
+    * violation-count column per constraint — never N scans of the
+    * incoming batch). Throws with every violated constraint named. */
+  private def enforceConstraints(
+      df: DataFrame, cons: Seq[(String, String)], op: String, path: String): Unit = {
+    if (cons.isEmpty) return
+    val counters = cons.zipWithIndex.map { case ((_, e), i) =>
+      // count(when(...)) — never NULL, even over an empty batch (a
+      // conditional merge whose landing set is empty is legitimate)
+      count(org.apache.spark.sql.functions.when(violatesConstraint(e), lit(1))).as(s"__c$i")
+    }
+    val row = df.agg(counters.head, counters.tail: _*).head()
+    val violated = cons.zipWithIndex.collect {
+      case ((n, e), i) if row.getLong(i) > 0 => s"'$n' ($e): ${row.getLong(i)} row(s)"
+    }
+    if (violated.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$op at $path violates CHECK constraint(s) ${violated.mkString("; ")}")
+  }
 
   // ── file-level min/max stats in the log (Delta-style data skipping) ─
   // Commit entries carry per-file column ranges so a predicate read
@@ -647,7 +704,8 @@ object TxStore {
     val sts = c.stats.fold("")(s => s""","stats":"$s"""")
     val dvs = c.dv.fold("")(s => s""","dv":"$s"""")
     val scs = if (c.sidecars.isEmpty) "" else s""","sidecars":${arr(c.sidecars)}"""
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs$scs}"""
+    val cns = c.constraints.fold("")(s => s""","constraints":"$s"""")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs$scs$cns}"""
   }
 
   private def parse(s: String): Commit = {
@@ -674,7 +732,8 @@ object TxStore {
       schema = fieldOpt("schema").map(_.drop(1).takeWhile(_ != '"')),
       stats = fieldOpt("stats").map(_.drop(1).takeWhile(_ != '"')),
       dv = fieldOpt("dv").map(_.drop(1).takeWhile(_ != '"')),
-      sidecars = fieldOpt("sidecars").map(strArr).getOrElse(Nil))
+      sidecars = fieldOpt("sidecars").map(strArr).getOrElse(Nil),
+      constraints = fieldOpt("constraints").map(_.drop(1).takeWhile(_ != '"')))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -712,6 +771,7 @@ object TxStore {
     val dv = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     val dvp = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     var schema: Option[String] = None
+    var constraints: Option[String] = None
     cs.foreach { c =>
       c.remove.foreach { n =>
         live -= n; stats.remove(n): Unit; dv.remove(n): Unit; dvp.remove(n): Unit
@@ -751,10 +811,12 @@ object TxStore {
         }
       }
       if (c.schema.isDefined) schema = c.schema
+      if (c.constraints.isDefined) constraints = c.constraints
     }
     Snapshot(
       if (cs.isEmpty) 0L else cs.last.version, live.toSeq,
-      schema.map(decodeSchema), stats.toMap, dv.toMap, dvp.toMap)
+      schema.map(decodeSchema), stats.toMap, dv.toMap, dvp.toMap,
+      constraints.map(decodeConstraints).getOrElse(Nil))
   }
 
   /** Current snapshot (version 0 = empty table, no log yet). */
@@ -778,6 +840,68 @@ object TxStore {
   /** Commit history, oldest first (op + files per version). */
   def history(spark: SparkSession, path: String): Seq[Commit] =
     commits(fs(spark, path), path)
+
+  // ── CHECK constraints (public surface) ─────────────────────────────
+
+  /** The table's live CHECK constraints, (name, SQL expression) in
+    * declaration order. */
+  def tableConstraints(spark: SparkSession, path: String): Seq[(String, String)] =
+    snapshot(spark, path).constraints
+
+  /** ADD CONSTRAINT name CHECK (exprSql) — the lakehouse data-quality
+    * gate (Delta's `ALTER TABLE … ADD CONSTRAINT`, re-derived on the
+    * log). From this commit on, every write of NEW row values (append /
+    * appendOnce / overwrite / merge / update) validates against the
+    * constraint in one extra aggregate pass over the incoming batch and
+    * refuses loudly — bad rows never reach the table, which is the whole
+    * point: at 100 TB a post-hoc quality sweep is a full-table scan, a
+    * write-time gate is O(batch).
+    *
+    * EXISTING data is validated first (one distributed scan of the
+    * current snapshot), so a live table always satisfies its full
+    * constraint set — the invariant that makes write-time checks
+    * sufficient. Validation re-runs per commit attempt if the snapshot
+    * moved (a concurrent append between validation and commit must not
+    * slip unvalidated rows under the new constraint; the atomic
+    * version-slot race settles ordering, and the write side re-checks
+    * symmetrically when IT loses — see the drift re-check in append).
+    *
+    * NULL semantics are ANSI CHECK: a row violates only when the
+    * expression is FALSE; NULL passes (use `x IS NOT NULL` to forbid
+    * nulls). Constraints survive [[checkpoint]]/[[cloneTable]] (the
+    * restatement carries them) and [[restore]] restores the TARGET
+    * version's set along with its data — self-consistent time travel. */
+  def addConstraint(spark: SparkSession, path: String, name: String, exprSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be [A-Za-z0-9_]+: '$name'")
+    require(!exprSql.exists(c => c == '\n' || c == '\t'),
+      "constraint expression must not contain tabs or newlines")
+    var validatedAt = -1L
+    commitLoop(spark, path, "constraint") { snap =>
+      require(!snap.constraints.exists(_._1 == name),
+        s"constraint '$name' already exists at $path")
+      if (validatedAt != snap.version) {
+        if (snap.files.nonEmpty)
+          enforceConstraints(
+            readFiles(spark, path, snap.files, snap.schema, snap.dv, dvp = snap.dvp),
+            Seq(name -> exprSql), "existing data", path)
+        validatedAt = snap.version
+      }
+      Some(CommitSpec(Nil, Nil, None,
+        constraints = Some(encodeConstraints(snap.constraints :+ (name -> exprSql)))))
+    }.get.version
+  }
+
+  /** DROP CONSTRAINT — metadata-only commit restating the set minus
+    * `name`; refuses an unknown name (a silent no-op would hide typos
+    * from an operator who believes a gate is off). */
+  def dropConstraint(spark: SparkSession, path: String, name: String): Long =
+    commitLoop(spark, path, "constraint") { snap =>
+      require(snap.constraints.exists(_._1 == name),
+        s"no constraint '$name' at $path (live: ${snap.constraints.map(_._1).mkString(", ")})")
+      Some(CommitSpec(Nil, Nil, None,
+        constraints = Some(encodeConstraints(snap.constraints.filterNot(_._1 == name)))))
+    }.get.version
 
   // ── writes ─────────────────────────────────────────────────────────
 
@@ -891,7 +1015,7 @@ object TxStore {
         case None => return None
         case Some(spec) =>
           val c = Commit(snap.version + 1, op, spec.add, spec.remove, txn,
-            spec.schema, spec.stats, spec.dv, spec.sidecars)
+            spec.schema, spec.stats, spec.dv, spec.sidecars, spec.constraints)
           if (tryCommit(f, path, c)) return Some(c)
       }
       tries += 1
@@ -907,12 +1031,24 @@ object TxStore {
     * until a vacuum. */
   def append(df: DataFrame, path: String, collectStats: Boolean = true): Long = {
     val cs = sessionCaseSensitive(df.sparkSession)
+    // validate against the CURRENT constraint set before paying the
+    // stage write; re-checked per commit attempt below if it drifts
+    var checked = snapshot(df.sparkSession, path).constraints
+    enforceConstraints(df, checked, "append", path)
     val (files, stats) = stage(df, path, collectStats)
     val f = fs(df.sparkSession, path)
     try
-      commitLoop(df.sparkSession, path, "append")(snap =>
+      commitLoop(df.sparkSession, path, "append") { snap =>
+        if (snap.constraints != checked) {
+          // a constraint landed while we were staging — the new gate
+          // applies to THIS append too (its commit orders after the
+          // constraint's full-table validation)
+          enforceConstraints(df, snap.constraints, "append", path)
+          checked = snap.constraints
+        }
         Some(CommitSpec(files, Nil,
-          Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))).get.version
+          Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
+      }.get.version
     catch {
       case e: Throwable =>
         files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
@@ -925,11 +1061,17 @@ object TxStore {
     * files) if a concurrent overwrite/compact removed any file it decided
     * to remove — the snapshot it targeted no longer exists. */
   def overwrite(df: DataFrame, path: String): Long = {
-    val (files, stats) = stage(df, path)
     val base = snapshot(df.sparkSession, path)
+    var checked = base.constraints
+    enforceConstraints(df, checked, "overwrite", path)
+    val (files, stats) = stage(df, path)
     val f = fs(df.sparkSession, path)
     try {
       commitLoop(df.sparkSession, path, "overwrite") { snap =>
+        if (snap.constraints != checked) { // see append's drift re-check
+          enforceConstraints(df, snap.constraints, "overwrite", path)
+          checked = snap.constraints
+        }
         val vanished = base.files.toSet -- snap.files.toSet
         if (snap.version > base.version && vanished.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -1046,12 +1188,20 @@ object TxStore {
       case Some(v) => v
       case None =>
         val cs = sessionCaseSensitive(spark)
+        var checked = snapshot(spark, path).constraints
+        enforceConstraints(df, checked, "appendOnce", path)
         val (files, stats) = stage(df, path, collectStats)
         try
           commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
             if (committed.isDefined) None
-            else Some(CommitSpec(files, Nil,
-              Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
+            else {
+              if (snap.constraints != checked) { // see append's drift re-check
+                enforceConstraints(df, snap.constraints, "appendOnce", path)
+                checked = snap.constraints
+              }
+              Some(CommitSpec(files, Nil,
+                Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
+            }
           } match {
             case Some(c) => c.version
             case None => // a concurrent delivery of THIS batch won the race
@@ -1376,10 +1526,17 @@ object TxStore {
         case None => col(c)
       }
     }: _*)
+    // updated rows carry NEW values — the constraint gate applies (kept
+    // rows in the frame were valid on write; re-checking them is free
+    // of false refusals by the live-table invariant)
+    enforceConstraints(updated, base.constraints, "update", path)
     val (staged, uStats) = stage(updated, path)
     val f = fs(spark, path)
     try
       commitLoop(spark, path, "update") { snap =>
+        if (snap.constraints != base.constraints)
+          throw new java.util.ConcurrentModificationException(
+            s"update at $path conflicts: constraints changed after validation")
         val vanished = hit.filterNot(snap.files.contains)
         if (vanished.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -1629,6 +1786,10 @@ object TxStore {
     require(
       counts.getLong(1) == nUpdates,
       s"updates must be unique per key (${keys.mkString(", ")}) — ambiguous winners")
+    // every new row value comes from `updates`; merge's serializable
+    // version check conflicts on any concurrent constraint commit, so
+    // one validation against the decided snapshot suffices
+    enforceConstraints(updates, base.constraints, "merge", path)
     val hit =
       if (base.files.isEmpty) Nil
       else {
@@ -1748,8 +1909,13 @@ object TxStore {
       val out: DataFrame =
         if (hit.isEmpty) {
           // nothing matched anywhere: the table is untouched except inserts
-          notMatchedInsert.fold(updates.limit(0))(c =>
+          val ins = notMatchedInsert.fold(updates.limit(0))(c =>
             src.filter(coalesce(c, lit(false))).select(srcCols.map(n => col(s"s.$n")): _*))
+          // only rows that actually LAND are gated (a CDC delete-marker
+          // row with null payload guarded by matchedDelete never
+          // inserts, so it must not trip the constraint)
+          enforceConstraints(ins, base.constraints, "merge", path)
+          ins
         } else {
           val cur = readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp)
           val tgtCols = cur.columns.toSeq
@@ -1768,6 +1934,10 @@ object TxStore {
               .filter(coalesce(c, lit(false)))
               .select(srcCols.map(n => col(s"s.$n")): _*)
           }
+          // gate only the rows that LAND with new values (kept rows are
+          // valid by the live-table invariant; guarded-away source rows
+          // never materialize)
+          enforceConstraints(updatedRows.unionByName(inserts), base.constraints, "merge", path)
           keptRows
             .unionByName(updatedRows, allowMissingColumns = true)
             .unionByName(inserts, allowMissingColumns = true)
@@ -1874,6 +2044,9 @@ object TxStore {
       if (dvpRefs.isEmpty) Nil
       else Seq(writeSidecar(f, path, Map.empty, Map.empty, dvpRefs))
     val payloadFiles = (snap.stats.keySet ++ snap.dv.keySet).toSeq.sorted
+    // always restate the constraint set: the checkpoint truncates replay,
+    // so anything not restated here is lost to post-checkpoint readers
+    val cons = Some(encodeConstraints(snap.constraints))
     if (payloadFiles.size <= shardFiles) {
       val sts =
         if (snap.stats.isEmpty) None
@@ -1881,7 +2054,7 @@ object TxStore {
           renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
       val dvs = if (snap.dv.isEmpty) None else Some(encodeDv(snap.dv))
       val sc = dvpSidecar()
-      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, sc), sc)
+      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, sc, cons), sc)
     } else {
       val sc = payloadFiles.grouped(shardFiles).map { group =>
         val g = group.toSet
@@ -1889,7 +2062,7 @@ object TxStore {
           snap.stats.view.filterKeys(g).toMap,
           snap.dv.view.filterKeys(g).toMap)
       }.toSeq ++ dvpSidecar()
-      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), None, None, sc), sc)
+      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), None, None, sc, cons), sc)
     }
   }
 
@@ -2461,8 +2634,11 @@ object TxStore {
     try
       commitLoop(spark, path, "restore") { snap =>
         // remove the CURRENT live set (fresh per retry) and re-add the
-        // target's — same last-writer-wins semantics as overwrite
-        Some(CommitSpec(target.files, snap.files, target.schema.map(encodeSchema), sts, dvs, sc))
+        // target's — same last-writer-wins semantics as overwrite; the
+        // TARGET version's constraint set restores with its data (its
+        // files were validated under it — self-consistent)
+        Some(CommitSpec(target.files, snap.files, target.schema.map(encodeSchema), sts, dvs, sc,
+          Some(encodeConstraints(target.constraints))))
       }.get.version
     catch {
       case e: Throwable =>

@@ -1341,4 +1341,82 @@ class TxStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TxStore.versionAtTimestamp(spark, t, between - 3600 * 1000L))
   }
+
+  test("CHECK constraints gate append/overwrite/merge/update; NULL passes (ANSI)") {
+    val t = tmpDir()
+    TxStore.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score"), t) // v1
+    TxStore.addConstraint(spark, t, "score_pos", "score > 0.0") // v2
+    assert(TxStore.tableConstraints(spark, t) === Seq("score_pos" -> "score > 0.0"))
+    // violating append refuses, table byte-identical; staged files cleaned
+    val ex = intercept[IllegalArgumentException](
+      TxStore.append(Seq((3L, -1.0)).toDF("id", "score"), t))
+    assert(ex.getMessage.contains("score_pos"))
+    assert(TxStore.read(spark, t).count() === 2 && TxStore.snapshot(spark, t).version === 2L)
+    // NULL result PASSES (ANSI CHECK: only FALSE violates)
+    TxStore.append(Seq((4L, Option.empty[Double])).toDF("id", "score"), t) // v3
+    assert(TxStore.read(spark, t).count() === 3)
+    // overwrite and merge gate too
+    intercept[IllegalArgumentException](
+      TxStore.overwrite(Seq((9L, -5.0)).toDF("id", "score"), t))
+    intercept[IllegalArgumentException](
+      TxStore.merge(spark, t, Seq((1L, -10.0)).toDF("id", "score"), Seq("id")))
+    // update SETting a violating value refuses; a valid one lands
+    intercept[IllegalArgumentException](
+      TxStore.update(spark, t, $"id" === 1L, Map("score" -> lit(-3.0))))
+    TxStore.update(spark, t, $"id" === 1L, Map("score" -> lit(99.0)))
+    assert(TxStore.read(spark, t).filter($"id" === 1L).select("score")
+      .as[Double].head() === 99.0)
+  }
+
+  test("addConstraint validates existing data; drop reopens the gate; checkpoint restates") {
+    val t = tmpDir()
+    TxStore.append(Seq((1L, -1.0), (2L, 2.0)).toDF("id", "score"), t)
+    // existing data violates → refused, nothing committed
+    val ex = intercept[IllegalArgumentException](
+      TxStore.addConstraint(spark, t, "score_pos", "score > 0.0"))
+    assert(ex.getMessage.contains("existing data"))
+    assert(TxStore.tableConstraints(spark, t).isEmpty)
+    TxStore.delete(spark, t, $"score" < 0.0)
+    TxStore.addConstraint(spark, t, "score_pos", "score > 0.0") // now clean
+    intercept[IllegalArgumentException](
+      TxStore.addConstraint(spark, t, "score_pos", "score > 1.0")) // dup name
+    intercept[IllegalArgumentException](
+      TxStore.addConstraint(spark, t, "bad name!", "score > 0.0")) // bad token
+    // survives checkpoint truncation
+    TxStore.checkpoint(spark, t)
+    intercept[IllegalArgumentException](
+      TxStore.append(Seq((5L, -9.0)).toDF("id", "score"), t))
+    // drop reopens; unknown drop refuses
+    intercept[IllegalArgumentException](TxStore.dropConstraint(spark, t, "nope"))
+    TxStore.dropConstraint(spark, t, "score_pos")
+    TxStore.append(Seq((5L, -9.0)).toDF("id", "score"), t)
+    assert(TxStore.read(spark, t).filter($"score" < 0).count() === 1)
+  }
+
+  test("constraints: conditional merge gates only landing rows; clone and restore carry sets") {
+    val t = tmpDir()
+    TxStore.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "score"), t) // v1
+    TxStore.addConstraint(spark, t, "score_pos", "score > 0.0") // v2
+    // a delete-marker row with a violating payload that only DELETES
+    // must not trip the gate (it never lands)
+    TxStore.mergeConditional(spark, t,
+      Seq((2L, -999.0)).toDF("id", "score"), Seq("id"),
+      matchedUpdate = None, matchedDelete = Some(lit(true)),
+      notMatchedInsert = None) // v3
+    assert(TxStore.read(spark, t).as[(Long, Double)].collect().toSet === Set((1L, 1.0)))
+    // the same payload as an UPDATE does trip it
+    intercept[IllegalArgumentException](
+      TxStore.mergeConditional(spark, t, Seq((1L, -999.0)).toDF("id", "score"), Seq("id")))
+    // clone carries the constraint set
+    val c = tmpDir() + "/clone"
+    TxStore.cloneTable(spark, t, c)
+    assert(TxStore.tableConstraints(spark, c) === Seq("score_pos" -> "score > 0.0"))
+    intercept[IllegalArgumentException](
+      TxStore.append(Seq((7L, -1.0)).toDF("id", "score"), c))
+    // restore to v1 (pre-constraint) restores the empty set with the data
+    TxStore.restore(spark, t, 1L)
+    assert(TxStore.tableConstraints(spark, t).isEmpty)
+    TxStore.append(Seq((8L, -4.0)).toDF("id", "score"), t) // gate is gone
+    assert(TxStore.read(spark, t).count() === 3)
+  }
 }
