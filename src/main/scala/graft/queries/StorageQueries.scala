@@ -403,6 +403,38 @@ object StorageQueries {
       },
       Some(eventsSql(""))),
 
+    // ── S39 — COLUMN MAPPING (Delta's rename/drop without rewrite):
+    //    RENAME COLUMN and DROP COLUMN are metadata-only commits — the
+    //    log schema stays the physical parquet schema, a (logical →
+    //    physical) mapping rides beside it, readers project physical →
+    //    logical and writers map back. At 100 TB this is the difference
+    //    between an O(1) log line and rewriting the whole lake to
+    //    change a name. The lane renames mid-history (files exist under
+    //    BOTH physical generations), appends under the new logical
+    //    name, drops a column, and hash-matches the logical readback
+    //    against SQL that aliases/projects the original table — proving
+    //    old files, new files, the rename and the drop all compose.
+    QueryDef(
+      "s39_tx_column_mapping",
+      (s, d) => {
+        val store = freshStore(s, "s39-colmap", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0), store) // v1
+        TxStore.renameColumn(s, store, "event_type", "channel") // v2 — metadata only
+        TxStore.append(
+          ev.filter(col("event_id") % 2 =!= 0).withColumnRenamed("event_type", "channel"),
+          store) // v3 — new files land under the new logical name
+        TxStore.dropColumn(s, store, "props") // v4 — no rewrite, values unreachable
+        val back = TxStore.read(s, store)
+        require(!back.columns.contains("props") && back.columns.contains("channel"),
+          s"unexpected logical view: ${back.columns.mkString(",")}")
+        back.select(col("event_id"), expr("ts div 1000").as("ts_us"), col("user_id"),
+          col("channel"), col("value"))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+             |       event_type AS channel, value
+             |FROM events""".stripMargin)),
+
     // ── S34 — CONDITIONAL three-clause MERGE (Delta's WHEN MATCHED AND
     //    … THEN UPDATE / DELETE, WHEN NOT MATCHED AND … THEN INSERT):
     //    the update wave (%5 slice, value negated) UPDATES matched

@@ -88,7 +88,12 @@ object TxStore {
       /** Base64 payload carrying the table's full CHECK-constraint set
         * (name → SQL expression); like `schema`, the latest commit
         * carrying one defines the set (see [[addConstraint]]). */
-      constraints: Option[String] = None)
+      constraints: Option[String] = None,
+      /** Base64 payload carrying the COLUMN MAPPING (logical name →
+        * physical parquet name, plus retired physical names); absent =
+        * identity. Latest commit carrying one defines it (see
+        * [[renameColumn]]). */
+      mapping: Option[String] = None)
 
   /** One column's [min, max] over a file's NON-NULL values: exact
     * decimals for numeric primitives, raw strings (ASCII-only, ≤ 64
@@ -127,7 +132,19 @@ object TxStore {
       /** Live CHECK constraints, (name, SQL expression) in declaration
         * order — every write of new row values is validated against
         * them (see [[addConstraint]]). */
-      constraints: Seq[(String, String)] = Nil)
+      constraints: Seq[(String, String)] = Nil,
+      /** COLUMN MAPPING: (logical, physical) per live column, in
+        * logical-schema order. Empty = identity mode (logical ≡
+        * physical — the default; zero overhead). Non-empty after the
+        * first [[renameColumn]]/[[dropColumn]]: `schema` stays the
+        * PHYSICAL parquet schema, readers project physical → logical,
+        * writers map logical → physical (see the column-mapping
+        * section). */
+      mapping: Seq[(String, String)] = Nil,
+      /** Physical column names retired by [[dropColumn]] — never
+        * reusable, so a re-added logical name gets a fresh physical
+        * name and old files' dropped data can never resurrect. */
+      retired: Seq[String] = Nil)
 
   /** What a write op asks the commit loop to publish at the next
     * version. `stats` ride with added files; `dv` marks row positions
@@ -142,7 +159,8 @@ object TxStore {
       stats: Option[String] = None,
       dv: Option[String] = None,
       sidecars: Seq[String] = Nil,
-      constraints: Option[String] = None)
+      constraints: Option[String] = None,
+      mapping: Option[String] = None)
 
   // ── schema in the log ──────────────────────────────────────────────
   // The table schema travels in commit entries (base64 of Spark's schema
@@ -201,6 +219,106 @@ object TxStore {
         (line.substring(0, i), line.substring(i + 1))
       }
     }
+
+  // ── column mapping in the log ──────────────────────────────────────
+  // Delta's column-mapping (name mode) re-derived on the text log: the
+  // log `schema` stays the PHYSICAL parquet schema; a (logical →
+  // physical) mapping rides beside it, replayed latest-wins like the
+  // schema. Absent mapping = identity (the default — zero overhead, and
+  // every pre-mapping table keeps exactly its old behavior). RENAME is
+  // then a metadata-only commit (the logical name moves, the physical
+  // stays — no file is rewritten); DROP removes the pair and RETIRES the
+  // physical name forever, so a re-added logical column gets a fresh
+  // physical name and dropped data in old files can never resurrect.
+  // Readers project physical → logical after the scan; writers map
+  // logical → physical before staging; stats/bloom keys stay physical
+  // and predicate pruning translates logical attribute names.
+
+  private def encodeMapping(m: Seq[(String, String)], retired: Seq[String]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      (m.map { case (l, p) => s"m\t$l\t$p" } ++ retired.map(p => s"r\t$p"))
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  private def decodeMapping(b64: String): (Seq[(String, String)], Seq[String]) =
+    memo(b64, 'm') {
+      val txt = new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
+      if (txt.isEmpty) (Nil, Nil)
+      else {
+        val lines = txt.split("\n", -1).toSeq
+        val pairs = lines.collect {
+          case l if l.startsWith("m\t") =>
+            val parts = l.split("\t", -1)
+            require(parts.length == 3, s"corrupt mapping line: $l")
+            (parts(1), parts(2))
+        }
+        val retired = lines.collect { case l if l.startsWith("r\t") => l.substring(2) }
+        (pairs, retired)
+      }
+    }
+
+  /** The LOGICAL schema a reader sees: the mapping's order and names
+    * over the physical fields' types; identity mode passes the physical
+    * schema through. */
+  def logicalSchema(snap: Snapshot): Option[org.apache.spark.sql.types.StructType] =
+    if (snap.mapping.isEmpty) snap.schema
+    else snap.schema.map { phys =>
+      val byName = phys.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+      org.apache.spark.sql.types.StructType(snap.mapping.map { case (l, p) =>
+        byName(p.toLowerCase(java.util.Locale.ROOT)).copy(name = l)
+      })
+    }
+
+  /** Rename a logical frame's columns to their physical names before
+    * staging — identity when the mapping is. Columns without a pair
+    * (pre-evolution callers extend the mapping first) pass through. */
+  private def toPhysical(df: DataFrame, mapping: Seq[(String, String)]): DataFrame =
+    if (mapping.isEmpty) df
+    else {
+      val byLogical = mapping.map { case (l, p) =>
+        l.toLowerCase(java.util.Locale.ROOT) -> p
+      }.toMap
+      df.select(df.columns.toIndexedSeq.map(c =>
+        col(c).as(byLogical.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c))): _*)
+    }
+
+  /** Lowercased logical → physical lookup for predicate-pruning
+    * translation. */
+  private def physByLogical(snap: Snapshot): Map[String, String] =
+    snap.mapping.map { case (l, p) => l.toLowerCase(java.util.Locale.ROOT) -> p }.toMap
+
+  /** Schema evolution in MAPPING mode: evolve on the LOGICAL level
+    * (same widening/duplicate rules as [[evolve]]), then assign each
+    * genuinely new logical column a physical name — its own name when
+    * never used by any live or retired physical column, else a
+    * suffixed fresh one (the no-resurrection rule). Returns the new
+    * physical schema and the extended mapping. */
+  private def evolveMapped(
+      snap: Snapshot,
+      incoming: org.apache.spark.sql.types.StructType,
+      caseSensitive: Boolean): (org.apache.spark.sql.types.StructType, Seq[(String, String)]) = {
+    def key(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val phys = snap.schema.getOrElse(
+      throw new IllegalStateException("mapping mode requires a log schema"))
+    val logicalCur = logicalSchema(snap).get
+    val evolvedLogical = evolve(Some(logicalCur), incoming, caseSensitive)
+    val pairByLogical = snap.mapping.map { case (l, p) => key(l) -> p }.toMap
+    val used = (phys.fieldNames.toSeq ++ snap.retired ++ snap.mapping.map(_._2))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val newFields = evolvedLogical.fields.toSeq.filterNot(f => pairByLogical.contains(key(f.name)))
+    val newPairs = newFields.map { f =>
+      val p =
+        if (used(f.name.toLowerCase(java.util.Locale.ROOT)))
+          s"${f.name}_${UUID.randomUUID().toString.take(8)}"
+        else f.name
+      (f.name, p)
+    }
+    val widenedByPhys = evolvedLogical.fields.toSeq.flatMap(f =>
+      pairByLogical.get(key(f.name)).map(p => key(p) -> f.dataType)).toMap
+    val physFields = phys.fields.toSeq.map(f =>
+      widenedByPhys.get(key(f.name)).fold(f)(dt => f.copy(dataType = dt))) ++
+      newPairs.zip(newFields).map { case ((_, p), f) => f.copy(name = p) }
+    (org.apache.spark.sql.types.StructType(physFields), snap.mapping ++ newPairs)
+  }
 
   /** ANSI CHECK semantics: a row VIOLATES iff the expression evaluates
     * to FALSE — a NULL result passes (unknown is not a violation; same
@@ -705,7 +823,8 @@ object TxStore {
     val dvs = c.dv.fold("")(s => s""","dv":"$s"""")
     val scs = if (c.sidecars.isEmpty) "" else s""","sidecars":${arr(c.sidecars)}"""
     val cns = c.constraints.fold("")(s => s""","constraints":"$s"""")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs$scs$cns}"""
+    val mps = c.mapping.fold("")(s => s""","mapping":"$s"""")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs$scs$cns$mps}"""
   }
 
   private def parse(s: String): Commit = {
@@ -733,7 +852,8 @@ object TxStore {
       stats = fieldOpt("stats").map(_.drop(1).takeWhile(_ != '"')),
       dv = fieldOpt("dv").map(_.drop(1).takeWhile(_ != '"')),
       sidecars = fieldOpt("sidecars").map(strArr).getOrElse(Nil),
-      constraints = fieldOpt("constraints").map(_.drop(1).takeWhile(_ != '"')))
+      constraints = fieldOpt("constraints").map(_.drop(1).takeWhile(_ != '"')),
+      mapping = fieldOpt("mapping").map(_.drop(1).takeWhile(_ != '"')))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -772,6 +892,7 @@ object TxStore {
     val dvp = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     var schema: Option[String] = None
     var constraints: Option[String] = None
+    var mapping: Option[String] = None
     cs.foreach { c =>
       c.remove.foreach { n =>
         live -= n; stats.remove(n): Unit; dv.remove(n): Unit; dvp.remove(n): Unit
@@ -812,11 +933,13 @@ object TxStore {
       }
       if (c.schema.isDefined) schema = c.schema
       if (c.constraints.isDefined) constraints = c.constraints
+      if (c.mapping.isDefined) mapping = c.mapping
     }
+    val (pairs, retired) = mapping.map(decodeMapping).getOrElse((Nil, Nil))
     Snapshot(
       if (cs.isEmpty) 0L else cs.last.version, live.toSeq,
       schema.map(decodeSchema), stats.toMap, dv.toMap, dvp.toMap,
-      constraints.map(decodeConstraints).getOrElse(Nil))
+      constraints.map(decodeConstraints).getOrElse(Nil), pairs, retired)
   }
 
   /** Current snapshot (version 0 = empty table, no log yet). */
@@ -883,7 +1006,8 @@ object TxStore {
       if (validatedAt != snap.version) {
         if (snap.files.nonEmpty)
           enforceConstraints(
-            readFiles(spark, path, snap.files, snap.schema, snap.dv, dvp = snap.dvp),
+            readFiles(spark, path, snap.files, snap.schema, snap.dv, dvp = snap.dvp,
+              mapping = snap.mapping),
             Seq(name -> exprSql), "existing data", path)
         validatedAt = snap.version
       }
@@ -901,6 +1025,80 @@ object TxStore {
         s"no constraint '$name' at $path (live: ${snap.constraints.map(_._1).mkString(", ")})")
       Some(CommitSpec(Nil, Nil, None,
         constraints = Some(encodeConstraints(snap.constraints.filterNot(_._1 == name)))))
+    }.get.version
+
+  // ── column rename / drop (public surface) ──────────────────────────
+
+  private def lc(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+
+  /** The snapshot's mapping, materialized: identity pairs over the
+    * current schema when mapping mode has not been entered yet. */
+  private def materializedMapping(snap: Snapshot): Seq[(String, String)] =
+    if (snap.mapping.nonEmpty) snap.mapping
+    else {
+      val s = snap.schema.getOrElse(throw new IllegalArgumentException(
+        "table carries no log schema — write data before renaming/dropping columns"))
+      s.fieldNames.toSeq.foreach(n => require(!n.exists(c => c == '\t' || c == '\n'),
+        s"column name unsupported for mapping mode: '$n'"))
+      s.fieldNames.toSeq.map(n => (n, n))
+    }
+
+  /** Refuse a rename/drop of a column a live CHECK constraint
+    * references — the constraint would silently stop resolving (the
+    * Delta rule: drop the constraint first). */
+  private def requireNoConstraintRefs(snap: Snapshot, colName: String, op: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    snap.constraints.foreach { case (n, e) =>
+      val refs = org.apache.spark.sql.graft.ColumnBridge
+        .expression(org.apache.spark.sql.functions.expr(e))
+        .collect { case u: UnresolvedAttribute => lc(u.nameParts.last) }
+      require(!refs.contains(lc(colName)),
+        s"cannot $op column '$colName': CHECK constraint '$n' ($e) references it — " +
+          "drop the constraint first")
+    }
+  }
+
+  /** RENAME COLUMN without rewriting a byte of data — Delta's
+    * column-mapping (name mode) re-derived on the log. The first
+    * rename/drop materializes the mapping (identity pairs over the
+    * current schema); from then on the log schema stays the PHYSICAL
+    * parquet schema and only the logical side changes here. Reads at a
+    * historical version use THAT version's names (time travel sees the
+    * old name); stats/bloom pruning keeps working because the predicate
+    * walker translates logical → physical. Refuses a target name
+    * already in use, reserved (`__*`) or grammar-breaking, and a source
+    * column a CHECK constraint references. */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Long = {
+    require(to.nonEmpty &&
+      !to.exists(c => c == '\t' || c == '\n' || c == '"' || c == '\\' || c == '#'),
+      s"invalid column name: '$to'")
+    require(!to.startsWith("__"), "names starting with __ are reserved")
+    commitLoop(spark, path, "rename-column") { snap =>
+      val m = materializedMapping(snap)
+      require(m.exists(p => lc(p._1) == lc(from)), s"no such column: $from")
+      require(!m.exists(p => lc(p._1) == lc(to)), s"column '$to' already exists")
+      requireNoConstraintRefs(snap, from, "rename")
+      val m2 = m.map { case (l, p) => if (lc(l) == lc(from)) (to, p) else (l, p) }
+      Some(CommitSpec(Nil, Nil, None, mapping = Some(encodeMapping(m2, snap.retired))))
+    }.get.version
+  }
+
+  /** DROP COLUMN without rewriting data: the pair leaves the mapping
+    * and the physical name RETIRES forever — a later re-added column of
+    * the same logical name gets a fresh physical name, so the dropped
+    * values in old files can never resurrect (they physically vanish as
+    * rewrites touch the files; a compact purges them at once — the
+    * GDPR path). Refuses the last column and constraint-referenced
+    * ones. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Long =
+    commitLoop(spark, path, "drop-column") { snap =>
+      val m = materializedMapping(snap)
+      require(m.exists(p => lc(p._1) == lc(name)), s"no such column: $name")
+      require(m.size >= 2, "cannot drop the last column")
+      requireNoConstraintRefs(snap, name, "drop")
+      val (gone, keep) = m.partition(p => lc(p._1) == lc(name))
+      Some(CommitSpec(Nil, Nil, None,
+        mapping = Some(encodeMapping(keep, snap.retired ++ gone.map(_._2)))))
     }.get.version
 
   // ── writes ─────────────────────────────────────────────────────────
@@ -1015,7 +1213,7 @@ object TxStore {
         case None => return None
         case Some(spec) =>
           val c = Commit(snap.version + 1, op, spec.add, spec.remove, txn,
-            spec.schema, spec.stats, spec.dv, spec.sidecars, spec.constraints)
+            spec.schema, spec.stats, spec.dv, spec.sidecars, spec.constraints, spec.mapping)
           if (tryCommit(f, path, c)) return Some(c)
       }
       tries += 1
@@ -1033,9 +1231,18 @@ object TxStore {
     val cs = sessionCaseSensitive(df.sparkSession)
     // validate against the CURRENT constraint set before paying the
     // stage write; re-checked per commit attempt below if it drifts
-    var checked = snapshot(df.sparkSession, path).constraints
+    val pre = snapshot(df.sparkSession, path)
+    var checked = pre.constraints
     enforceConstraints(df, checked, "append", path)
-    val (files, stats) = stage(df, path, collectStats)
+    // column-mapping mode: evolve on the LOGICAL level against the
+    // pre-snapshot, stage under PHYSICAL names; a concurrent mapping/
+    // schema change invalidates the staged names → conflict (mapping
+    // changes are rare metadata ops; plain appends stay conflict-free)
+    val mapped =
+      if (pre.mapping.isEmpty) None
+      else Some(evolveMapped(pre, df.schema, cs))
+    val (files, stats) =
+      stage(mapped.fold(df) { case (_, m2) => toPhysical(df, m2) }, path, collectStats)
     val f = fs(df.sparkSession, path)
     try
       commitLoop(df.sparkSession, path, "append") { snap =>
@@ -1046,8 +1253,21 @@ object TxStore {
           enforceConstraints(df, snap.constraints, "append", path)
           checked = snap.constraints
         }
-        Some(CommitSpec(files, Nil,
-          Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
+        if (snap.mapping != pre.mapping || snap.retired != pre.retired)
+          throw new java.util.ConcurrentModificationException(
+            s"append at $path conflicts: column mapping changed while staging — retry")
+        mapped match {
+          case None =>
+            Some(CommitSpec(files, Nil,
+              Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
+          case Some((physSchema, m2)) =>
+            if (snap.schema != pre.schema)
+              throw new java.util.ConcurrentModificationException(
+                s"append at $path conflicts: schema evolved concurrently under column mapping")
+            val mp =
+              if (m2 != pre.mapping) Some(encodeMapping(m2, pre.retired)) else None
+            Some(CommitSpec(files, Nil, Some(encodeSchema(physSchema)), stats, mapping = mp))
+        }
       }.get.version
     catch {
       case e: Throwable =>
@@ -1080,8 +1300,16 @@ object TxStore {
         // removing the files live NOW (a concurrent append's rows are
         // legitimately clobbered by a later full overwrite — same
         // semantics as Delta's overwrite after a racing append). An
-        // overwrite may change the schema freely — it replaces the table.
-        Some(CommitSpec(files, snap.files, Some(encodeSchema(normalize(df.schema))), stats))
+        // overwrite may change the schema freely — it replaces the
+        // table; an active column mapping resets to identity with it
+        // (every old file leaves the live set, so retired names may be
+        // forgotten — nothing their data could resurrect through).
+        val mp =
+          if (snap.mapping.nonEmpty || snap.retired.nonEmpty)
+            Some(encodeMapping(Nil, Nil))
+          else None
+        Some(CommitSpec(files, snap.files, Some(encodeSchema(normalize(df.schema))), stats,
+          mapping = mp))
       }.get.version
     } catch {
       case e: Throwable =>
@@ -1098,8 +1326,10 @@ object TxStore {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
     val (compacted, cStats) =
-      stage(readFiles(spark, path, base.files, base.schema, base.dv, dvp = base.dvp)
-        .repartition(target), path)
+      stage(toPhysical(
+        readFiles(spark, path, base.files, base.schema, base.dv, dvp = base.dvp,
+          mapping = base.mapping).repartition(target),
+        base.mapping), path)
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "compact") { snap =>
       if (!base.files.forall(snap.files.contains)) None
@@ -1135,16 +1365,17 @@ object TxStore {
       bits: Int = 6): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
-    val df = readFiles(spark, path, base.files, base.schema, base.dv, dvp = base.dvp)
+    val df = readFiles(spark, path, base.files, base.schema, base.dv, dvp = base.dvp,
+      mapping = base.mapping)
     require(!df.columns.contains("__z"), "table must not carry the reserved __z column")
     // persisted: the z-bucket fold is an interpreted HOF evaluated in
     // both the range-sampling and the write pass (see the s24 lane note)
     val keyed = df.withColumn("__z", Compaction.zOrderKey(df, zCols, bits)).persist()
     val (staged, zStats) =
       try
-        stage(
+        stage(toPhysical(
           keyed.repartitionByRange(target, col("__z")).sortWithinPartitions("__z").drop("__z"),
-          path)
+          base.mapping), path)
       finally keyed.unpersist(): Unit
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "optimize-zorder") { snap =>
@@ -1188,9 +1419,14 @@ object TxStore {
       case Some(v) => v
       case None =>
         val cs = sessionCaseSensitive(spark)
-        var checked = snapshot(spark, path).constraints
+        val pre = snapshot(spark, path)
+        var checked = pre.constraints
         enforceConstraints(df, checked, "appendOnce", path)
-        val (files, stats) = stage(df, path, collectStats)
+        val mapped = // see append: logical evolution + physical staging
+          if (pre.mapping.isEmpty) None
+          else Some(evolveMapped(pre, df.schema, cs))
+        val (files, stats) =
+          stage(mapped.fold(df) { case (_, m2) => toPhysical(df, m2) }, path, collectStats)
         try
           commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
             if (committed.isDefined) None
@@ -1199,8 +1435,23 @@ object TxStore {
                 enforceConstraints(df, snap.constraints, "appendOnce", path)
                 checked = snap.constraints
               }
-              Some(CommitSpec(files, Nil,
-                Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
+              if (snap.mapping != pre.mapping || snap.retired != pre.retired)
+                throw new java.util.ConcurrentModificationException(
+                  s"appendOnce at $path conflicts: column mapping changed while staging")
+              mapped match {
+                case None =>
+                  Some(CommitSpec(files, Nil,
+                    Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
+                case Some((physSchema, m2)) =>
+                  if (snap.schema != pre.schema)
+                    throw new java.util.ConcurrentModificationException(
+                      s"appendOnce at $path conflicts: schema evolved concurrently " +
+                        "under column mapping")
+                  val mp =
+                    if (m2 != pre.mapping) Some(encodeMapping(m2, pre.retired)) else None
+                  Some(CommitSpec(files, Nil, Some(encodeSchema(physSchema)), stats,
+                    mapping = mp))
+              }
             }
           } match {
             case Some(c) => c.version
@@ -1257,13 +1508,13 @@ object TxStore {
         "tracks appends only; re-read the snapshot")
     val added = tail.flatMap(_.add)
     val df =
-      if (added.nonEmpty) readFiles(spark, path, added, snap.schema)
+      if (added.nonEmpty) readFiles(spark, path, added, snap.schema, mapping = snap.mapping)
       else
         // caught up (or the table has no commits yet): an EMPTY delta,
         // never an error — a poll loop must be able to run ahead of the
         // producer. With no schema on the log yet there is nothing to
         // type the frame with, so it is the zero-column empty frame.
-        snap.schema match {
+        logicalSchema(snap) match {
           case Some(s) =>
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
           case None => spark.emptyDataFrame
@@ -1331,14 +1582,18 @@ object TxStore {
           s"v${cs.head.version} (checkpoint truncated history) — re-read the snapshot")
     val tail = cs.filter(c => c.version > sinceVersion && c.op != "checkpoint")
     // CDF reads in the CURRENT schema (old files' missing columns are
-    // NULL via schema-on-read) — one schema across every emitted frame
+    // NULL via schema-on-read) — one schema across every emitted frame;
+    // same for the CURRENT column mapping (a renamed column's whole
+    // history reads under its current logical name, a dropped one
+    // disappears — the current-schema contract)
     val readSchema = snap.schema
+    val curMap = snap.mapping
 
     def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe)).withColumn("_commit_version", lit(v))
     // readFiles restricts marks to the read file set itself
     def effective(s0: Snapshot, files: Seq[String]): DataFrame =
-      readFiles(spark, path, files, readSchema, s0.dv, dvp = s0.dvp)
+      readFiles(spark, path, files, readSchema, s0.dv, dvp = s0.dvp, mapping = curMap)
 
     val parts: Seq[DataFrame] = tail.flatMap { c =>
       lazy val before = replay(f, path, cs.filter(_.version < c.version))
@@ -1346,7 +1601,7 @@ object TxStore {
       c.op match {
         case "append" =>
           if (c.add.isEmpty) Nil
-          else Seq(tagged(readFiles(spark, path, c.add, readSchema), "insert", c.version))
+          else Seq(tagged(readFiles(spark, path, c.add, readSchema, mapping = curMap), "insert", c.version))
         case "compact" | "optimize-zorder" => Nil
         case "delete-dv" =>
           val touched = dvTouchedFiles(f, path, c).filter(after.files.contains)
@@ -1359,7 +1614,7 @@ object TxStore {
             require(afterMarks.isDefined, s"delete-dv commit v${c.version} carries no marks")
             val fresh = beforeMarks.map(_._1).fold(afterMarks.get._1)(b =>
               afterMarks.get._1.join(b, Seq("__file", "__row"), "left_anti"))
-            val rows = readFiles(spark, path, touched, readSchema, withFile = true)
+            val rows = readFiles(spark, path, touched, readSchema, withFile = true, mapping = curMap)
               .join(fresh, Seq("__file", "__row"))
               .drop("__file", "__row")
             Seq(tagged(rows, "delete", c.version))
@@ -1370,13 +1625,13 @@ object TxStore {
             val old = effective(before, c.remove)
             val gone =
               if (c.add.isEmpty) old
-              else old.exceptAll(readFiles(spark, path, c.add, readSchema))
+              else old.exceptAll(readFiles(spark, path, c.add, readSchema, mapping = curMap))
             Seq(tagged(gone, "delete", c.version))
           }
         case "merge" =>
           val old = if (c.remove.isEmpty) None else Some(effective(before, c.remove))
           val neu =
-            if (c.add.isEmpty) None else Some(readFiles(spark, path, c.add, readSchema))
+            if (c.add.isEmpty) None else Some(readFiles(spark, path, c.add, readSchema, mapping = curMap))
           val dels = old.map(o => tagged(neu.fold(o)(o.exceptAll), "delete", c.version))
           val ins = neu.map(n => tagged(old.fold(n)(n.exceptAll), "insert", c.version))
           dels.toSeq ++ ins.toSeq
@@ -1386,7 +1641,7 @@ object TxStore {
             else Seq(tagged(effective(before, before.files), "delete", c.version))
           val ins =
             if (c.add.isEmpty) Nil
-            else Seq(tagged(readFiles(spark, path, c.add, readSchema), "insert", c.version))
+            else Seq(tagged(readFiles(spark, path, c.add, readSchema, mapping = curMap), "insert", c.version))
           dels ++ ins
         case "restore" =>
           val b = if (before.files.isEmpty) None else Some(effective(before, before.files))
@@ -1402,7 +1657,7 @@ object TxStore {
 
     val df = parts match {
       case Nil =>
-        val base = readSchema match {
+        val base = logicalSchema(snap) match {
           case Some(s) =>
             spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
           case None => spark.emptyDataFrame
@@ -1438,7 +1693,7 @@ object TxStore {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
     val hit = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
-      dvp = base.dvp)
+      dvp = base.dvp, mapping = base.mapping)
       .filter(predicate)
       .select(col("__file"))
       .distinct()
@@ -1449,9 +1704,9 @@ object TxStore {
     // reading THROUGH the vectors: the rewrite also materializes any
     // deletion vectors on the hit files (their marks die with the files)
     val kept =
-      readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp)
+      readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp, mapping = base.mapping)
         .filter(not(predicate <=> lit(true)))
-    val (staged, dStats) = stage(kept, path)
+    val (staged, dStats) = stage(toPhysical(kept, base.mapping), path)
     val f = fs(spark, path)
     try
       commitLoop(spark, path, "delete") { snap =>
@@ -1504,7 +1759,7 @@ object TxStore {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
     val hit = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
-      dvp = base.dvp)
+      dvp = base.dvp, mapping = base.mapping)
       .filter(predicate)
       .select(col("__file"))
       .distinct()
@@ -1512,7 +1767,7 @@ object TxStore {
       .map(_.getString(0))
       .toSeq
     if (hit.isEmpty) return None
-    val cur = readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp)
+    val cur = readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp, mapping = base.mapping)
     val missing = set.keys.filterNot(cur.columns.contains)
     require(missing.isEmpty,
       s"UPDATE may only SET existing columns; missing: ${missing.mkString(", ")}")
@@ -1530,7 +1785,7 @@ object TxStore {
     // rows in the frame were valid on write; re-checking them is free
     // of false refusals by the live-table invariant)
     enforceConstraints(updated, base.constraints, "update", path)
-    val (staged, uStats) = stage(updated, path)
+    val (staged, uStats) = stage(toPhysical(updated, base.mapping), path)
     val f = fs(spark, path)
     try
       commitLoop(spark, path, "update") { snap =>
@@ -1592,7 +1847,7 @@ object TxStore {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
     val hits = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
-      dvp = base.dvp)
+      dvp = base.dvp, mapping = base.mapping)
       .filter(predicate <=> lit(true))
       .select(col("__file"), col("__row"))
       .collect()
@@ -1659,7 +1914,8 @@ object TxStore {
     val f = fs(spark, path)
     val dir = s"${UUID.randomUUID()}.dvpq"
     val dirPath = sidecarPath(path, dir)
-    readFiles(spark, path, base.files, base.schema, base.dv, withFile = true, dvp = base.dvp)
+    readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
+      dvp = base.dvp, mapping = base.mapping)
       .filter(predicate <=> lit(true))
       .select(col("__file"), col("__row"))
       .write.parquet(dirPath.toString)
@@ -1795,7 +2051,7 @@ object TxStore {
       else {
         val cur =
           readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
-            dvp = base.dvp)
+            dvp = base.dvp, mapping = base.mapping)
         cur
           .join(distinctKeys, keys, "left_semi")
           .select("__file")
@@ -1807,9 +2063,15 @@ object TxStore {
     // updates are FULL rows (they must carry every table column — a
     // missing column would silently null existing data) but may ADD
     // columns, evolving the schema like append does; kept rows read the
-    // new columns as NULL through allowMissingColumns.
-    val evolved = evolve(base.schema, updates.schema, sessionCaseSensitive(spark))
-    base.schema.foreach { t =>
+    // new columns as NULL through allowMissingColumns. Under column
+    // mapping the evolution runs on the LOGICAL level (evolveMapped) and
+    // the commit carries the extended mapping; merge's serializable
+    // version check covers any concurrent mapping change.
+    val cs = sessionCaseSensitive(spark)
+    val (evolved, m2) =
+      if (base.mapping.isEmpty) (evolve(base.schema, updates.schema, cs), base.mapping)
+      else evolveMapped(base, updates.schema, cs)
+    logicalSchema(base).foreach { t =>
       val missing = t.fieldNames.filterNot(updates.columns.contains)
       require(
         missing.isEmpty,
@@ -1819,10 +2081,10 @@ object TxStore {
     val kept =
       if (hit.isEmpty) None
       else Some(
-        readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp)
+        readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp, mapping = base.mapping)
           .join(distinctKeys, keys, "left_anti"))
     val out = kept.fold(updates)(_.unionByName(updates, allowMissingColumns = true))
-    val (staged, mStats) = stage(out, path, collectStats)
+    val (staged, mStats) = stage(toPhysical(out, m2), path, collectStats)
     val f = fs(spark, path)
     try
       commitLoop(spark, path, "merge", txn = txn) { snap =>
@@ -1830,7 +2092,8 @@ object TxStore {
           throw new java.util.ConcurrentModificationException(
             s"merge at $path conflicts: table advanced from v${base.version} " +
               s"to v${snap.version} after the probe")
-        Some(CommitSpec(staged, hit, Some(encodeSchema(evolved)), mStats))
+        val mp = if (m2 != base.mapping) Some(encodeMapping(m2, base.retired)) else None
+        Some(CommitSpec(staged, hit, Some(encodeSchema(evolved)), mStats, mapping = mp))
       }.get.version
     catch {
       case e: Throwable =>
@@ -1888,20 +2151,24 @@ object TxStore {
       require(
         counts.getLong(1) == nUpdates,
         s"updates must be unique per key (${keys.mkString(", ")}) — ambiguous winners")
-      base.schema.foreach { t =>
+      logicalSchema(base).foreach { t =>
         val missing = t.fieldNames.filterNot(updates.columns.contains)
         require(
           missing.isEmpty,
           s"updates must carry every table column (full-row merge); missing: " +
             missing.mkString(", "))
       }
-      val evolved = evolve(base.schema, updates.schema, sessionCaseSensitive(spark))
+      // logical-level evolution under column mapping — see mergeBody
+      val (evolved, m2) =
+        if (base.mapping.isEmpty)
+          (evolve(base.schema, updates.schema, sessionCaseSensitive(spark)), base.mapping)
+        else evolveMapped(base, updates.schema, sessionCaseSensitive(spark))
       val distinctKeys = updates.select(keys.map(col): _*).distinct()
       val hit =
         if (base.files.isEmpty) Nil
         else
           readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
-            dvp = base.dvp)
+            dvp = base.dvp, mapping = base.mapping)
             .join(distinctKeys, keys, "left_semi")
             .select("__file").distinct().collect().map(_.getString(0)).toSeq
       val srcCols = updates.columns.toSeq
@@ -1917,7 +2184,7 @@ object TxStore {
           enforceConstraints(ins, base.constraints, "merge", path)
           ins
         } else {
-          val cur = readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp)
+          val cur = readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp, mapping = base.mapping)
           val tgtCols = cur.columns.toSeq
           val tgt = cur.alias("t")
           val keyEq = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
@@ -1942,7 +2209,7 @@ object TxStore {
             .unionByName(updatedRows, allowMissingColumns = true)
             .unionByName(inserts, allowMissingColumns = true)
         }
-      val (staged, mStats) = stage(out, path, collectStats)
+      val (staged, mStats) = stage(toPhysical(out, m2), path, collectStats)
       val f = fs(spark, path)
       try
         commitLoop(spark, path, "merge", txn) { snap =>
@@ -1950,7 +2217,8 @@ object TxStore {
             throw new java.util.ConcurrentModificationException(
               s"conditional merge at $path conflicts: table advanced from " +
                 s"v${base.version} to v${snap.version} after the probe")
-          Some(CommitSpec(staged, hit, Some(encodeSchema(evolved)), mStats))
+          val mp = if (m2 != base.mapping) Some(encodeMapping(m2, base.retired)) else None
+          Some(CommitSpec(staged, hit, Some(encodeSchema(evolved)), mStats, mapping = mp))
         }.get.version
       catch {
         case e: Throwable =>
@@ -2044,9 +2312,11 @@ object TxStore {
       if (dvpRefs.isEmpty) Nil
       else Seq(writeSidecar(f, path, Map.empty, Map.empty, dvpRefs))
     val payloadFiles = (snap.stats.keySet ++ snap.dv.keySet).toSeq.sorted
-    // always restate the constraint set: the checkpoint truncates replay,
-    // so anything not restated here is lost to post-checkpoint readers
+    // always restate the constraint set AND the column mapping: the
+    // checkpoint truncates replay, so anything not restated here is
+    // lost to post-checkpoint readers
     val cons = Some(encodeConstraints(snap.constraints))
+    val mp = Some(encodeMapping(snap.mapping, snap.retired))
     if (payloadFiles.size <= shardFiles) {
       val sts =
         if (snap.stats.isEmpty) None
@@ -2054,7 +2324,7 @@ object TxStore {
           renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
       val dvs = if (snap.dv.isEmpty) None else Some(encodeDv(snap.dv))
       val sc = dvpSidecar()
-      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, sc, cons), sc)
+      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, sc, cons, mp), sc)
     } else {
       val sc = payloadFiles.grouped(shardFiles).map { group =>
         val g = group.toSet
@@ -2062,7 +2332,7 @@ object TxStore {
           snap.stats.view.filterKeys(g).toMap,
           snap.dv.view.filterKeys(g).toMap)
       }.toSeq ++ dvpSidecar()
-      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), None, None, sc, cons), sc)
+      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), None, None, sc, cons, mp), sc)
     }
   }
 
@@ -2253,47 +2523,59 @@ object TxStore {
       schema: Option[org.apache.spark.sql.types.StructType],
       dv: Map[String, Seq[Long]] = Map.empty,
       withFile: Boolean = false,
-      dvp: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      dvp: Map[String, Seq[String]] = Map.empty,
+      mapping: Seq[(String, String)] = Nil): DataFrame = {
     require(files.nonEmpty, s"empty snapshot at $path")
     val reader = schema.fold(spark.read)(s => spark.read.schema(s))
     val base = reader.parquet(files.map(n => s"$path/$DataDir/$n"): _*)
     val (relevant, relevantP) = restrictMarks(dv, dvp, files)
-    if (relevant.isEmpty && relevantP.isEmpty && !withFile) base
-    else {
-      require(!base.columns.contains("__file") && !base.columns.contains("__row"),
-        "table must not carry the reserved __file/__row columns")
-      val dataCols = base.columns.toSeq.map(col)
-      val withMeta = base.select(dataCols ++ Seq(
-        col("_metadata.file_name").as("__file"),
-        col("_metadata.row_index").as("__row")): _*)
-      val filtered = dvMarks(spark, path, relevant, relevantP) match {
-        case None => withMeta
-        case Some((marks, inlineOnly)) =>
-          // inline-only marks are log-sized — broadcast unconditionally
-          // (the historical plan); once executor-written parquet marks
-          // are in play their size is data-dependent, so leave the
-          // strategy to AQE
-          val marksSide =
-            if (inlineOnly) org.apache.spark.sql.functions.broadcast(marks) else marks
-          withMeta.join(marksSide, Seq("__file", "__row"), "left_anti")
+    val physical =
+      if (relevant.isEmpty && relevantP.isEmpty && !withFile) base
+      else {
+        require(!base.columns.contains("__file") && !base.columns.contains("__row"),
+          "table must not carry the reserved __file/__row columns")
+        val dataCols = base.columns.toSeq.map(col)
+        val withMeta = base.select(dataCols ++ Seq(
+          col("_metadata.file_name").as("__file"),
+          col("_metadata.row_index").as("__row")): _*)
+        val filtered = dvMarks(spark, path, relevant, relevantP) match {
+          case None => withMeta
+          case Some((marks, inlineOnly)) =>
+            // inline-only marks are log-sized — broadcast unconditionally
+            // (the historical plan); once executor-written parquet marks
+            // are in play their size is data-dependent, so leave the
+            // strategy to AQE
+            val marksSide =
+              if (inlineOnly) org.apache.spark.sql.functions.broadcast(marks) else marks
+            withMeta.join(marksSide, Seq("__file", "__row"), "left_anti")
+        }
+        // withFile keeps BOTH meta columns — the DV probe needs the row
+        // position; the copy-on-write probes just ignore it
+        if (withFile) filtered else filtered.drop("__row", "__file")
       }
-      // withFile keeps BOTH meta columns — the DV probe needs the row
-      // position; the copy-on-write probes just ignore it
-      if (withFile) filtered else filtered.drop("__row", "__file")
+    // column mapping: project physical → logical (a dropped column is
+    // simply not selected); a pure projection, so pushdown/pruning of
+    // the physical scan is unaffected
+    if (mapping.isEmpty) physical
+    else {
+      val metaCols = if (withFile) Seq(col("__file"), col("__row")) else Nil
+      physical.select(mapping.map { case (l, p) => col(p).as(l) } ++ metaCols: _*)
     }
   }
 
   /** Read the current snapshot. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val snap = snapshot(spark, path)
-    readFiles(spark, path, snap.files, snap.schema, snap.dv, dvp = snap.dvp)
+    readFiles(spark, path, snap.files, snap.schema, snap.dv, dvp = snap.dvp,
+      mapping = snap.mapping)
   }
 
   /** Read an historical snapshot — time travel, with the schema AS OF
     * that version (a later-added column does not haunt the past). */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
     val snap = snapshotAt(spark, path, version)
-    readFiles(spark, path, snap.files, snap.schema, snap.dv, dvp = snap.dvp)
+    readFiles(spark, path, snap.files, snap.schema, snap.dv, dvp = snap.dvp,
+      mapping = snap.mapping)
   }
 
   // ── data skipping (stats-pruned reads) ─────────────────────────────
@@ -2311,13 +2593,21 @@ object TxStore {
     * drops a qualifying row. */
   private def mayMatch(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
-      ranges: Map[String, ColRange]): Boolean = {
+      ranges: Map[String, ColRange],
+      phys: Map[String, String] = Map.empty): Boolean = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
-    def attr(x: Expression): Option[String] = x match {
-      case u: UnresolvedAttribute => Some(u.nameParts.last.toLowerCase(java.util.Locale.ROOT))
-      case a: AttributeReference => Some(a.name.toLowerCase(java.util.Locale.ROOT))
-      case _ => None
+    // predicates name LOGICAL columns; stats keys are PHYSICAL — `phys`
+    // (lowercased logical → physical) translates under column mapping.
+    // A logical name without a pair translates to itself, which finds no
+    // stats and keeps the file — sound.
+    def attr(x: Expression): Option[String] = {
+      val raw = x match {
+        case u: UnresolvedAttribute => Some(u.nameParts.last.toLowerCase(java.util.Locale.ROOT))
+        case a: AttributeReference => Some(a.name.toLowerCase(java.util.Locale.ROOT))
+        case _ => None
+      }
+      raw.map(n => phys.getOrElse(n, n).toLowerCase(java.util.Locale.ROOT))
     }
     // a literal as either a number or an ASCII string — the two range
     // kinds. NaN/Infinity have no BigDecimal form (toString would throw
@@ -2393,8 +2683,8 @@ object TxStore {
       case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if f.nameParts.lengthCompare(1) == 0 =>
         (fname(f), f.arguments) match {
-          case ("and", Seq(l, r)) => mayMatch(l, ranges) && mayMatch(r, ranges)
-          case ("or", Seq(l, r)) => mayMatch(l, ranges) || mayMatch(r, ranges)
+          case ("and", Seq(l, r)) => mayMatch(l, ranges, phys) && mayMatch(r, ranges, phys)
+          case ("or", Seq(l, r)) => mayMatch(l, ranges, phys) || mayMatch(r, ranges, phys)
           case ("=" | "==", Seq(a, b)) => test(a, b, lt = false, eq = true, gt = false)
           case ("<", Seq(a, b)) => test(a, b, lt = true, eq = false, gt = false)
           case ("<=", Seq(a, b)) => test(a, b, lt = true, eq = true, gt = false)
@@ -2403,8 +2693,8 @@ object TxStore {
           case ("in", a +: vs) if vs.nonEmpty => inList(a, vs)
           case _ => true
         }
-      case And(l, r) => mayMatch(l, ranges) && mayMatch(r, ranges)
-      case Or(l, r) => mayMatch(l, ranges) || mayMatch(r, ranges)
+      case And(l, r) => mayMatch(l, ranges, phys) && mayMatch(r, ranges, phys)
+      case Or(l, r) => mayMatch(l, ranges, phys) || mayMatch(r, ranges, phys)
       case EqualTo(a, b) => test(a, b, lt = false, eq = true, gt = false)
       case LessThan(a, b) => test(a, b, lt = true, eq = false, gt = false)
       case LessThanOrEqual(a, b) => test(a, b, lt = true, eq = true, gt = false)
@@ -2459,20 +2749,26 @@ object TxStore {
     require(base.files.nonEmpty, s"nothing to index at $path")
     val schema = base.schema.getOrElse(
       throw new IllegalArgumentException(s"$path carries no log schema to type-check against"))
+    // callers name LOGICAL columns; the scan, the hash input and the
+    // stats key all use the PHYSICAL name (the probe translates back)
+    val logSchema = logicalSchema(base).get
+    val physFor = physByLogical(base)
+    def physName(c: String) = physFor.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c)
     val tpes: Map[String, Char] = cols.map { c =>
-      val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      val f = logSchema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(s"no such column: $c"))
       f.dataType match {
-        case org.apache.spark.sql.types.LongType => c -> 'L'
-        case org.apache.spark.sql.types.StringType => c -> 'S'
+        case org.apache.spark.sql.types.LongType => physName(c) -> 'L'
+        case org.apache.spark.sql.types.StringType => physName(c) -> 'S'
         case other => throw new IllegalArgumentException(
           s"bloom index supports bigint/string columns only; $c is $other")
       }
     }.toMap
+    val pcols = cols.map(physName)
     val raw = spark.read.schema(schema).parquet(base.files.map(n => s"$path/$DataDir/$n"): _*)
-      .select(col("_metadata.file_name").as("__file") +: cols.map(col): _*)
+      .select(col("_metadata.file_name").as("__file") +: pcols.map(col): _*)
     // one exploded (file, col, block, mask) projection → one combinable agg
-    val posCols = cols.flatMap { c =>
+    val posCols = pcols.flatMap { c =>
       (0 until numHashes).map(i => struct(
         lit(c).as("c"),
         pmod(xxhash64(lit(i), col(c)), lit(numBits.toLong)).as("p")))
@@ -2541,8 +2837,9 @@ object TxStore {
     // the Spark-4 Column→Catalyst bridge (Column.expr is gone with the
     // Connect-unified API; see ColumnBridge)
     val pred = org.apache.spark.sql.graft.ColumnBridge.expression(predicate)
+    val phys = physByLogical(snap)
     val (kept, skipped) = snap.files.partition { f =>
-      snap.stats.get(f).forall(ranges => mayMatch(pred, ranges))
+      snap.stats.get(f).forall(ranges => mayMatch(pred, ranges, phys))
     }
     (snap, kept, skipped)
   }
@@ -2573,12 +2870,14 @@ object TxStore {
   private def readSnapWhere(
       spark: SparkSession, path: String, snap: Snapshot, predicate: Column): DataFrame = {
     val pred = org.apache.spark.sql.graft.ColumnBridge.expression(predicate)
+    val phys = physByLogical(snap)
     val kept = snap.files.filter(f =>
-      snap.stats.get(f).forall(ranges => mayMatch(pred, ranges)))
+      snap.stats.get(f).forall(ranges => mayMatch(pred, ranges, phys)))
     if (kept.isEmpty) {
-      val schema = snap.schema.getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      val schema = logicalSchema(snap).getOrElse(org.apache.spark.sql.types.StructType(Nil))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readFiles(spark, path, kept, snap.schema, snap.dv, dvp = snap.dvp).filter(predicate)
+    } else readFiles(spark, path, kept, snap.schema, snap.dv, dvp = snap.dvp,
+      mapping = snap.mapping).filter(predicate)
   }
 
   /** Delta-style RESTORE: ONE commit rewinds the table to the state at
@@ -2635,10 +2934,12 @@ object TxStore {
       commitLoop(spark, path, "restore") { snap =>
         // remove the CURRENT live set (fresh per retry) and re-add the
         // target's — same last-writer-wins semantics as overwrite; the
-        // TARGET version's constraint set restores with its data (its
-        // files were validated under it — self-consistent)
+        // TARGET version's constraint set AND column mapping restore
+        // with its data (its files were written/validated under them —
+        // self-consistent per version)
         Some(CommitSpec(target.files, snap.files, target.schema.map(encodeSchema), sts, dvs, sc,
-          Some(encodeConstraints(target.constraints))))
+          Some(encodeConstraints(target.constraints)),
+          Some(encodeMapping(target.mapping, target.retired))))
       }.get.version
     catch {
       case e: Throwable =>
@@ -2682,7 +2983,7 @@ object TxStore {
       bytes,
       snap.files.count(snap.stats.contains),
       snap.dv.values.map(_.size.toLong).sum + dvpMarks,
-      snap.schema.map(_.fieldNames.toSeq).getOrElse(Nil))
+      logicalSchema(snap).map(_.fieldNames.toSeq).getOrElse(Nil))
   }
 
   /** Default age an unreferenced file must reach before vacuum reclaims

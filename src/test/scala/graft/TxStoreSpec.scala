@@ -1419,4 +1419,101 @@ class TxStoreSpec extends SparkSpec {
     TxStore.append(Seq((8L, -4.0)).toDF("id", "score"), t) // gate is gone
     assert(TxStore.read(spark, t).count() === 3)
   }
+
+  test("column mapping: rename rewrites no data; reads, appends, CDC and stats follow") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t) // v1
+    val dataFilesBefore = TxStore.snapshot(spark, t).files.toSet
+    TxStore.renameColumn(spark, t, "payload", "body") // v2 — metadata only
+    assert(TxStore.snapshot(spark, t).files.toSet === dataFilesBefore, "no file rewritten")
+    assert(TxStore.read(spark, t).columns.toSeq === Seq("id", "body"))
+    assert(TxStore.read(spark, t).as[(Long, String)].collect().toSet ===
+      (0 until 10).map(i => (i.toLong, s"v$i")).toSet)
+    // time travel sees the OLD name
+    assert(TxStore.readAt(spark, t, 1L).columns.toSeq === Seq("id", "payload"))
+    // appends speak the NEW logical name; old+new files read together
+    TxStore.append(Seq((100L, "x")).toDF("id", "body"), t) // v3
+    assert(TxStore.read(spark, t).filter($"body" === "x").count() === 1)
+    // CDC reads under the current name
+    val (_, cdc) = TxStore.readAppendsSince(spark, t, 2L)
+    assert(cdc.columns.toSeq === Seq("id", "body") && cdc.count() === 1)
+    // an append under the OLD name is schema EVOLUTION — a brand-new
+    // logical column whose physical name is FRESH (the old physical
+    // 'payload' is taken), so historical payload values never leak in
+    TxStore.append(Seq((101L, "y")).toDF("id", "payload"), t) // v4
+    val evolved = TxStore.read(spark, t)
+    assert(evolved.columns.toSeq === Seq("id", "body", "payload"))
+    assert(evolved.filter($"payload".isNotNull).select("id").as[Long].collect().toSeq
+      === Seq(101L), "old files' renamed-away values must not appear under the new column")
+    // stats pruning translates the logical name (id stats are physical)
+    val pruned = TxStore.readWhere(spark, t, $"id" === 0L)
+    assert(pruned.count() === 1)
+    // detail reports logical names; rename of a missing/colliding name refuses
+    assert(TxStore.detail(spark, t).schemaFields === Seq("id", "body", "payload"))
+    intercept[IllegalArgumentException](TxStore.renameColumn(spark, t, "nope", "z"))
+    intercept[IllegalArgumentException](TxStore.renameColumn(spark, t, "id", "body"))
+    intercept[IllegalArgumentException](TxStore.renameColumn(spark, t, "id", "__file"))
+  }
+
+  test("column mapping: drop retires the physical name; re-add never resurrects old data") {
+    val t = tmpDir()
+    TxStore.append(rows(5), t) // v1
+    TxStore.dropColumn(spark, t, "payload") // v2
+    assert(TxStore.read(spark, t).columns.toSeq === Seq("id"))
+    // re-adding a column NAMED payload via evolution: fresh physical
+    // name, so old files' dropped values read as NULL, never "v0"
+    TxStore.append(Seq((50L, "new")).toDF("id", "payload"), t) // v3
+    val got = TxStore.read(spark, t).as[(Long, Option[String])].collect().toMap
+    assert(got(50L) === Some("new"))
+    assert((0 until 5).forall(i => got(i.toLong).isEmpty), "dropped data must not resurrect")
+    // compact purges the dropped physical column and keeps the logical view
+    TxStore.compact(spark, t, target = 1)
+    val got2 = TxStore.read(spark, t).as[(Long, Option[String])].collect().toMap
+    assert(got2 === got)
+    intercept[IllegalArgumentException](TxStore.dropColumn(spark, t, "id2"))
+  }
+
+  test("column mapping: merge/update/delete/zorder/checkpoint/restore work logically") {
+    val t = tmpDir()
+    TxStore.append(rows(8), t) // v1
+    TxStore.renameColumn(spark, t, "payload", "note") // v2
+    // merge upserts under the logical name
+    TxStore.merge(spark, t, Seq((1L, "merged"), (20L, "ins")).toDF("id", "note"), Seq("id")) // v3
+    val m = TxStore.read(spark, t).as[(Long, String)].collect().toMap
+    assert(m(1L) === "merged" && m(20L) === "ins" && m(0L) === "v0")
+    // update + delete with logical predicates/assignments
+    TxStore.update(spark, t, $"note" === "ins", Map("note" -> lit("upd"))) // v4
+    TxStore.delete(spark, t, $"id" === 2L) // v5
+    val m2 = TxStore.read(spark, t).as[(Long, String)].collect().toMap
+    assert(m2(20L) === "upd" && !m2.contains(2L))
+    // deletion vectors + a compaction rewrite keep the logical view
+    TxStore.deleteVectored(spark, t, $"id" === 3L) // v6
+    TxStore.compact(spark, t, target = 2) // v7 — rewrite reads logical, stages physical
+    assert(!TxStore.read(spark, t).as[(Long, String)].collect().toMap.contains(3L))
+    // restore rewinds the NAMES with the data (pre-rename version);
+    // then a checkpoint restates whatever mapping is current
+    TxStore.restore(spark, t, 1L)
+    assert(TxStore.read(spark, t).columns.toSeq === Seq("id", "payload"))
+    assert(TxStore.read(spark, t).as[(Long, String)].collect().toMap.apply(1L) === "v1")
+    TxStore.renameColumn(spark, t, "payload", "note2")
+    TxStore.checkpoint(spark, t)
+    assert(TxStore.read(spark, t).columns.toSeq === Seq("id", "note2"))
+  }
+
+  test("column mapping: constraints block rename/drop of referenced columns; blooms translate") {
+    val t = tmpDir()
+    TxStore.append(rows(6), t)
+    TxStore.addConstraint(spark, t, "has_payload", "payload IS NOT NULL")
+    val ex = intercept[IllegalArgumentException](
+      TxStore.renameColumn(spark, t, "payload", "body"))
+    assert(ex.getMessage.contains("has_payload"))
+    intercept[IllegalArgumentException](TxStore.dropColumn(spark, t, "payload"))
+    TxStore.dropConstraint(spark, t, "has_payload")
+    TxStore.renameColumn(spark, t, "payload", "body") // now fine
+    // blooms built under the LOGICAL name prune point lookups
+    TxStore.renameColumn(spark, t, "id", "key")
+    TxStore.buildBlooms(spark, t, Seq("key"))
+    assert(TxStore.readWhere(spark, t, $"key" === 3L).count() === 1)
+    assert(TxStore.readWhere(spark, t, $"key" === 999L).count() === 0)
+  }
 }
