@@ -406,7 +406,68 @@ object AnalyticsQueries {
              |FROM e e1
              |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
              |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ── AN25 — ROLLING Z-SCORE ANOMALY DETECTION over daily event
+    //    volumes: each (event_type, day) scores against its own
+    //    TRAILING week (RANGE frame, 7..1 PRECEDING — value-based, so
+    //    calendar gaps never widen the window; the an17 lesson). The
+    //    float-determinism discipline: the window carries only exact
+    //    BIGINT moments (n, Σcnt, Σcnt²) — every double (mean,
+    //    variance, z) is then a fixed expression tree over identical
+    //    integers, bit-equal in both engines (+, ×, ÷, sqrt are all
+    //    IEEE-exact ops). z is NULL under 3 prior days or zero
+    //    variance; the flag compares the UNROUNDED z so rounding can
+    //    never flip it differently across engines. One daily pre-agg
+    //    (map-side combined) + one keyed window — the volume entering
+    //    the window is days × types, never raw events.
+    QueryDef(
+      "an25_anomaly",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            expr("(ts div 1000) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-7, -1)
+        val st = daily
+          .withColumn("n_prior", count(col("cnt")).over(w))
+          .withColumn("s1", sum(col("cnt")).over(w))
+          .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+        val variance =
+          (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n_prior")) /
+            (col("n_prior") - 1)
+        val zraw = when(col("n_prior") >= 3 && variance > 0.0,
+          (col("cnt") - col("s1").cast("double") / col("n_prior")) / sqrt(variance))
+        st.select(col("event_type"), col("day"), col("cnt"), col("n_prior"),
+          graft.Num.rnd(zraw, 4).as("z"),
+          (zraw.isNotNull && abs(zraw) > 2.0).cast("bigint").as("is_anomaly"))
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS cnt
+              |  FROM events GROUP BY 1, 2
+              |), st AS (
+              |  SELECT event_type, day, cnt,
+              |         COUNT(cnt) OVER w AS n_prior,
+              |         SUM(cnt) OVER w AS s1,
+              |         SUM(cnt * cnt) OVER w AS s2
+              |  FROM daily
+              |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+              |               RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+              |), z AS (
+              |  SELECT event_type, day, cnt, n_prior,
+              |         CASE WHEN n_prior >= 3 AND
+              |                   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_prior)
+              |                     / (n_prior - 1) > 0.0
+              |              THEN (cnt - CAST(s1 AS DOUBLE) / n_prior)
+              |                   / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_prior)
+              |                          / (n_prior - 1))
+              |              ELSE NULL END AS zraw
+              |  FROM st
+              |)
+              |SELECT event_type, day, cnt, n_prior, ${Sql.rnd("zraw", 4)} AS z,
+              |       CAST(zraw IS NOT NULL AND ABS(zraw) > 2.0 AS BIGINT) AS is_anomaly
+              |FROM z""".stripMargin))
   )
 
   /** Channels removed one at a time in the an23 oracle — the fixture's

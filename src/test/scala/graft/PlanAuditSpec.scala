@@ -174,9 +174,21 @@ class PlanAuditSpec extends SparkSpec {
                                  // the 3 scalar counts' single-partition folds
       "ext51_bm25" -> 6,         // tf agg + dl join + df agg + score agg +
                                  // per-query ranking window + stats cross-join
-      "ext52_classifier_train" -> 0) // result is the model-bounded weight
+      "ext52_classifier_train" -> 0, // result is the model-bounded weight
                                      // vector; training aggs run inside the
                                      // iteration collects
+      // round-11 session-5 additions
+      "an22_copurchase" -> 2,        // (order, part) distinct + pair-support agg;
+                                     // the basket self-join shares the distinct's
+                                     // exchange
+      "an23_markov_attribution" -> 0, // transition extraction collapses into the
+                                      // model-bounded driver math; result is
+                                      // state-scale literals
+      "an24_triangles" -> 0,          // audited plan reads the localCheckpoint
+                                      // (the pageRank rule); internal stages are
+                                      // 3 keyed shuffles by shape in GraphOps
+      "an25_anomaly" -> 2)            // daily pre-agg + ONE event_type window
+                                      // exchange (all three moments share it)
     val measured = bounds.toSeq.sortBy(_._1).map { case (name, maxShuffles) =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       df.collect() // finalize the AQE plan
