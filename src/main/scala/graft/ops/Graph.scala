@@ -93,6 +93,51 @@ object GraphOps {
     out
   }
 
+  /** Community detection by synchronized label propagation (Raghavan et
+    * al. 2007), k fixed iterations, fully deterministic.
+    *
+    * `edges`: SYMMETRIZED directed edge list (src, dst) over BIGINT
+    * nodes — both directions present, so every node receives messages.
+    * Label(v, 0) = v; each round every node adopts the most frequent
+    * label among its in-neighbors, ties broken by SMALLEST label — the
+    * synchronized update with a total-order tie-break that makes k
+    * rounds a pure function of the graph (asynchronous/random-order
+    * LPA, the paper's default, is irreproducible by design and useless
+    * under a cross-engine oracle).
+    *
+    * Relationship to the engine's other graph ops: connectedComponents
+    * propagates the MIN label to convergence (community = reachability);
+    * this propagates the MODAL label k steps (community = local edge
+    * density) — the clustering signal reachability cannot see, since one
+    * bridge edge merges two dense clusters into a single component.
+    *
+    * Design for 100 TB: the edge frame is hash-partitioned on src and
+    * persisted ONCE (the pageRank rule); each iteration is one keyed
+    * join (labels ⋈ edges on src) + one map-side-combinable
+    * groupBy(dst, lbl) count + one argmax agg — the argmax is
+    * max(struct(count, −label)), a single combinable aggregate, never a
+    * global window. localCheckpoint truncates the iterated lineage. No
+    * driver row traffic at any point.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .repartition(col("src")).persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val cnts = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      labels = cnts
+        .groupBy("dst")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    labels
+  }
+
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
