@@ -435,6 +435,41 @@ object StorageQueries {
              |       event_type AS channel, value
              |FROM events""".stripMargin)),
 
+    // ── S40 — HIVE-STYLE PARTITION COLUMNS on the commit log (Delta's
+    //    partitionBy): a partitioned append lands files under
+    //    `event_type=…/` paths, the partition values travel in the
+    //    log's file NAMES, and a partition-predicate read prunes whole
+    //    partitions from pure log metadata BEFORE the per-file stats
+    //    walk — the first filter every real 100 TB query applies
+    //    (date/tenant partitions), complementing s37's blooms and
+    //    s17's z-order which prune WITHIN what partitioning leaves.
+    //    The lane proves the full surface: a creating partitioned
+    //    append, an inheriting second append, a checkpoint restating
+    //    the layout (replay truncates there), a REQUIRED
+    //    only-matching-partition prune, and a readback hash against
+    //    the plain SQL filter (pruning is an optimization, never the
+    //    filter).
+    QueryDef(
+      "s40_tx_partition_pruning",
+      (s, d) => {
+        val store = freshStore(s, "s40-partition", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0).repartition(8), store,
+          partitionBy = Seq("event_type")) // v1: creates the layout, 8 files/partition
+        TxStore.append(ev.filter(col("event_id") % 2 =!= 0).repartition(8), store) // v2: inherits
+        TxStore.checkpoint(s, store) // v3 — partitioning restates through it
+        require(TxStore.snapshot(s, store).partitioning == Seq("event_type"),
+          "partitioning must survive the checkpoint restatement")
+        val probe = col("event_type") === "purchase"
+        val (_, kept, skipped) = TxStore.pruneFiles(s, store, probe)
+        require(kept.nonEmpty && kept.forall(_.startsWith("event_type=purchase/")),
+          s"partition pruning must keep ONLY purchase files; kept ${kept.take(3)}")
+        require(skipped.nonEmpty && skipped.forall(!_.startsWith("event_type=purchase/")),
+          "every other partition's files must be skipped")
+        eventsCols(TxStore.readWhere(s, store, probe))
+      },
+      Some(eventsSql(" WHERE event_type = 'purchase'"))),
+
     // ── S34 — CONDITIONAL three-clause MERGE (Delta's WHEN MATCHED AND
     //    … THEN UPDATE / DELETE, WHEN NOT MATCHED AND … THEN INSERT):
     //    the update wave (%5 slice, value negated) UPDATES matched

@@ -93,7 +93,13 @@ object TxStore {
         * physical parquet name, plus retired physical names); absent =
         * identity. Latest commit carrying one defines it (see
         * [[renameColumn]]). */
-      mapping: Option[String] = None)
+      mapping: Option[String] = None,
+      /** Base64 payload carrying the table's hive-style PARTITION
+        * column list (physical names, tab-joined; empty = explicitly
+        * unpartitioned). Latest commit carrying one defines it — set at
+        * table creation by a partitioned [[append]], reset only by
+        * [[overwrite]] (which replaces the table). */
+      partcols: Option[String] = None)
 
   /** One column's [min, max] over a file's NON-NULL values: exact
     * decimals for numeric primitives, raw strings (ASCII-only, ≤ 64
@@ -144,7 +150,14 @@ object TxStore {
       /** Physical column names retired by [[dropColumn]] — never
         * reusable, so a re-added logical name gets a fresh physical
         * name and old files' dropped data can never resurrect. */
-      retired: Seq[String] = Nil)
+      retired: Seq[String] = Nil,
+      /** Hive-style PARTITION columns (physical names, in partition
+        * order). Non-empty ⇒ every live file name carries `col=value/`
+        * path segments under data/, the partition columns live in the
+        * PATH (not in file content), and partition-predicate pruning
+        * runs ahead of the per-file stats walk. Empty = flat layout
+        * (the default; zero overhead, names are bare UUIDs). */
+      partitioning: Seq[String] = Nil)
 
   /** What a write op asks the commit loop to publish at the next
     * version. `stats` ride with added files; `dv` marks row positions
@@ -160,7 +173,8 @@ object TxStore {
       dv: Option[String] = None,
       sidecars: Seq[String] = Nil,
       constraints: Option[String] = None,
-      mapping: Option[String] = None)
+      mapping: Option[String] = None,
+      partcols: Option[String] = None)
 
   // ── schema in the log ──────────────────────────────────────────────
   // The table schema travels in commit entries (base64 of Spark's schema
@@ -234,6 +248,103 @@ object TxStore {
   // logical → physical before staging; stats/bloom keys stay physical
   // and predicate pruning translates logical attribute names.
 
+  // ── partition columns in the log ───────────────────────────────────
+  // The partition column list travels like the schema: base64 payload,
+  // latest-wins. Names are PHYSICAL (under column mapping the logical
+  // rename is pure metadata — the paths on disk never move). An empty
+  // payload is EXPLICITLY unpartitioned, which is how an overwrite
+  // resets a previously-partitioned table to flat layout.
+
+  private def encodePartitioning(cols: Seq[String]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      cols.mkString("\t").getBytes(StandardCharsets.UTF_8))
+
+  private def decodePartitioning(b64: String): Seq[String] =
+    memo(b64, 'P') {
+      val txt = new String(java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8)
+      if (txt.isEmpty) Nil else txt.split("\t", -1).toSeq
+    }
+
+  /** The bare data-file name (the part after the partition dirs) —
+    * identical to the full log name on flat tables. Runtime `__file`
+    * columns carry the LEAF (`_metadata.file_name`); the log, stats,
+    * and deletion-vector keys carry the FULL relative name; leaf names
+    * are staged UUIDs, so the leaf → full map over a snapshot's live
+    * set is always injective. */
+  private def leafOf(n: String): String = {
+    val i = n.lastIndexOf('/')
+    if (i < 0) n else n.substring(i + 1)
+  }
+
+  private def byLeaf(files: Seq[String]): Map[String, String] =
+    files.iterator.map(n => leafOf(n) -> n).toMap
+
+  /** Hive path unescaping (the inverse of the `%xx` escaping Spark's
+    * partitioned writer applies to special characters in values). */
+  private def unescapePathName(s: String): String =
+    if (s.indexOf('%') < 0) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          val hex = s.substring(i + 1, i + 3)
+          scala.util.Try(Integer.parseInt(hex, 16)) match {
+            case scala.util.Success(code) => sb.append(code.toChar); i += 3
+            case _ => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Synthetic lo == hi column ranges from a file's hive partition path
+    * — partition pruning rides the SAME sound mayMatch walker as
+    * min/max stats (a partition file holds exactly one value of each
+    * partition column, so [v, v] is its exact range). Typed from the
+    * log schema: numerics and dates prune on NumRange (a date value
+    * parses to its epoch-day, matching the Catalyst DateType literal),
+    * ASCII strings on StrRange; anything else (and the
+    * __HIVE_DEFAULT_PARTITION__ null marker) yields no range — the
+    * file is kept, which is always sound. Memoized per partition DIR:
+    * many files share one. */
+  private def partitionRanges(snap: Snapshot): String => Map[String, ColRange] =
+    if (snap.partitioning.isEmpty) (_: String) => Map.empty
+    else {
+      import org.apache.spark.sql.types._
+      val types: Map[String, DataType] = snap.schema
+        .map(_.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+      def typed(k: String, v: String): Option[ColRange] =
+        types.get(k.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(_: NumericType) =>
+            scala.util.Try(BigDecimal(v)).toOption.map(n => NumRange(n, n))
+          case Some(DateType) =>
+            scala.util.Try(BigDecimal(java.time.LocalDate.parse(v).toEpochDay))
+              .toOption.map(n => NumRange(n, n))
+          case Some(StringType) if v.forall(_ < 128) => Some(StrRange(v, v))
+          case _ => None
+        }
+      val cache = scala.collection.mutable.HashMap.empty[String, Map[String, ColRange]]
+      (name: String) => {
+        val cut = name.lastIndexOf('/')
+        if (cut < 0) Map.empty
+        else cache.getOrElseUpdate(name.substring(0, cut), {
+          name.substring(0, cut).split('/').iterator.flatMap { seg =>
+            val eq = seg.indexOf('=')
+            if (eq <= 0) None
+            else {
+              val k = unescapePathName(seg.substring(0, eq))
+              val v = unescapePathName(seg.substring(eq + 1))
+              if (v == "__HIVE_DEFAULT_PARTITION__") None
+              else typed(k, v).map(r => k -> r)
+            }
+          }.toMap
+        })
+      }
+    }
+
   private def encodeMapping(m: Seq[(String, String)], retired: Seq[String]): String =
     java.util.Base64.getEncoder.encodeToString(
       (m.map { case (l, p) => s"m\t$l\t$p" } ++ retired.map(p => s"r\t$p"))
@@ -305,6 +416,11 @@ object TxStore {
     val used = (phys.fieldNames.toSeq ++ snap.retired ++ snap.mapping.map(_._2))
       .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val newFields = evolvedLogical.fields.toSeq.filterNot(f => pairByLogical.contains(key(f.name)))
+    // refuse names the tab/newline-delimited mapping payload cannot
+    // carry BEFORE commit — same rule as materializedMapping (a
+    // committed undecodable payload would brick every snapshot())
+    newFields.foreach(f => require(!f.name.exists(c => c == '\t' || c == '\n'),
+      s"column name unsupported for mapping mode: '${f.name}'"))
     val newPairs = newFields.map { f =>
       val p =
         if (used(f.name.toLowerCase(java.util.Locale.ROOT)))
@@ -824,7 +940,8 @@ object TxStore {
     val scs = if (c.sidecars.isEmpty) "" else s""","sidecars":${arr(c.sidecars)}"""
     val cns = c.constraints.fold("")(s => s""","constraints":"$s"""")
     val mps = c.mapping.fold("")(s => s""","mapping":"$s"""")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs$scs$cns$mps}"""
+    val pcs = c.partcols.fold("")(s => s""","partcols":"$s"""")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs$scs$cns$mps$pcs}"""
   }
 
   private def parse(s: String): Commit = {
@@ -853,7 +970,8 @@ object TxStore {
       dv = fieldOpt("dv").map(_.drop(1).takeWhile(_ != '"')),
       sidecars = fieldOpt("sidecars").map(strArr).getOrElse(Nil),
       constraints = fieldOpt("constraints").map(_.drop(1).takeWhile(_ != '"')),
-      mapping = fieldOpt("mapping").map(_.drop(1).takeWhile(_ != '"')))
+      mapping = fieldOpt("mapping").map(_.drop(1).takeWhile(_ != '"')),
+      partcols = fieldOpt("partcols").map(_.drop(1).takeWhile(_ != '"')))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -893,6 +1011,7 @@ object TxStore {
     var schema: Option[String] = None
     var constraints: Option[String] = None
     var mapping: Option[String] = None
+    var partcols: Option[String] = None
     cs.foreach { c =>
       c.remove.foreach { n =>
         live -= n; stats.remove(n): Unit; dv.remove(n): Unit; dvp.remove(n): Unit
@@ -934,12 +1053,14 @@ object TxStore {
       if (c.schema.isDefined) schema = c.schema
       if (c.constraints.isDefined) constraints = c.constraints
       if (c.mapping.isDefined) mapping = c.mapping
+      if (c.partcols.isDefined) partcols = c.partcols
     }
     val (pairs, retired) = mapping.map(decodeMapping).getOrElse((Nil, Nil))
     Snapshot(
       if (cs.isEmpty) 0L else cs.last.version, live.toSeq,
       schema.map(decodeSchema), stats.toMap, dv.toMap, dvp.toMap,
-      constraints.map(decodeConstraints).getOrElse(Nil), pairs, retired)
+      constraints.map(decodeConstraints).getOrElse(Nil), pairs, retired,
+      partcols.map(decodePartitioning).getOrElse(Nil))
   }
 
   /** Current snapshot (version 0 = empty table, no log yet). */
@@ -970,6 +1091,14 @@ object TxStore {
     * declaration order. */
   def tableConstraints(spark: SparkSession, path: String): Seq[(String, String)] =
     snapshot(spark, path).constraints
+
+  /** The table's hive-style partition columns (LOGICAL names, in
+    * partition order) — empty for flat tables. */
+  def tablePartitioning(spark: SparkSession, path: String): Seq[String] = {
+    val snap = snapshot(spark, path)
+    if (snap.mapping.isEmpty) snap.partitioning
+    else snap.partitioning.map(p => snap.mapping.find(_._2 == p).map(_._1).getOrElse(p))
+  }
 
   /** ADD CONSTRAINT name CHECK (exprSql) — the lakehouse data-quality
     * gate (Delta's `ALTER TABLE … ADD CONSTRAINT`, re-derived on the
@@ -1003,6 +1132,25 @@ object TxStore {
     commitLoop(spark, path, "constraint") { snap =>
       require(!snap.constraints.exists(_._1 == name),
         s"constraint '$name' already exists at $path")
+      // Parse (and, when a schema exists, resolve) the expression AT
+      // ALTER TIME, even over an empty table — a typo'd expression must
+      // refuse here, not commit and then poison every subsequent write.
+      // (The Connect-unified Column API defers `expr` parsing to
+      // analysis, so the parse is forced through the session parser.)
+      try {
+        spark.sessionState.sqlParser.parseExpression(exprSql): Unit
+        logicalSchema(snap).foreach { s =>
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+            .filter(violatesConstraint(exprSql))
+            .queryExecution.analyzed // analysis only, no job
+        }
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case e: Exception =>
+          throw new IllegalArgumentException(
+            s"invalid constraint expression '$exprSql': ${e.getMessage}", e)
+      }
       if (validatedAt != snap.version) {
         if (snap.files.nonEmpty)
           enforceConstraints(
@@ -1097,6 +1245,12 @@ object TxStore {
       require(m.size >= 2, "cannot drop the last column")
       requireNoConstraintRefs(snap, name, "drop")
       val (gone, keep) = m.partition(p => lc(p._1) == lc(name))
+      // a partition column's values live in the file PATHS — dropping
+      // the pair would leave every path segment orphaned (and the
+      // basePath read would re-surface the column); re-layout via
+      // overwrite instead (the Delta rule)
+      require(!gone.exists(g => snap.partitioning.exists(p => lc(p) == lc(g._2))),
+        s"cannot drop partition column '$name' — re-layout with overwrite(partitionBy) first")
       Some(CommitSpec(Nil, Nil, None,
         mapping = Some(encodeMapping(keep, snap.retired ++ gone.map(_._2)))))
     }.get.version
@@ -1108,19 +1262,35 @@ object TxStore {
   /** Stage the frame's partitions as immutable data files and harvest
     * their footer stats — (names, stats payload for the commit). */
   private def stage(
-      df: DataFrame, path: String, collectStats: Boolean = true): (Seq[String], Option[String]) = {
+      df: DataFrame, path: String, collectStats: Boolean = true,
+      partitionBy: Seq[String] = Nil): (Seq[String], Option[String]) = {
     val tmp = s"$path/$DataDir/_stage-${UUID.randomUUID()}"
-    df.write.mode("error").parquet(tmp)
+    val writer = df.write.mode("error")
+    (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*)).parquet(tmp)
     val f = fs(df.sparkSession, path)
-    val staged = f.listStatus(new Path(tmp)).toSeq
-      .map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet"))
-    val named = staged.map { p =>
-      val name = s"${UUID.randomUUID()}.parquet"
-      require(f.rename(p, new Path(s"$path/$DataDir/$name")), s"rename failed for $p")
+    val tmpPath = new Path(tmp)
+    // recursive: a partitioned write nests part files under col=value/
+    // dirs; the staged NAME keeps those segments (hive-style paths under
+    // data/, partition values riding free in the log's add list)
+    val tmpQ = f.makeQualified(tmpPath).toString
+    val staged = scala.collection.mutable.ArrayBuffer.empty[(Path, String)]
+    val it = f.listFiles(tmpPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val rel = st.getPath.toString.substring(tmpQ.length + 1)
+        val cut = rel.lastIndexOf('/')
+        staged += ((st.getPath, if (cut < 0) "" else rel.substring(0, cut + 1)))
+      }
+    }
+    val named = staged.toSeq.map { case (p, dir) =>
+      val name = s"$dir${UUID.randomUUID()}.parquet"
+      val dst = new Path(s"$path/$DataDir/$name")
+      if (dir.nonEmpty) f.mkdirs(dst.getParent)
+      require(f.rename(p, dst), s"rename failed for $p")
       name
     }
-    f.delete(new Path(tmp), true)
+    f.delete(tmpPath, true)
     (named, if (collectStats) fileStats(f, path, named) else None)
   }
 
@@ -1213,7 +1383,8 @@ object TxStore {
         case None => return None
         case Some(spec) =>
           val c = Commit(snap.version + 1, op, spec.add, spec.remove, txn,
-            spec.schema, spec.stats, spec.dv, spec.sidecars, spec.constraints, spec.mapping)
+            spec.schema, spec.stats, spec.dv, spec.sidecars, spec.constraints, spec.mapping,
+            spec.partcols)
           if (tryCommit(f, path, c)) return Some(c)
       }
       tries += 1
@@ -1222,18 +1393,61 @@ object TxStore {
       s"$op at $path lost $MaxRetries optimistic-commit races — livelocked table?")
   }
 
+  /** The PHYSICAL partition column list an append must stage under:
+    * the table's own when one is set (a non-empty `requested` must
+    * restate it identically — partitioning is a table property, not a
+    * per-write choice), else the requested list, which only a table
+    * with no live files may establish. */
+  private def resolvePartitioning(
+      pre: Snapshot, requested: Seq[String], path: String): Seq[String] = {
+    if (requested.isEmpty) return pre.partitioning
+    val phys = physByLogical(pre)
+    val req = requested.map(c => phys.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c))
+    if (pre.partitioning.nonEmpty) {
+      require(req.map(lc) == pre.partitioning.map(lc),
+        s"append partitionBy (${requested.mkString(", ")}) does not match the table's " +
+          s"partitioning (${pre.partitioning.mkString(", ")}) at $path")
+      pre.partitioning
+    } else {
+      require(pre.files.isEmpty,
+        s"cannot partition $path: it already holds unpartitioned files — " +
+          "use overwrite(partitionBy) to re-layout the table")
+      req
+    }
+  }
+
   /** Transactional append. Conflicts with nothing: data files are staged
     * once, then the commit retries under contention until a version slot
     * is won. Returns the committed version. If the loop throws (schema
     * drift, livelock) the staged files are deleted rather than orphaned
-    * until a vacuum. */
-  def append(df: DataFrame, path: String, collectStats: Boolean = true): Long = {
+    * until a vacuum. Hive-style partitioning: pass `partitionBy` on the
+    * CREATING append (or any later one, restated identically) — files
+    * land under `col=value/` paths, partition values travel in the log
+    * names, and [[readWhere]] prunes on them before any stats walk. */
+  def append(df: DataFrame, path: String, collectStats: Boolean = true,
+      partitionBy: Seq[String] = Nil): Long = {
     val cs = sessionCaseSensitive(df.sparkSession)
     // validate against the CURRENT constraint set before paying the
     // stage write; re-checked per commit attempt below if it drifts
     val pre = snapshot(df.sparkSession, path)
     var checked = pre.constraints
     enforceConstraints(df, checked, "append", path)
+    // hive-style partitioning: `partitionBy` names are LOGICAL; the
+    // effective list (PHYSICAL names, what stage and the log carry) is
+    // fixed at table creation — later appends inherit it (pass Nil) or
+    // must restate it identically; re-partitioning an existing table is
+    // overwrite's job (mixing flat and partitioned files would break
+    // the basePath read).
+    val effParts = resolvePartitioning(pre, partitionBy, path)
+    if (effParts.nonEmpty) {
+      val logNames =
+        if (pre.mapping.isEmpty) effParts
+        else effParts.map(p => pre.mapping.find(_._2 == p).map(_._1).getOrElse(p))
+      val missing = logNames.filterNot(n => df.columns.exists(_.equalsIgnoreCase(n)))
+      require(missing.isEmpty,
+        s"append to partitioned table $path: frame lacks partition column(s) " +
+          missing.mkString(", "))
+    }
     // column-mapping mode: evolve on the LOGICAL level against the
     // pre-snapshot, stage under PHYSICAL names; a concurrent mapping/
     // schema change invalidates the staged names → conflict (mapping
@@ -1242,7 +1456,8 @@ object TxStore {
       if (pre.mapping.isEmpty) None
       else Some(evolveMapped(pre, df.schema, cs))
     val (files, stats) =
-      stage(mapped.fold(df) { case (_, m2) => toPhysical(df, m2) }, path, collectStats)
+      stage(mapped.fold(df) { case (_, m2) => toPhysical(df, m2) }, path, collectStats,
+        partitionBy = effParts)
     val f = fs(df.sparkSession, path)
     try
       commitLoop(df.sparkSession, path, "append") { snap =>
@@ -1256,17 +1471,23 @@ object TxStore {
         if (snap.mapping != pre.mapping || snap.retired != pre.retired)
           throw new java.util.ConcurrentModificationException(
             s"append at $path conflicts: column mapping changed while staging — retry")
+        if (snap.partitioning != pre.partitioning)
+          throw new java.util.ConcurrentModificationException(
+            s"append at $path conflicts: table partitioning changed while staging — retry")
+        val pc =
+          if (effParts != snap.partitioning) Some(encodePartitioning(effParts)) else None
         mapped match {
           case None =>
             Some(CommitSpec(files, Nil,
-              Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
+              Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats, partcols = pc))
           case Some((physSchema, m2)) =>
             if (snap.schema != pre.schema)
               throw new java.util.ConcurrentModificationException(
                 s"append at $path conflicts: schema evolved concurrently under column mapping")
             val mp =
               if (m2 != pre.mapping) Some(encodeMapping(m2, pre.retired)) else None
-            Some(CommitSpec(files, Nil, Some(encodeSchema(physSchema)), stats, mapping = mp))
+            Some(CommitSpec(files, Nil, Some(encodeSchema(physSchema)), stats, mapping = mp,
+              partcols = pc))
         }
       }.get.version
     catch {
@@ -1280,11 +1501,19 @@ object TxStore {
     * file and adds the replacement set. Fails (cleaning up its staged
     * files) if a concurrent overwrite/compact removed any file it decided
     * to remove — the snapshot it targeted no longer exists. */
-  def overwrite(df: DataFrame, path: String): Long = {
+  def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Long = {
     val base = snapshot(df.sparkSession, path)
     var checked = base.constraints
     enforceConstraints(df, checked, "overwrite", path)
-    val (files, stats) = stage(df, path)
+    if (partitionBy.nonEmpty) {
+      val missing = partitionBy.filterNot(n => df.columns.exists(_.equalsIgnoreCase(n)))
+      require(missing.isEmpty,
+        s"overwrite partitionBy column(s) missing from the frame: ${missing.mkString(", ")}")
+    }
+    // an overwrite REPLACES the table, so the replacement's layout is
+    // exactly `partitionBy` (default flat) — like the mapping reset, a
+    // previously-partitioned table may legitimately go flat here
+    val (files, stats) = stage(df, path, partitionBy = partitionBy)
     val f = fs(df.sparkSession, path)
     try {
       commitLoop(df.sparkSession, path, "overwrite") { snap =>
@@ -1308,8 +1537,10 @@ object TxStore {
           if (snap.mapping.nonEmpty || snap.retired.nonEmpty)
             Some(encodeMapping(Nil, Nil))
           else None
+        val pc =
+          if (partitionBy != snap.partitioning) Some(encodePartitioning(partitionBy)) else None
         Some(CommitSpec(files, snap.files, Some(encodeSchema(normalize(df.schema))), stats,
-          mapping = mp))
+          mapping = mp, partcols = pc))
       }.get.version
     } catch {
       case e: Throwable =>
@@ -1329,7 +1560,7 @@ object TxStore {
       stage(toPhysical(
         readFiles(spark, path, base.files, base.schema, base.dv, dvp = base.dvp,
           mapping = base.mapping).repartition(target),
-        base.mapping), path)
+        base.mapping), path, partitionBy = base.partitioning)
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "compact") { snap =>
       if (!base.files.forall(snap.files.contains)) None
@@ -1375,7 +1606,7 @@ object TxStore {
       try
         stage(toPhysical(
           keyed.repartitionByRange(target, col("__z")).sortWithinPartitions("__z").drop("__z"),
-          base.mapping), path)
+          base.mapping), path, partitionBy = base.partitioning)
       finally keyed.unpersist(): Unit
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "optimize-zorder") { snap =>
@@ -1426,7 +1657,8 @@ object TxStore {
           if (pre.mapping.isEmpty) None
           else Some(evolveMapped(pre, df.schema, cs))
         val (files, stats) =
-          stage(mapped.fold(df) { case (_, m2) => toPhysical(df, m2) }, path, collectStats)
+          stage(mapped.fold(df) { case (_, m2) => toPhysical(df, m2) }, path, collectStats,
+            partitionBy = pre.partitioning) // inherit the table's layout
         try
           commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
             if (committed.isDefined) None
@@ -1438,6 +1670,9 @@ object TxStore {
               if (snap.mapping != pre.mapping || snap.retired != pre.retired)
                 throw new java.util.ConcurrentModificationException(
                   s"appendOnce at $path conflicts: column mapping changed while staging")
+              if (snap.partitioning != pre.partitioning)
+                throw new java.util.ConcurrentModificationException(
+                  s"appendOnce at $path conflicts: table partitioning changed while staging")
               mapped match {
                 case None =>
                   Some(CommitSpec(files, Nil,
@@ -1602,7 +1837,11 @@ object TxStore {
         case "append" =>
           if (c.add.isEmpty) Nil
           else Seq(tagged(readFiles(spark, path, c.add, readSchema, mapping = curMap), "insert", c.version))
-        case "compact" | "optimize-zorder" => Nil
+        // metadata-only commits move no rows: file-preserving layout ops
+        // and ALTERs (constraints, column mapping) emit no change rows —
+        // a CDC range spanning an ALTER stays readable
+        case "compact" | "optimize-zorder" | "constraint" | "rename-column" | "drop-column" =>
+          Nil
         case "delete-dv" =>
           val touched = dvTouchedFiles(f, path, c).filter(after.files.contains)
           if (touched.isEmpty) Nil
@@ -1692,13 +1931,14 @@ object TxStore {
   def delete(spark: SparkSession, path: String, predicate: Column): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
+    val fullName = byLeaf(base.files) // probe __file is the leaf name
     val hit = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
       dvp = base.dvp, mapping = base.mapping)
       .filter(predicate)
       .select(col("__file"))
       .distinct()
       .collect()
-      .map(_.getString(0))
+      .map(r => fullName(r.getString(0)))
       .toSeq
     if (hit.isEmpty) return None
     // reading THROUGH the vectors: the rewrite also materializes any
@@ -1706,7 +1946,8 @@ object TxStore {
     val kept =
       readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp, mapping = base.mapping)
         .filter(not(predicate <=> lit(true)))
-    val (staged, dStats) = stage(toPhysical(kept, base.mapping), path)
+    val (staged, dStats) =
+      stage(toPhysical(kept, base.mapping), path, partitionBy = base.partitioning)
     val f = fs(spark, path)
     try
       commitLoop(spark, path, "delete") { snap =>
@@ -1758,13 +1999,14 @@ object TxStore {
     require(set.nonEmpty, "update needs at least one SET assignment")
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
+    val fullName = byLeaf(base.files) // probe __file is the leaf name
     val hit = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
       dvp = base.dvp, mapping = base.mapping)
       .filter(predicate)
       .select(col("__file"))
       .distinct()
       .collect()
-      .map(_.getString(0))
+      .map(r => fullName(r.getString(0)))
       .toSeq
     if (hit.isEmpty) return None
     val cur = readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp, mapping = base.mapping)
@@ -1785,7 +2027,8 @@ object TxStore {
     // rows in the frame were valid on write; re-checking them is free
     // of false refusals by the live-table invariant)
     enforceConstraints(updated, base.constraints, "update", path)
-    val (staged, uStats) = stage(toPhysical(updated, base.mapping), path)
+    val (staged, uStats) =
+      stage(toPhysical(updated, base.mapping), path, partitionBy = base.partitioning)
     val f = fs(spark, path)
     try
       commitLoop(spark, path, "update") { snap =>
@@ -1856,8 +2099,10 @@ object TxStore {
       s"deleteVectored matched ${hits.length} rows (> maxDvRows = $maxDvRows) — " +
         "a delete this bulky should not collect to the driver: use " +
         "deleteVectoredBulk() (distributed vectors) or delete() (copy-on-write)")
+    val fullName = byLeaf(base.files) // probe __file is the leaf name
     val marks: Map[String, Seq[Long]] =
-      hits.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSeq.sorted).toMap
+      hits.groupBy(r => fullName(r.getString(0)))
+        .view.mapValues(_.map(_.getLong(1)).toSeq.sorted).toMap
     val f = fs(spark, path)
     // the marks don't depend on the snapshot — one sidecar serves every
     // commit attempt; deleted if the loop throws (vacuum catches a crash)
@@ -1921,8 +2166,9 @@ object TxStore {
       .write.parquet(dirPath.toString)
     // file-LEVEL collect: which data files carry marks (bounded by the
     // snapshot's file count, never by row count)
+    val fullName = byLeaf(base.files) // the parquet marks carry leaf names
     val marked = spark.read.schema("__file STRING, __row BIGINT").parquet(dirPath.toString)
-      .select("__file").distinct().collect().map(_.getString(0)).toSeq.sorted
+      .select("__file").distinct().collect().map(r => fullName(r.getString(0))).toSeq.sorted
     if (marked.isEmpty) {
       f.delete(dirPath, true)
       return None
@@ -2052,12 +2298,13 @@ object TxStore {
         val cur =
           readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
             dvp = base.dvp, mapping = base.mapping)
+        val fullName = byLeaf(base.files) // probe __file is the leaf name
         cur
           .join(distinctKeys, keys, "left_semi")
           .select("__file")
           .distinct()
           .collect()
-          .map(_.getString(0))
+          .map(r => fullName(r.getString(0)))
           .toSeq
       }
     // updates are FULL rows (they must carry every table column — a
@@ -2084,7 +2331,8 @@ object TxStore {
         readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp, mapping = base.mapping)
           .join(distinctKeys, keys, "left_anti"))
     val out = kept.fold(updates)(_.unionByName(updates, allowMissingColumns = true))
-    val (staged, mStats) = stage(toPhysical(out, m2), path, collectStats)
+    val (staged, mStats) =
+      stage(toPhysical(out, m2), path, collectStats, partitionBy = base.partitioning)
     val f = fs(spark, path)
     try
       commitLoop(spark, path, "merge", txn = txn) { snap =>
@@ -2170,7 +2418,8 @@ object TxStore {
           readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
             dvp = base.dvp, mapping = base.mapping)
             .join(distinctKeys, keys, "left_semi")
-            .select("__file").distinct().collect().map(_.getString(0)).toSeq
+            .select("__file").distinct().collect()
+            .map(r => byLeaf(base.files)(r.getString(0))).toSeq
       val srcCols = updates.columns.toSeq
       val src = updates.withColumn("__m", lit(true)).alias("s")
       val out: DataFrame =
@@ -2209,7 +2458,8 @@ object TxStore {
             .unionByName(updatedRows, allowMissingColumns = true)
             .unionByName(inserts, allowMissingColumns = true)
         }
-      val (staged, mStats) = stage(toPhysical(out, m2), path, collectStats)
+      val (staged, mStats) =
+      stage(toPhysical(out, m2), path, collectStats, partitionBy = base.partitioning)
       val f = fs(spark, path)
       try
         commitLoop(spark, path, "merge", txn) { snap =>
@@ -2317,6 +2567,7 @@ object TxStore {
     // lost to post-checkpoint readers
     val cons = Some(encodeConstraints(snap.constraints))
     val mp = Some(encodeMapping(snap.mapping, snap.retired))
+    val pc = Some(encodePartitioning(snap.partitioning))
     if (payloadFiles.size <= shardFiles) {
       val sts =
         if (snap.stats.isEmpty) None
@@ -2324,7 +2575,8 @@ object TxStore {
           renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
       val dvs = if (snap.dv.isEmpty) None else Some(encodeDv(snap.dv))
       val sc = dvpSidecar()
-      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, sc, cons, mp), sc)
+      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, sc, cons, mp, pc),
+        sc)
     } else {
       val sc = payloadFiles.grouped(shardFiles).map { group =>
         val g = group.toSet
@@ -2332,7 +2584,8 @@ object TxStore {
           snap.stats.view.filterKeys(g).toMap,
           snap.dv.view.filterKeys(g).toMap)
       }.toSeq ++ dvpSidecar()
-      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), None, None, sc, cons, mp), sc)
+      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), None, None, sc, cons, mp, pc),
+        sc)
     }
   }
 
@@ -2502,16 +2755,19 @@ object TxStore {
     if (inline.isEmpty && parquetDirs.isEmpty) None
     else {
       import spark.implicits._
+      // the anti-join's probe column (`_metadata.file_name`) is the bare
+      // LEAF name, so marks keyed by full partitioned names project to
+      // their leaf here (leaf names are staged UUIDs — injective)
       val inlineDf =
         if (inline.isEmpty) None
         else Some(inline.toSeq
-          .flatMap { case (f, rows) => rows.map(r => (f, r)) }
+          .flatMap { case (f, rows) => rows.map(r => (leafOf(f), r)) }
           .toDF("__file", "__row"))
       val parquetMarks = parquetDirs.toSeq.map { case (dir, applicable) =>
         spark.read
           .schema("__file STRING, __row BIGINT")
           .parquet(sidecarPath(path, dir).toString)
-          .filter(col("__file").isin(applicable: _*))
+          .filter(col("__file").isin(applicable.map(leafOf): _*))
       }
       Some(((inlineDf.toSeq ++ parquetMarks).reduce(_ unionByName _), parquetDirs.isEmpty))
     }
@@ -2526,15 +2782,25 @@ object TxStore {
       dvp: Map[String, Seq[String]] = Map.empty,
       mapping: Seq[(String, String)] = Nil): DataFrame = {
     require(files.nonEmpty, s"empty snapshot at $path")
-    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    // hive-partitioned file names carry col=value/ segments; basePath
+    // makes the scan parse the partition values back out of the path
+    // (typed by the user schema), exactly like a directory read would
+    val partitioned = files.exists(_.indexOf('/') >= 0)
+    val rdr = schema.fold(spark.read)(s => spark.read.schema(s))
+    val reader = if (partitioned) rdr.option("basePath", s"$path/$DataDir") else rdr
     val base = reader.parquet(files.map(n => s"$path/$DataDir/$n"): _*)
+    // the scan surfaces path-derived partition columns LAST regardless
+    // of the declared schema order — readers see the LOG's order
+    def ordered(d: DataFrame): DataFrame =
+      if (!partitioned) d
+      else schema.fold(d)(s => d.select(s.fieldNames.toSeq.map(col): _*))
     val (relevant, relevantP) = restrictMarks(dv, dvp, files)
     val physical =
-      if (relevant.isEmpty && relevantP.isEmpty && !withFile) base
+      if (relevant.isEmpty && relevantP.isEmpty && !withFile) ordered(base)
       else {
         require(!base.columns.contains("__file") && !base.columns.contains("__row"),
           "table must not carry the reserved __file/__row columns")
-        val dataCols = base.columns.toSeq.map(col)
+        val dataCols = schema.fold(base.columns.toSeq)(_.fieldNames.toSeq).map(col)
         val withMeta = base.select(dataCols ++ Seq(
           col("_metadata.file_name").as("__file"),
           col("_metadata.row_index").as("__row")): _*)
@@ -2765,7 +3031,11 @@ object TxStore {
       }
     }.toMap
     val pcols = cols.map(physName)
-    val raw = spark.read.schema(schema).parquet(base.files.map(n => s"$path/$DataDir/$n"): _*)
+    val rdr0 = spark.read.schema(schema)
+    val rdr = // partitioned tables: parse partition values from paths
+      if (base.files.exists(_.indexOf('/') >= 0)) rdr0.option("basePath", s"$path/$DataDir")
+      else rdr0
+    val raw = rdr.parquet(base.files.map(n => s"$path/$DataDir/$n"): _*)
       .select(col("_metadata.file_name").as("__file") +: pcols.map(col): _*)
     // one exploded (file, col, block, mask) projection → one combinable agg
     val posCols = pcols.flatMap { c =>
@@ -2780,12 +3050,14 @@ object TxStore {
       .agg(bit_or(call_function("shiftleft", lit(1L), pmod(col("h.p"), lit(64L)).cast("int")))
         .as("__bits"))
       .collect() // files × cols × numBits/8 bytes — O(live files) metadata class
+    val fullName = byLeaf(base.files) // the scan's file_name is the leaf
     val built = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, ColRange]]
-    perFile.groupBy(r => (r.getString(0), r.getString(1))).foreach { case ((file, c), rows) =>
-      val bits = new Array[Long](numBits / 64)
-      rows.foreach(r => bits(r.getLong(2).toInt) = r.getLong(3))
-      built(file) = built.getOrElse(file, Map.empty) +
-        (s"$c#b" -> BloomSum(tpes(c), numHashes, bits))
+    perFile.groupBy(r => (fullName(r.getString(0)), r.getString(1))).foreach {
+      case ((file, c), rows) =>
+        val bits = new Array[Long](numBits / 64)
+        rows.foreach(r => bits(r.getLong(2).toInt) = r.getLong(3))
+        built(file) = built.getOrElse(file, Map.empty) +
+          (s"$c#b" -> BloomSum(tpes(c), numHashes, bits))
     }
     val payload = java.util.Base64.getEncoder.encodeToString(
       renderStats(built.toMap).getBytes(StandardCharsets.UTF_8))
@@ -2838,8 +3110,13 @@ object TxStore {
     // Connect-unified API; see ColumnBridge)
     val pred = org.apache.spark.sql.graft.ColumnBridge.expression(predicate)
     val phys = physByLogical(snap)
+    // partition pruning FIRST (O(partition cols) per file, memoized per
+    // dir), then the per-file stats walk — short-circuited, so a
+    // partition-refuted file never pays the stats check
+    val pranges = partitionRanges(snap)
     val (kept, skipped) = snap.files.partition { f =>
-      snap.stats.get(f).forall(ranges => mayMatch(pred, ranges, phys))
+      mayMatch(pred, pranges(f), phys) &&
+        snap.stats.get(f).forall(ranges => mayMatch(pred, ranges, phys))
     }
     (snap, kept, skipped)
   }
@@ -2871,8 +3148,10 @@ object TxStore {
       spark: SparkSession, path: String, snap: Snapshot, predicate: Column): DataFrame = {
     val pred = org.apache.spark.sql.graft.ColumnBridge.expression(predicate)
     val phys = physByLogical(snap)
+    val pranges = partitionRanges(snap) // partition pruning before stats
     val kept = snap.files.filter(f =>
-      snap.stats.get(f).forall(ranges => mayMatch(pred, ranges, phys)))
+      mayMatch(pred, pranges(f), phys) &&
+        snap.stats.get(f).forall(ranges => mayMatch(pred, ranges, phys)))
     if (kept.isEmpty) {
       val schema = logicalSchema(snap).getOrElse(org.apache.spark.sql.types.StructType(Nil))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -2939,7 +3218,8 @@ object TxStore {
         // self-consistent per version)
         Some(CommitSpec(target.files, snap.files, target.schema.map(encodeSchema), sts, dvs, sc,
           Some(encodeConstraints(target.constraints)),
-          Some(encodeMapping(target.mapping, target.retired))))
+          Some(encodeMapping(target.mapping, target.retired)),
+          Some(encodePartitioning(target.partitioning))))
       }.get.version
     catch {
       case e: Throwable =>
@@ -2974,7 +3254,7 @@ object TxStore {
     val dvpMarks = dvpByDir(snap).map { case (dir, applicable) =>
       spark.read.schema("__file STRING, __row BIGINT")
         .parquet(sidecarPath(path, dir).toString)
-        .filter(col("__file").isin(applicable: _*))
+        .filter(col("__file").isin(applicable.map(leafOf): _*))
         .count()
     }.sum
     TableDetail(
@@ -3045,10 +3325,22 @@ object TxStore {
     def aged(s: org.apache.hadoop.fs.FileStatus): Boolean =
       now - s.getModificationTime >= ageGraceMs
     val listed = f.listStatus(dataDir).toSeq
-    val victims = listed
-      .filter(s => s.getPath.getName.endsWith(".parquet") &&
-        !keep.contains(s.getPath.getName) && aged(s))
-      .map(_.getPath)
+    // RECURSIVE file walk: partitioned tables nest data files under
+    // col=value/ dirs and the keep-set holds RELATIVE names. In-flight
+    // _stage-*/ part files are excluded here (whole stage dirs sweep
+    // below under the same age grace).
+    val dataQ = f.makeQualified(dataDir).toString
+    val victims = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val it = f.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.substring(dataQ.length + 1)
+        if (rel.endsWith(".parquet") && !rel.startsWith("_stage-") &&
+          !keep.contains(rel) && aged(st)) buf += st.getPath
+      }
+      buf.toSeq
+    }
     victims.foreach(f.delete(_, false))
     // a writer that died inside stage() leaves a _stage-<uuid>/ directory
     // of never-renamed part files; one that died inside tryCommit leaves

@@ -1516,4 +1516,174 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.readWhere(spark, t, $"key" === 3L).count() === 1)
     assert(TxStore.readWhere(spark, t, $"key" === 999L).count() === 0)
   }
+
+  // ── hive-style partition columns ────────────────────────────────────
+
+  private def prows(n: Int, from: Int = 0) =
+    (from until from + n).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
+      .toDF("id", "payload", "bucket")
+
+  test("partitioned append: hive paths, schema order, value round-trip, pruning before stats") {
+    val t = tmpDir()
+    TxStore.append(prows(30), t, partitionBy = Seq("bucket"))
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.partitioning === Seq("bucket"))
+    assert(snap.files.nonEmpty && snap.files.forall(_.matches("bucket=p[0-2]/.*\\.parquet")))
+    // read round-trips values AND the log's column order (partition
+    // columns must not drift to the end)
+    val got = TxStore.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "payload", "bucket"))
+    assert(got.as[(Long, String, String)].collect().toSet ===
+      (0 until 30).map(i => (i.toLong, s"v$i", s"p${i % 3}")).toSet)
+    // partition-predicate pruning: only bucket=p1 files survive the walk
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, $"bucket" === "p1")
+    assert(kept.nonEmpty && kept.forall(_.startsWith("bucket=p1/")), kept)
+    assert(skipped.nonEmpty && skipped.forall(!_.startsWith("bucket=p1/")), skipped)
+    assert(TxStore.readWhere(spark, t, $"bucket" === "p1").count() === 10)
+    // a second append INHERITS the layout with no partitionBy restated
+    TxStore.append(prows(30, from = 30), t)
+    assert(TxStore.snapshot(spark, t).files.forall(_.contains("bucket=")))
+    assert(TxStore.read(spark, t).count() === 60)
+  }
+
+  test("partitioned append: layout is a table property — mismatches and re-layout refuse") {
+    val t = tmpDir()
+    TxStore.append(prows(12), t, partitionBy = Seq("bucket"))
+    // restating a DIFFERENT partitioning refuses
+    intercept[IllegalArgumentException](
+      TxStore.append(prows(3, from = 12), t, partitionBy = Seq("payload")))
+    // a frame lacking the partition column refuses
+    intercept[IllegalArgumentException](
+      TxStore.append(rows(3), t))
+    // partitioning an existing FLAT table refuses (mixed layouts break)
+    val flat = tmpDir()
+    TxStore.append(prows(6), flat)
+    intercept[IllegalArgumentException](
+      TxStore.append(prows(3, from = 6), flat, partitionBy = Seq("bucket")))
+    // …but overwrite may re-layout either way
+    TxStore.overwrite(prows(6), flat, partitionBy = Seq("bucket"))
+    assert(TxStore.snapshot(spark, flat).partitioning === Seq("bucket"))
+    TxStore.overwrite(prows(6), flat)
+    assert(TxStore.snapshot(spark, flat).partitioning === Nil)
+    assert(TxStore.snapshot(spark, flat).files.forall(!_.contains("/")))
+  }
+
+  test("partitioned tables: delete/update/merge/vectored delete keep the hive layout") {
+    val t = tmpDir()
+    TxStore.append(prows(30), t, partitionBy = Seq("bucket"))
+    // copy-on-write delete rewrites ONLY files of the hit partition
+    val before = TxStore.snapshot(spark, t).files.toSet
+    TxStore.delete(spark, t, $"bucket" === "p0" && $"id" < 6L)
+    val after = TxStore.snapshot(spark, t)
+    assert(after.files.forall(_.contains("bucket=")))
+    assert((before -- after.files.toSet).forall(_.startsWith("bucket=p0/")),
+      "only p0 files may be rewritten")
+    assert(TxStore.read(spark, t).count() === 28)
+    // update keeps layout and rows land in their (possibly new) partition
+    TxStore.update(spark, t, $"id" === 7L, Map("payload" -> lit("seven")))
+    assert(TxStore.read(spark, t).filter($"payload" === "seven").count() === 1)
+    // merge-on-read vectored delete (marks keyed by partitioned names)
+    TxStore.deleteVectored(spark, t, $"id" === 8L)
+    assert(TxStore.read(spark, t).count() === 27)
+    assert(TxStore.read(spark, t).filter($"id" === 8L).count() === 0)
+    // keyed merge preserves layout too
+    TxStore.merge(spark, t,
+      Seq((9L, "nine", "p0"), (1000L, "new", "p2")).toDF("id", "payload", "bucket"),
+      keys = Seq("id"))
+    assert(TxStore.snapshot(spark, t).files.forall(_.contains("bucket=")))
+    assert(TxStore.read(spark, t).filter($"payload".isin("nine", "new")).count() === 2)
+    // distributed bulk vectored delete on hive names
+    TxStore.deleteVectoredBulk(spark, t, $"id" === 10L)
+    assert(TxStore.read(spark, t).filter($"id" === 10L).count() === 0)
+  }
+
+  test("partitioning survives checkpoint, compact, clone, restore and vacuum") {
+    val t = tmpDir()
+    TxStore.append(prows(30), t, partitionBy = Seq("bucket"))
+    TxStore.checkpoint(spark, t)
+    assert(TxStore.snapshot(spark, t).partitioning === Seq("bucket"),
+      "checkpoint must restate partitioning (it truncates replay)")
+    TxStore.compact(spark, t, target = 1)
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.files.forall(_.contains("bucket=")), "compact keeps the hive layout")
+    assert(TxStore.read(spark, t).count() === 30)
+    // pruning still works on the compacted files
+    val (_, kept, _) = TxStore.pruneFiles(spark, t, $"bucket" === "p2")
+    assert(kept.forall(_.startsWith("bucket=p2/")))
+    // clone carries layout; the linked files keep their partition paths
+    val c = tmpDir() + "/clone"
+    TxStore.cloneTable(spark, t, c)
+    assert(TxStore.snapshot(spark, c).partitioning === Seq("bucket"))
+    assert(TxStore.read(spark, c).count() === 30)
+    // an overwrite to flat, restored back to the partitioned version
+    val vPart = TxStore.snapshot(spark, t).version
+    TxStore.overwrite(rows(3), t)
+    assert(TxStore.snapshot(spark, t).partitioning === Nil)
+    TxStore.restore(spark, t, vPart)
+    assert(TxStore.snapshot(spark, t).partitioning === Seq("bucket"))
+    assert(TxStore.read(spark, t).count() === 30)
+    // vacuum reclaims out-of-window partitioned debris recursively
+    (1 to 3).foreach(_ => TxStore.checkpoint(spark, t))
+    val reclaimed = TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0L)
+    assert(reclaimed > 0, "flat overwrite files + pre-compact partition files reclaim")
+    assert(TxStore.read(spark, t).count() === 30)
+  }
+
+  test("partition pruning on numeric values; readWhere stays exact under it") {
+    val t = tmpDir()
+    val df = (0 until 40).map(i => (i.toLong, i % 4)).toDF("id", "m")
+    TxStore.append(df, t, partitionBy = Seq("m"))
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, $"m" >= 2)
+    assert(kept.forall(n => n.startsWith("m=2/") || n.startsWith("m=3/")), kept)
+    assert(skipped.forall(n => n.startsWith("m=0/") || n.startsWith("m=1/")), skipped)
+    assert(TxStore.readWhere(spark, t, $"m" >= 2).count() === 20)
+    assert(TxStore.readWhere(spark, t, $"m" === 7).count() === 0)
+  }
+
+  test("CDC spans metadata-only ALTER commits without a hiccup") {
+    val t = tmpDir()
+    TxStore.append(rows(4), t) // v1
+    TxStore.addConstraint(spark, t, "id_ok", "id >= 0") // v2
+    TxStore.renameColumn(spark, t, "payload", "body") // v3 (enters mapping mode)
+    TxStore.append(Seq((100L, "x")).toDF("id", "body"), t) // v4
+    TxStore.dropConstraint(spark, t, "id_ok") // v5
+    val (v, df) = TxStore.readChangesSince(spark, t, 0L)
+    assert(v === 5L)
+    // only the two appends emit rows; ALTERs contribute nothing
+    val changes = df.select("id", "body", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(changes === ((0 until 4).map(i => (i.toLong, s"v$i", "insert", 1L)).toSet +
+      ((100L, "x", "insert", 4L))))
+  }
+
+  test("addConstraint refuses an unresolvable expression at ALTER time, even on empty tables") {
+    val t = tmpDir()
+    TxStore.append(rows(3), t)
+    TxStore.delete(spark, t, lit(true)) // schema'd table, zero live rows
+    assert(TxStore.read(spark, t).count() === 0)
+    val ex = intercept[IllegalArgumentException](
+      TxStore.addConstraint(spark, t, "typo", "no_such_column > 0"))
+    assert(ex.getMessage.contains("invalid constraint expression"))
+    // unparseable SQL refuses on a table with NO schema at all
+    val empty = tmpDir()
+    intercept[IllegalArgumentException](
+      TxStore.addConstraint(spark, empty, "bad", "SELECT FROM WHERE"))
+    // valid constraints still work after the refusals
+    TxStore.addConstraint(spark, t, "id_ok", "id >= 0")
+    TxStore.append(rows(3), t)
+    intercept[IllegalArgumentException](
+      TxStore.append(Seq((-1L, "neg")).toDF("id", "payload"), t))
+  }
+
+  test("mapping mode refuses new column names the payload grammar cannot carry") {
+    val t = tmpDir()
+    TxStore.append(rows(3), t)
+    TxStore.renameColumn(spark, t, "payload", "body") // enter mapping mode
+    val bad = Seq((10L, "x", "y")).toDF("id", "body", "evil\tname")
+    intercept[IllegalArgumentException](TxStore.append(bad, t))
+    // the table is still perfectly readable — nothing corrupt committed
+    assert(TxStore.read(spark, t).count() === 3)
+    TxStore.append(Seq((10L, "x", "y")).toDF("id", "body", "fine_name"), t)
+    assert(TxStore.read(spark, t).count() === 4)
+  }
 }
