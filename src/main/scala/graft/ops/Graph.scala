@@ -84,9 +84,9 @@ object GraphOps {
       .join(e, col("x") === col("u") && col("y") === col("v"), "left_semi")
       .select(
         least(col("w"), col("x"), col("y")).as("n1"),
-        (col("w") + col("x") + col("y")
-          - least(col("w"), col("x"), col("y"))
-          - greatest(col("w"), col("x"), col("y"))).as("n2"),
+        // middle element via sort, not w+x+y−least−greatest: the
+        // intermediate sum overflows Long for ids above ~MaxValue/3
+        sort_array(array(col("w"), col("x"), col("y"))).getItem(1).as("n2"),
         greatest(col("w"), col("x"), col("y")).as("n3"))
     val out = tri.localCheckpoint(true) // materialize before unpersist
     e.unpersist(); oriented.unpersist()

@@ -467,7 +467,53 @@ object AnalyticsQueries {
               |)
               |SELECT event_type, day, cnt, n_prior, ${Sql.rnd("zraw", 4)} AS z,
               |       CAST(zraw IS NOT NULL AND ABS(zraw) > 2.0 AS BIGINT) AS is_anomaly
-              |FROM z""".stripMargin))
+              |FROM z""".stripMargin)),
+
+    // ── AN26 — LABEL PROPAGATION (synchronized, k=3, smallest-label
+    //    tie-break) over the an20 customer↔supplier trade graph, ids
+    //    integer-encoded (cust → 2k, supp → 2k+1) so the modal-label
+    //    argmax is a single combinable max(struct(count, −label)) — no
+    //    window, no driver traffic (GraphOps.labelPropagation). The
+    //    community complement of an20's centrality and the engine's
+    //    connectedComponents reachability: one bridge edge merges two
+    //    dense clusters into one COMPONENT but not one COMMUNITY
+    //    (GraphSpec pins that law). Deterministic by construction —
+    //    synchronized updates + total-order tie-break — which is what
+    //    makes a cross-engine oracle possible at all; the oracle
+    //    unrolls the same three rounds as CTEs with ROW_NUMBER() OVER
+    //    (ORDER BY c DESC, lbl ASC) as the argmax twin. All-integer
+    //    output: hash-exact, no float discipline needed.
+    QueryDef(
+      "an26_label_prop",
+      (s, d) => {
+        val e0 = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ops.GraphOps.labelPropagation(edges, iterations = 3)
+      },
+      Some {
+        def round(i: Int) =
+          s"""c$i AS (
+             |  SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+             |  FROM edges e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2
+             |), l$i AS (
+             |  SELECT node, lbl FROM (
+             |    SELECT node, lbl,
+             |           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+             |    FROM c$i) WHERE rn = 1
+             |)""".stripMargin
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |), edges AS (
+           |  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+           |), l0 AS (
+           |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+           |), ${(1 to 3).map(round).mkString(", ")}
+           |SELECT node, lbl FROM l3""".stripMargin
+      })
   )
 
   /** Channels removed one at a time in the an23 oracle — the fixture's

@@ -98,4 +98,59 @@ class GraphSpec extends SparkSpec {
     assert(got.length == got.distinct.length, "each triangle listed exactly once")
     assert(got.toSet == refTriangles(base), s"got ${got.length} triangles")
   }
+
+  test("triangles: node ids near Long.MaxValue keep an exact middle node (no sum overflow)") {
+    val m = Long.MaxValue
+    val tri = Seq((m, m - 1), (m - 1, m - 2), (m - 2, m)) // one triangle, huge ids
+    val got = GraphOps.triangles(tri.toDF("a", "b")).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((m - 2, m - 1, m)), got)
+  }
+
+  /** In-test reference: synchronized label propagation, modal label from
+    * in-neighbors, ties to the SMALLEST label — GraphOps.labelPropagation's
+    * exact contract. */
+  private def refLabelProp(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val in = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val nodes = edges.map(_._1).distinct
+    var lbl = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to k)
+      lbl = nodes.map { v =>
+        val counts = in(v).map(lbl).groupBy(identity).view.mapValues(_.size)
+        v -> counts.toSeq.map { case (l, c) => (c, -l) }.max._2 * -1
+      }.toMap
+    lbl
+  }
+
+  test("labelPropagation: two cliques + bridge stay distinct communities; components merge them") {
+    // two K4s bridged by one edge — ONE component, TWO dense communities
+    val k4a = for { i <- 1L to 4L; j <- 1L to 4L if i != j } yield (i, j)
+    val k4b = for { i <- 5L to 8L; j <- 5L to 8L if i != j } yield (i, j)
+    val edges = (k4a ++ k4b ++ Seq((4L, 8L), (8L, 4L))).toSeq
+    val got = GraphOps.labelPropagation(edges.toDF("src", "dst"), iterations = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refLabelProp(edges, 5), "matches the synchronized reference")
+    // synchronized LPA may 2-cycle inside a clique (the documented price
+    // of determinism), so the community law is label DISJOINTNESS, not
+    // single-label convergence: no label crosses the bridge
+    val a = (1L to 4L).map(got).toSet
+    val b = (5L to 8L).map(got).toSet
+    assert(a.intersect(b).isEmpty, s"cliques share no labels: $got")
+    assert(a.size == 1, s"the first clique converges to one label: $got")
+    // reachability sees ONE component through the bridge
+    val comp = graft.ops.Dedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet.size == 1, s"one component expected: $comp")
+  }
+
+  test("labelPropagation is deterministic across runs and refuses iterations < 1") {
+    val rnd = new scala.util.Random(11)
+    val half = (for (_ <- 1 to 60) yield (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val r1 = GraphOps.labelPropagation(edges, 3).as[(Long, Long)].collect().toMap
+    val r2 = GraphOps.labelPropagation(edges, 3).as[(Long, Long)].collect().toMap
+    assert(r1 == r2)
+    intercept[IllegalArgumentException](GraphOps.labelPropagation(edges, 0))
+  }
 }
