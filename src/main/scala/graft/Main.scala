@@ -26,7 +26,9 @@ object Main {
   private val KnownFlags = Set(
     "config", "data-dir", "out-dir", "step", "start-date", "end-date", "max-sessions",
     // clean-corpus step
-    "min-tokens", "max-stopword-ratio", "jaccard-threshold", "survivor-rule")
+    "min-tokens", "max-stopword-ratio", "jaccard-threshold", "survivor-rule",
+    // sql step
+    "query", "sql")
 
   /** Strict flag parsing: a typo'd or mispaired flag must fail loudly —
     * silently ignoring `--max-session 1000` would run WITHOUT the skew
@@ -135,8 +137,20 @@ object Main {
         val s = ops.CorpusClean.stats(spark.read.parquet(s"$outDir/clean_corpus")).head()
         println(s"[graft] clean corpus -> $outDir/clean_corpus " +
           s"(docs=${s.getLong(0)}, tokens=${s.getLong(1)}, avg_tokens=${s.getDouble(2)})")
+      case "sql" =>
+        // the SQL entry point: every fixture table + the attribution
+        // domain views registered, one statement run through Catalyst,
+        // result landed as parquet — the reference's native interface
+        // (SQL text) without writing Scala
+        val text = opts.get("sql").orElse(opts.get("query").map { p =>
+          new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+            java.nio.charset.StandardCharsets.UTF_8)
+        }).getOrElse(sys.error("--step sql needs --sql '<statement>' or --query <file.sql>"))
+        Tables.registerViews(spark, dataDir)
+        spark.sql(text).write.mode("overwrite").parquet(s"$outDir/sql_result")
+        println(s"[graft] sql -> $outDir/sql_result")
       case other =>
-        sys.error(s"unknown --step $other (build-journeys|score|score-external|report|clean-corpus|all)")
+        sys.error(s"unknown --step $other (build-journeys|score|score-external|report|clean-corpus|sql|all)")
     }
   }
 }

@@ -50,8 +50,27 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  /** Register every fixture table AND the derived attribution-domain
+    * views as temp views — the SQL entry point's catalog (`--step sql`).
+    * The reference's native user interface is SQL text over these very
+    * tables (cj_builder.py:36–42, channel_reporter.py:33–93); this is
+    * what lets its audience run ad-hoc SQL through the engine without
+    * writing a line of Scala. Timestamps follow the engine's canonical
+    * interchange: epoch-nanos BIGINT (`ts div 1000` → µs,
+    * `timestamp_micros` → native). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+      "documents", "embeddings")
+      .foreach(t => read(spark, dir, t).createOrReplaceTempView(t))
+    events(spark, dir).createOrReplaceTempView("events")
+    conversions(spark, dir).createOrReplaceTempView("conversions")
+    sessions(spark, dir).createOrReplaceTempView("sessions")
+    sessionCosts(spark, dir).createOrReplaceTempView("session_costs")
+  }
 
   /** epoch-nanos LongType → TimestampType(µs). Integer division only —
     * double division loses µs precision above 2^53 ns (≈ 1970+104 days). */

@@ -53,4 +53,29 @@ class CliSpec extends SparkSpec {
         "out-dir" -> tmp(), "survivor-rule" -> "fastest"))
     }
   }
+
+  test("sql step: the flagship report as one SQL file matches the Scala pipeline") {
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "query" -> "sql/flagship_report.sql"))
+    val viaSql = spark.read.parquet(s"$out/sql_result")
+    val viaScala = SparkEntry.queries("flagship_report")(spark, sf("sf0.001"))
+    assert(viaSql.columns.toSeq === viaScala.columns.toSeq)
+    assert(viaSql.count() === viaScala.count() && viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaSql).isEmpty,
+      "SQL-step result must row-match the DataFrame flagship")
+  }
+
+  test("sql step: inline --sql over a fixture view; missing statement refuses") {
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "sql" -> "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"))
+    val got = spark.read.parquet(s"$out/sql_result")
+    assert(got.columns.toSeq === Seq("event_type", "n") && got.count() > 0)
+    intercept[RuntimeException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> tmp()))
+    }
+  }
 }
