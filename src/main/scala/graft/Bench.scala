@@ -93,14 +93,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, (min, _)) if min >= 0 => min }.sum
     val loadEnd = os.getSystemLoadAverage
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(_._1)}""" +
         s""","queries_median":${jsonMap(_._2)},"timed_runs":$TimedRuns""" +
         // NOT f"%.2f": the interpolator is default-locale-sensitive and a
         // comma-decimal locale would emit invalid JSON (0,52)
         s""","load_avg_start":${math.rint(loadStart * 100) / 100}""" +
         s""","load_avg_end":${math.rint(loadEnd * 100) / 100}""" +
-        s""","cores":$cores,"load_warning":$loadWarning,"sf":"$sfDir"}""")
+        s""","cores":$cores,"load_warning":$loadWarning,"sf":"$sfDir"}"""
+    // The JSON also lands in a FILE: a 190-lane line outgrows captured
+    // log tails (the r11 artifact lost its front half to truncation) —
+    // stdout stays the contract, the file is the durable copy.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(json)
     spark.stop()
   }
 }
