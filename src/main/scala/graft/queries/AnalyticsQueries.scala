@@ -315,7 +315,8 @@ object AnalyticsQueries {
              |UNION ALL
              |SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM s2
              |UNION ALL
-             |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3""".stripMargin)),
+             |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM s3""".stripMargin),
+      bench = true),
 
     // ── AN22 — CO-PURCHASE FREQUENT PAIRS (association mining, the
     //    market-basket k=2 staple): part pairs ordered together in ≥ 2
@@ -342,7 +343,8 @@ object AnalyticsQueries {
              |)
              |SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS support
              |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin),
+      bench = true),
 
     // ── AN23 — MARKOV-CHAIN ATTRIBUTION (removal effects): credit each
     //    channel by how much the absorbing chain's start→conv
@@ -467,7 +469,8 @@ object AnalyticsQueries {
               |)
               |SELECT event_type, day, cnt, n_prior, ${Sql.rnd("zraw", 4)} AS z,
               |       CAST(zraw IS NOT NULL AND ABS(zraw) > 2.0 AS BIGINT) AS is_anomaly
-              |FROM z""".stripMargin)),
+              |FROM z""".stripMargin),
+      bench = true),
 
     // ── AN26 — LABEL PROPAGATION (synchronized, k=3, smallest-label
     //    tie-break) over the an20 customer↔supplier trade graph, ids
@@ -513,7 +516,8 @@ object AnalyticsQueries {
            |  SELECT DISTINCT src AS node, src AS lbl FROM edges
            |), ${(1 to 3).map(round).mkString(", ")}
            |SELECT node, lbl FROM l3""".stripMargin
-      })
+      },
+      bench = true)
   )
 
   /** Channels removed one at a time in the an23 oracle — the fixture's

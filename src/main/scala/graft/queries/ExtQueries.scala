@@ -1497,7 +1497,8 @@ object ExtQueries {
              |  FROM documents
              |)
              |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
-             |FROM rk WHERE rk <= 10""".stripMargin))
+             |FROM rk WHERE rk <= 10""".stripMargin),
+      bench = true)
   )
 
   private def ClassifierTrainOracle: String =

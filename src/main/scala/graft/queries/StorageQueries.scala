@@ -332,7 +332,8 @@ object StorageQueries {
         eventsCols(TxStore.read(s, dst))
       },
       Some(eventsSql(
-        " WHERE event_id % 2 = 0 AND event_id % 10 <> 0 AND event_id % 3 <> 0"))),
+        " WHERE event_id % 2 = 0 AND event_id % 10 <> 0 AND event_id % 3 <> 0")),
+      bench = true),
 
     // ── S37 — BLOOM-FILTER FILE SKIPPING (Delta's bloom index on the
     //    text log): the table lands round-robin scattered, so every
@@ -468,7 +469,8 @@ object StorageQueries {
           "every other partition's files must be skipped")
         eventsCols(TxStore.readWhere(s, store, probe))
       },
-      Some(eventsSql(" WHERE event_type = 'purchase'"))),
+      Some(eventsSql(" WHERE event_type = 'purchase'")),
+      bench = true),
 
     // ── S34 — CONDITIONAL three-clause MERGE (Delta's WHEN MATCHED AND
     //    … THEN UPDATE / DELETE, WHEN NOT MATCHED AND … THEN INSERT):
