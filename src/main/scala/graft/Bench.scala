@@ -48,7 +48,10 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
     val fns = SparkEntry.queries
     val allMode = args.contains("--all")
-    val named = args.toSeq.filterNot(_ == "--all")
+    // --once: warm-up + ONE timed run for the named lanes — the century
+    // protocol for lanes whose min-of-5 would cost an hour at high SF
+    val onceMode = args.contains("--once")
+    val named = args.toSeq.filterNot(a => a == "--all" || a == "--once")
     val unknown = named.filterNot(fns.contains)
     require(unknown.isEmpty,
       s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")} " +
@@ -57,7 +60,7 @@ object Bench {
       if (allMode) SparkEntry.registry.map(_.name)
       else if (named.nonEmpty) named
       else SparkEntry.benchQueries
-    val TimedRuns = if (allMode) 1 else DefaultTimedRuns
+    val TimedRuns = if (allMode || onceMode) 1 else DefaultTimedRuns
     def run(name: String): Boolean =
       try {
         fns(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -410,6 +410,45 @@ object AnalyticsQueries {
              |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin),
       bench = true),
 
+    // ── AN24b — SAMPLED TRIANGLE LISTING (the DOULION scale path:
+    //    Tsourakakis et al. 2009, "DOULION: counting triangles in
+    //    massive graphs with a coin"). The exact an24 lane is the
+    //    ground truth; its wedge volume is inherent to the PROBLEM
+    //    (Σ C(outdeg, 2) on a dense uniform-random co-purchase graph —
+    //    avg degree ~120 at sf0.1), and the sf10 century DNF'd on
+    //    local disk (shuffle bytes > the box; see BASELINE). DOULION
+    //    keeps each edge with probability p BEFORE any wedge forms —
+    //    wedge volume drops ~p², triangle count scales by p³ (unbiased
+    //    estimator: count / p³). The coin is a DETERMINISTIC portable
+    //    hash on the canonical edge (BIGINT arithmetic both engines
+    //    evaluate identically — never engine-specific rand/xxhash), so
+    //    the sampled listing itself is hash-exact cross-engine: the
+    //    oracle is the same filter in SQL, not a tolerance band.
+    QueryDef(
+      "an24_triangles_sampled",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("a"), col("b.pk").as("b"))
+          .filter(((col("a") % 1000003L) * 31L + col("b") % 1000003L) % 10L === 0L)
+        graft.ops.GraphOps.triangles(edges)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+             |), e AS (
+             |  SELECT DISTINCT a.pk AS u, b.pk AS v
+             |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             |  WHERE ((a.pk % 1000003) * 31 + b.pk % 1000003) % 10 = 0
+             |)
+             |SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+             |FROM e e1
+             |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+             |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin),
+      bench = true),
+
     // ── AN25 — ROLLING Z-SCORE ANOMALY DETECTION over daily event
     //    volumes: each (event_type, day) scores against its own
     //    TRAILING week (RANGE frame, 7..1 PRECEDING — value-based, so

@@ -99,4 +99,24 @@ class ScaleStressSpec extends SparkSpec {
       keys = Seq("k"), orderCol = "ts_us", tieCol = "event_id")
     assert(deduped.count() === 97)
   }
+
+  test("column mapping at 10M rows: rename keeps stats pruning through the translation") {
+    // the s39 conservative tier at scale: a range-sorted table whose
+    // per-file stats prune a selective read must prune IDENTICALLY
+    // after a metadata-only rename — the logical→physical predicate
+    // translation is O(1) per file, never a rewrite or rescan
+    import graft.sources.TxStore
+    val t = java.nio.file.Files.createTempDirectory("graft-scale-colmap").toString
+    TxStore.append(
+      bigEvents.repartitionByRange(32, col("event_id"))
+        .sortWithinPartitions("event_id"), t)
+    val (_, kept0, skip0) = TxStore.pruneFiles(spark, t, col("event_id") < N / 32)
+    assert(skip0.size >= 28, s"sorted layout must prune, skipped ${skip0.size}/32")
+    TxStore.renameColumn(spark, t, "event_id", "eid") // metadata-only
+    val (_, kept1, skip1) = TxStore.pruneFiles(spark, t, col("eid") < N / 32)
+    assert(kept1 === kept0 && skip1 === skip0,
+      "rename must not change the pruning decision")
+    val n = TxStore.readWhere(spark, t, col("eid") < N / 32).count()
+    assert(n === N / 32, s"pruned read exact under the new name: $n")
+  }
 }
