@@ -93,6 +93,34 @@ object GraphOps {
     out
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node (Watts & Strogatz 1998):
+    * c(v) = 2·t(v) / (d(v)·(d(v)−1)) — the fraction of a node's
+    * neighbor pairs that are themselves connected. Composes
+    * [[triangles]] (each listed triangle credits its three corners via
+    * one explode + combinable count) with a degree agg over the same
+    * canonical edge set. d < 2 nodes surface NULL, not 0 — a 0 claims
+    * an OPEN neighborhood, NULL says there is no pair to close. The
+    * coefficient is one division of exact BIGINTs (IEEE-identical in
+    * any engine); rounding is the caller's choice. Returns
+    * (node, degree, n_tri, coeff). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges.select(
+        least(col(edges.columns(0)), col(edges.columns(1))).as("u"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("v"))
+      .filter(col("u") < col("v")).distinct()
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val tcnt = triangles(e)
+      .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(tcnt, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("degree") >= 2L,
+          lit(2.0) * coalesce(col("n_tri"), lit(0L))
+            / (col("degree") * (col("degree") - 1L))).as("coeff"))
+  }
+
   /** Community detection by synchronized label propagation (Raghavan et
     * al. 2007), k fixed iterations, fully deterministic.
     *

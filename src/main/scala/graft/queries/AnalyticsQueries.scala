@@ -449,6 +449,59 @@ object AnalyticsQueries {
              |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin),
       bench = true),
 
+    // ── AN27 — LOCAL CLUSTERING COEFFICIENT per node: c(v) =
+    //    2·t(v) / (d(v)·(d(v)−1)) — how close each part's co-purchase
+    //    neighborhood is to a clique, THE standard per-node graph
+    //    statistic triangles exist to feed (Watts & Strogatz 1998).
+    //    Composes the engine's own primitives on the DOULION-sampled
+    //    graph (an24b's deterministic coin, so the whole lane stays
+    //    hash-exact and disk-safe at scale): one degree agg + the
+    //    oriented triangle listing + one explode-and-count over the
+    //    listed triples (each triangle credits its three corners).
+    //    Float discipline: c(v) is ONE division of exact BIGINTs —
+    //    IEEE-identical cross-engine — rounded 6 dp; d < 2 nodes have
+    //    no defined coefficient and surface NULL, not 0 (a 0 claims
+    //    "open neighborhood", NULL says "no neighborhood to close").
+    QueryDef(
+      "an27_clustering_coeff",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .filter(((col("u") % 1000003L) * 31L + col("v") % 1000003L) % 10L === 0L)
+        val cc = graft.ops.GraphOps.clusteringCoefficient(e)
+        cc.select(col("node"), col("degree"), col("n_tri"),
+          graft.Num.rnd(col("coeff"), 6).as("coeff"))
+      },
+      Some(s"""WITH li AS (
+              |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+              |), e AS (
+              |  SELECT DISTINCT a.pk AS u, b.pk AS v
+              |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+              |  WHERE ((a.pk % 1000003) * 31 + b.pk % 1000003) % 10 = 0
+              |), deg AS (
+              |  SELECT n AS node, COUNT(*) AS degree FROM (
+              |    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY 1
+              |), tri AS (
+              |  SELECT e1.u AS n1, e1.v AS n2, e2.v AS n3
+              |  FROM e e1
+              |  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+              |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+              |), tn AS (
+              |  SELECT n AS node, COUNT(*) AS n_tri FROM (
+              |    SELECT n1 AS n FROM tri UNION ALL SELECT n2 FROM tri
+              |    UNION ALL SELECT n3 FROM tri) GROUP BY 1
+              |)
+              |SELECT deg.node, deg.degree, COALESCE(tn.n_tri, 0) AS n_tri,
+              |       CASE WHEN deg.degree >= 2
+              |            THEN ${Sql.rnd("2.0 * COALESCE(tn.n_tri, 0) / (deg.degree * (deg.degree - 1))", 6)}
+              |            ELSE NULL END AS coeff
+              |FROM deg LEFT JOIN tn ON deg.node = tn.node""".stripMargin),
+      bench = true),
+
     // ── AN25 — ROLLING Z-SCORE ANOMALY DETECTION over daily event
     //    volumes: each (event_type, day) scores against its own
     //    TRAILING week (RANGE frame, 7..1 PRECEDING — value-based, so

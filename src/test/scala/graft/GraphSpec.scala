@@ -143,6 +143,19 @@ class GraphSpec extends SparkSpec {
     assert(comp.values.toSet.size == 1, s"one component expected: $comp")
   }
 
+  test("clusteringCoefficient: clique = 1, star center = 0, leaves undefined (NULL)") {
+    // K4 ⊕ a pendant leaf off node 4, plus a 5-leaf star at 100
+    val k4 = for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)
+    val edges = (k4 ++ Seq((4L, 9L)) ++ (101L to 105L).map(100L -> _)).toDF("a", "b")
+    val got = GraphOps.clusteringCoefficient(edges)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    (1L to 3L).foreach(v => assert(got(v) == ((3L, 3L, Some(1.0))), s"K4 interior $v"))
+    assert(got(4L) == ((4L, 3L, Some(0.5))), "K4 node with pendant: 3 of C(4,2)=6 pairs closed")
+    assert(got(9L) == ((1L, 0L, None)), "degree-1 leaf has no defined coefficient")
+    assert(got(100L) == ((5L, 0L, Some(0.0))), "star center: open neighborhood, coeff 0")
+  }
+
   test("labelPropagation is deterministic across runs and refuses iterations < 1") {
     val rnd = new scala.util.Random(11)
     val half = (for (_ <- 1 to 60) yield (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))

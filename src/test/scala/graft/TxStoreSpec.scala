@@ -1629,6 +1629,37 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.read(spark, t).count() === 30)
   }
 
+  test("partition pruning on DATE values: typed epoch-day ranges from the path") {
+    val t = tmpDir()
+    val df = (0 until 20).map(i =>
+      (i.toLong, java.sql.Date.valueOf(s"2024-01-${10 + i % 4}"))).toDF("id", "day")
+    TxStore.append(df, t, partitionBy = Seq("day"))
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.files.forall(_.startsWith("day=2024-01-1")), snap.files)
+    // a typed DATE literal prunes on the synthesized epoch-day range
+    val probe = $"day" === lit(java.sql.Date.valueOf("2024-01-12"))
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, probe)
+    assert(kept.nonEmpty && kept.forall(_.startsWith("day=2024-01-12/")), kept)
+    assert(skipped.nonEmpty, "other day partitions must be skipped")
+    assert(TxStore.readWhere(spark, t, probe).count() === 5)
+    // range predicates prune too (epoch-day NumRange is ordered)
+    val (_, kept2, _) =
+      TxStore.pruneFiles(spark, t, $"day" >= lit(java.sql.Date.valueOf("2024-01-13")))
+    assert(kept2.forall(_.startsWith("day=2024-01-13/")), kept2)
+    // a NULL partition value lands under the hive default marker and is
+    // soundly kept (never pruned) yet reads back as NULL
+    val t2 = tmpDir()
+    val withNull = Seq((1L, Some(java.sql.Date.valueOf("2024-02-01"))), (2L, None))
+      .toDF("id", "day")
+    TxStore.append(withNull, t2, partitionBy = Seq("day"))
+    assert(TxStore.snapshot(spark, t2).files.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    assert(TxStore.read(spark, t2).filter($"day".isNull).count() === 1)
+    val (_, keptN, _) = TxStore.pruneFiles(spark, t2,
+      $"day" === lit(java.sql.Date.valueOf("2024-02-01")))
+    assert(keptN.exists(_.contains("__HIVE_DEFAULT_PARTITION__")),
+      "null-partition files are kept (sound) — equality can't match NULL rows anyway")
+  }
+
   test("partition pruning on numeric values; readWhere stays exact under it") {
     val t = tmpDir()
     val df = (0 until 40).map(i => (i.toLong, i % 4)).toDF("id", "m")
@@ -1638,6 +1669,17 @@ class TxStoreSpec extends SparkSpec {
     assert(skipped.forall(n => n.startsWith("m=0/") || n.startsWith("m=1/")), skipped)
     assert(TxStore.readWhere(spark, t, $"m" >= 2).count() === 20)
     assert(TxStore.readWhere(spark, t, $"m" === 7).count() === 0)
+  }
+
+  test("appendOnce inherits the partition layout — the streaming sink path") {
+    val t = tmpDir()
+    TxStore.append(prows(9), t, partitionBy = Seq("bucket"))
+    val v = TxStore.appendOnce(prows(6, from = 9), t, writerId = "w1", batchId = 0L)
+    // a replay of the same batch is a no-op returning the original version
+    assert(TxStore.appendOnce(prows(6, from = 9), t, writerId = "w1", batchId = 0L) === v)
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.files.forall(_.contains("bucket=")), "stamped appends keep the hive layout")
+    assert(TxStore.read(spark, t).count() === 15)
   }
 
   test("CDC spans metadata-only ALTER commits without a hiccup") {
