@@ -187,8 +187,20 @@ class PlanAuditSpec extends SparkSpec {
       "an24_triangles" -> 0,          // audited plan reads the localCheckpoint
                                       // (the pageRank rule); internal stages are
                                       // 3 keyed shuffles by shape in GraphOps
-      "an25_anomaly" -> 2)            // daily pre-agg + ONE event_type window
+      "an25_anomaly" -> 2,            // daily pre-agg + ONE event_type window
                                       // exchange (all three moments share it)
+      // round-12 additions
+      "an24_triangles_sampled" -> 0,  // localCheckpoint read, like an24; the
+                                      // coin filter rides the edge scan
+      "an26_label_prop" -> 0,         // audited plan reads the final
+                                      // localCheckpoint (the pageRank rule);
+                                      // per-iteration join + 2 aggs by shape
+      "an27_clustering_coeff" -> 4,   // degree agg + triangle-corner agg +
+                                      // the final keyed join (triangles ride
+                                      // their localCheckpoint)
+      "s40_tx_partition_pruning" -> 0) // pruned readback is scan + projection;
+                                      // the appends/checkpoint run before the
+                                      // audited frame exists
     val measured = bounds.toSeq.sortBy(_._1).map { case (name, maxShuffles) =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       df.collect() // finalize the AQE plan
