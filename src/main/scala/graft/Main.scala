@@ -28,7 +28,7 @@ object Main {
     // clean-corpus step
     "min-tokens", "max-stopword-ratio", "jaccard-threshold", "survivor-rule",
     // sql step
-    "query", "sql")
+    "query", "sql", "tx")
 
   /** Strict flag parsing: a typo'd or mispaired flag must fail loudly —
     * silently ignoring `--max-session 1000` would run WITHOUT the skew
@@ -147,6 +147,12 @@ object Main {
             java.nio.charset.StandardCharsets.UTF_8)
         }).getOrElse(sys.error("--step sql needs --sql '<statement>' or --query <file.sql>"))
         Tables.registerViews(spark, dataDir)
+        // transactional tables join the catalog too: --tx name=path[,name=path…]
+        opts.get("tx").foreach(_.split(',').foreach { pair =>
+          val i = pair.indexOf('=')
+          require(i > 0, s"--tx expects name=path pairs, got '$pair'")
+          graft.sources.TxStore.registerView(spark, pair.substring(i + 1), pair.substring(0, i))
+        })
         spark.sql(text).write.mode("overwrite").parquet(s"$outDir/sql_result")
         println(s"[graft] sql -> $outDir/sql_result")
       case other =>

@@ -1092,6 +1092,14 @@ object TxStore {
   def tableConstraints(spark: SparkSession, path: String): Seq[(String, String)] =
     snapshot(spark, path).constraints
 
+  /** Register the table's current snapshot as a temp view — the SQL
+    * entry point's bridge to transactional tables (`--step sql --tx
+    * name=path`). The view captures THIS snapshot's plan (snapshot
+    * isolation: later commits don't leak into an already-registered
+    * view; re-register to advance). */
+  def registerView(spark: SparkSession, path: String, name: String): Unit =
+    read(spark, path).createOrReplaceTempView(name)
+
   /** The table's hive-style partition columns (LOGICAL names, in
     * partition order) — empty for flat tables. */
   def tablePartitioning(spark: SparkSession, path: String): Seq[String] = {

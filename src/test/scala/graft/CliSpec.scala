@@ -67,6 +67,29 @@ class CliSpec extends SparkSpec {
       "SQL-step result must row-match the DataFrame flagship")
   }
 
+  test("sql step: --tx registers transactional tables beside the fixture views") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/txtbl"
+    graft.sources.TxStore.append(
+      Tables.events(spark, sf("sf0.001")).filter(col("event_id") % 7 === 0), table)
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "tx" -> s"mytx=$table",
+      "sql" -> ("SELECT t.event_type, COUNT(*) AS n FROM mytx t " +
+        "JOIN events e ON t.event_id = e.event_id GROUP BY 1")))
+    val got = spark.read.parquet(s"$out/sql_result")
+    assert(got.columns.toSeq === Seq("event_type", "n"))
+    assert(got.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) ===
+      Tables.events(spark, sf("sf0.001")).filter(col("event_id") % 7 === 0).count())
+    // malformed --tx refuses loudly
+    intercept[RuntimeException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> "nopath", "sql" -> "SELECT 1"))
+    }
+  }
+
   test("sql step: inline --sql over a fixture view; missing statement refuses") {
     val out = tmp()
     Main.run(spark, Map(

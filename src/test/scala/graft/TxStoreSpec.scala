@@ -1671,6 +1671,26 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.readWhere(spark, t, $"m" === 7).count() === 0)
   }
 
+  test("renaming a partition column keeps pruning; dropping it refuses") {
+    val t = tmpDir()
+    TxStore.append(prows(30), t, partitionBy = Seq("bucket"))
+    TxStore.renameColumn(spark, t, "bucket", "shard") // metadata-only; paths unmoved
+    assert(TxStore.tablePartitioning(spark, t) === Seq("shard"))
+    assert(TxStore.snapshot(spark, t).files.forall(_.startsWith("bucket=")),
+      "physical paths never move on rename")
+    // pruning translates the NEW logical name back to the path's physical
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, $"shard" === "p1")
+    assert(kept.nonEmpty && kept.forall(_.startsWith("bucket=p1/")), kept)
+    assert(skipped.nonEmpty)
+    assert(TxStore.readWhere(spark, t, $"shard" === "p1").count() === 10)
+    // appends under the new logical name keep landing in the layout
+    TxStore.append(prows(3, from = 30).withColumnRenamed("bucket", "shard"), t)
+    assert(TxStore.read(spark, t).count() === 33)
+    // dropping the partition column refuses (values live in the paths)
+    val ex = intercept[IllegalArgumentException](TxStore.dropColumn(spark, t, "shard"))
+    assert(ex.getMessage.contains("partition column"))
+  }
+
   test("appendOnce inherits the partition layout — the streaming sink path") {
     val t = tmpDir()
     TxStore.append(prows(9), t, partitionBy = Seq("bucket"))
