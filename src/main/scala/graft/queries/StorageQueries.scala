@@ -472,6 +472,36 @@ object StorageQueries {
       Some(eventsSql(" WHERE event_type = 'purchase'")),
       bench = true),
 
+    // ── S41 — PARTITION DELETE (metadata-only retention): a DELETE
+    //    whose predicate references partition columns exclusively is a
+    //    constant per file, so it commits REMOVE-ONLY — no probe scan,
+    //    no rewrite, zero data-plane IO. At 100 TB this is how a year
+    //    of date partitions drops: one log line. The REQUIREs pin the
+    //    mechanism (the commit adds nothing), the readback oracle pins
+    //    the semantics, and a mixed predicate on the same table proves
+    //    the fast path never hijacks a per-row delete.
+    QueryDef(
+      "s41_tx_partition_delete",
+      (s, d) => {
+        val store = freshStore(s, "s41-pdelete", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.repartition(4), store, partitionBy = Seq("event_type")) // v1
+        TxStore.delete(s, store, col("event_type").isin("view", "error")) // v2: metadata-only
+        val c = TxStore.history(s, store).last
+        require(c.op == "delete" && c.add.isEmpty && c.remove.nonEmpty,
+          s"partition delete must commit remove-only; got op=${c.op} adds=${c.add.size}")
+        // mixed predicate → ordinary copy-on-write rewrite on what's left
+        TxStore.delete(s, store,
+          col("event_type") === "click" && col("event_id") % 100 === 0) // v3
+        require(TxStore.history(s, store).last.add.nonEmpty,
+          "mixed predicate must take the rewrite path")
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(
+        " WHERE event_type NOT IN ('view', 'error')" +
+          " AND NOT (event_type = 'click' AND event_id % 100 = 0)")),
+      bench = true),
+
     // ── S34 — CONDITIONAL three-clause MERGE (Delta's WHEN MATCHED AND
     //    … THEN UPDATE / DELETE, WHEN NOT MATCHED AND … THEN INSERT):
     //    the update wave (%5 slice, value negated) UPDATES matched

@@ -1936,9 +1936,88 @@ object TxStore {
     * against the new snapshot is the caller's decision, never an implicit
     * retry that could delete rows the caller never saw. Returns None (and
     * writes no commit) when nothing matched. */
+  /** The partition-delete decision: Some(result) when the fast path
+    * applies (result = delete's own return value), None to fall through
+    * to the copy-on-write path. Applies iff the table is partitioned
+    * AND the predicate references partition columns exclusively — then
+    * per file the predicate is a constant, and the decision runs on a
+    * partitions-count local frame (metadata class), never the data. */
+  private def partitionOnlyDelete(
+      spark: SparkSession, path: String, base: Snapshot,
+      predicate: Column): Option[Option[Long]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    if (base.partitioning.isEmpty) return None
+    // logical names (what the predicate speaks) per physical partition col
+    val logicalOf: Map[String, String] = base.partitioning.map { p =>
+      lc(p) -> (if (base.mapping.isEmpty) p
+                else base.mapping.find(_._2 == p).map(_._1).getOrElse(p))
+    }.toMap
+    val partLc = logicalOf.values.map(lc).toSet
+    val attrs = org.apache.spark.sql.graft.ColumnBridge.expression(predicate).collect {
+      case u: UnresolvedAttribute => lc(u.nameParts.last)
+      case a: AttributeReference => lc(a.name)
+    }
+    // attrs must be non-empty (a constant predicate may be row-dependent
+    // through non-determinism — rand() — which per-file evaluation would
+    // silently change; the general path keeps exact semantics there)
+    if (attrs.isEmpty || !attrs.forall(partLc)) return None
+    val logicalNames = base.partitioning.map(p => logicalOf(lc(p)))
+    val types = logicalSchema(base).get.fields
+      .map(f => lc(f.name) -> f.dataType).toMap
+    def dirOf(f: String) = f.substring(0, f.lastIndexOf('/'))
+    val dirs = base.files.map(dirOf).distinct
+    val rows = dirs.map { d =>
+      val vals: Map[String, String] = d.split('/').iterator.flatMap { seg =>
+        val eq = seg.indexOf('=')
+        if (eq <= 0) None
+        else {
+          val v = unescapePathName(seg.substring(eq + 1))
+          if (v == "__HIVE_DEFAULT_PARTITION__") None
+          else Some(lc(unescapePathName(seg.substring(0, eq))) -> v)
+        }
+      }.toMap
+      org.apache.spark.sql.Row.fromSeq(
+        d +: base.partitioning.map(p => vals.get(lc(p)).orNull))
+    }
+    val schema = StructType(StructField("__dir", StringType) +:
+      logicalNames.map(n => StructField(n, StringType)))
+    val typed = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .select(col("__dir") +: logicalNames.map(n =>
+        col(n).cast(types(lc(n))).as(n)): _*)
+    val matched = typed.filter(predicate <=> lit(true))
+      .select("__dir").collect().map(_.getString(0)).toSet
+    if (matched.isEmpty) return Some(None)
+    val removed = base.files.filter(f => matched(dirOf(f)))
+    val committed = commitLoop(spark, path, "delete") { snap =>
+      val vanished = removed.filterNot(snap.files.contains)
+      if (vanished.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"partition delete at $path conflicts: files removed concurrently: " +
+            vanished.take(3).mkString(", "))
+      Some(CommitSpec(Nil, removed, snap.schema.map(encodeSchema)))
+    }
+    Some(committed.map(_.version))
+  }
+
   def delete(spark: SparkSession, path: String, predicate: Column): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
+    // PARTITION-DELETE fast path: when the predicate references ONLY
+    // partition columns, its value is a CONSTANT per file (a partition
+    // file holds exactly one value of each partition column), so the
+    // delete decides from pure log metadata — a remove-only commit, no
+    // probe scan, no rewrite, no byte of IO on the data plane. This is
+    // the 100 TB retention path: dropping a year of date partitions is
+    // one log line. Rows with a NULL partition value evaluate the
+    // predicate to non-TRUE and are kept — SQL DELETE semantics, same
+    // as the general path.
+    partitionOnlyDelete(spark, path, base, predicate) match {
+      case Some(r) => return r
+      case None => // general copy-on-write path below
+    }
     val fullName = byLeaf(base.files) // probe __file is the leaf name
     val hit = readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
       dvp = base.dvp, mapping = base.mapping)

@@ -1671,6 +1671,38 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.readWhere(spark, t, $"m" === 7).count() === 0)
   }
 
+  test("partition delete: partition-only predicates commit remove-only metadata") {
+    val t = tmpDir()
+    TxStore.append(prows(30), t, partitionBy = Seq("bucket"))
+    val v = TxStore.delete(spark, t, $"bucket".isin("p0", "p2"))
+    assert(v.isDefined)
+    val c = TxStore.history(spark, t).last
+    assert(c.op == "delete" && c.add.isEmpty && c.remove.nonEmpty,
+      "partition-only delete is a remove-only commit — no rewrite files")
+    assert(TxStore.read(spark, t).count() === 10)
+    assert(TxStore.read(spark, t).filter($"bucket" =!= "p1").count() === 0)
+    // time travel still sees the dropped partitions
+    assert(TxStore.readAt(spark, t, 1L).count() === 30)
+    // no matching partition → no commit at all
+    assert(TxStore.delete(spark, t, $"bucket" === "zzz").isEmpty)
+    // a MIXED predicate (partition + data column) takes the rewrite path
+    val v2 = TxStore.delete(spark, t, $"bucket" === "p1" && $"id" < 4L)
+    assert(v2.isDefined && TxStore.history(spark, t).last.add.nonEmpty,
+      "mixed predicates rewrite (per-row decision needed)")
+    assert(TxStore.read(spark, t).count() === 9)
+    // works under a renamed partition column, and NULL partitions are
+    // kept (predicate not TRUE for NULL — SQL DELETE semantics)
+    val t2 = tmpDir()
+    val withNull = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("id", "grp")
+    TxStore.append(withNull, t2, partitionBy = Seq("grp"))
+    TxStore.renameColumn(spark, t2, "grp", "bucket2")
+    assert(TxStore.delete(spark, t2, $"bucket2" === "a").isDefined)
+    assert(TxStore.history(spark, t2).last.add.isEmpty, "metadata-only under rename")
+    assert(TxStore.read(spark, t2).as[(Long, Option[String])].collect().toSet ===
+      Set((2L, Some("b")), (3L, None)))
+  }
+
   test("renaming a partition column keeps pruning; dropping it refuses") {
     val t = tmpDir()
     TxStore.append(prows(30), t, partitionBy = Seq("bucket"))
