@@ -1671,6 +1671,46 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.readWhere(spark, t, $"m" === 7).count() === 0)
   }
 
+  test("row CDC on a partitioned table: appends, partition deletes and DVs derive exactly") {
+    val t = tmpDir()
+    TxStore.append(prows(9), t, partitionBy = Seq("bucket")) // v1
+    TxStore.deleteVectored(spark, t, $"id" === 1L) // v2: marks on hive names
+    TxStore.delete(spark, t, $"bucket" === "p0") // v3: remove-only partition delete
+    val (v, df) = TxStore.readChangesSince(spark, t, 0L)
+    assert(v === 3L)
+    val byKind = df.groupBy("_change_type", "_commit_version").count()
+      .as[(String, Long, Long)].collect().map { case (k, ver, n) => (k, ver) -> n }.toMap
+    assert(byKind(("insert", 1L)) === 9L)
+    assert(byKind(("delete", 2L)) === 1L, "the DV mark surfaces as one delete")
+    // partition delete removed p0's files: ids 0,3,6 minus id 1? id 1 is p1.
+    // p0 holds ids 0,3,6 — all still live at v3 (the DV hit id 1 in p1)
+    assert(byKind(("delete", 3L)) === 3L, "remove-only commit derives its rows exactly")
+    val gone = df.filter($"_commit_version" === 3L).select("id")
+      .as[Long].collect().toSet
+    assert(gone === Set(0L, 3L, 6L))
+  }
+
+  test("derived-column partitioning: source-column predicates prune via per-file stats") {
+    // the generated-partition-column story WITHOUT a generation grammar:
+    // partition on a derived day column, and predicates on the SOURCE
+    // timestamp still prune — a day-partition's files carry ts min/max
+    // stats spanning only that day, so the stats tier subsumes Delta's
+    // generated-column partition-filter translation
+    val t = tmpDir()
+    val df = (0 until 40).map { i =>
+      val ts = 86400L * (i % 4) + i // seconds: 4 distinct days
+      (i.toLong, ts, java.time.LocalDate.ofEpochDay(ts / 86400).toString)
+    }.toDF("id", "ts_sec", "day")
+    TxStore.append(df, t, partitionBy = Seq("day"))
+    // predicate on ts_sec (never mentioned in the layout) prunes to the
+    // files whose stats ranges cover it — exactly the day-2 partition
+    val probe = $"ts_sec" >= 2L * 86400L && $"ts_sec" < 3L * 86400L
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, probe)
+    assert(kept.nonEmpty && kept.forall(_.startsWith("day=1970-01-03/")), kept)
+    assert(skipped.nonEmpty)
+    assert(TxStore.readWhere(spark, t, probe).count() === 10)
+  }
+
   test("partition delete: partition-only predicates commit remove-only metadata") {
     val t = tmpDir()
     TxStore.append(prows(30), t, partitionBy = Seq("bucket"))
