@@ -78,6 +78,13 @@ object Bench {
       // own caches rebuild during its warm-up and stay hot for the five
       // timed runs, matching the per-query baseline protocol.
       spark.catalog.clearCache()
+      // …and the blocks clearCache can NOT see: localCheckpoint()ed
+      // RDDs (the graph/components lanes' lineage truncation) persist
+      // in the block manager until the ContextCleaner's async GC reaps
+      // them — measured inflating LATER lanes 2-4× in registry order
+      // once several checkpoint-heavy lanes preceded them. Nothing owns
+      // these blocks between lanes; drop them synchronously.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val warm = run(name)
       val times = (1 to TimedRuns).flatMap { _ =>
         if (!warm) None
