@@ -23,8 +23,10 @@ package graft
   * than silently inflating it.
   *
   * Optional args: a subset of query names to bench (default: all of
-  * SparkEntry.benchQueries) — used for profiling a single query. Or
-  * `--all`: EVERY registered query, one warm-up + one timed run each —
+  * SparkEntry.benchQueries) — used for profiling a single query.
+  * `--once` switches named lanes to warm-up + ONE timed run — the
+  * century protocol for lanes whose min-of-5 would cost an hour at
+  * high SF. Or `--all`: EVERY registered query, one warm-up + one timed run each —
   * the registry-wide tier that surfaces a plan regression in a
   * non-headline lane as a driver-readable artifact instead of only a
   * PlanAuditSpec failure. One run, not five: with ~120 queries the

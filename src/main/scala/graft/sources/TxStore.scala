@@ -3429,6 +3429,23 @@ object TxStore {
       buf.toSeq
     }
     victims.foreach(f.delete(_, false))
+    // partition dirs a partition delete + vacuum fully emptied are
+    // dead weight in every later recursive listing — reap them
+    // (deepest-first so nested hive levels collapse in one pass);
+    // only ever EMPTY dirs, so an in-flight writer's fresh file is safe
+    if (victims.nonEmpty) {
+      val dirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+      def walkDirs(p: Path): Unit =
+        f.listStatus(p).foreach { st =>
+          if (st.isDirectory && !st.getPath.getName.startsWith("_stage-")) {
+            dirs += st.getPath; walkDirs(st.getPath)
+          }
+        }
+      walkDirs(dataDir)
+      dirs.sortBy(-_.toString.length).foreach { d =>
+        if (f.listStatus(d).isEmpty) f.delete(d, false): Unit
+      }
+    }
     // a writer that died inside stage() leaves a _stage-<uuid>/ directory
     // of never-renamed part files; one that died inside tryCommit leaves
     // a never-linked .<v>.json.<uuid>.tmp in the log dir

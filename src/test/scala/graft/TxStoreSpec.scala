@@ -1627,6 +1627,16 @@ class TxStoreSpec extends SparkSpec {
     val reclaimed = TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0L)
     assert(reclaimed > 0, "flat overwrite files + pre-compact partition files reclaim")
     assert(TxStore.read(spark, t).count() === 30)
+    // a partition delete + vacuum leaves no empty hive dirs behind
+    TxStore.delete(spark, t, $"bucket" === "p0")
+    (1 to 2).foreach(_ => TxStore.checkpoint(spark, t))
+    TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0L)
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fsys.listStatus(new org.apache.hadoop.fs.Path(s"$t/data"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(!dataDirs.contains("bucket=p0"), s"emptied partition dir must be reaped: $dataDirs")
+    assert(TxStore.read(spark, t).count() === 20)
   }
 
   test("partition pruning on DATE values: typed epoch-day ranges from the path") {
