@@ -408,7 +408,13 @@ object AnalyticsQueries {
              |FROM e e1
              |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
              |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin),
-      bench = true),
+      // registry-only (not headline): the exact lane is the sampled
+      // lane's sf0.1 ground truth, but its sf10 century is a documented
+      // disk DNF (wedge volume inherent to the dense fixture graph) and
+      // its 14 s min-of-5 was the heaviest headline cost for a lane
+      // that can't demonstrate the scale gate — an24_triangles_sampled
+      // is the recorded scale path (VERDICT r12 task 5).
+      bench = false),
 
     // ── AN24b — SAMPLED TRIANGLE LISTING (the DOULION scale path:
     //    Tsourakakis et al. 2009, "DOULION: counting triangles in

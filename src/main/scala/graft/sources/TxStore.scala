@@ -1482,6 +1482,16 @@ object TxStore {
         if (snap.partitioning != pre.partitioning)
           throw new java.util.ConcurrentModificationException(
             s"append at $path conflicts: table partitioning changed while staging — retry")
+        // ESTABLISHING partitioning (empty table at stage time) must still
+        // hold at commit time: a concurrent FLAT append leaves
+        // snap.partitioning == pre.partitioning (both Nil) but fills
+        // snap.files — committing the partitioned batch then would mix
+        // flat and hive-pathed live files under one basePath, which Spark
+        // rejects as "conflicting directory structures" on every read.
+        if (pre.partitioning.isEmpty && effParts.nonEmpty && snap.files.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"append at $path conflicts: a concurrent append filled the table while " +
+              "this append was establishing partitioning — retry or overwrite")
         val pc =
           if (effParts != snap.partitioning) Some(encodePartitioning(effParts)) else None
         mapped match {
@@ -1845,10 +1855,12 @@ object TxStore {
         case "append" =>
           if (c.add.isEmpty) Nil
           else Seq(tagged(readFiles(spark, path, c.add, readSchema, mapping = curMap), "insert", c.version))
-        // metadata-only commits move no rows: file-preserving layout ops
-        // and ALTERs (constraints, column mapping) emit no change rows —
-        // a CDC range spanning an ALTER stays readable
-        case "compact" | "optimize-zorder" | "constraint" | "rename-column" | "drop-column" =>
+        // metadata-only commits move no rows: file-preserving layout ops,
+        // ALTERs (constraints, column mapping) and stats annotations
+        // (buildBlooms' "bloom" op adds/removes nothing) emit no change
+        // rows — a CDC range spanning one stays readable
+        case "compact" | "optimize-zorder" | "constraint" | "rename-column"
+            | "drop-column" | "bloom" =>
           Nil
         case "delete-dv" =>
           val touched = dvTouchedFiles(f, path, c).filter(after.files.contains)
@@ -1955,7 +1967,8 @@ object TxStore {
                 else base.mapping.find(_._2 == p).map(_._1).getOrElse(p))
     }.toMap
     val partLc = logicalOf.values.map(lc).toSet
-    val attrs = org.apache.spark.sql.graft.ColumnBridge.expression(predicate).collect {
+    val expr = org.apache.spark.sql.graft.ColumnBridge.expression(predicate)
+    val attrs = expr.collect {
       case u: UnresolvedAttribute => lc(u.nameParts.last)
       case a: AttributeReference => lc(a.name)
     }
@@ -1963,6 +1976,24 @@ object TxStore {
     // through non-determinism — rand() — which per-file evaluation would
     // silently change; the general path keeps exact semantics there)
     if (attrs.isEmpty || !attrs.forall(partLc)) return None
+    // …and a MIXED predicate (partition attrs AND a nondeterministic
+    // term, e.g. p === 1 && rand() < 0.5) must fall through too: here
+    // the coin would flip once per partition DIRECTORY, deleting or
+    // keeping whole partitions where the copy-on-write path flips it
+    // per row. Built Columns carry the resolved node (Rand.deterministic
+    // = false); SQL-parsed text carries UnresolvedFunction, whose
+    // default deterministic is TRUE — so also bail on any unresolved
+    // function with a known nondeterministic name.
+    val nondetNames = Set("rand", "randn", "random", "uuid", "shuffle",
+      "rand_str", "monotonically_increasing_id", "spark_partition_id",
+      "input_file_name", "now", "current_timestamp", "current_date",
+      "uniform", "randstr")
+    val unresolvedNondet = expr.exists {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        nondetNames(lc(f.nameParts.last))
+      case _ => false
+    }
+    if (!expr.deterministic || unresolvedNondet) return None
     val logicalNames = base.partitioning.map(p => logicalOf(lc(p)))
     val types = logicalSchema(base).get.fields
       .map(f => lc(f.name) -> f.dataType).toMap
@@ -3433,12 +3464,22 @@ object TxStore {
     // dead weight in every later recursive listing — reap them
     // (deepest-first so nested hive levels collapse in one pass);
     // only ever EMPTY dirs, so an in-flight writer's fresh file is safe
-    if (victims.nonEmpty) {
+    locally {
+      // age-gate the DIRECTORY too (fresh clock: deleting victims above
+      // just bumped their parents' mtime): a concurrent partitioned
+      // append's freshly-mkdir'd col=value/ dir is momentarily empty
+      // between its mkdirs and the stage rename — reaping it would fail
+      // that append's rename (loud abort, no loss, but an avoidable
+      // race). A dir emptied by THIS vacuum under a non-zero grace is
+      // reaped by a LATER one — hence the sweep runs even when this
+      // vacuum deleted nothing.
+      val dirNow = System.currentTimeMillis()
       val dirs = scala.collection.mutable.ArrayBuffer.empty[Path]
       def walkDirs(p: Path): Unit =
         f.listStatus(p).foreach { st =>
           if (st.isDirectory && !st.getPath.getName.startsWith("_stage-")) {
-            dirs += st.getPath; walkDirs(st.getPath)
+            if (dirNow - st.getModificationTime >= ageGraceMs) dirs += st.getPath
+            walkDirs(st.getPath)
           }
         }
       walkDirs(dataDir)

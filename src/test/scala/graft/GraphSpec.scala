@@ -156,6 +156,44 @@ class GraphSpec extends SparkSpec {
     assert(got(100L) == ((5L, 0L, Some(0.0))), "star center: open neighborhood, coeff 0")
   }
 
+  test("clusteringCoefficient shares the canonical distinct + degree agg with triangles") {
+    // The composition must pay ONE canonical-edge distinct and ONE
+    // degree aggregation, shared between the orientation (inside the
+    // trianglesCanonical seam) and the output degree column. Composing
+    // via the public triangles() re-shuffled the data-scale edge frame
+    // twice more (re-distinct + re-degree ≈ 5 shuffle map stages on
+    // this graph); the shared seam executes ≈ 3 (distinct, degrees,
+    // corner agg — every join broadcasts at this size). Count stages
+    // that actually WROTE shuffle records during the eager run.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val shuffleStages = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+        val m = ev.stageInfo.taskMetrics
+        if (m != null && m.shuffleWriteMetrics.recordsWritten > 0)
+          shuffleStages.incrementAndGet(): Unit
+      }
+    }
+    val k4 = for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)
+    val edges = (k4 ++ Seq((4L, 9L)) ++ (101L to 105L).map(100L -> _)).toDF("a", "b")
+    spark.sparkContext.addSparkListener(listener)
+    val count =
+      try {
+        GraphOps.clusteringCoefficient(edges) // eager: localCheckpoints inside
+        // listener delivery is async — poll until the counter is stable
+        var prev = -1
+        var cur = shuffleStages.get
+        var spins = 0
+        while (cur != prev && spins < 50) {
+          Thread.sleep(100); prev = cur; cur = shuffleStages.get; spins += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(count <= 4,
+      s"clusteringCoefficient executed $count shuffle-writing stages — " +
+        "the canonical/degree frames are no longer shared with triangles")
+  }
+
   test("labelPropagation is deterministic across runs and refuses iterations < 1") {
     val rnd = new scala.util.Random(11)
     val half = (for (_ <- 1 to 60) yield (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))

@@ -195,9 +195,13 @@ class PlanAuditSpec extends SparkSpec {
       "an26_label_prop" -> 0,         // audited plan reads the final
                                       // localCheckpoint (the pageRank rule);
                                       // per-iteration join + 2 aggs by shape
-      "an27_clustering_coeff" -> 4,   // degree agg + triangle-corner agg +
-                                      // the final keyed join (triangles ride
-                                      // their localCheckpoint)
+      "an27_clustering_coeff" -> 0,   // audited plan reads the final
+                                      // localCheckpoint (the pageRank rule);
+                                      // internal shape pinned in GraphSpec:
+                                      // ONE canonical distinct + ONE degree
+                                      // agg shared with the orientation
+                                      // (trianglesCanonical seam) + the
+                                      // corner agg
       "s40_tx_partition_pruning" -> 0) // pruned readback is scan + projection;
                                       // the appends/checkpoint run before the
                                       // audited frame exists

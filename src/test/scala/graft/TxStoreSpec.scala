@@ -1819,6 +1819,79 @@ class TxStoreSpec extends SparkSpec {
       TxStore.append(Seq((-1L, "neg")).toDF("id", "payload"), t))
   }
 
+  test("racing flat vs partitioned appends on an empty table never mix layouts") {
+    // the establishment race: both writers snapshot an EMPTY table, so
+    // both see partitioning Nil — if the flat append wins version 1
+    // while the partitioned one is still staging, the partitioned
+    // commit must CONFLICT (its closure re-checks snap.files.isEmpty),
+    // never land a hive-pathed file set next to flat files (Spark
+    // rejects such a basePath read as conflicting directory structures)
+    for (_ <- 1 to 4) {
+      val t = tmpDir()
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      def submit(partitioned: Boolean) =
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+          def call(): Either[Throwable, Long] = {
+            start.await()
+            try Right(TxStore.append(prows(12), t,
+              partitionBy = if (partitioned) Seq("bucket") else Nil))
+            catch { case e: Throwable => Left(e) }
+          }
+        })
+      val (rf, rp) = (submit(false), submit(true))
+      start.countDown()
+      val outcomes = Seq(rf.get(120, TimeUnit.SECONDS), rp.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      outcomes.collect { case Left(e) => e }.foreach(e =>
+        assert(e.isInstanceOf[java.util.ConcurrentModificationException], e.toString))
+      assert(outcomes.exists(_.isRight), "at least one append must commit")
+      val files = TxStore.snapshot(spark, t).files
+      assert(files.forall(_.contains("bucket=")) || files.forall(!_.contains("bucket=")),
+        s"mixed flat + partitioned live files: $files")
+      // the table stays readable whatever the interleaving
+      assert(TxStore.read(spark, t).count() % 12 === 0)
+    }
+  }
+
+  test("mixed nondeterministic delete predicates take the per-row rewrite path") {
+    // bucket === p0 && rand() < 0.5 collects only the partition attr —
+    // the fast path would evaluate the coin once per DIRECTORY and
+    // delete or keep the whole partition; the rewrite path flips it per
+    // row. 300 p0-rows deleted "about half" is per-row; 0 or 300 is
+    // per-directory.
+    val t = tmpDir()
+    val df = (0 until 900).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
+      .toDF("id", "payload", "bucket")
+    TxStore.append(df, t, partitionBy = Seq("bucket"))
+    val v = TxStore.delete(spark, t, $"bucket" === "p0" && rand(123) < 0.5)
+    assert(v.isDefined)
+    val p0left = TxStore.read(spark, t).filter($"bucket" === "p0").count()
+    assert(p0left > 0 && p0left < 300,
+      s"whole-partition coin flip: $p0left of 300 p0 rows remain")
+    assert(TxStore.read(spark, t).filter($"bucket" =!= "p0").count() === 600,
+      "other partitions untouched")
+    // SQL-text nondeterminism (UnresolvedFunction, default-deterministic)
+    // must bail the same way
+    val v2 = TxStore.delete(spark, t, expr("bucket = 'p1' AND rand(7) < 0.5"))
+    assert(v2.isDefined)
+    val p1left = TxStore.read(spark, t).filter($"bucket" === "p1").count()
+    assert(p1left > 0 && p1left < 300, s"SQL-text coin: $p1left of 300 remain")
+  }
+
+  test("CDC spans a bloom stats commit — annotation-only, no change rows") {
+    val t = tmpDir()
+    TxStore.append(rows(4), t) // v1
+    TxStore.buildBlooms(spark, t, Seq("id")) // v2: adds/removes nothing
+    TxStore.append(rows(2, from = 10), t) // v3
+    val (v, df) = TxStore.readChangesSince(spark, t, 0L)
+    assert(v === 3L)
+    val changes = df.select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(changes === ((0 until 4).map(i => (i.toLong, "insert", 1L)).toSet ++
+      Set((10L, "insert", 3L), (11L, "insert", 3L))))
+  }
+
   test("mapping mode refuses new column names the payload grammar cannot carry") {
     val t = tmpDir()
     TxStore.append(rows(3), t)
