@@ -502,6 +502,42 @@ object StorageQueries {
           " AND NOT (event_type = 'click' AND event_id % 100 = 0)")),
       bench = true),
 
+    // ── S42 — DYNAMIC PARTITION OVERWRITE (Delta's `replaceWhere`):
+    //    ONE atomic commit removes the matching partitions' live files
+    //    and adds the restated batch — the daily-restatement idiom
+    //    (re-derive one date/tenant partition in place) that the
+    //    two-commit delete + append alternative serves with a window
+    //    where the partition is empty. The REQUIREs pin the mechanism:
+    //    a single commit whose removes all lie in the replaced
+    //    partition while every other partition's files survive
+    //    untouched; the readback oracle pins the semantics (clicks
+    //    restated with value doubled — ×2 is IEEE-exact, so the hash
+    //    holds cross-engine).
+    QueryDef(
+      "s42_tx_replace_where",
+      (s, d) => {
+        val store = freshStore(s, "s42-replacewhere", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.repartition(4), store, partitionBy = Seq("event_type")) // v1
+        val before = TxStore.snapshot(s, store).files.filterNot(_.startsWith("event_type=click/"))
+        val restated = ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+        TxStore.replaceWhere(restated, store, col("event_type") === "click") // v2: ONE commit
+        val c = TxStore.history(s, store).last
+        require(c.op == "replace-where" && c.add.nonEmpty && c.remove.nonEmpty &&
+          c.remove.forall(_.startsWith("event_type=click/")),
+          s"replaceWhere must swap ONLY the click partition in one commit; " +
+            s"got op=${c.op} removes=${c.remove.take(3)}")
+        require(before.forall(TxStore.snapshot(s, store).files.contains),
+          "unmatched partitions' files must survive untouched")
+        eventsCols(TxStore.read(s, store))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             |       CASE WHEN event_type = 'click' THEN value * 2 ELSE value END AS value,
+             |       props
+             |FROM events""".stripMargin),
+      bench = true),
+
     // ── S34 — CONDITIONAL three-clause MERGE (Delta's WHEN MATCHED AND
     //    … THEN UPDATE / DELETE, WHEN NOT MATCHED AND … THEN INSERT):
     //    the update wave (%5 slice, value negated) UPDATES matched

@@ -1887,7 +1887,10 @@ object TxStore {
               else old.exceptAll(readFiles(spark, path, c.add, readSchema, mapping = curMap))
             Seq(tagged(gone, "delete", c.version))
           }
-        case "merge" =>
+        // replace-where derives like merge: removed partitions' rows
+        // delete, staged rows insert, identical rows cancel (a row the
+        // restatement re-landed unchanged is not a change)
+        case "merge" | "replace-where" =>
           val old = if (c.remove.isEmpty) None else Some(effective(before, c.remove))
           val neu =
             if (c.add.isEmpty) None else Some(readFiles(spark, path, c.add, readSchema, mapping = curMap))
@@ -1957,6 +1960,37 @@ object TxStore {
   private def partitionOnlyDelete(
       spark: SparkSession, path: String, base: Snapshot,
       predicate: Column): Option[Option[Long]] = {
+    val matched = partitionDirsMatching(spark, base, predicate) match {
+      case None => return None
+      case Some(m) => m
+    }
+    if (matched.isEmpty) return Some(None)
+    val removed = base.files.filter(f => matched(dirOf(f)))
+    val committed = commitLoop(spark, path, "delete") { snap =>
+      val vanished = removed.filterNot(snap.files.contains)
+      if (vanished.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"partition delete at $path conflicts: files removed concurrently: " +
+            vanished.take(3).mkString(", "))
+      Some(CommitSpec(Nil, removed, snap.schema.map(encodeSchema)))
+    }
+    Some(committed.map(_.version))
+  }
+
+  /** Directory (relative, `col=value[/…]`) of a partitioned data file. */
+  private def dirOf(f: String) = f.substring(0, f.lastIndexOf('/'))
+
+  /** Evaluate a predicate against the live PARTITION DIRECTORIES of
+    * `base`: Some(matching dir set) when the table is partitioned and
+    * the predicate is deterministic and references partition columns
+    * exclusively — then its value is a constant per directory and the
+    * decision runs on a partitions-count local frame (metadata class),
+    * never the data. None when that evaluation does not apply and
+    * per-row semantics are required. Shared by the partition-delete
+    * fast path and [[replaceWhere]]. */
+  private def partitionDirsMatching(
+      spark: SparkSession, base: Snapshot,
+      predicate: Column): Option[Set[String]] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -1997,7 +2031,6 @@ object TxStore {
     val logicalNames = base.partitioning.map(p => logicalOf(lc(p)))
     val types = logicalSchema(base).get.fields
       .map(f => lc(f.name) -> f.dataType).toMap
-    def dirOf(f: String) = f.substring(0, f.lastIndexOf('/'))
     val dirs = base.files.map(dirOf).distinct
     val rows = dirs.map { d =>
       val vals: Map[String, String] = d.split('/').iterator.flatMap { seg =>
@@ -2018,19 +2051,105 @@ object TxStore {
         spark.sparkContext.parallelize(rows, 1), schema)
       .select(col("__dir") +: logicalNames.map(n =>
         col(n).cast(types(lc(n))).as(n)): _*)
-    val matched = typed.filter(predicate <=> lit(true))
-      .select("__dir").collect().map(_.getString(0)).toSet
-    if (matched.isEmpty) return Some(None)
-    val removed = base.files.filter(f => matched(dirOf(f)))
-    val committed = commitLoop(spark, path, "delete") { snap =>
-      val vanished = removed.filterNot(snap.files.contains)
-      if (vanished.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
-          s"partition delete at $path conflicts: files removed concurrently: " +
-            vanished.take(3).mkString(", "))
-      Some(CommitSpec(Nil, removed, snap.schema.map(encodeSchema)))
+    Some(typed.filter(predicate <=> lit(true))
+      .select("__dir").collect().map(_.getString(0)).toSet)
+  }
+
+  /** Dynamic partition overwrite — Delta's `replaceWhere` idiom: ONE
+    * atomic commit removes every live file in the partitions matching
+    * `predicate` and adds the staged batch, so readers flip from the
+    * old partition contents to the new with no window where the
+    * partitions are empty (the two-commit delete + append alternative
+    * has exactly that window). The 100 TB daily-restatement path:
+    * re-deriving one date partition replaces it in place while every
+    * other partition's files are untouched bytes.
+    *
+    * Refusals (all before any commit): the table must be partitioned
+    * (use [[overwrite]] to re-layout), `predicate` must be a
+    * deterministic expression over partition columns exclusively, and
+    * every row of `df` must satisfy it — a batch holding rows OUTSIDE
+    * the replaced region would silently clobber partitions the caller
+    * never named (Delta's replaceWhere contract).
+    *
+    * Isolation: matching partitions are re-resolved against the commit
+    * snapshot, so rows a concurrent append landed in a matching
+    * partition are legitimately replaced (overwrite semantics); a
+    * concurrent schema/mapping/partitioning change conflicts loudly.
+    * Schema evolves additively, like append. Returns the version. */
+  def replaceWhere(df: DataFrame, path: String, predicate: Column): Long = {
+    val spark = df.sparkSession
+    val cs = sessionCaseSensitive(spark)
+    val pre = snapshot(spark, path)
+    require(pre.partitioning.nonEmpty,
+      s"replaceWhere at $path: table is not partitioned — use overwrite to (re-)layout")
+    // fail the predicate-shape check BEFORE staging: partition-only +
+    // deterministic, same rule as the partition-delete fast path
+    if (partitionDirsMatching(spark, pre, predicate).isEmpty)
+      throw new IllegalArgumentException(
+        s"replaceWhere at $path requires a deterministic predicate over partition " +
+          s"column(s) ${pre.partitioning.mkString(", ")} exclusively")
+    // the batch must lie entirely INSIDE the replaced region; NULL
+    // partition values evaluate non-TRUE and refuse too (they would
+    // land in the __HIVE_DEFAULT_PARTITION__ dir the predicate cannot
+    // address)
+    val outside = df.filter(!(predicate <=> lit(true)))
+    if (!outside.isEmpty)
+      throw new IllegalArgumentException(
+        s"replaceWhere at $path: the batch contains rows outside the replaced " +
+          s"region (predicate not TRUE), e.g. ${outside.take(1).mkString}")
+    var checked = pre.constraints
+    enforceConstraints(df, checked, "replace-where", path)
+    val logNames =
+      if (pre.mapping.isEmpty) pre.partitioning
+      else pre.partitioning.map(p => pre.mapping.find(_._2 == p).map(_._1).getOrElse(p))
+    val missing = logNames.filterNot(n => df.columns.exists(_.equalsIgnoreCase(n)))
+    require(missing.isEmpty,
+      s"replaceWhere at $path: frame lacks partition column(s) ${missing.mkString(", ")}")
+    val mapped =
+      if (pre.mapping.isEmpty) None
+      else Some(evolveMapped(pre, df.schema, cs))
+    val (files, stats) =
+      stage(mapped.fold(df) { case (_, m2) => toPhysical(df, m2) }, path,
+        collectStats = true, partitionBy = pre.partitioning)
+    val f = fs(spark, path)
+    try
+      commitLoop(spark, path, "replace-where") { snap =>
+        if (snap.constraints != checked) { // see append's drift re-check
+          enforceConstraints(df, snap.constraints, "replace-where", path)
+          checked = snap.constraints
+        }
+        if (snap.mapping != pre.mapping || snap.retired != pre.retired)
+          throw new java.util.ConcurrentModificationException(
+            s"replaceWhere at $path conflicts: column mapping changed while staging")
+        if (snap.partitioning != pre.partitioning)
+          throw new java.util.ConcurrentModificationException(
+            s"replaceWhere at $path conflicts: table partitioning changed while staging")
+        // matching dirs re-resolved against THIS snapshot: a racing
+        // append's rows in a matching partition are replaced (overwrite
+        // semantics), in an unmatched partition they survive untouched
+        val matched = partitionDirsMatching(spark, snap, predicate).getOrElse(
+          throw new java.util.ConcurrentModificationException(
+            s"replaceWhere at $path conflicts: partitioning vanished while staging"))
+        val removed = snap.files.filter(fl => matched(dirOf(fl)))
+        mapped match {
+          case None =>
+            Some(CommitSpec(files, removed,
+              Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
+          case Some((physSchema, m2)) =>
+            if (snap.schema != pre.schema)
+              throw new java.util.ConcurrentModificationException(
+                s"replaceWhere at $path conflicts: schema evolved concurrently under column mapping")
+            val mp =
+              if (m2 != pre.mapping) Some(encodeMapping(m2, pre.retired)) else None
+            Some(CommitSpec(files, removed, Some(encodeSchema(physSchema)), stats,
+              mapping = mp))
+        }
+      }.get.version
+    catch {
+      case e: Throwable =>
+        files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+        throw e
     }
-    Some(committed.map(_.version))
   }
 
   def delete(spark: SparkSession, path: String, predicate: Column): Option[Long] = {

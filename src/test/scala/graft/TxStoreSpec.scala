@@ -1819,6 +1819,70 @@ class TxStoreSpec extends SparkSpec {
       TxStore.append(Seq((-1L, "neg")).toDF("id", "payload"), t))
   }
 
+  test("replaceWhere atomically swaps matching partitions; others stay byte-identical") {
+    val t = tmpDir()
+    TxStore.append(prows(30), t, partitionBy = Seq("bucket")) // p0/p1/p2, 10 each
+    val before = TxStore.snapshot(spark, t)
+    val untouched = before.files.filterNot(_.startsWith("bucket=p1/"))
+    val sizesBefore = untouched.map(f =>
+      f -> new java.io.File(s"$t/data/$f").length).toMap
+    // restate p1 with 4 fresh rows in ONE commit
+    val batch = (100 until 104).map(i => (i.toLong, s"new$i", "p1"))
+      .toDF("id", "payload", "bucket")
+    val v = TxStore.replaceWhere(batch, t, $"bucket" === "p1")
+    val c = TxStore.history(spark, t).last
+    assert(c.op == "replace-where" && c.add.nonEmpty && c.remove.nonEmpty)
+    assert(c.remove.forall(_.startsWith("bucket=p1/")),
+      "only the matching partition's files may be removed")
+    val after = TxStore.snapshot(spark, t)
+    assert(untouched.forall(after.files.contains), "unmatched partitions keep their files")
+    assert(untouched.forall(f =>
+      new java.io.File(s"$t/data/$f").length == sizesBefore(f)),
+      "unmatched partition files are byte-identical")
+    val got = TxStore.read(spark, t).as[(Long, String, String)].collect().toSet
+    val kept = (0 until 30).filter(_ % 3 != 1)
+      .map(i => (i.toLong, s"v$i", s"p${i % 3}")).toSet
+    assert(got === kept ++ (100 until 104).map(i => (i.toLong, s"new$i", "p1")))
+    // time travel still reads the pre-replacement partition
+    assert(TxStore.readAt(spark, t, v - 1).filter($"bucket" === "p1").count() === 10)
+    // a predicate matching NO live partition is a pure insert
+    val v2 = TxStore.replaceWhere(
+      Seq((200L, "x", "p9")).toDF("id", "payload", "bucket"), t, $"bucket" === "p9")
+    assert(TxStore.history(spark, t).last.remove.isEmpty && v2 === v + 1)
+    assert(TxStore.read(spark, t).count() === 25)
+    // CDC derives the swap: p1's old rows delete, the batch inserts
+    val (_, cdc) = TxStore.readChangesSince(spark, t, v - 1)
+    val byType = cdc.filter($"_commit_version" === v)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(byType === Map("delete" -> 10L, "insert" -> 4L))
+  }
+
+  test("replaceWhere refuses non-partition predicates, escaping rows, flat tables") {
+    val t = tmpDir()
+    TxStore.append(prows(12), t, partitionBy = Seq("bucket"))
+    // predicate touching a data column — per-row semantics impossible
+    intercept[IllegalArgumentException](TxStore.replaceWhere(
+      prows(3).filter($"bucket" === "p0"), t, $"bucket" === "p0" && $"id" < 2L))
+    // nondeterministic term — same refusal class
+    intercept[IllegalArgumentException](TxStore.replaceWhere(
+      prows(3).filter($"bucket" === "p0"), t, $"bucket" === "p0" && rand() < 2.0))
+    // batch rows OUTSIDE the replaced region (p2 rows under a p0 predicate)
+    intercept[IllegalArgumentException](
+      TxStore.replaceWhere(prows(12), t, $"bucket" === "p0"))
+    // NULL partition values are outside every region
+    intercept[IllegalArgumentException](TxStore.replaceWhere(
+      Seq((1L, "x", null: String)).toDF("id", "payload", "bucket"), t,
+      $"bucket" === "p0"))
+    // flat table: replaceWhere has no partitions to speak to
+    val flat = tmpDir()
+    TxStore.append(rows(5), flat)
+    intercept[IllegalArgumentException](
+      TxStore.replaceWhere(rows(2), flat, lit(true)))
+    // nothing above committed anything
+    assert(TxStore.history(spark, t).size === 1)
+    assert(TxStore.read(spark, t).count() === 12)
+  }
+
   test("racing flat vs partitioned appends on an empty table never mix layouts") {
     // the establishment race: both writers snapshot an EMPTY table, so
     // both see partitioning Nil — if the flat append wins version 1
