@@ -148,13 +148,31 @@ object Main {
         }).getOrElse(sys.error("--step sql needs --sql '<statement>' or --query <file.sql>"))
         Tables.registerViews(spark, dataDir)
         // transactional tables join the catalog too: --tx name=path[,name=path…]
-        opts.get("tx").foreach(_.split(',').foreach { pair =>
+        val tx: Map[String, String] = opts.get("tx").toSeq.flatMap(_.split(',')).map { pair =>
           val i = pair.indexOf('=')
           require(i > 0, s"--tx expects name=path pairs, got '$pair'")
-          graft.sources.TxStore.registerView(spark, pair.substring(i + 1), pair.substring(0, i))
-        })
-        spark.sql(text).write.mode("overwrite").parquet(s"$outDir/sql_result")
-        println(s"[graft] sql -> $outDir/sql_result")
+          pair.substring(0, i) -> pair.substring(i + 1)
+        }.toMap
+        tx.foreach { case (name, path) =>
+          graft.sources.TxStore.registerView(spark, path, name)
+        }
+        // DML (DELETE/UPDATE/MERGE on a --tx view) translates to the
+        // TxStore API — Catalyst parses but cannot execute DML on a
+        // file-backed view; plain queries run through Catalyst as before
+        graft.sources.SqlDml.maybeExecute(spark, text, tx) match {
+          case Some(r) =>
+            // the view captured the pre-DML snapshot; advance it and
+            // land the table's new state as the step result
+            graft.sources.TxStore.registerView(spark, r.path, r.view)
+            graft.sources.TxStore.read(spark, r.path)
+              .write.mode("overwrite").parquet(s"$outDir/sql_result")
+            println(s"[graft] sql ${r.op} on tx '${r.view}' " +
+              r.version.fold("(matched nothing, no commit)")(v => s"committed v$v") +
+              s"; table state -> $outDir/sql_result")
+          case None =>
+            spark.sql(text).write.mode("overwrite").parquet(s"$outDir/sql_result")
+            println(s"[graft] sql -> $outDir/sql_result")
+        }
       case other =>
         sys.error(s"unknown --step $other (build-journeys|score|score-external|report|clean-corpus|sql|all)")
     }

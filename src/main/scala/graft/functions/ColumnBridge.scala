@@ -19,4 +19,19 @@ object ColumnBridge {
     * pattern match cannot see through). */
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** The reverse direction: wrap a catalyst expression as a Column —
+    * the SQL-DML translator parses DELETE/UPDATE/MERGE text into
+    * catalyst plans and hands their predicate/assignment expressions to
+    * the TxStore Column API. */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** A DataFrame over a parsed-but-unresolved logical plan (analysis
+    * runs on first use) — how MERGE's arbitrary USING source (table,
+    * view or subquery) becomes the TxStore merge's updates frame. */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

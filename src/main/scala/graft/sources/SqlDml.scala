@@ -1,0 +1,197 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** SQL DML (DELETE / UPDATE / MERGE) against TxStore tables — the write
+  * half of the SQL entry point (`--step sql --tx name=path`).
+  *
+  * Catalyst PARSES these statements but classic Spark cannot EXECUTE
+  * them against a file-backed view (DML execution is a DataSource-v2
+  * capability, unsupported by design on temp views) — so the statement
+  * is parsed with Spark's own SQL parser and the resulting logical plan
+  * is translated to the TxStore API: `DeleteFromTable` →
+  * [[TxStore.delete]], `UpdateTable` → [[TxStore.update]],
+  * `MergeIntoTable` → [[TxStore.mergeConditional]]. The text a Delta
+  * user writes daily runs unchanged against the commit log; everything
+  * downstream (snapshot isolation, conflict detection, partition
+  * fast paths, CDC) is the same code path the Scala API exercises.
+  *
+  * Reference: the challenge's user surface is SQL text
+  * (cj_builder.py:36-42, channel_reporter.py:33-93); this closes the
+  * write half the reference delegates to SQLite's engine.
+  *
+  * Supported shapes (refusals are loud, never silent no-ops):
+  *   - `DELETE FROM v [WHERE …]`
+  *   - `UPDATE v SET c = expr[, …] [WHERE …]`
+  *   - `MERGE INTO v [AS t] USING src|(subquery) [AS s] ON t.k = s.k [AND …]
+  *      [WHEN MATCHED [AND c] THEN UPDATE SET *]
+  *      [WHEN MATCHED [AND c] THEN DELETE]
+  *      [WHEN NOT MATCHED [AND c] THEN INSERT *]`
+  *     — the ON clause must be a conjunction of same-name target=source
+  *     equalities (TxStore merges are keyed, full-row: SET * / INSERT *;
+  *     column-list assignment clauses and NOT MATCHED BY SOURCE are not
+  *     translatable to the keyed upsert and refuse with the reason).
+  */
+object SqlDml {
+
+  /** Executed DML: the statement kind, the view name it hit, the
+    * table path, and the committed version (None = matched nothing,
+    * no commit written). */
+  final case class Result(op: String, view: String, path: String, version: Option[Long])
+
+  /** If `text` parses to a DML statement, translate and EXECUTE it
+    * against the `--tx`-registered table it targets, returning
+    * Some(result); None = not DML (the plain read path applies). DML
+    * against a table NOT registered via --tx refuses loudly — falling
+    * through to Catalyst would produce its opaque unsupported-plan
+    * error after this translator exists. */
+  def maybeExecute(
+      spark: SparkSession, text: String, tx: Map[String, String]): Option[Result] = {
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(text)
+      catch { case _: Exception => return None } // not parseable as a single plan
+    plan match {
+      case DeleteFromTable(table, cond) =>
+        val (view, alias, path) = target("DELETE", table, tx)
+        val pred = ColumnBridge.column(unqualify(cond, view, alias))
+        Some(Result("delete", view, path, TxStore.delete(spark, path, pred)))
+
+      case UpdateTable(table, assignments, cond) =>
+        val (view, alias, path) = target("UPDATE", table, tx)
+        val set: Map[String, Column] = assignments.map { a =>
+          val name = a.key match {
+            case u: UnresolvedAttribute => stripQualifier(u, view, alias).nameParts.mkString(".")
+            case other => refuse(s"unsupported UPDATE SET target ${other.sql}")
+          }
+          name -> ColumnBridge.column(unqualify(a.value, view, alias))
+        }.toMap
+        val pred = cond.map(c => ColumnBridge.column(unqualify(c, view, alias)))
+          .getOrElse(lit(true))
+        Some(Result("update", view, path, TxStore.update(spark, path, pred, set)))
+
+      case m: MergeIntoTable =>
+        val (view, alias, path) = target("MERGE", m.targetTable, tx)
+        if (m.notMatchedBySourceActions.nonEmpty)
+          refuse("MERGE … WHEN NOT MATCHED BY SOURCE is not supported on tx views")
+        val srcAlias = aliasOf(m.sourceTable)
+        val source = ColumnBridge.dataFrame(spark, m.sourceTable)
+        // ON must be same-name target=source equalities — TxStore
+        // merges are keyed; anything else has no keyed translation
+        val keys = conjuncts(m.mergeCondition).map {
+          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+              l: UnresolvedAttribute, r: UnresolvedAttribute)
+              if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) =>
+            l.nameParts.last
+          case other =>
+            refuse(s"unsupported MERGE ON term '${other.sql}' — " +
+              "a conjunction of t.key = s.key equalities is required")
+        }
+        // clause conditions speak the statement's aliases; TxStore's
+        // conditional merge joins target as `t` and source as `s`
+        def cl(c: Option[Expression]): Column =
+          c.map(e => ColumnBridge.column(requalify(e,
+              targetAs = (view, alias), sourceAs = srcAlias)))
+            .getOrElse(lit(true))
+        var matchedUpdate: Option[Column] = None
+        var matchedDelete: Option[Column] = None
+        var notMatchedInsert: Option[Column] = None
+        m.matchedActions.foreach {
+          case UpdateStarAction(c) =>
+            if (matchedUpdate.nonEmpty) refuse("multiple WHEN MATCHED … UPDATE clauses")
+            matchedUpdate = Some(cl(c))
+          case DeleteAction(c) =>
+            if (matchedDelete.nonEmpty) refuse("multiple WHEN MATCHED … DELETE clauses")
+            matchedDelete = Some(cl(c))
+          case other =>
+            refuse(s"unsupported WHEN MATCHED action '$other' — " +
+              "UPDATE SET * or DELETE (full-row keyed merge)")
+        }
+        m.notMatchedActions.foreach {
+          case InsertStarAction(c) =>
+            if (notMatchedInsert.nonEmpty) refuse("multiple WHEN NOT MATCHED clauses")
+            notMatchedInsert = Some(cl(c))
+          case other =>
+            refuse(s"unsupported WHEN NOT MATCHED action '$other' — " +
+              "INSERT * (full-row keyed merge)")
+        }
+        val v = TxStore.mergeConditional(spark, path, source, keys,
+          matchedUpdate = matchedUpdate, matchedDelete = matchedDelete,
+          notMatchedInsert = notMatchedInsert)
+        Some(Result("merge", view, path, Some(v)))
+
+      case _ => None
+    }
+  }
+
+  private def refuse(msg: String): Nothing = throw new IllegalArgumentException(s"sql dml: $msg")
+
+  /** Resolve the DML's target relation to (viewName, alias, txPath). */
+  private def target(
+      op: String, plan: LogicalPlan, tx: Map[String, String]): (String, Option[String], String) =
+    plan match {
+      case SubqueryAlias(id, child) =>
+        val (v, _, p) = target(op, child, tx)
+        (v, Some(id.name), p)
+      case u: UnresolvedRelation =>
+        val name = u.multipartIdentifier.mkString(".")
+        val path = tx.collectFirst { case (n, p) if n.equalsIgnoreCase(name) => p }
+          .getOrElse(refuse(
+            s"$op targets '$name', which is not a --tx registered table " +
+              s"(registered: ${if (tx.isEmpty) "none" else tx.keys.mkString(", ")}) — " +
+              "DML runs against transactional tables only"))
+        (name, None, path)
+      case other => refuse(s"$op target must be a named tx table, got ${other.nodeName}")
+    }
+
+  /** The alias a USING source is visible under (its SubqueryAlias, or
+    * the relation's own name). */
+  private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(id, _) => Some(id.name)
+    case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Drop `view`/`alias` qualifiers: the registered temp view's frame
+    * carries bare column names, so `DELETE FROM ev WHERE ev.id = 1`
+    * must filter on `id`. */
+  private def unqualify(e: Expression, view: String, alias: Option[String]): Expression =
+    e.transform {
+      case u: UnresolvedAttribute => stripQualifier(u, view, alias)
+    }
+
+  private def stripQualifier(
+      u: UnresolvedAttribute, view: String, alias: Option[String]): UnresolvedAttribute =
+    if (u.nameParts.length >= 2 &&
+      (u.nameParts.head.equalsIgnoreCase(view) ||
+        alias.exists(u.nameParts.head.equalsIgnoreCase)))
+      UnresolvedAttribute(u.nameParts.tail)
+    else u
+
+  /** Rewrite the statement's own aliases to the `t` (target) / `s`
+    * (source) qualifiers [[TxStore.mergeConditional]] clause conditions
+    * resolve against. */
+  private def requalify(
+      e: Expression, targetAs: (String, Option[String]),
+      sourceAs: Option[String]): Expression = {
+    val (view, alias) = targetAs
+    e.transform {
+      case u: UnresolvedAttribute if u.nameParts.length >= 2 =>
+        val q = u.nameParts.head
+        if (q.equalsIgnoreCase(view) || alias.exists(q.equalsIgnoreCase))
+          UnresolvedAttribute("t" +: u.nameParts.tail)
+        else if (sourceAs.exists(q.equalsIgnoreCase))
+          UnresolvedAttribute("s" +: u.nameParts.tail)
+        else u
+    }
+  }
+}

@@ -6,6 +6,8 @@ import java.nio.file.Files
   * the product surface a reference user actually invokes. */
 class CliSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private def tmp(): String =
     Files.createTempDirectory("graft-cli").toString
 
@@ -88,6 +90,92 @@ class CliSpec extends SparkSpec {
       Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
         "out-dir" -> tmp(), "tx" -> "nopath", "sql" -> "SELECT 1"))
     }
+  }
+
+  test("sql step: DELETE and UPDATE DML on a --tx view translate to the TxStore API") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/dmltbl"
+    val ev = Tables.events(spark, sf("sf0.001")).filter(col("event_id") % 7 === 0)
+    graft.sources.TxStore.append(ev, table)
+    // twin table driven through the Scala API — SQL DML must be ≡
+    val twin = s"$dir/twintbl"
+    graft.sources.TxStore.append(ev, twin)
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "tx" -> s"evtx=$table",
+      "sql" -> "DELETE FROM evtx WHERE evtx.event_type = 'view'"))
+    graft.sources.TxStore.delete(spark, twin, col("event_type") === "view")
+    val viaSql = graft.sources.TxStore.read(spark, table)
+    assert(viaSql.filter(col("event_type") === "view").count() === 0)
+    assert(viaSql.count() === graft.sources.TxStore.read(spark, twin).count())
+    // the commit went through the same log machinery
+    assert(graft.sources.TxStore.history(spark, table).last.op === "delete")
+    // the step result is the post-DML table state
+    assert(spark.read.parquet(s"$out/sql_result").count() === viaSql.count())
+
+    // UPDATE with an expression assignment and WHERE
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> tmp(),
+      "tx" -> s"evtx=$table",
+      "sql" -> "UPDATE evtx SET value = value * 2 WHERE event_type = 'click'"))
+    graft.sources.TxStore.update(spark, twin, col("event_type") === "click",
+      Map("value" -> (col("value") * 2)))
+    val sq = graft.sources.TxStore.read(spark, table)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    val tw = graft.sources.TxStore.read(spark, twin)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(sq === tw)
+
+    // DML against a non-tx view refuses loudly (no Catalyst fallthrough)
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "sql" -> "DELETE FROM events WHERE event_id = 1"))
+    }
+    assert(ex.getMessage.contains("not a --tx registered table"))
+  }
+
+  test("sql step: MERGE INTO a --tx view runs the keyed conditional merge") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/mergetbl"
+    val ev = Tables.events(spark, sf("sf0.001"))
+    graft.sources.TxStore.append(ev.filter(col("event_id") % 10 =!= 0), table)
+    val twin = s"$dir/mergetwin"
+    graft.sources.TxStore.append(ev.filter(col("event_id") % 10 =!= 0), twin)
+    // the update wave as a temp view for USING
+    ev.filter(col("event_id") % 5 === 0)
+      .withColumn("value", -col("value"))
+      .createOrReplaceTempView("wave")
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> tmp(),
+      "tx" -> s"evtx=$table",
+      "sql" -> ("MERGE INTO evtx AS t USING wave AS s ON t.event_id = s.event_id " +
+        "WHEN MATCHED AND t.event_type = 'click' THEN UPDATE SET * " +
+        "WHEN MATCHED AND t.event_type = 'purchase' THEN DELETE " +
+        "WHEN NOT MATCHED AND s.user_id % 2 = 0 THEN INSERT *")))
+    graft.sources.TxStore.mergeConditional(spark, twin,
+      spark.table("wave"), keys = Seq("event_id"),
+      matchedUpdate = Some(col("t.event_type") === "click"),
+      matchedDelete = Some(col("t.event_type") === "purchase"),
+      notMatchedInsert = Some(col("s.user_id") % 2 === 0))
+    val sq = graft.sources.TxStore.read(spark, table)
+      .select("event_id", "event_type", "value").as[(Long, String, Double)]
+      .collect().toSet
+    val tw = graft.sources.TxStore.read(spark, twin)
+      .select("event_id", "event_type", "value").as[(Long, String, Double)]
+      .collect().toSet
+    assert(sq === tw && sq.nonEmpty)
+    assert(graft.sources.TxStore.history(spark, table).last.op === "merge")
+    // untranslatable shapes refuse with the reason, not a silent no-op
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> s"evtx=$table",
+        "sql" -> ("MERGE INTO evtx t USING wave s ON t.event_id > s.event_id " +
+          "WHEN MATCHED THEN UPDATE SET *")))
+    }
+    assert(ex.getMessage.contains("MERGE ON"))
   }
 
   test("sql step: inline --sql over a fixture view; missing statement refuses") {
