@@ -853,6 +853,61 @@ object StorageQueries {
       },
       Some(eventsSql(" WHERE event_id <= 500 AND user_id <= 3"))),
 
+    // ── S43 — PARTITION-SCOPED OPTIMIZE ZORDER (Delta's `OPTIMIZE …
+    //    WHERE <partition predicate> ZORDER BY`): on a hive-partitioned
+    //    table that landed scattered, ONE optimize commit rewrites only
+    //    the matching partition's files clustered on the
+    //    (event_id, user_id) curve — per-partition rewrite, the only
+    //    OPTIMIZE a 100 TB table ever runs (yesterday's partition,
+    //    never the lake). The REQUIREs pin the composition s40 + s28
+    //    promise separately: partition pruning drops the other
+    //    partitions from LOG METADATA, then z-order stats prune WITHIN
+    //    the optimized partition on both curve dimensions, while a
+    //    not-optimized partition stays scattered-unprunable and its
+    //    files stay untouched bytes.
+    QueryDef(
+      "s43_tx_partitioned_optimize",
+      (s, d) => {
+        val store = freshStore(s, "s43-partopt", d)
+        val ev = Tables.events(s, d)
+        // 8 round-robin files per partition: every file spans the full
+        // event_id/user_id domain, so stats can refute nothing yet
+        TxStore.append(ev.repartition(8), store, partitionBy = Seq("event_type")) // v1
+        val clickEv = col("event_type") === "click" && col("event_id") <= 500L
+        val before = TxStore.pruneFiles(s, store, clickEv)
+        require(before._2.nonEmpty && before._2.forall(_.startsWith("event_type=click/")) &&
+          before._3.forall(!_.startsWith("event_type=click/")),
+          "partition pruning must already drop other partitions, stats nothing within")
+        val untouched = TxStore.snapshot(s, store).files.filterNot(_.startsWith("event_type=click/"))
+        TxStore.compactZOrder(s, store, Seq("event_id", "user_id"), target = 8,
+          where = Some(col("event_type") === "click")) // v2
+        val c = TxStore.history(s, store).last
+        require(c.op == "optimize-zorder" &&
+          c.remove.nonEmpty && c.remove.forall(_.startsWith("event_type=click/")),
+          s"optimize must rewrite ONLY the click partition; removed ${c.remove.take(3)}")
+        require(untouched.forall(TxStore.snapshot(s, store).files.contains),
+          "other partitions' files must survive the scoped optimize")
+        // composition: partition pruning (log metadata) + z-stats
+        // pruning (within the optimized partition) on BOTH dimensions
+        val (_, keptEv, skipEv) = TxStore.pruneFiles(s, store, clickEv)
+        require(keptEv.nonEmpty && keptEv.forall(_.startsWith("event_type=click/")),
+          "partition pruning must still scope to click")
+        require(skipEv.exists(_.startsWith("event_type=click/")),
+          "z-order stats must now prune within the optimized partition (event_id)")
+        val (_, _, skipUser) = TxStore.pruneFiles(s, store,
+          col("event_type") === "click" && col("user_id") <= 3L)
+        require(skipUser.exists(_.startsWith("event_type=click/")),
+          "z-order stats must prune the second curve dimension too (user_id)")
+        // a not-optimized partition stays scattered: nothing of it prunes
+        val (_, keptV, skipV) = TxStore.pruneFiles(s, store,
+          col("event_type") === "view" && col("event_id") <= 500L)
+        require(skipV.forall(!_.startsWith("event_type=view/")) && keptV.nonEmpty,
+          "the view partition was not optimized — its files must all survive pruning")
+        eventsCols(TxStore.readWhere(s, store, clickEv))
+      },
+      Some(eventsSql(" WHERE event_type = 'click' AND event_id <= 500")),
+      bench = true),
+
     // ── S29 — MULTI-PART CHECKPOINT: the restated per-file stats and
     //    deletion vectors shard into sidecar files (2 files per shard
     //    here, so an 8-file table crosses several shard boundaries) and

@@ -1611,10 +1611,28 @@ object TxStore {
       path: String,
       zCols: Seq[String],
       target: Int = 16,
-      bits: Int = 6): Option[Long] = {
+      bits: Int = 6,
+      where: Option[Column] = None): Option[Long] = {
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
-    val df = readFiles(spark, path, base.files, base.schema, base.dv, dvp = base.dvp,
+    // OPTIMIZE … WHERE <partition predicate> ZORDER BY — the Delta
+    // idiom for tables too large to rewrite whole: only the matching
+    // partitions' files are read and restaged (per-partition rewrite);
+    // every other partition's files are untouched bytes. The predicate
+    // must be partition-only + deterministic, same rule as the
+    // partition-delete fast path — a data-column WHERE cannot scope a
+    // file rewrite.
+    val inputs = where match {
+      case None => base.files
+      case Some(p) =>
+        val matched = partitionDirsMatching(spark, base, p).getOrElse(
+          throw new IllegalArgumentException(
+            s"compactZOrder WHERE at $path must be a deterministic predicate over " +
+              s"partition column(s) ${base.partitioning.mkString(", ")} exclusively"))
+        base.files.filter(f => matched(dirOf(f)))
+    }
+    if (inputs.isEmpty) return None
+    val df = readFiles(spark, path, inputs, base.schema, base.dv, dvp = base.dvp,
       mapping = base.mapping)
     require(!df.columns.contains("__z"), "table must not carry the reserved __z column")
     // persisted: the z-bucket fold is an interpreted HOF evaluated in
@@ -1628,10 +1646,10 @@ object TxStore {
       finally keyed.unpersist(): Unit
     val f = fs(spark, path)
     val committed = commitLoop(spark, path, "optimize-zorder") { snap =>
-      if (!base.files.forall(snap.files.contains)) None
+      if (!inputs.forall(snap.files.contains)) None
       // concurrent delete-dv on an input — see compact
-      else if (dvDrifted(base, snap, base.files)) None
-      else Some(CommitSpec(staged, base.files, snap.schema.map(encodeSchema), zStats))
+      else if (dvDrifted(base, snap, inputs)) None
+      else Some(CommitSpec(staged, inputs, snap.schema.map(encodeSchema), zStats))
     }
     if (committed.isEmpty)
       staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))

@@ -1883,6 +1883,32 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.read(spark, t).count() === 12)
   }
 
+  test("partition-scoped optimize: rewrites only matching partitions; refusals are loud") {
+    val t = tmpDir()
+    val zrows = (0 until 60).map(i => (i.toLong, (i * 37 % 60).toLong, s"p${i % 3}"))
+      .toDF("id", "score", "bucket")
+    TxStore.append(zrows.repartition(4), t, partitionBy = Seq("bucket"))
+    val others = TxStore.snapshot(spark, t).files.filterNot(_.startsWith("bucket=p0/"))
+    val zc = Seq("id", "score")
+    val v = TxStore.compactZOrder(spark, t, zc, target = 2,
+      where = Some($"bucket" === "p0"))
+    assert(v.isDefined)
+    val c = TxStore.history(spark, t).last
+    assert(c.op == "optimize-zorder" && c.remove.forall(_.startsWith("bucket=p0/")))
+    assert(others.forall(TxStore.snapshot(spark, t).files.contains))
+    assert(TxStore.read(spark, t).count() === 60, "pure physical rewrite")
+    // WHERE touching a data column, or on a flat table: no file scope
+    intercept[IllegalArgumentException](TxStore.compactZOrder(spark, t, zc,
+      where = Some($"bucket" === "p0" && $"id" < 5L)))
+    val flat = tmpDir()
+    TxStore.append(rows(10), flat)
+    intercept[IllegalArgumentException](TxStore.compactZOrder(spark, flat, Seq("id", "id"),
+      where = Some(lit(true))))
+    // a predicate matching no live partition is a no-op, not a commit
+    assert(TxStore.compactZOrder(spark, t, zc,
+      where = Some($"bucket" === "zzz")).isEmpty)
+  }
+
   test("racing flat vs partitioned appends on an empty table never mix layouts") {
     // the establishment race: both writers snapshot an EMPTY table, so
     // both see partitioning Nil — if the flat append wins version 1
