@@ -1455,6 +1455,31 @@ class TxStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](TxStore.renameColumn(spark, t, "id", "__file"))
   }
 
+  test("rename keeps stats AND bloom pruning file-identical under the new name") {
+    // the logical→physical predicate translation must not lose a single
+    // skip: the SAME probe prunes the SAME files before and after the
+    // rename, for range stats (id) and for blooms (payload)
+    val t = tmpDir()
+    val df = (0 until 400).map(i => (i.toLong, f"k$i%04d")).toDF("id", "payload")
+    TxStore.append(df.repartitionByRange(8, $"id"), t)
+    TxStore.buildBlooms(spark, t, Seq("payload"))
+    val (_, keptStatsB, skipStatsB) = TxStore.pruneFiles(spark, t, $"id" === 250L)
+    val (_, keptBloomB, skipBloomB) = TxStore.pruneFiles(spark, t, $"payload" === "k0250")
+    assert(skipStatsB.nonEmpty && skipBloomB.nonEmpty, "fixture must be prunable")
+    TxStore.renameColumn(spark, t, "id", "row_id")
+    TxStore.renameColumn(spark, t, "payload", "body")
+    val (_, keptStatsA, skipStatsA) = TxStore.pruneFiles(spark, t, $"row_id" === 250L)
+    assert(keptStatsA.toSet === keptStatsB.toSet && skipStatsA.toSet === skipStatsB.toSet,
+      s"stats pruning drifted under rename: ${keptStatsB.size}/${skipStatsB.size} -> " +
+        s"${keptStatsA.size}/${skipStatsA.size}")
+    val (_, keptBloomA, skipBloomA) = TxStore.pruneFiles(spark, t, $"body" === "k0250")
+    assert(keptBloomA.toSet === keptBloomB.toSet && skipBloomA.toSet === skipBloomB.toSet,
+      s"bloom pruning drifted under rename: ${keptBloomB.size}/${skipBloomB.size} -> " +
+        s"${keptBloomA.size}/${skipBloomA.size}")
+    assert(TxStore.readWhere(spark, t, $"row_id" === 250L).count() === 1)
+    assert(TxStore.readWhere(spark, t, $"body" === "k0250").count() === 1)
+  }
+
   test("column mapping: drop retires the physical name; re-add never resurrects old data") {
     val t = tmpDir()
     TxStore.append(rows(5), t) // v1
