@@ -26,6 +26,12 @@ import org.apache.spark.sql.{Column, SparkSession}
   * write half the reference delegates to SQLite's engine.
   *
   * Supported shapes (refusals are loud, never silent no-ops):
+  *   - `INSERT INTO v [PARTITION (p='x')] SELECT …|VALUES …` → append
+  *     (by position; `BY NAME` opts into name matching)
+  *   - `INSERT OVERWRITE v SELECT …` → overwrite (layout preserved)
+  *   - `INSERT OVERWRITE v PARTITION (p='x'|p) SELECT …` → replaceWhere
+  *     (static values pin their column; a dynamic column's region is
+  *     the batch's own distinct values — dynamic partition overwrite)
   *   - `DELETE FROM v [WHERE …]`
   *   - `UPDATE v SET c = expr[, …] [WHERE …]`
   *   - `MERGE INTO v [AS t] USING src|(subquery) [AS s] ON t.k = s.k [AND …]
@@ -123,6 +129,74 @@ object SqlDml {
           matchedUpdate = matchedUpdate, matchedDelete = matchedDelete,
           notMatchedInsert = notMatchedInsert)
         Some(Result("merge", view, path, Some(v)))
+
+      case i: InsertIntoStatement =>
+        val (view, _, path) = target("INSERT", i.table, tx)
+        if (i.ifPartitionNotExists) refuse("INSERT … IF NOT EXISTS is not supported")
+        if (i.userSpecifiedCols.nonEmpty)
+          refuse("INSERT with an explicit column list is not supported — " +
+            "full rows by position (or INSERT … BY NAME)")
+        val raw = ColumnBridge.dataFrame(spark, i.query)
+        val snap = TxStore.snapshot(spark, path)
+        val schemaOpt = TxStore.logicalSchema(snap)
+        val static = i.partitionSpec.toSeq.collect { case (k, Some(v)) => k -> v }
+        val dynamicCols = i.partitionSpec.toSeq.collect { case (k, None) => k }
+        val df = schemaOpt match {
+          case Some(schema) =>
+            // SQL INSERT is by POSITION (BY NAME opts into name matching):
+            // align the query's output to the table's logical schema minus
+            // statically-valued partition columns, casting to table types
+            val targets = schema.fields.filterNot(f =>
+              static.exists(_._1.equalsIgnoreCase(f.name)))
+            if (raw.columns.length != targets.length)
+              refuse(s"INSERT provides ${raw.columns.length} column(s), table " +
+                s"'$view' expects ${targets.length}" +
+                (if (static.nonEmpty) " after the static PARTITION values" else ""))
+            val positioned =
+              if (i.byName)
+                raw.select(targets.map(f =>
+                  org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+              else
+                raw.select(raw.columns.zip(targets).map { case (c, f) =>
+                  org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
+                }.toIndexedSeq: _*)
+            static.foldLeft(positioned) { case (acc, (k, v)) =>
+              val f = schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+                refuse(s"PARTITION column '$k' is not in table '$view'"))
+              acc.withColumn(f.name, lit(v).cast(f.dataType))
+            }
+          case None =>
+            if (static.nonEmpty) refuse("static PARTITION values on a table with no schema yet")
+            raw
+        }
+        val version =
+          if (!i.overwrite) TxStore.append(df, path)
+          else if (i.partitionSpec.isEmpty)
+            // full INSERT OVERWRITE replaces the table, keeping its layout
+            TxStore.overwrite(df, path, partitionBy = TxStore.tablePartitioning(spark, path))
+          else {
+            // PARTITION (p='x'[, q]) overwrite = replaceWhere over the
+            // addressed region: static values pin their column; a
+            // dynamic column's region is the batch's own distinct
+            // values (partition-count bounded collect) — Spark's
+            // dynamic partition overwrite semantics
+            val schema = schemaOpt.getOrElse(refuse("INSERT OVERWRITE PARTITION on a schemaless table"))
+            def field(k: String) = schema.fields.find(_.name.equalsIgnoreCase(k))
+              .getOrElse(refuse(s"PARTITION column '$k' is not in table '$view'"))
+            val staticPreds = static.map { case (k, v) =>
+              val f = field(k)
+              org.apache.spark.sql.functions.col(f.name) === lit(v).cast(f.dataType)
+            }
+            val dynPreds = dynamicCols.map { k =>
+              val f = field(k)
+              val vals = df.select(org.apache.spark.sql.functions.col(f.name))
+                .distinct().collect().map(_.get(0))
+              if (vals.isEmpty) lit(false)
+              else org.apache.spark.sql.functions.col(f.name).isin(vals.toIndexedSeq: _*)
+            }
+            TxStore.replaceWhere(df, path, (staticPreds ++ dynPreds).reduce(_ && _))
+          }
+        Some(Result("insert", view, path, Some(version)))
 
       case _ => None
     }

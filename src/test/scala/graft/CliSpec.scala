@@ -178,6 +178,44 @@ class CliSpec extends SparkSpec {
     assert(ex.getMessage.contains("MERGE ON"))
   }
 
+  test("sql step: INSERT INTO / OVERWRITE / OVERWRITE PARTITION on a --tx view") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/instbl"
+    // partitioned three-bucket table
+    val zrows = (0 until 30).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
+      .toDF("id", "payload", "bucket")
+    graft.sources.TxStore.append(zrows, table, partitionBy = Seq("bucket"))
+    def run(sql: String): Unit =
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> s"instbl=$table", "sql" -> sql))
+    // plain INSERT INTO appends by position, inheriting the layout
+    run("INSERT INTO instbl VALUES (100, 'x', 'p0'), (101, 'y', 'p1')")
+    assert(graft.sources.TxStore.read(spark, table).count() === 32)
+    assert(graft.sources.TxStore.history(spark, table).last.op === "append")
+    assert(graft.sources.TxStore.snapshot(spark, table).files.forall(_.contains("bucket=")))
+    // static-PARTITION insert: the spec pins the partition column
+    run("INSERT INTO instbl PARTITION (bucket='p2') VALUES (102, 'z')")
+    assert(graft.sources.TxStore.read(spark, table)
+      .filter(col("id") === 102L).select("bucket").head.getString(0) === "p2")
+    // INSERT OVERWRITE PARTITION replaces exactly the addressed region
+    run("INSERT OVERWRITE instbl PARTITION (bucket='p0') VALUES (200, 'n')")
+    assert(graft.sources.TxStore.history(spark, table).last.op === "replace-where")
+    val p0 = graft.sources.TxStore.read(spark, table).filter(col("bucket") === "p0")
+      .select("id").as[Long].collect().toSet
+    assert(p0 === Set(200L), s"p0 must hold only the overwrite batch, got $p0")
+    assert(graft.sources.TxStore.read(spark, table)
+      .filter(col("bucket") === "p1").count() === 11, "p1 untouched")
+    // full INSERT OVERWRITE replaces the table, layout preserved
+    run("INSERT OVERWRITE instbl VALUES (1, 'a', 'p0'), (2, 'b', 'p1')")
+    assert(graft.sources.TxStore.read(spark, table).count() === 2)
+    assert(graft.sources.TxStore.snapshot(spark, table).files.forall(_.contains("bucket=")),
+      "overwrite keeps the hive layout")
+    // arity mismatch refuses before anything commits
+    val ex = intercept[IllegalArgumentException](run("INSERT INTO instbl VALUES (1)"))
+    assert(ex.getMessage.contains("expects"))
+  }
+
   test("sql step: inline --sql over a fixture view; missing statement refuses") {
     val out = tmp()
     Main.run(spark, Map(
