@@ -147,15 +147,27 @@ object Main {
             java.nio.charset.StandardCharsets.UTF_8)
         }).getOrElse(sys.error("--step sql needs --sql '<statement>' or --query <file.sql>"))
         Tables.registerViews(spark, dataDir)
-        // transactional tables join the catalog too: --tx name=path[,name=path…]
-        val tx: Map[String, String] = opts.get("tx").toSeq.flatMap(_.split(',')).map { pair =>
-          val i = pair.indexOf('=')
-          require(i > 0, s"--tx expects name=path pairs, got '$pair'")
-          pair.substring(0, i) -> pair.substring(i + 1)
-        }.toMap
-        tx.foreach { case (name, path) =>
-          graft.sources.TxStore.registerView(spark, path, name)
+        // transactional tables join the catalog too: --tx
+        // name=path[,name=path…]; a `@v<N>` path suffix registers the
+        // TIME-TRAVEL snapshot at version N (read-only — reproducing a
+        // historical report in SQL), so such views never enter the
+        // DML-addressable set below
+        val txAll: Seq[(String, String, Option[Long])] =
+          opts.get("tx").toSeq.flatMap(_.split(',')).map { pair =>
+            val i = pair.indexOf('=')
+            require(i > 0, s"--tx expects name=path pairs, got '$pair'")
+            val (name, spec) = (pair.substring(0, i), pair.substring(i + 1))
+            spec.split("@v", 2) match {
+              case Array(p, v) if v.nonEmpty && v.forall(_.isDigit) =>
+                (name, p, Some(v.toLong))
+              case _ => (name, spec, None)
+            }
+          }
+        txAll.foreach { case (name, path, version) =>
+          graft.sources.TxStore.registerView(spark, path, name, version)
         }
+        val tx: Map[String, String] =
+          txAll.collect { case (n, p, None) => n -> p }.toMap
         // DML (DELETE/UPDATE/MERGE on a --tx view) translates to the
         // TxStore API — Catalyst parses but cannot execute DML on a
         // file-backed view; plain queries run through Catalyst as before

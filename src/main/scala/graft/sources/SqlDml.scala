@@ -217,7 +217,8 @@ object SqlDml {
           .getOrElse(refuse(
             s"$op targets '$name', which is not a --tx registered table " +
               s"(registered: ${if (tx.isEmpty) "none" else tx.keys.mkString(", ")}) — " +
-              "DML runs against transactional tables only"))
+              "DML runs against transactional tables only, and time-travel " +
+              "@vN views are read-only"))
         (name, None, path)
       case other => refuse(s"$op target must be a named tx table, got ${other.nodeName}")
     }

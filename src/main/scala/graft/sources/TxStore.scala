@@ -1097,8 +1097,10 @@ object TxStore {
     * name=path`). The view captures THIS snapshot's plan (snapshot
     * isolation: later commits don't leak into an already-registered
     * view; re-register to advance). */
-  def registerView(spark: SparkSession, path: String, name: String): Unit =
-    read(spark, path).createOrReplaceTempView(name)
+  def registerView(spark: SparkSession, path: String, name: String,
+      version: Option[Long] = None): Unit =
+    version.fold(read(spark, path))(readAt(spark, path, _))
+      .createOrReplaceTempView(name)
 
   /** The table's hive-style partition columns (LOGICAL names, in
     * partition order) — empty for flat tables. */

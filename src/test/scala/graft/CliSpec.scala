@@ -216,6 +216,31 @@ class CliSpec extends SparkSpec {
     assert(ex.getMessage.contains("expects"))
   }
 
+  test("sql step: --tx name=path@vN registers a read-only time-travel view") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/ttbl"
+    graft.sources.TxStore.append(
+      Tables.events(spark, sf("sf0.001")).filter(col("event_id") % 7 === 0), table) // v1
+    val v1Count = graft.sources.TxStore.read(spark, table).count()
+    graft.sources.TxStore.delete(spark, table, col("event_type") === "view") // v2
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "tx" -> s"now=$table,then=$table@v1",
+      "sql" -> "SELECT (SELECT COUNT(*) FROM then) AS before, (SELECT COUNT(*) FROM now) AS after"))
+    val r = spark.read.parquet(s"$out/sql_result").head
+    assert(r.getLong(0) === v1Count && r.getLong(1) < v1Count,
+      s"time-travel view must read the pre-delete snapshot: $r")
+    // DML against the @vN view refuses — you cannot write to the past
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> s"then=$table@v1",
+        "sql" -> "DELETE FROM then WHERE event_id = 7"))
+    }
+    assert(ex.getMessage.contains("read-only"))
+  }
+
   test("sql step: inline --sql over a fixture view; missing statement refuses") {
     val out = tmp()
     Main.run(spark, Map(

@@ -1934,6 +1934,44 @@ class TxStoreSpec extends SparkSpec {
       where = Some($"bucket" === "zzz")).isEmpty)
   }
 
+  test("replaceWhere racing an append into the matching partition serializes") {
+    // write-serializable either way: the appended rows are REPLACED if
+    // the append serialized first (overwrite semantics — matching dirs
+    // re-resolve against the commit snapshot) or SURVIVE if it
+    // serialized after; never a torn half-batch, never a broken table
+    for (_ <- 1 to 3) {
+      val t = tmpDir()
+      TxStore.append(prows(30), t, partitionBy = Seq("bucket"))
+      val batch = (100 until 104).map(i => (i.toLong, s"new$i", "p1"))
+        .toDF("id", "payload", "bucket")
+      val extra = (200 until 206).map(i => (i.toLong, s"late$i", "p1"))
+        .toDF("id", "payload", "bucket")
+      val pool = Executors.newFixedThreadPool(2)
+      val start = new CountDownLatch(1)
+      def submit(f: () => Long) =
+        pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+          def call(): Either[Throwable, Long] =
+            { start.await(); try Right(f()) catch { case e: Throwable => Left(e) } }
+        })
+      val rw = submit(() => TxStore.replaceWhere(batch, t, $"bucket" === "p1"))
+      val ap = submit(() => TxStore.append(extra, t))
+      start.countDown()
+      val outs = Seq(rw.get(120, TimeUnit.SECONDS), ap.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      outs.collect { case Left(e) => e }.foreach(e =>
+        assert(e.isInstanceOf[java.util.ConcurrentModificationException], e.toString))
+      if (outs.forall(_.isRight)) {
+        val p1 = TxStore.read(spark, t).filter($"bucket" === "p1")
+          .select("id").as[Long].collect().toSet
+        val replaced = (100L until 104L).toSet
+        assert(p1 === replaced || p1 === replaced ++ (200L until 206L),
+          s"p1 must be the batch alone (append first) or batch+late (append after): $p1")
+      }
+      assert(TxStore.read(spark, t).filter($"bucket" =!= "p1").count() === 20,
+        "other partitions never involved")
+    }
+  }
+
   test("racing flat vs partitioned appends on an empty table never mix layouts") {
     // the establishment race: both writers snapshot an EMPTY table, so
     // both see partitioning Nil — if the flat append wins version 1
