@@ -908,6 +908,44 @@ object StorageQueries {
       Some(eventsSql(" WHERE event_type = 'click' AND event_id <= 500")),
       bench = true),
 
+    // ── S44 — SIZE-AWARE SMALL-FILE COMPACTION (Delta's bin-packing
+    //    OPTIMIZE): a streaming-style trickle lands 8 per-batch files
+    //    beside one properly-sized file; ONE compact commit bin-packs
+    //    only the sub-floor files into ~target-sized outputs and the
+    //    big file is untouched BYTES (where `compact` would rewrite
+    //    the whole table — the re-layout tool, not the nightly
+    //    maintenance job every streaming-ingested 100 TB table runs).
+    //    IO is proportional to the SMALL-file volume only; the
+    //    REQUIREs pin candidate selection (only the trickle files
+    //    removed), survivor identity (the big file stays live), and
+    //    the bin math (8 trickle files → 1 packed file); the readback
+    //    oracle pins the rewrite as pure physical.
+    QueryDef(
+      "s44_tx_small_file_compact",
+      (s, d) => {
+        val store = freshStore(s, "s44-smallfiles", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0).repartition(1), store) // v1: big
+        for (w <- 0 until 8) // 8 small odd-id batches (streaming trickle)
+          TxStore.append(
+            ev.filter(col("event_id") % 16 === 2 * w + 1).repartition(1), store)
+        val files0 = TxStore.snapshot(s, store).files
+        require(files0.size == 9, s"fixture: 1 big + 8 small, got ${files0.size}")
+        val big = files0.maxBy(fl => new java.io.File(s"$store/data/$fl").length)
+        val bigLen = new java.io.File(s"$store/data/$big").length
+        TxStore.compactSmallFiles(s, store,
+          targetBytes = bigLen * 4, minBytes = bigLen) // v10
+        val c = TxStore.history(s, store).last
+        require(c.op == "compact" && !c.remove.contains(big) && c.remove.size == 8,
+          s"only the 8 trickle files may rewrite; removed ${c.remove.size}")
+        val after = TxStore.snapshot(s, store).files
+        require(after.contains(big) && after.size == 2,
+          s"big file untouched + one packed file, got ${after.size}")
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql("")),
+      bench = true),
+
     // ── S29 — MULTI-PART CHECKPOINT: the restated per-file stats and
     //    deletion vectors shard into sidecar files (2 files per shard
     //    here, so an 8-file table crosses several shard boundaries) and

@@ -1597,6 +1597,105 @@ object TxStore {
     committed.map(_.version)
   }
 
+  /** Size-aware small-file compaction — Delta's bin-packing OPTIMIZE:
+    * only files under `minBytes` are candidates, they bin-pack
+    * first-fit-decreasing into ~`targetBytes` output files PER
+    * PARTITION DIRECTORY, and every file at or above the floor is
+    * untouched bytes ([[compact]] by contrast rewrites the whole
+    * table to a fixed count — the re-layout tool, not the maintenance
+    * tool). This is the nightly job every streaming-ingested 100 TB
+    * table runs: thousands of per-batch files fold into unit-sized
+    * ones, IO proportional to the SMALL-file volume only.
+    *
+    * `where` scopes to partitions matching a deterministic
+    * partition-only predicate (same rule as [[compactZOrder]]);
+    * directories with fewer than two candidate files are skipped
+    * (rewriting one file into one file buys nothing). Bin assignment
+    * is driver-side over file metadata (file-count scale); rows route
+    * to their bin via a broadcast map on the probe `__file` leaf, so
+    * the data plane is one scoped read + one keyed exchange on the
+    * bin id. Deletion vectors on rewritten files materialize (their
+    * marks die with the removed files, like compact). Aborts as a
+    * no-op if a concurrent commit removed an input or marked one
+    * (same contract as compact). Returns None when nothing qualifies. */
+  def compactSmallFiles(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20,
+      minBytes: Long = 64L << 20,
+      where: Option[Column] = None): Option[Long] = {
+    require(targetBytes > 0 && minBytes > 0 && minBytes <= targetBytes,
+      s"need 0 < minBytes <= targetBytes, got min=$minBytes target=$targetBytes")
+    val base = snapshot(spark, path)
+    if (base.files.isEmpty) return None
+    val scoped = where match {
+      case None => base.files
+      case Some(p) =>
+        val matched = partitionDirsMatching(spark, base, p).getOrElse(
+          throw new IllegalArgumentException(
+            s"compactSmallFiles WHERE at $path must be a deterministic predicate over " +
+              s"partition column(s) ${base.partitioning.mkString(", ")} exclusively"))
+        base.files.filter(fl => matched(dirOf(fl)))
+    }
+    if (scoped.isEmpty) return None
+    val f = fs(spark, path)
+    // one recursive listing: relative name -> size (file-count scale)
+    val dataDir = new Path(s"$path/$DataDir")
+    val dataQ = f.makeQualified(dataDir).toString
+    val sizes = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      val it = f.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        m += st.getPath.toString.substring(dataQ.length + 1) -> st.getLen
+      }
+      m
+    }
+    def dirKey(fl: String) = if (fl.indexOf('/') < 0) "" else dirOf(fl)
+    val candidates = scoped
+      .filter(fl => sizes.get(fl).exists(_ < minBytes))
+      .groupBy(dirKey)
+      .filter(_._2.size >= 2) // a lone small file gains nothing
+    if (candidates.isEmpty) return None
+    // first-fit-decreasing bin-pack per directory; bin ids globally unique
+    var nextBin = 0
+    val assignment: Map[String, Int] = candidates.flatMap { case (_, fls) =>
+      val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)] // (id, used)
+      fls.sortBy(fl => -sizes(fl)).map { fl =>
+        val sz = sizes(fl)
+        bins.indexWhere(_._2 + sz <= targetBytes) match {
+          case -1 =>
+            val id = nextBin; nextBin += 1
+            bins += ((id, sz)); fl -> id
+          case i =>
+            val (id, used) = bins(i); bins(i) = (id, used + sz); fl -> id
+        }
+      }
+    }
+    val inputs = assignment.keys.toSeq
+    val leafBin = {
+      import spark.implicits._
+      assignment.map { case (fl, b) =>
+        (fl.substring(fl.lastIndexOf('/') + 1), b)
+      }.toSeq.toDF("__file", "__bin")
+    }
+    val routed = readFiles(spark, path, inputs, base.schema, base.dv, withFile = true,
+        dvp = base.dvp, mapping = base.mapping)
+      .join(org.apache.spark.sql.functions.broadcast(leafBin), "__file")
+      .repartition(math.max(nextBin, 1), col("__bin"))
+      .drop("__file", "__bin")
+    val (staged, sStats) =
+      stage(toPhysical(routed, base.mapping), path, partitionBy = base.partitioning)
+    val committed = commitLoop(spark, path, "compact") { snap =>
+      if (!inputs.forall(snap.files.contains)) None
+      else if (dvDrifted(base, snap, inputs)) None
+      else Some(CommitSpec(staged, inputs, snap.schema.map(encodeSchema), sStats))
+    }
+    if (committed.isEmpty)
+      staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+    committed.map(_.version)
+  }
+
   /** OPTIMIZE ZORDER — transactionally rewrite the current file set
     * CLUSTERED on the Morton curve over `zCols`
     * ([[Compaction.zOrderKey]]), so the commit log's per-file stats

@@ -1934,6 +1934,56 @@ class TxStoreSpec extends SparkSpec {
       where = Some($"bucket" === "zzz")).isEmpty)
   }
 
+  test("compactSmallFiles bin-packs only sub-floor files, per partition, big files untouched") {
+    val t = tmpDir()
+    // p0/p1/p2, each landed as several small per-batch files
+    for (w <- 0 until 4)
+      TxStore.append(prows(30, from = w * 30), t, partitionBy = Seq("bucket"))
+    val snap0 = TxStore.snapshot(spark, t)
+    val sizes = snap0.files.map(f =>
+      f -> new java.io.File(s"$t/data/$f").length).toMap
+    val floor = sizes.values.max + 1 // everything is "small"
+    val v = TxStore.compactSmallFiles(spark, t, targetBytes = floor * 16,
+      minBytes = floor)
+    assert(v.isDefined)
+    val c = TxStore.history(spark, t).last
+    assert(c.op == "compact" && c.remove.toSet === snap0.files.toSet)
+    val after = TxStore.snapshot(spark, t)
+    // everything fits one bin per partition directory → 3 files
+    assert(after.files.size === 3, s"one packed file per partition: ${after.files}")
+    assert(after.files.forall(_.matches("bucket=p[0-2]/.*\\.parquet")))
+    assert(TxStore.read(spark, t).as[(Long, String, String)].collect().toSet ===
+      (0 until 120).map(i => (i.toLong, s"v$i", s"p${i % 3}")).toSet,
+      "pure physical rewrite")
+    // a second pass with a floor below the packed sizes touches nothing
+    assert(TxStore.compactSmallFiles(spark, t, targetBytes = 1L << 20, minBytes = 1L)
+      .isEmpty, "files at/above the floor are not candidates")
+
+    // mixed sizes: only the small files rewrite; the big file survives
+    val t2 = tmpDir()
+    TxStore.append(rows(4000).repartition(1), t2) // one big file
+    TxStore.append(rows(3, from = 9000).repartition(1), t2)
+    TxStore.append(rows(3, from = 9100).repartition(1), t2)
+    val files2 = TxStore.snapshot(spark, t2).files
+    val big = files2.maxBy(f => new java.io.File(s"$t2/data/$f").length)
+    val bigLen = new java.io.File(s"$t2/data/$big").length
+    assert(TxStore.compactSmallFiles(spark, t2, targetBytes = bigLen,
+      minBytes = bigLen / 2).isDefined)
+    val after2 = TxStore.snapshot(spark, t2).files
+    assert(after2.contains(big), "the big file must be untouched")
+    assert(after2.size === 2, s"two small files pack into one: $after2")
+    assert(TxStore.read(spark, t2).count() === 4006)
+    // a deletion vector on a rewritten small file materializes
+    val t3 = tmpDir()
+    TxStore.append(rows(10).repartition(1), t3)
+    TxStore.append(rows(10, from = 100).repartition(1), t3)
+    TxStore.deleteVectored(spark, t3, $"id" === 105L)
+    assert(TxStore.compactSmallFiles(spark, t3, targetBytes = 1L << 20,
+      minBytes = 1L << 20).isDefined)
+    assert(TxStore.snapshot(spark, t3).dv.isEmpty, "marks die with the removed files")
+    assert(TxStore.read(spark, t3).count() === 19)
+  }
+
   test("replaceWhere racing an append into the matching partition serializes") {
     // write-serializable either way: the appended rows are REPLACED if
     // the append serialized first (overwrite semantics — matching dirs
