@@ -69,13 +69,20 @@ object SqlDml {
 
       case UpdateTable(table, assignments, cond) =>
         val (view, alias, path) = target("UPDATE", table, tx)
-        val set: Map[String, Column] = assignments.map { a =>
+        val pairs = assignments.map { a =>
           val name = a.key match {
             case u: UnresolvedAttribute => stripQualifier(u, view, alias).nameParts.mkString(".")
             case other => refuse(s"unsupported UPDATE SET target ${other.sql}")
           }
           name -> ColumnBridge.column(unqualify(a.value, view, alias))
-        }.toMap
+        }
+        // duplicate SET targets are an ANSI error — .toMap would
+        // silently keep only the last assignment
+        val dup = pairs.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+          .collect { case (n, vs) if vs.size > 1 => n }
+        if (dup.nonEmpty)
+          refuse(s"duplicate UPDATE SET target(s): ${dup.mkString(", ")}")
+        val set: Map[String, Column] = pairs.toMap
         val pred = cond.map(c => ColumnBridge.column(unqualify(c, view, alias)))
           .getOrElse(lit(true))
         Some(Result("update", view, path, TxStore.update(spark, path, pred, set)))
@@ -139,6 +146,18 @@ object SqlDml {
         val raw = ColumnBridge.dataFrame(spark, i.query)
         val snap = TxStore.snapshot(spark, path)
         val schemaOpt = TxStore.logicalSchema(snap)
+        // a PARTITION clause may name PARTITION columns only — a data
+        // column there would silently clobber that column with the
+        // constant for every inserted row (Spark/Delta refuse too)
+        if (i.partitionSpec.nonEmpty) {
+          val parts = TxStore.tablePartitioning(spark, path)
+          val bad = i.partitionSpec.keys.filterNot(k =>
+            parts.exists(_.equalsIgnoreCase(k)))
+          if (bad.nonEmpty)
+            refuse(s"PARTITION clause names non-partition column(s) " +
+              s"${bad.mkString(", ")} — table '$view' is partitioned by " +
+              (if (parts.isEmpty) "nothing" else parts.mkString(", ")))
+        }
         val static = i.partitionSpec.toSeq.collect { case (k, Some(v)) => k -> v }
         val dynamicCols = i.partitionSpec.toSeq.collect { case (k, None) => k }
         val df = schemaOpt match {
@@ -169,11 +188,18 @@ object SqlDml {
             if (static.nonEmpty) refuse("static PARTITION values on a table with no schema yet")
             raw
         }
-        val version =
-          if (!i.overwrite) TxStore.append(df, path)
+        val version: Option[Long] =
+          if (!i.overwrite) Some(TxStore.append(df, path))
           else if (i.partitionSpec.isEmpty)
             // full INSERT OVERWRITE replaces the table, keeping its layout
-            TxStore.overwrite(df, path, partitionBy = TxStore.tablePartitioning(spark, path))
+            Some(TxStore.overwrite(df, path,
+              partitionBy = TxStore.tablePartitioning(spark, path)))
+          else if (dynamicCols.nonEmpty && df.isEmpty)
+            // dynamic partition overwrite of an EMPTY batch addresses no
+            // region at all — a no-op, like Spark's own dynamic mode
+            // (replaceWhere would otherwise see a columnless lit(false)
+            // predicate and refuse with a misleading message)
+            None
           else {
             // PARTITION (p='x'[, q]) overwrite = replaceWhere over the
             // addressed region: static values pin their column; a
@@ -194,9 +220,9 @@ object SqlDml {
               if (vals.isEmpty) lit(false)
               else org.apache.spark.sql.functions.col(f.name).isin(vals.toIndexedSeq: _*)
             }
-            TxStore.replaceWhere(df, path, (staticPreds ++ dynPreds).reduce(_ && _))
+            Some(TxStore.replaceWhere(df, path, (staticPreds ++ dynPreds).reduce(_ && _)))
           }
-        Some(Result("insert", view, path, Some(version)))
+        Some(Result("insert", view, path, version))
 
       case _ => None
     }

@@ -1597,6 +1597,22 @@ object TxStore {
     committed.map(_.version)
   }
 
+  /** The live files a maintenance op's WHERE scopes to: all of them
+    * when None, else exactly the partitions matching a deterministic
+    * partition-only predicate, refusing anything else — shared by
+    * [[compactZOrder]] and [[compactSmallFiles]] so the scoping rule
+    * and its refusal cannot drift apart. */
+  private def scopedFiles(spark: SparkSession, path: String, base: Snapshot,
+      where: Option[Column], op: String): Seq[String] = where match {
+    case None => base.files
+    case Some(p) =>
+      val matched = partitionDirsMatching(spark, base, p).getOrElse(
+        throw new IllegalArgumentException(
+          s"$op WHERE at $path must be a deterministic predicate over " +
+            s"partition column(s) ${base.partitioning.mkString(", ")} exclusively"))
+      base.files.filter(fl => matched(dirOf(fl)))
+  }
+
   /** Size-aware small-file compaction — Delta's bin-packing OPTIMIZE:
     * only files under `minBytes` are candidates, they bin-pack
     * first-fit-decreasing into ~`targetBytes` output files PER
@@ -1628,15 +1644,7 @@ object TxStore {
       s"need 0 < minBytes <= targetBytes, got min=$minBytes target=$targetBytes")
     val base = snapshot(spark, path)
     if (base.files.isEmpty) return None
-    val scoped = where match {
-      case None => base.files
-      case Some(p) =>
-        val matched = partitionDirsMatching(spark, base, p).getOrElse(
-          throw new IllegalArgumentException(
-            s"compactSmallFiles WHERE at $path must be a deterministic predicate over " +
-              s"partition column(s) ${base.partitioning.mkString(", ")} exclusively"))
-        base.files.filter(fl => matched(dirOf(fl)))
-    }
+    val scoped = scopedFiles(spark, path, base, where, "compactSmallFiles")
     if (scoped.isEmpty) return None
     val f = fs(spark, path)
     // one recursive listing: relative name -> size (file-count scale)
@@ -1657,33 +1665,46 @@ object TxStore {
       .groupBy(dirKey)
       .filter(_._2.size >= 2) // a lone small file gains nothing
     if (candidates.isEmpty) return None
-    // first-fit-decreasing bin-pack per directory; bin ids globally unique
-    var nextBin = 0
-    val assignment: Map[String, Int] = candidates.flatMap { case (_, fls) =>
-      val bins = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)] // (id, used)
-      fls.sortBy(fl => -sizes(fl)).map { fl =>
+    // first-fit-decreasing bin-pack per directory (bins as file lists)
+    val perDir: Seq[Seq[Seq[String]]] = candidates.values.toSeq.map { fls =>
+      val bins = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, scala.collection.mutable.ArrayBuffer[String])]
+      fls.sortBy(fl => -sizes(fl)).foreach { fl =>
         val sz = sizes(fl)
-        bins.indexWhere(_._2 + sz <= targetBytes) match {
-          case -1 =>
-            val id = nextBin; nextBin += 1
-            bins += ((id, sz)); fl -> id
-          case i =>
-            val (id, used) = bins(i); bins(i) = (id, used + sz); fl -> id
+        bins.indexWhere(_._1 + sz <= targetBytes) match {
+          case -1 => bins += ((sz, scala.collection.mutable.ArrayBuffer(fl)))
+          case i => val (used, b) = bins(i); b += fl; bins(i) = (used + sz, b)
         }
       }
+      bins.map(_._2.toSeq).toSeq
     }
-    val inputs = assignment.keys.toSeq
+    // Global bin ids INTERLEAVED round-robin across directories, routed
+    // by repartitionByRange: range tasks hold CONTIGUOUS id intervals,
+    // so a sampling-induced boundary merge joins ADJACENT ids — from
+    // DIFFERENT directories whenever several dirs pack — and the hive
+    // writer splits those back into per-dir files. Same-dir bins sit
+    // ~numDirs apart and cannot silently merge into one oversized file
+    // (hash routing could collide ANY two ids of one dir).
+    val maxBins = perDir.map(_.size).max
+    val ordered: Seq[Seq[String]] =
+      (0 until maxBins).flatMap(i => perDir.flatMap(_.lift(i)))
+    val assignment: Seq[(String, Int)] = ordered.zipWithIndex
+      .flatMap { case (fls, id) => fls.map(_ -> id) }
+    val inputs = assignment.map(_._1)
     val leafBin = {
       import spark.implicits._
-      assignment.map { case (fl, b) =>
-        (fl.substring(fl.lastIndexOf('/') + 1), b)
-      }.toSeq.toDF("__file", "__bin")
+      assignment.map { case (fl, b) => (leafOf(fl), b) }.toDF("__file", "__bin")
     }
-    val routed = readFiles(spark, path, inputs, base.schema, base.dv, withFile = true,
-        dvp = base.dvp, mapping = base.mapping)
+    val pre = readFiles(spark, path, inputs, base.schema, base.dv, withFile = true,
+      dvp = base.dvp, mapping = base.mapping)
+    require(!pre.columns.contains("__bin"),
+      "table must not carry the reserved __bin column")
+    val routed = pre
       .join(org.apache.spark.sql.functions.broadcast(leafBin), "__file")
-      .repartition(math.max(nextBin, 1), col("__bin"))
-      .drop("__file", "__bin")
+      .repartitionByRange(ordered.size, col("__bin"))
+      // __row rides in from the withFile probe and must not reach the
+      // staged parquet (a phantom high-cardinality physical column)
+      .drop("__file", "__row", "__bin")
     val (staged, sStats) =
       stage(toPhysical(routed, base.mapping), path, partitionBy = base.partitioning)
     val committed = commitLoop(spark, path, "compact") { snap =>
@@ -1723,15 +1744,7 @@ object TxStore {
     // must be partition-only + deterministic, same rule as the
     // partition-delete fast path — a data-column WHERE cannot scope a
     // file rewrite.
-    val inputs = where match {
-      case None => base.files
-      case Some(p) =>
-        val matched = partitionDirsMatching(spark, base, p).getOrElse(
-          throw new IllegalArgumentException(
-            s"compactZOrder WHERE at $path must be a deterministic predicate over " +
-              s"partition column(s) ${base.partitioning.mkString(", ")} exclusively"))
-        base.files.filter(f => matched(dirOf(f)))
-    }
+    val inputs = scopedFiles(spark, path, base, where, "compactZOrder")
     if (inputs.isEmpty) return None
     val df = readFiles(spark, path, inputs, base.schema, base.dv, dvp = base.dvp,
       mapping = base.mapping)
@@ -2006,10 +2019,11 @@ object TxStore {
               else old.exceptAll(readFiles(spark, path, c.add, readSchema, mapping = curMap))
             Seq(tagged(gone, "delete", c.version))
           }
-        // replace-where derives like merge: removed partitions' rows
-        // delete, staged rows insert, identical rows cancel (a row the
-        // restatement re-landed unchanged is not a change)
-        case "merge" | "replace-where" =>
+        // replace-where and update derive like merge: removed files'
+        // rows delete, staged rows insert, identical rows cancel (an
+        // update wave's untouched rows in a rewritten file, or a
+        // restatement re-landing a row unchanged, are not changes)
+        case "merge" | "replace-where" | "update" =>
           val old = if (c.remove.isEmpty) None else Some(effective(before, c.remove))
           val neu =
             if (c.add.isEmpty) None else Some(readFiles(spark, path, c.add, readSchema, mapping = curMap))
@@ -2024,6 +2038,12 @@ object TxStore {
             if (c.add.isEmpty) Nil
             else Seq(tagged(readFiles(spark, path, c.add, readSchema, mapping = curMap), "insert", c.version))
           dels ++ ins
+        // a clone's creating commit restates the source snapshot into a
+        // fresh table: its adds are inserts, read through the commit's
+        // own restated DV marks
+        case "clone" =>
+          if (c.add.isEmpty) Nil
+          else Seq(tagged(effective(after, c.add), "insert", c.version))
         case "restore" =>
           val b = if (before.files.isEmpty) None else Some(effective(before, before.files))
           val a = if (after.files.isEmpty) None else Some(effective(after, after.files))
@@ -2201,6 +2221,13 @@ object TxStore {
     val pre = snapshot(spark, path)
     require(pre.partitioning.nonEmpty,
       s"replaceWhere at $path: table is not partitioned — use overwrite to (re-)layout")
+    // persisted: the batch is evaluated by the outside-region check AND
+    // the stage write (and by constraint re-checks under drift) — a
+    // daily-restatement-sized frame must compute once, and a
+    // nondeterministic source must not pass the check with one set of
+    // rows and stage another
+    df.persist()
+    try {
     // fail the predicate-shape check BEFORE staging: partition-only +
     // deterministic, same rule as the partition-delete fast path
     if (partitionDirsMatching(spark, pre, predicate).isEmpty)
@@ -2264,11 +2291,12 @@ object TxStore {
               mapping = mp))
         }
       }.get.version
-    catch {
-      case e: Throwable =>
-        files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
-        throw e
-    }
+      catch {
+        case e: Throwable =>
+          files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+          throw e
+      }
+    } finally df.unpersist(): Unit
   }
 
   def delete(spark: SparkSession, path: String, predicate: Column): Option[Long] = {

@@ -214,6 +214,21 @@ class CliSpec extends SparkSpec {
     // arity mismatch refuses before anything commits
     val ex = intercept[IllegalArgumentException](run("INSERT INTO instbl VALUES (1)"))
     assert(ex.getMessage.contains("expects"))
+    // a PARTITION clause naming a DATA column refuses — it would
+    // silently clobber that column with the constant
+    val ex2 = intercept[IllegalArgumentException](
+      run("INSERT INTO instbl PARTITION (payload='z') VALUES (103, 'p1')"))
+    assert(ex2.getMessage.contains("non-partition column"))
+    // dynamic partition overwrite of an empty batch is a no-op
+    val before = graft.sources.TxStore.history(spark, table).size
+    run("INSERT OVERWRITE instbl PARTITION (bucket) " +
+      "SELECT id, payload, bucket FROM instbl WHERE id < 0")
+    assert(graft.sources.TxStore.history(spark, table).size === before,
+      "empty dynamic overwrite must not commit")
+    // duplicate UPDATE SET targets refuse
+    val ex3 = intercept[IllegalArgumentException](
+      run("UPDATE instbl SET payload = 'a', payload = 'b'"))
+    assert(ex3.getMessage.contains("duplicate"))
   }
 
   test("sql step: --tx name=path@vN registers a read-only time-travel view") {

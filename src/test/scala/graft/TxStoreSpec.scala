@@ -1955,6 +1955,11 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.read(spark, t).as[(Long, String, String)].collect().toSet ===
       (0 until 120).map(i => (i.toLong, s"v$i", s"p${i % 3}")).toSet,
       "pure physical rewrite")
+    // …pure at the BYTE level too: the withFile routing's __file/__row
+    // probe columns must not leak into the staged parquet
+    val rawCols = spark.read.parquet(s"$t/data/${after.files.head}").columns.toSet
+    assert(rawCols === Set("id", "payload"),
+      s"packed files must carry exactly the data columns, got $rawCols")
     // a second pass with a floor below the packed sizes touches nothing
     assert(TxStore.compactSmallFiles(spark, t, targetBytes = 1L << 20, minBytes = 1L)
       .isEmpty, "files at/above the floor are not candidates")
@@ -2080,6 +2085,29 @@ class TxStoreSpec extends SparkSpec {
     assert(v2.isDefined)
     val p1left = TxStore.read(spark, t).filter($"bucket" === "p1").count()
     assert(p1left > 0 && p1left < 300, s"SQL-text coin: $p1left of 300 remain")
+  }
+
+  test("CDC derives update and clone commits — no op is a CDC dead end") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t) // v1
+    TxStore.update(spark, t, $"id" >= 8L,
+      Map("payload" -> concat(lit("u"), $"id"))) // v2: rewrites one file
+    val (v, df) = TxStore.readChangesSince(spark, t, 1L)
+    assert(v === 2L)
+    // only the two touched rows change — untouched rows in the
+    // rewritten file cancel via exceptAll
+    val ch = df.select("id", "payload", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(ch === Set((8L, "v8", "delete"), (9L, "v9", "delete"),
+      (8L, "u8", "insert"), (9L, "u9", "insert")), ch.toString)
+    // a cloned table's creating commit derives as inserts, DV marks applied
+    TxStore.deleteVectored(spark, t, $"id" === 3L) // v3
+    val dest = tmpDir() + "/clone"
+    TxStore.cloneTable(spark, t, dest)
+    val (cv, cdf) = TxStore.readChangesSince(spark, dest, 0L)
+    assert(cv === 1L)
+    assert(cdf.filter($"_change_type" === "insert").count() === 9,
+      "clone CDC reads through the restated deletion vectors")
   }
 
   test("CDC spans a bloom stats commit — annotation-only, no change rows") {
