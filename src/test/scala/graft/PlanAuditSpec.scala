@@ -202,9 +202,15 @@ class PlanAuditSpec extends SparkSpec {
                                       // agg shared with the orientation
                                       // (trianglesCanonical seam) + the
                                       // corner agg
-      "s40_tx_partition_pruning" -> 0) // pruned readback is scan + projection;
+      "s40_tx_partition_pruning" -> 0, // pruned readback is scan + projection;
                                       // the appends/checkpoint run before the
                                       // audited frame exists
+      // round-13 additions — all three audited frames are transactional
+      // READBACKS (the write ops run eagerly while the lane builds):
+      // scan + projection, zero exchanges, same class as s40
+      "s42_tx_replace_where" -> 0,
+      "s43_tx_partitioned_optimize" -> 0,
+      "s44_tx_small_file_compact" -> 0)
     val measured = bounds.toSeq.sortBy(_._1).map { case (name, maxShuffles) =>
       val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
       df.collect() // finalize the AQE plan
