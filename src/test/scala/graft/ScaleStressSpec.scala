@@ -119,4 +119,43 @@ class ScaleStressSpec extends SparkSpec {
     val n = TxStore.readWhere(spark, t, col("eid") < N / 32).count()
     assert(n === N / 32, s"pruned read exact under the new name: $n")
   }
+
+  test("small-file compaction at 300 files / 3 partitions bin-packs in one commit") {
+    // the s44 shape at realistic FILE counts: the bin-packer and the
+    // leaf→bin broadcast route are file-count-scale driver work; 300
+    // trickle files across 3 hive partitions must fold into the
+    // per-partition bin math in ONE commit, with per-dir output counts
+    // matching ceil(dirSmallBytes / targetBytes) under interleaved
+    // range routing (no hash-collision merges, no per-bin jobs)
+    import graft.sources.TxStore
+    val t = java.nio.file.Files.createTempDirectory("graft-scale-smallfiles").toString
+    import spark.implicits._
+    // 100 batches × 3 partitions × 20 rows — 300 tiny files
+    val rows = (0 until 6000).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
+      .toDF("id", "payload", "bucket")
+    for (w <- 0 until 100)
+      TxStore.append(rows.filter($"id" % 100 === w).coalesce(1), t,
+        partitionBy = Seq("bucket"))
+    val before = TxStore.snapshot(spark, t)
+    assert(before.files.size === 300, s"fixture: ${before.files.size} files")
+    val maxLen = before.files.map(f => new java.io.File(s"$t/data/$f").length).max
+    // target fits ~10 trickle files per bin → ~10 bins per partition
+    val v = TxStore.compactSmallFiles(spark, t,
+      targetBytes = maxLen * 10, minBytes = maxLen + 1)
+    assert(v.isDefined)
+    val c = TxStore.history(spark, t).last
+    assert(c.op == "compact" && c.remove.size === 300, "one commit folds all 300")
+    val after = TxStore.snapshot(spark, t)
+    val perDir = after.files.groupBy(f => f.substring(0, f.indexOf('/')))
+      .view.mapValues(_.size).toMap
+    assert(perDir.keySet === Set("bucket=p0", "bucket=p1", "bucket=p2"))
+    // 100 files/dir at ≤10 per bin → ≥10 bins; interleaved range
+    // routing must not have merged same-dir bins into oversized files
+    perDir.values.foreach(nf => assert(nf >= 10 && nf <= 14, s"per-dir files: $perDir"))
+    after.files.foreach { f =>
+      val len = new java.io.File(s"$t/data/$f").length
+      assert(len <= maxLen * 13, s"no oversized merge: $f is $len bytes")
+    }
+    assert(TxStore.read(spark, t).count() === 6000, "pure physical rewrite")
+  }
 }
