@@ -231,6 +231,37 @@ class CliSpec extends SparkSpec {
     assert(ex3.getMessage.contains("duplicate"))
   }
 
+  test("sql step: MERGE USING a subquery; DELETE without WHERE empties the table") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/subqtbl"
+    val ev = Tables.events(spark, sf("sf0.001"))
+    graft.sources.TxStore.append(ev.filter(col("event_id") % 4 === 0), table)
+    // USING (subquery) — the source is planned through Catalyst like
+    // any query; the whole fixture catalog is in scope
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> tmp(),
+      "tx" -> s"evtx=$table",
+      "sql" -> ("MERGE INTO evtx t USING " +
+        "(SELECT event_id, ts, user_id, event_type, -value AS value, props " +
+        " FROM events WHERE event_id % 2 = 0) s " +
+        "ON t.event_id = s.event_id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")))
+    val got = graft.sources.TxStore.read(spark, table)
+    // all %2==0 fixture rows are now present with negated value
+    assert(got.count() === ev.filter(col("event_id") % 2 === 0).count())
+    assert(got.filter(col("value") > 0).count() === 0, "every merged row negated")
+    // DELETE with no WHERE: SQL semantics = all rows
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> tmp(),
+      "tx" -> s"evtx=$table", "sql" -> "DELETE FROM evtx"))
+    assert(graft.sources.TxStore.read(spark, table).count() === 0)
+    // …and the table is still appendable (schema intact in the log)
+    graft.sources.TxStore.append(ev.limit(5), table)
+    assert(graft.sources.TxStore.read(spark, table).count() === 5)
+  }
+
   test("sql step: --tx name=path@vN registers a read-only time-travel view") {
     import org.apache.spark.sql.functions.col
     val dir = tmp()
