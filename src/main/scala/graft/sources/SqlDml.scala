@@ -77,8 +77,14 @@ object SqlDml {
           name -> ColumnBridge.column(unqualify(a.value, view, alias))
         }
         // duplicate SET targets are an ANSI error — .toMap would
-        // silently keep only the last assignment
-        val dup = pairs.groupBy(_._1.toLowerCase(java.util.Locale.ROOT))
+        // silently keep only the last assignment. Duplication follows
+        // the SESSION's case rule: under spark.sql.caseSensitive=true,
+        // columns differing only by case are distinct targets.
+        val caseSensitive =
+          spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+        val dup = pairs
+          .groupBy(p => if (caseSensitive) p._1
+                        else p._1.toLowerCase(java.util.Locale.ROOT))
           .collect { case (n, vs) if vs.size > 1 => n }
         if (dup.nonEmpty)
           refuse(s"duplicate UPDATE SET target(s): ${dup.mkString(", ")}")
@@ -194,33 +200,41 @@ object SqlDml {
             // full INSERT OVERWRITE replaces the table, keeping its layout
             Some(TxStore.overwrite(df, path,
               partitionBy = TxStore.tablePartitioning(spark, path)))
-          else if (dynamicCols.nonEmpty && df.isEmpty)
-            // dynamic partition overwrite of an EMPTY batch addresses no
-            // region at all — a no-op, like Spark's own dynamic mode
-            // (replaceWhere would otherwise see a columnless lit(false)
-            // predicate and refuse with a misleading message)
-            None
           else {
             // PARTITION (p='x'[, q]) overwrite = replaceWhere over the
             // addressed region: static values pin their column; a
-            // dynamic column's region is the batch's own distinct
+            // dynamic column's region is the batch's OWN distinct
             // values (partition-count bounded collect) — Spark's
-            // dynamic partition overwrite semantics
+            // dynamic partition overwrite semantics. The batch is
+            // CACHED across the emptiness probe, the region collects
+            // and replaceWhere's own passes (which reuse this cache):
+            // a nondeterministic source must not compute the replaced
+            // region from different rows than it stages.
             val schema = schemaOpt.getOrElse(refuse("INSERT OVERWRITE PARTITION on a schemaless table"))
             def field(k: String) = schema.fields.find(_.name.equalsIgnoreCase(k))
               .getOrElse(refuse(s"PARTITION column '$k' is not in table '$view'"))
-            val staticPreds = static.map { case (k, v) =>
-              val f = field(k)
-              org.apache.spark.sql.functions.col(f.name) === lit(v).cast(f.dataType)
-            }
-            val dynPreds = dynamicCols.map { k =>
-              val f = field(k)
-              val vals = df.select(org.apache.spark.sql.functions.col(f.name))
-                .distinct().collect().map(_.get(0))
-              if (vals.isEmpty) lit(false)
-              else org.apache.spark.sql.functions.col(f.name).isin(vals.toIndexedSeq: _*)
-            }
-            Some(TxStore.replaceWhere(df, path, (staticPreds ++ dynPreds).reduce(_ && _)))
+            df.persist()
+            try {
+              if (dynamicCols.nonEmpty && df.isEmpty)
+                // an empty dynamic batch addresses no region — a no-op,
+                // like Spark's own dynamic mode (replaceWhere would see
+                // a columnless lit(false) predicate and refuse with a
+                // misleading message)
+                None
+              else {
+                val staticPreds = static.map { case (k, v) =>
+                  val f = field(k)
+                  org.apache.spark.sql.functions.col(f.name) === lit(v).cast(f.dataType)
+                }
+                val dynPreds = dynamicCols.map { k =>
+                  val f = field(k)
+                  val vals = df.select(org.apache.spark.sql.functions.col(f.name))
+                    .distinct().collect().map(_.get(0))
+                  org.apache.spark.sql.functions.col(f.name).isin(vals.toIndexedSeq: _*)
+                }
+                Some(TxStore.replaceWhere(df, path, (staticPreds ++ dynPreds).reduce(_ && _)))
+              }
+            } finally df.unpersist(): Unit
           }
         Some(Result("insert", view, path, version))
 

@@ -1678,16 +1678,7 @@ object TxStore {
       }
       bins.map(_._2.toSeq).toSeq
     }
-    // Global bin ids INTERLEAVED round-robin across directories, routed
-    // by repartitionByRange: range tasks hold CONTIGUOUS id intervals,
-    // so a sampling-induced boundary merge joins ADJACENT ids — from
-    // DIFFERENT directories whenever several dirs pack — and the hive
-    // writer splits those back into per-dir files. Same-dir bins sit
-    // ~numDirs apart and cannot silently merge into one oversized file
-    // (hash routing could collide ANY two ids of one dir).
-    val maxBins = perDir.map(_.size).max
-    val ordered: Seq[Seq[String]] =
-      (0 until maxBins).flatMap(i => perDir.flatMap(_.lift(i)))
+    val ordered: Seq[Seq[String]] = perDir.flatten
     val assignment: Seq[(String, Int)] = ordered.zipWithIndex
       .flatMap { case (fls, id) => fls.map(_ -> id) }
     val inputs = assignment.map(_._1)
@@ -1699,12 +1690,32 @@ object TxStore {
       dvp = base.dvp, mapping = base.mapping)
     require(!pre.columns.contains("__bin"),
       "table must not carry the reserved __bin column")
-    val routed = pre
+    // Rows route to bins through an EXACT integer partitioner on the
+    // RDD: partition i IS bin i — no hash collisions (which could
+    // merge two same-dir bins into one oversized file) and no range
+    // sampling (whose boundary merges have the same failure mode AND
+    // whose sketch job re-reads every candidate file, doubling the IO
+    // of an op whose point is IO-proportional-to-small-files). The
+    // RDD hop costs codegen on a pure IO-bound rewrite — the one
+    // place imperative partitioning is the honest tool.
+    // __file/__row ride in from the withFile probe and must not reach
+    // the staged parquet (phantom physical columns).
+    val joined = pre
       .join(org.apache.spark.sql.functions.broadcast(leafBin), "__file")
-      .repartitionByRange(ordered.size, col("__bin"))
-      // __row rides in from the withFile probe and must not reach the
-      // staged parquet (a phantom high-cardinality physical column)
-      .drop("__file", "__row", "__bin")
+      .drop("__file", "__row")
+    val binIdx = joined.columns.indexOf("__bin")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      joined.schema.fields.filterNot(_.name == "__bin"))
+    val nBins = ordered.size
+    val routedRdd = joined.rdd
+      .map(r => (r.getInt(binIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = nBins
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+      .map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(binIdx, Nil, 1)))
+    val routed = spark.createDataFrame(routedRdd, outSchema)
     val (staged, sStats) =
       stage(toPhysical(routed, base.mapping), path, partitionBy = base.partitioning)
     val committed = commitLoop(spark, path, "compact") { snap =>
@@ -2225,8 +2236,10 @@ object TxStore {
     // the stage write (and by constraint re-checks under drift) — a
     // daily-restatement-sized frame must compute once, and a
     // nondeterministic source must not pass the check with one set of
-    // rows and stage another
-    df.persist()
+    // rows and stage another. Only persist what THIS call persists: an
+    // already-cached caller frame must not be evicted on the way out.
+    val ownPersist = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownPersist) df.persist(): Unit
     try {
     // fail the predicate-shape check BEFORE staging: partition-only +
     // deterministic, same rule as the partition-delete fast path
@@ -2296,7 +2309,7 @@ object TxStore {
           files.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
           throw e
       }
-    } finally df.unpersist(): Unit
+    } finally { if (ownPersist) df.unpersist(): Unit }
   }
 
   def delete(spark: SparkSession, path: String, predicate: Column): Option[Long] = {
