@@ -157,10 +157,16 @@ object Main {
             val i = pair.indexOf('=')
             require(i > 0, s"--tx expects name=path pairs, got '$pair'")
             val (name, spec) = (pair.substring(0, i), pair.substring(i + 1))
+            // the @vN suffix is a time-travel spec only when the PREFIX
+            // is a real table — a literal path whose last component
+            // happens to end in '@v2' must register as itself (trailing
+            // '/' is the documented escape: 'path@v2/' strips to the
+            // literal path)
             spec.split("@v", 2) match {
-              case Array(p, v) if v.nonEmpty && v.forall(_.isDigit) =>
+              case Array(p, v) if v.nonEmpty && v.forall(_.isDigit) &&
+                  graft.sources.TxStore.isTable(spark, p) =>
                 (name, p, Some(v.toLong))
-              case _ => (name, spec, None)
+              case _ => (name, spec.stripSuffix("/"), None)
             }
           }
         txAll.foreach { case (name, path, version) =>

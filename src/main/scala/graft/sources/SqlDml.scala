@@ -100,11 +100,24 @@ object SqlDml {
         val srcAlias = aliasOf(m.sourceTable)
         val source = ColumnBridge.dataFrame(spark, m.sourceTable)
         // ON must be same-name target=source equalities — TxStore
-        // merges are keyed; anything else has no keyed translation
+        // merges are keyed; anything else has no keyed translation.
+        // When BOTH sides are qualified, one must name the target and
+        // the other the source: 'ON t.k = t.k' (a typo) would otherwise
+        // silently execute as the keyed join on k.
+        val tgtQuals = Set(view.toLowerCase) ++ alias.map(_.toLowerCase)
+        val srcQuals = srcAlias.map(_.toLowerCase).toSet
         val keys = conjuncts(m.mergeCondition).map {
-          case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          case eq @ org.apache.spark.sql.catalyst.expressions.EqualTo(
               l: UnresolvedAttribute, r: UnresolvedAttribute)
               if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) =>
+            (qualifier(l), qualifier(r)) match {
+              case (Some(a), Some(b))
+                  if !((tgtQuals(a) && srcQuals(b)) || (tgtQuals(b) && srcQuals(a))) =>
+                refuse(s"MERGE ON term '${eq.sql}' must equate a TARGET column " +
+                  s"with a SOURCE column (target: ${tgtQuals.mkString("/")}, " +
+                  s"source: ${if (srcQuals.isEmpty) "<unaliased subquery>" else srcQuals.mkString("/")})")
+              case _ => () // an unqualified side: same-name equality suffices
+            }
             l.nameParts.last
           case other =>
             refuse(s"unsupported MERGE ON term '${other.sql}' — " +
@@ -138,10 +151,15 @@ object SqlDml {
             refuse(s"unsupported WHEN NOT MATCHED action '$other' — " +
               "INSERT * (full-row keyed merge)")
         }
+        // mergeConditional returns the PRE-merge version unchanged when
+        // the USING source is empty (no commit written) — map that to
+        // None so the CLI never prints 'committed vN' for a no-op,
+        // consistent with delete/update
+        val pre = TxStore.snapshot(spark, path).version
         val v = TxStore.mergeConditional(spark, path, source, keys,
           matchedUpdate = matchedUpdate, matchedDelete = matchedDelete,
           notMatchedInsert = notMatchedInsert)
-        Some(Result("merge", view, path, Some(v)))
+        Some(Result("merge", view, path, if (v == pre) None else Some(v)))
 
       case i: InsertIntoStatement =>
         val (view, _, path) = target("INSERT", i.table, tx)
@@ -270,6 +288,10 @@ object SqlDml {
     case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
     case _ => None
   }
+
+  /** The (lowercased) qualifier of an attribute, None when bare. */
+  private def qualifier(u: UnresolvedAttribute): Option[String] =
+    if (u.nameParts.length >= 2) Some(u.nameParts.head.toLowerCase) else None
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)

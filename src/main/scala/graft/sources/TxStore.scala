@@ -1063,6 +1063,14 @@ object TxStore {
       partcols.map(decodePartitioning).getOrElse(Nil))
   }
 
+  /** Whether `path` holds a transactional table — its commit log exists
+    * with at least one commit. The disambiguator for path-shaped CLI
+    * inputs (a literal directory whose last component happens to end in
+    * `@v<digits>` is NOT a time-travel spec unless the prefix is a real
+    * table). */
+  def isTable(spark: SparkSession, path: String): Boolean =
+    allCommits(fs(spark, path), path).nonEmpty
+
   /** Current snapshot (version 0 = empty table, no log yet). */
   def snapshot(spark: SparkSession, path: String): Snapshot = {
     val f = fs(spark, path)
@@ -2160,24 +2168,6 @@ object TxStore {
     // through non-determinism — rand() — which per-file evaluation would
     // silently change; the general path keeps exact semantics there)
     if (attrs.isEmpty || !attrs.forall(partLc)) return None
-    // …and a MIXED predicate (partition attrs AND a nondeterministic
-    // term, e.g. p === 1 && rand() < 0.5) must fall through too: here
-    // the coin would flip once per partition DIRECTORY, deleting or
-    // keeping whole partitions where the copy-on-write path flips it
-    // per row. Built Columns carry the resolved node (Rand.deterministic
-    // = false); SQL-parsed text carries UnresolvedFunction, whose
-    // default deterministic is TRUE — so also bail on any unresolved
-    // function with a known nondeterministic name.
-    val nondetNames = Set("rand", "randn", "random", "uuid", "shuffle",
-      "rand_str", "monotonically_increasing_id", "spark_partition_id",
-      "input_file_name", "now", "current_timestamp", "current_date",
-      "uniform", "randstr")
-    val unresolvedNondet = expr.exists {
-      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
-        nondetNames(lc(f.nameParts.last))
-      case _ => false
-    }
-    if (!expr.deterministic || unresolvedNondet) return None
     val logicalNames = base.partitioning.map(p => logicalOf(lc(p)))
     val types = logicalSchema(base).get.fields
       .map(f => lc(f.name) -> f.dataType).toMap
@@ -2201,8 +2191,26 @@ object TxStore {
         spark.sparkContext.parallelize(rows, 1), schema)
       .select(col("__dir") +: logicalNames.map(n =>
         col(n).cast(types(lc(n))).as(n)): _*)
-    Some(typed.filter(predicate <=> lit(true))
-      .select("__dir").collect().map(_.getString(0)).toSet)
+    val filtered = typed.filter(predicate <=> lit(true))
+    // A MIXED predicate (partition attrs AND a nondeterministic term,
+    // e.g. p === 1 && rand() < 0.5) must fall through too: here the
+    // coin would flip once per partition DIRECTORY, deleting or keeping
+    // whole partitions where the copy-on-write path flips it per row.
+    // Nondeterminism is judged on the RESOLVED condition — the analyzer
+    // attaches each function's own deterministic flag — never a name
+    // blocklist: SQL-parsed text arrives as UnresolvedFunction (whose
+    // default deterministic is TRUE), and a UDF registered
+    // .asNondeterministic() has no name any list could know. A
+    // predicate this metadata frame cannot resolve at all falls through
+    // to the per-row path, which surfaces the same analysis error on
+    // the data itself.
+    val resolvedCond =
+      try filtered.queryExecution.analyzed.collectFirst {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
+      }
+      catch { case _: org.apache.spark.sql.AnalysisException => return None }
+    if (!resolvedCond.forall(_.deterministic)) return None
+    Some(filtered.select("__dir").collect().map(_.getString(0)).toSet)
   }
 
   /** Dynamic partition overwrite — Delta's `replaceWhere` idiom: ONE

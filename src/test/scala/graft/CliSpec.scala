@@ -287,6 +287,53 @@ class CliSpec extends SparkSpec {
     assert(ex.getMessage.contains("read-only"))
   }
 
+  test("sql step hardening: no-op MERGE reports no commit; ON typo refuses; literal @vN paths") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/hardtbl"
+    val ev = Tables.events(spark, sf("sf0.001"))
+    graft.sources.TxStore.append(ev.limit(20), table) // v1
+    // an EMPTY USING source: mergeConditional returns the pre-merge
+    // version without committing — the Result must carry None, not
+    // 'committed v1' (ADVICE r13)
+    ev.filter(col("event_id") < 0).createOrReplaceTempView("emptywave")
+    val r = graft.sources.SqlDml.maybeExecute(spark,
+      "MERGE INTO hard t USING emptywave s ON t.event_id = s.event_id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      Map("hard" -> table)).get
+    assert(r.version.isEmpty, s"no-op merge must report no commit, got ${r.version}")
+    assert(graft.sources.TxStore.snapshot(spark, table).version === 1L)
+    // 'ON t.k = t.k' — both sides qualify the TARGET (a typo): refuses
+    // instead of silently running the keyed join on k (ADVICE r13)
+    ev.limit(5).createOrReplaceTempView("wave5")
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.SqlDml.maybeExecute(spark,
+        "MERGE INTO hard t USING wave5 s ON t.event_id = t.event_id " +
+          "WHEN MATCHED THEN UPDATE SET *",
+        Map("hard" -> table))
+    }
+    assert(ex.getMessage.contains("TARGET column"), ex.getMessage)
+    // a literal table path whose last component ends in '@v<digits>' is
+    // NOT a time-travel spec when the prefix isn't a table (ADVICE r13)
+    val weird = s"$dir/weird@v2"
+    graft.sources.TxStore.append(ev.limit(7), weird)
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "tx" -> s"w=$weird", "sql" -> "SELECT COUNT(*) AS n FROM w"))
+    assert(spark.read.parquet(s"$out/sql_result").head.getLong(0) === 7L)
+    // …and when the prefix IS a table, a trailing '/' escapes to the literal
+    val amb = s"$dir/amb"
+    graft.sources.TxStore.append(ev.limit(3), amb) // a real table at the prefix
+    graft.sources.TxStore.append(ev.limit(9), s"$amb@v1") // and a literal '@v1' sibling
+    val out2 = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out2,
+      "tx" -> s"a=$amb@v1/", "sql" -> "SELECT COUNT(*) AS n FROM a"))
+    assert(spark.read.parquet(s"$out2/sql_result").head.getLong(0) === 9L,
+      "trailing slash must escape the time-travel interpretation")
+  }
+
   test("sql step: inline --sql over a fixture view; missing statement refuses") {
     val out = tmp()
     Main.run(spark, Map(

@@ -180,14 +180,12 @@ class GraphSpec extends SparkSpec {
     val count =
       try {
         GraphOps.clusteringCoefficient(edges) // eager: localCheckpoints inside
-        // listener delivery is async — poll until the counter is stable
-        var prev = -1
-        var cur = shuffleStages.get
-        var spins = 0
-        while (cur != prev && spins < 50) {
-          Thread.sleep(100); prev = cur; cur = shuffleStages.get; spins += 1
-        }
-        cur
+        // listener delivery is async — drain the bus deterministically
+        // (polling until the counter "looks stable" flaked on slow
+        // runners)
+        org.apache.spark.graft.ListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        shuffleStages.get
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(count <= 4,
       s"clusteringCoefficient executed $count shuffle-writing stages — " +

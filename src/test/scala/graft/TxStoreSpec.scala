@@ -2085,6 +2085,17 @@ class TxStoreSpec extends SparkSpec {
     assert(v2.isDefined)
     val p1left = TxStore.read(spark, t).filter($"bucket" === "p1").count()
     assert(p1left > 0 && p1left < 300, s"SQL-text coin: $p1left of 300 remain")
+    // a UDF registered .asNondeterministic() has no name a blocklist
+    // could know — the RESOLVED condition's deterministic flag is the
+    // only sound detector (ADVICE r13). The coin is per-ROW here too.
+    val coin = new java.util.Random(99)
+    spark.udf.register("flip99",
+      org.apache.spark.sql.functions.udf(() => coin.nextDouble()).asNondeterministic())
+    val v3 = TxStore.delete(spark, t, expr("bucket = 'p2' AND flip99() < 0.5"))
+    assert(v3.isDefined)
+    val p2left = TxStore.read(spark, t).filter($"bucket" === "p2").count()
+    assert(p2left > 0 && p2left < 300,
+      s"nondeterministic UDF must take the per-row path: $p2left of 300 remain")
   }
 
   test("CDC derives update and clone commits — no op is a CDC dead end") {
