@@ -570,6 +570,62 @@ object StorageQueries {
              |       AND NOT (event_id % 5 = 0 AND event_type = 'purchase'))
              |   OR (event_id % 10 = 0 AND user_id % 2 = 0)""".stripMargin)),
 
+    // ── S46 — GENERAL MERGE CLAUSES (the full ANSI/Delta surface over
+    //    TxStore.mergeClauses): five ORDERED clauses in one statement —
+    //    a column-assignment UPDATE that mixes OLD-row and source
+    //    expressions, an unconditional DELETE catching the rest of the
+    //    matched rows (clause ORDER is the dispatch rule), a
+    //    column-list INSERT, and both NOT MATCHED BY SOURCE actions
+    //    (the sync idiom: refresh stale target rows, drop ones the
+    //    source disavows). Same modular fixture structure as s34, so
+    //    every clause fires at every SF; the oracle derives each path
+    //    from the arithmetic (%10 = 0 ⊂ %5 = 0 ⇒ matched = %5 rows of
+    //    the %10≠0 table; unmatched-by-source = %5≠0). ×2 and sign
+    //    flips are IEEE-exact — the hash holds cross-engine.
+    QueryDef(
+      "s46_tx_merge_clauses",
+      (s, d) => {
+        import TxStore.MergeClause._
+        val store = freshStore(s, "s46-mergeclauses", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 10 =!= 0), store) // v1
+        val wave = ev.filter(col("event_id") % 5 === 0)
+          .withColumn("value", -col("value"))
+        TxStore.mergeClauses(s, store, wave, keys = Seq("event_id"), Seq(
+          // matched clicks: doubled source value + a tag from the OLD row
+          MatchedUpdate(Some(col("t.event_type") === "click"), Some(Map(
+            "value" -> (col("s.value") * 2),
+            "event_type" -> concat(lit("u:"), col("t.event_type"))))),
+          // every other matched row: delete (order gives click precedence)
+          MatchedDelete(None),
+          // even-user unmatched source rows insert via a column list
+          NotMatchedInsert(Some(col("s.user_id") % 2 === 0), Some(Map(
+            "event_id" -> col("s.event_id"), "ts" -> col("s.ts"),
+            "user_id" -> col("s.user_id"), "event_type" -> lit("ins"),
+            "value" -> col("s.value"), "props" -> col("s.props")))),
+          // target rows the source no longer carries: views go stale,
+          // purchases drop, the rest keep their bytes
+          NotMatchedBySourceUpdate(Some(col("t.event_type") === "view"),
+            Map("event_type" -> lit("stale"))),
+          NotMatchedBySourceDelete(Some(col("t.event_type") === "purchase")))) // v2
+        eventsCols(TxStore.read(s, store))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id,
+             |       CASE WHEN event_id % 5 = 0 THEN 'u:' || event_type
+             |            WHEN event_type = 'view' THEN 'stale'
+             |            ELSE event_type END AS event_type,
+             |       CASE WHEN event_id % 5 = 0 THEN -2 * value ELSE value END AS value,
+             |       props
+             |FROM events
+             |WHERE event_id % 10 <> 0
+             |  AND (event_id % 5 <> 0 OR event_type = 'click')
+             |  AND (event_id % 5 = 0 OR event_type <> 'purchase')
+             |UNION ALL
+             |SELECT event_id, epoch_us(ts) AS ts_us, user_id, 'ins' AS event_type,
+             |       -value AS value, props
+             |FROM events
+             |WHERE event_id % 10 = 0 AND user_id % 2 = 0""".stripMargin)),
+
     // ── S18 — schema evolution through the commit log. The first wave
     //    lands WITHOUT `props`; the second wave adds it, evolving the
     //    table schema additively. The read must surface the evolved

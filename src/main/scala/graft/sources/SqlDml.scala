@@ -35,13 +35,14 @@ import org.apache.spark.sql.{Column, SparkSession}
   *   - `DELETE FROM v [WHERE …]`
   *   - `UPDATE v SET c = expr[, …] [WHERE …]`
   *   - `MERGE INTO v [AS t] USING src|(subquery) [AS s] ON t.k = s.k [AND …]
-  *      [WHEN MATCHED [AND c] THEN UPDATE SET *]
+  *      [WHEN MATCHED [AND c] THEN UPDATE SET * | SET col = expr[, …]]
   *      [WHEN MATCHED [AND c] THEN DELETE]
-  *      [WHEN NOT MATCHED [AND c] THEN INSERT *]`
+  *      [WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (…)]
+  *      [WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE]`
   *     — the ON clause must be a conjunction of same-name target=source
-  *     equalities (TxStore merges are keyed, full-row: SET * / INSERT *;
-  *     column-list assignment clauses and NOT MATCHED BY SOURCE are not
-  *     translatable to the keyed upsert and refuse with the reason).
+  *     equalities (TxStore merges are keyed); clauses dispatch in
+  *     statement order per group ([[TxStore.mergeClauses]]); BY SOURCE
+  *     clauses see the target row only.
   */
 object SqlDml {
 
@@ -95,8 +96,6 @@ object SqlDml {
 
       case m: MergeIntoTable =>
         val (view, alias, path) = target("MERGE", m.targetTable, tx)
-        if (m.notMatchedBySourceActions.nonEmpty)
-          refuse("MERGE … WHEN NOT MATCHED BY SOURCE is not supported on tx views")
         val srcAlias = aliasOf(m.sourceTable)
         val source = ColumnBridge.dataFrame(spark, m.sourceTable)
         // ON must be same-name target=source equalities — TxStore
@@ -123,42 +122,78 @@ object SqlDml {
             refuse(s"unsupported MERGE ON term '${other.sql}' — " +
               "a conjunction of t.key = s.key equalities is required")
         }
-        // clause conditions speak the statement's aliases; TxStore's
-        // conditional merge joins target as `t` and source as `s`
-        def cl(c: Option[Expression]): Column =
+        // clause conditions/assignments speak the statement's aliases;
+        // TxStore's merge joins target as `t` and source as `s`
+        def cl(c: Option[Expression]): Option[Column] =
           c.map(e => ColumnBridge.column(requalify(e,
-              targetAs = (view, alias), sourceAs = srcAlias)))
-            .getOrElse(lit(true))
-        var matchedUpdate: Option[Column] = None
-        var matchedDelete: Option[Column] = None
-        var notMatchedInsert: Option[Column] = None
-        m.matchedActions.foreach {
-          case UpdateStarAction(c) =>
-            if (matchedUpdate.nonEmpty) refuse("multiple WHEN MATCHED … UPDATE clauses")
-            matchedUpdate = Some(cl(c))
-          case DeleteAction(c) =>
-            if (matchedDelete.nonEmpty) refuse("multiple WHEN MATCHED … DELETE clauses")
-            matchedDelete = Some(cl(c))
-          case other =>
-            refuse(s"unsupported WHEN MATCHED action '$other' — " +
-              "UPDATE SET * or DELETE (full-row keyed merge)")
+            targetAs = (view, alias), sourceAs = srcAlias)))
+        // a BY SOURCE clause has no source row — any source reference
+        // in it is an error, not a silent NULL
+        def noSourceRefs(e: Expression, where: String): Expression = {
+          val bad = e.collect {
+            case u: UnresolvedAttribute
+                if qualifier(u).exists(q => srcAlias.exists(_.equalsIgnoreCase(q))) => u
+          }
+          if (bad.nonEmpty)
+            refuse(s"$where references source column(s) ${bad.map(_.sql).mkString(", ")} — " +
+              "NOT MATCHED BY SOURCE clauses see the target row only")
+          e
         }
-        m.notMatchedActions.foreach {
-          case InsertStarAction(c) =>
-            if (notMatchedInsert.nonEmpty) refuse("multiple WHEN NOT MATCHED clauses")
-            notMatchedInsert = Some(cl(c))
-          case other =>
-            refuse(s"unsupported WHEN NOT MATCHED action '$other' — " +
-              "INSERT * (full-row keyed merge)")
+        // one SET/VALUES list → (bare target column name → value Column),
+        // duplicate targets refused under the session's case rule
+        def assignMap(as: Seq[Assignment], what: String): Map[String, Column] = {
+          val pairs = as.map { a =>
+            val name = a.key match {
+              case u: UnresolvedAttribute =>
+                stripQualifier(u, view, alias).nameParts.mkString(".")
+              case other => refuse(s"unsupported $what target ${other.sql}")
+            }
+            name -> a.value
+          }
+          val caseSensitive =
+            spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+          val dup = pairs
+            .groupBy(p => if (caseSensitive) p._1
+                          else p._1.toLowerCase(java.util.Locale.ROOT))
+            .collect { case (n, vs) if vs.size > 1 => n }
+          if (dup.nonEmpty) refuse(s"duplicate $what target(s): ${dup.mkString(", ")}")
+          pairs.map { case (n, e) =>
+            n -> ColumnBridge.column(requalify(e,
+              targetAs = (view, alias), sourceAs = srcAlias))
+          }.toMap
         }
-        // mergeConditional returns the PRE-merge version unchanged when
-        // the USING source is empty (no commit written) — map that to
-        // None so the CLI never prints 'committed vN' for a no-op,
-        // consistent with delete/update
+        import TxStore.MergeClause._
+        // statement order is preserved per group — the engine dispatches
+        // each row to the FIRST clause of its group whose condition passes
+        val clauses: Seq[TxStore.MergeClause] =
+          m.matchedActions.map {
+            case UpdateStarAction(c) => MatchedUpdate(cl(c), None)
+            case UpdateAction(c, as, false) =>
+              MatchedUpdate(cl(c), Some(assignMap(as, "UPDATE SET")))
+            case DeleteAction(c) => MatchedDelete(cl(c))
+            case other => refuse(s"unsupported WHEN MATCHED action '$other'")
+          } ++ m.notMatchedActions.map {
+            case InsertStarAction(c) => NotMatchedInsert(cl(c), None)
+            case InsertAction(c, as) =>
+              NotMatchedInsert(cl(c), Some(assignMap(as, "INSERT")))
+            case other => refuse(s"unsupported WHEN NOT MATCHED action '$other'")
+          } ++ m.notMatchedBySourceActions.map {
+            case DeleteAction(c) =>
+              NotMatchedBySourceDelete(
+                cl(c.map(noSourceRefs(_, "NOT MATCHED BY SOURCE condition"))))
+            case UpdateAction(c, as, false) =>
+              as.foreach(a => noSourceRefs(a.value, "NOT MATCHED BY SOURCE assignment"))
+              NotMatchedBySourceUpdate(
+                cl(c.map(noSourceRefs(_, "NOT MATCHED BY SOURCE condition"))),
+                assignMap(as, "UPDATE SET"))
+            case other => refuse(s"unsupported WHEN NOT MATCHED BY SOURCE action '$other'")
+          }
+        // mergeClauses returns the PRE-merge version unchanged when the
+        // statement is a no-op (empty USING source, no BY SOURCE clause)
+        // — map that to None so the CLI never prints 'committed vN' for
+        // a no-op, consistent with delete/update
         val pre = TxStore.snapshot(spark, path).version
-        val v = TxStore.mergeConditional(spark, path, source, keys,
-          matchedUpdate = matchedUpdate, matchedDelete = matchedDelete,
-          notMatchedInsert = notMatchedInsert)
+        val v = TxStore.mergeClauses(spark, path, source, keys, clauses)
         Some(Result("merge", view, path, if (v == pre) None else Some(v)))
 
       case i: InsertIntoStatement =>

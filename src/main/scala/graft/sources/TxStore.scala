@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, bit_or, call_function, coalesce, col, count, count_distinct, explode, lit, not, pmod, struct, xxhash64}
+import org.apache.spark.sql.functions.{array, bit_or, call_function, coalesce, col, count, count_distinct, explode, lit, not, pmod, struct, when, xxhash64}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -2755,32 +2755,311 @@ object TxStore {
     }
   }
 
-  /** CONDITIONAL keyed MERGE — the full three-clause MERGE surface
-    * (Delta/ANSI `WHEN MATCHED AND c THEN UPDATE`, `WHEN MATCHED AND c
-    * THEN DELETE`, `WHEN NOT MATCHED AND c THEN INSERT`) re-derived on
-    * the commit log; [[merge]] is the unconditional-update special
-    * case. Conditions are Columns over TWO ALIASES: `t` is the current
-    * table row, `s` the update row — e.g. `col("s.ts") > col("t.ts")`
-    * is the "only update if newer" CDC guard. A NULL condition value
-    * counts as false (SQL WHERE semantics).
+  // ── general MERGE (ordered WHEN clauses) ───────────────────────────
+
+  /** One WHEN clause of a general ANSI/Delta MERGE — the argument shape
+    * of [[mergeClauses]]. Conditions are Columns over two aliases: `t`
+    * is the current table row, `s` the source row (BY SOURCE clauses
+    * see `t` only — there is no source row by definition). A None
+    * condition is unconditional; a NULL condition value counts as
+    * false (SQL WHERE semantics). Assignment maps give per-column SET
+    * lists; `set = None` / `values = None` are the full-row `SET *` /
+    * `INSERT *` forms (the source must then carry every table column,
+    * and may ADD columns — additive schema evolution, like [[merge]]).
+    * All assignments of a clause evaluate against the OLD row in one
+    * projection (the [[update]] discipline): `SET a = b, b = a` swaps. */
+  sealed trait MergeClause
+  object MergeClause {
+    /** WHEN MATCHED [AND cond] THEN UPDATE SET … (None ⇒ SET *). */
+    final case class MatchedUpdate(
+        cond: Option[Column], set: Option[Map[String, Column]]) extends MergeClause
+    /** WHEN MATCHED [AND cond] THEN DELETE. */
+    final case class MatchedDelete(cond: Option[Column]) extends MergeClause
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES … (None ⇒
+      * INSERT *); unassigned columns insert NULL. */
+    final case class NotMatchedInsert(
+        cond: Option[Column], values: Option[Map[String, Column]]) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET … — the
+      * sync idiom's "refresh stale target rows" half. */
+    final case class NotMatchedBySourceUpdate(
+        cond: Option[Column], set: Map[String, Column]) extends MergeClause
+    /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE — "drop target
+      * rows the source no longer carries". */
+    final case class NotMatchedBySourceDelete(cond: Option[Column]) extends MergeClause
+  }
+
+  /** General keyed MERGE over ORDERED WHEN clauses — the full ANSI/Delta
+    * surface: per row, the clauses of its group (matched / not matched /
+    * not matched BY SOURCE) are tried in the order given and the FIRST
+    * clause whose condition passes acts; no clause ⇒ the row is kept
+    * (target) or ignored (source). Source rows must be unique per key
+    * ([[merge]]'s contract); every matched target row evaluates
+    * independently against its single source row.
     *
-    * Per matched target row the precedence is: `matchedDelete` first,
-    * then `matchedUpdate`, else the row is KEPT unchanged — and every
-    * matched target row evaluates independently (a multi-row key
-    * updates row by row against its single source row; source rows
-    * must be unique per key, same as [[merge]]). Unmatched source rows
-    * insert iff `notMatchedInsert` passes; unmatched target rows are
-    * untouched (their files are not even rewritten).
+    * Copy-on-write + SERIALIZABLE, like [[mergeConditional]]: a
+    * semi-join probe finds the files holding any matching key; BY
+    * SOURCE clauses additionally pull in every file their conditions
+    * cannot be REFUTED on from the log's stats (the [[readWhere]]
+    * pruning walk — an unconditional BY SOURCE clause rewrites the full
+    * live set, a selective one only its candidate files; target rows in
+    * skipped files provably satisfy no BY SOURCE condition and keep
+    * their bytes). Only hit files rewrite; any commit landing after the
+    * decided snapshot conflicts.
     *
-    * Same copy-on-write + SERIALIZABLE shape as [[merge]]: a semi-join
-    * probe finds files holding any matching key; only those files
-    * rewrite (kept + conditionally-updated rows + inserts union into
-    * the staged output); any commit landing after the decided snapshot
-    * conflicts. The anti-join for inserts runs against the HIT-file
-    * content only — sufficient, because by construction every current
-    * row sharing a key with `updates` lives in a hit file. Additive
-    * schema evolution works like [[merge]] (kept rows read new
-    * columns as NULL). */
+    * An EMPTY source with no BY SOURCE clause touches nothing and
+    * returns the current version without committing; with BY SOURCE
+    * clauses every target row is unmatched and the merge proceeds
+    * (ANSI semantics — `MERGE … USING empty` still applies NOT MATCHED
+    * BY SOURCE actions). */
+  def mergeClauses(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      clauses: Seq[MergeClause],
+      collectStats: Boolean = true,
+      txn: Option[String] = None): Long = {
+    import MergeClause._
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(clauses.nonEmpty, "merge needs at least one WHEN clause")
+    require(!updates.columns.contains("__m"), "updates must not carry the reserved __m column")
+    require(!updates.columns.contains("__act"), "updates must not carry the reserved __act column")
+    val matchedCl: Seq[MergeClause] = clauses.filter {
+      case _: MatchedUpdate | _: MatchedDelete => true
+      case _ => false
+    }
+    val insertCl: Seq[NotMatchedInsert] = clauses.collect { case c: NotMatchedInsert => c }
+    val bySourceCl: Seq[MergeClause] = clauses.filter {
+      case _: NotMatchedBySourceUpdate | _: NotMatchedBySourceDelete => true
+      case _ => false
+    }
+    // a full-row clause (SET * / INSERT *) requires full column
+    // coverage and is the only shape that can EVOLVE the schema; a
+    // purely column-scoped merge leaves the schema alone
+    val fullRow = clauses.exists {
+      case MatchedUpdate(_, None) => true
+      case NotMatchedInsert(_, None) => true
+      case _ => false
+    }
+    val base = snapshot(spark, path)
+    require(base.schema.nonEmpty || fullRow,
+      "column-scoped merge into a schemaless (empty) table — the first write " +
+        "must establish the schema (append, or a SET */INSERT * merge)")
+    val caseSensitive = sessionCaseSensitive(spark)
+    def sameName(a: String, b: String): Boolean =
+      if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+    // the target's LOGICAL fields (assignment targets + insert shapes +
+    // cast types); an empty table's schema is the source's (fullRow)
+    val tgtFields: org.apache.spark.sql.types.StructType =
+      logicalSchema(base).getOrElse(updates.schema)
+    require(!tgtFields.fieldNames.contains("__act"),
+      "the table must not carry the reserved __act column")
+    def fieldOf(n: String) = tgtFields.fields.find(f => sameName(f.name, n))
+    val assigned: Seq[String] = clauses.flatMap {
+      case MatchedUpdate(_, Some(s)) => s.keys
+      case NotMatchedBySourceUpdate(_, s) => s.keys
+      case NotMatchedInsert(_, Some(v)) => v.keys
+      case _ => Nil
+    }
+    val unknownAssigns = assigned.filter(fieldOf(_).isEmpty).distinct
+    require(unknownAssigns.isEmpty,
+      s"merge assigns unknown column(s): ${unknownAssigns.mkString(", ")} " +
+        s"(table columns: ${tgtFields.fieldNames.mkString(", ")})")
+    def findAssign(m: Map[String, Column], n: String): Option[Column] =
+      m.collectFirst { case (k, v) if sameName(k, n) => v }
+    updates.persist()
+    try {
+      val counts = updates
+        .agg(count(lit(1)).as("n"), count_distinct(struct(keys.map(col): _*)).as("k"))
+        .head()
+      val nUpdates = counts.getLong(0)
+      if (nUpdates == 0 && bySourceCl.isEmpty) return base.version
+      require(
+        nUpdates == 0 || counts.getLong(1) == nUpdates,
+        s"updates must be unique per key (${keys.mkString(", ")}) — ambiguous winners")
+      if (fullRow)
+        logicalSchema(base).foreach { t =>
+          val missing = t.fieldNames.filterNot(updates.columns.contains)
+          require(
+            missing.isEmpty,
+            s"updates must carry every table column (a SET * / INSERT * clause is " +
+              s"present); missing: ${missing.mkString(", ")}")
+        }
+      // logical-level evolution under column mapping — see mergeBody
+      val (evolvedOpt, m2) =
+        if (!fullRow) (base.schema, base.mapping)
+        else if (base.mapping.isEmpty)
+          (Some(evolve(base.schema, updates.schema, caseSensitive)), base.mapping)
+        else {
+          val (e, m) = evolveMapped(base, updates.schema, caseSensitive)
+          (Some(e), m)
+        }
+      val distinctKeys = updates.select(keys.map(col): _*).distinct()
+      val keyHit: Seq[String] =
+        if (base.files.isEmpty || nUpdates == 0) Nil
+        else
+          readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
+            dvp = base.dvp, mapping = base.mapping)
+            .join(distinctKeys, keys, "left_semi")
+            .select("__file").distinct().collect()
+            .map(r => byLeaf(base.files)(r.getString(0))).toSeq
+      // BY SOURCE clauses govern target rows with NO key match — every
+      // file that might hold a row satisfying any such condition must
+      // rewrite. Candidates prune on the log's stats exactly like
+      // readWhere; a file the walk refutes provably keeps its bytes.
+      val bySourceHit: Seq[String] =
+        if (bySourceCl.isEmpty || base.files.isEmpty) Nil
+        else {
+          val conds = bySourceCl.map {
+            case NotMatchedBySourceUpdate(c, _) => c
+            case NotMatchedBySourceDelete(c) => c
+            case _ => None
+          }
+          if (conds.exists(_.isEmpty)) base.files
+          else {
+            val pred = org.apache.spark.sql.graft.ColumnBridge
+              .expression(conds.flatten.reduce(_ || _))
+            val phys = physByLogical(base)
+            val pranges = partitionRanges(base)
+            base.files.filter(f =>
+              mayMatch(pred, pranges(f), phys) &&
+                base.stats.get(f).forall(rs => mayMatch(pred, rs, phys)))
+          }
+        }
+      val hit = (keyHit ++ bySourceHit).distinct
+      val srcCols = updates.columns.toSeq
+      val src = updates.withColumn("__m", lit(true)).alias("s")
+      // projection for one column-scoped UPDATE SET list: assigned
+      // columns evaluate (against the OLD row + its source row) and
+      // cast to the table type; the rest carry over
+      def setProjection(rows: DataFrame, set: Map[String, Column], cols: Seq[String]) =
+        rows.select(cols.map { n =>
+          findAssign(set, n) match {
+            case Some(v) => v.cast(fieldOf(n).get.dataType).as(n)
+            case None => col(s"t.$n")
+          }
+        }: _*)
+      // projection for one INSERT (cols) VALUES list: unassigned
+      // columns insert NULL (typed)
+      def insertProjection(rows: DataFrame, values: Map[String, Column]) =
+        rows.select(tgtFields.fields.toSeq.map { f =>
+          findAssign(values, f.name) match {
+            case Some(v) => v.cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      // unmatched-source dispatch (shared by both branches): first
+      // insert clause whose condition passes wins, in statement order
+      def insertFrames(anti: DataFrame): Seq[DataFrame] =
+        if (insertCl.isEmpty || nUpdates == 0) Nil
+        else {
+          val iact = insertCl.zipWithIndex.foldRight(lit(-1)) { case ((c, i), acc) =>
+            when(coalesce(c.cond.getOrElse(lit(true)), lit(false)), lit(i)).otherwise(acc)
+          }
+          val dispatched = anti.withColumn("__act", iact)
+          insertCl.zipWithIndex.map { case (c, i) =>
+            val rows = dispatched.filter(col("__act") === i)
+            c.values match {
+              case None => rows.select(srcCols.map(n => col(s"s.$n")): _*)
+              case Some(values) => insertProjection(rows, values)
+            }
+          }
+        }
+      val (keptRows, newValueFrames): (Option[DataFrame], Seq[DataFrame]) =
+        if (hit.isEmpty) {
+          // nothing matched anywhere and no BY SOURCE candidate: the
+          // table is untouched except inserts (every source row is
+          // unmatched — keyHit empty means no file holds a matching key)
+          (None, insertFrames(src))
+        } else {
+          val cur = readFiles(spark, path, hit, base.schema, base.dv,
+            dvp = base.dvp, mapping = base.mapping)
+          val tgtCols = cur.columns.toSeq
+          val tgt = cur.alias("t")
+          val keyEq = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+          val joined = tgt.join(src, keyEq, "left")
+          val matched = coalesce(col("__m"), lit(false))
+          // per-row dispatch: first clause of the row's group whose
+          // condition passes, in statement order; -1 ⇒ kept unchanged.
+          // Matched clauses gate on `matched`, BY SOURCE on !matched
+          // (offset 1000 keeps the two index spaces disjoint).
+          val acts: Seq[(Int, Column)] =
+            matchedCl.zipWithIndex.map { case (c, i) =>
+              val cond = c match {
+                case MatchedUpdate(cc, _) => cc.getOrElse(lit(true))
+                case MatchedDelete(cc) => cc.getOrElse(lit(true))
+                case _ => lit(false)
+              }
+              i -> (matched && coalesce(cond, lit(false)))
+            } ++ bySourceCl.zipWithIndex.map { case (c, j) =>
+              val cond = c match {
+                case NotMatchedBySourceUpdate(cc, _) => cc.getOrElse(lit(true))
+                case NotMatchedBySourceDelete(cc) => cc.getOrElse(lit(true))
+                case _ => lit(false)
+              }
+              (1000 + j) -> (!matched && coalesce(cond, lit(false)))
+            }
+          val act = acts.foldRight(lit(-1)) { case ((i, c), acc) =>
+            when(c, lit(i)).otherwise(acc)
+          }
+          val dispatched = joined.withColumn("__act", act)
+          val kept = dispatched.filter(col("__act") === -1)
+            .select(tgtCols.map(n => col(s"t.$n")): _*)
+          val updatedFrames: Seq[DataFrame] =
+            matchedCl.zipWithIndex.collect {
+              case (MatchedUpdate(_, set), i) =>
+                val rows = dispatched.filter(col("__act") === i)
+                set match {
+                  case None => rows.select(srcCols.map(n => col(s"s.$n")): _*)
+                  case Some(s0) => setProjection(rows, s0, tgtCols)
+                }
+            } ++ bySourceCl.zipWithIndex.collect {
+              case (NotMatchedBySourceUpdate(_, s0), j) =>
+                setProjection(dispatched.filter(col("__act") === (1000 + j)), s0, tgtCols)
+            }
+          // deletes: their rows simply land in no output frame.
+          // The anti-join for inserts runs against the HIT-file content
+          // only — sufficient, because by construction every current
+          // row sharing a key with `updates` lives in a keyHit file.
+          val anti = src.join(cur.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          (Some(kept), updatedFrames ++ insertFrames(anti))
+        }
+      // gate only rows that LAND with new values (kept rows are valid
+      // by the live-table invariant; guarded-away rows never materialize)
+      newValueFrames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+        .foreach(nv => enforceConstraints(nv, base.constraints, "merge", path))
+      val out = (keptRows.toSeq ++ newValueFrames)
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+        .getOrElse(updates.limit(0))
+      val (staged, mStats) =
+        stage(toPhysical(out, m2), path, collectStats, partitionBy = base.partitioning)
+      val f = fs(spark, path)
+      try
+        commitLoop(spark, path, "merge", txn) { snap =>
+          if (snap.version != base.version)
+            throw new java.util.ConcurrentModificationException(
+              s"merge at $path conflicts: table advanced from " +
+                s"v${base.version} to v${snap.version} after the probe")
+          val mp = if (m2 != base.mapping) Some(encodeMapping(m2, base.retired)) else None
+          Some(CommitSpec(staged, hit, evolvedOpt.map(encodeSchema), mStats, mapping = mp))
+        }.get.version
+      catch {
+        case e: Throwable =>
+          staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
+          throw e
+      }
+    } finally updates.unpersist(): Unit
+  }
+
+  /** CONDITIONAL keyed MERGE — the classic three-clause MERGE surface
+    * (Delta/ANSI `WHEN MATCHED AND c THEN UPDATE SET *`, `WHEN MATCHED
+    * AND c THEN DELETE`, `WHEN NOT MATCHED AND c THEN INSERT *`),
+    * expressed on [[mergeClauses]]; [[merge]] is the
+    * unconditional-update special case. Conditions are Columns over the
+    * `t`/`s` aliases (`col("s.ts") > col("t.ts")` is the "only update
+    * if newer" CDC guard); a NULL condition value counts as false.
+    * Per matched target row the precedence is `matchedDelete` first,
+    * then `matchedUpdate`, else KEPT — encoded as clause order. */
   def mergeConditional(
       spark: SparkSession,
       path: String,
@@ -2791,96 +3070,12 @@ object TxStore {
       notMatchedInsert: Option[Column] = Some(lit(true)),
       collectStats: Boolean = true,
       txn: Option[String] = None): Long = {
-    require(keys.nonEmpty, "merge needs at least one key column")
-    require(!updates.columns.contains("__m"), "updates must not carry the reserved __m column")
-    val base = snapshot(spark, path)
-    updates.persist()
-    try {
-      val counts = updates
-        .agg(count(lit(1)).as("n"), count_distinct(struct(keys.map(col): _*)).as("k"))
-        .head()
-      val nUpdates = counts.getLong(0)
-      if (nUpdates == 0) return base.version
-      require(
-        counts.getLong(1) == nUpdates,
-        s"updates must be unique per key (${keys.mkString(", ")}) — ambiguous winners")
-      logicalSchema(base).foreach { t =>
-        val missing = t.fieldNames.filterNot(updates.columns.contains)
-        require(
-          missing.isEmpty,
-          s"updates must carry every table column (full-row merge); missing: " +
-            missing.mkString(", "))
-      }
-      // logical-level evolution under column mapping — see mergeBody
-      val (evolved, m2) =
-        if (base.mapping.isEmpty)
-          (evolve(base.schema, updates.schema, sessionCaseSensitive(spark)), base.mapping)
-        else evolveMapped(base, updates.schema, sessionCaseSensitive(spark))
-      val distinctKeys = updates.select(keys.map(col): _*).distinct()
-      val hit =
-        if (base.files.isEmpty) Nil
-        else
-          readFiles(spark, path, base.files, base.schema, base.dv, withFile = true,
-            dvp = base.dvp, mapping = base.mapping)
-            .join(distinctKeys, keys, "left_semi")
-            .select("__file").distinct().collect()
-            .map(r => byLeaf(base.files)(r.getString(0))).toSeq
-      val srcCols = updates.columns.toSeq
-      val src = updates.withColumn("__m", lit(true)).alias("s")
-      val out: DataFrame =
-        if (hit.isEmpty) {
-          // nothing matched anywhere: the table is untouched except inserts
-          val ins = notMatchedInsert.fold(updates.limit(0))(c =>
-            src.filter(coalesce(c, lit(false))).select(srcCols.map(n => col(s"s.$n")): _*))
-          // only rows that actually LAND are gated (a CDC delete-marker
-          // row with null payload guarded by matchedDelete never
-          // inserts, so it must not trip the constraint)
-          enforceConstraints(ins, base.constraints, "merge", path)
-          ins
-        } else {
-          val cur = readFiles(spark, path, hit, base.schema, base.dv, dvp = base.dvp, mapping = base.mapping)
-          val tgtCols = cur.columns.toSeq
-          val tgt = cur.alias("t")
-          val keyEq = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
-          val joined = tgt.join(src, keyEq, "left")
-          val matched = coalesce(col("__m"), lit(false))
-          val doDel = matched && coalesce(matchedDelete.getOrElse(lit(false)), lit(false))
-          val doUpd = matched && coalesce(matchedUpdate.getOrElse(lit(false)), lit(false))
-          val keptRows = joined.filter(!doDel && !doUpd)
-            .select(tgtCols.map(n => col(s"t.$n")): _*)
-          val updatedRows = joined.filter(!doDel && doUpd)
-            .select(srcCols.map(n => col(s"s.$n")): _*)
-          val inserts = notMatchedInsert.fold(updates.limit(0)) { c =>
-            src.join(cur.select(keys.map(col): _*).distinct(), keys, "left_anti")
-              .filter(coalesce(c, lit(false)))
-              .select(srcCols.map(n => col(s"s.$n")): _*)
-          }
-          // gate only the rows that LAND with new values (kept rows are
-          // valid by the live-table invariant; guarded-away source rows
-          // never materialize)
-          enforceConstraints(updatedRows.unionByName(inserts), base.constraints, "merge", path)
-          keptRows
-            .unionByName(updatedRows, allowMissingColumns = true)
-            .unionByName(inserts, allowMissingColumns = true)
-        }
-      val (staged, mStats) =
-      stage(toPhysical(out, m2), path, collectStats, partitionBy = base.partitioning)
-      val f = fs(spark, path)
-      try
-        commitLoop(spark, path, "merge", txn) { snap =>
-          if (snap.version != base.version)
-            throw new java.util.ConcurrentModificationException(
-              s"conditional merge at $path conflicts: table advanced from " +
-                s"v${base.version} to v${snap.version} after the probe")
-          val mp = if (m2 != base.mapping) Some(encodeMapping(m2, base.retired)) else None
-          Some(CommitSpec(staged, hit, Some(encodeSchema(evolved)), mStats, mapping = mp))
-        }.get.version
-      catch {
-        case e: Throwable =>
-          staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
-          throw e
-      }
-    } finally updates.unpersist(): Unit
+    import MergeClause._
+    val clauses = Seq(
+      matchedDelete.map(c => MatchedDelete(Some(c))),
+      matchedUpdate.map(c => MatchedUpdate(Some(c), None)),
+      notMatchedInsert.map(c => NotMatchedInsert(Some(c), None))).flatten
+    mergeClauses(spark, path, updates, keys, clauses, collectStats, txn)
   }
 
   /** Exactly-once [[mergeConditional]] under a (writerId, batchId)

@@ -231,6 +231,60 @@ class CliSpec extends SparkSpec {
     assert(ex3.getMessage.contains("duplicate"))
   }
 
+  test("sql step: MERGE column assignments + NOT MATCHED BY SOURCE ≡ the Scala clause API") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.sources.TxStore.MergeClause._
+    val dir = tmp()
+    def seed(path: String): Unit =
+      graft.sources.TxStore.append(
+        (0L to 9L).map(i => (i, s"p$i", i.toDouble)).toDF("id", "payload", "score"), path)
+    val table = s"$dir/clausetbl"; seed(table)
+    val twin = s"$dir/clausetwin"; seed(twin)
+    (6L to 12L).map(i => (i, s"s$i", i * 10.0)).toDF("id", "payload", "score")
+      .createOrReplaceTempView("cwave")
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> tmp(),
+      "tx" -> s"ct=$table",
+      "sql" -> ("MERGE INTO ct AS t USING cwave AS s ON t.id = s.id " +
+        "WHEN MATCHED AND t.id < 8 THEN UPDATE SET payload = t.payload || '+' || s.payload, " +
+        "  score = t.score + s.score " +
+        "WHEN MATCHED THEN DELETE " +
+        "WHEN NOT MATCHED AND s.id <= 11 THEN INSERT (id, score) VALUES (s.id, s.score) " +
+        "WHEN NOT MATCHED BY SOURCE AND t.id <= 1 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE AND t.id <= 3 THEN UPDATE SET payload = 'stale'")))
+    graft.sources.TxStore.mergeClauses(spark, twin, spark.table("cwave"), Seq("id"), Seq(
+      MatchedUpdate(Some(col("t.id") < 8L), Some(Map(
+        "payload" -> concat(col("t.payload"), lit("+"), col("s.payload")),
+        "score" -> (col("t.score") + col("s.score"))))),
+      MatchedDelete(None),
+      NotMatchedInsert(Some(col("s.id") <= 11L), Some(Map(
+        "id" -> col("s.id"), "score" -> col("s.score")))),
+      NotMatchedBySourceDelete(Some(col("t.id") <= 1L)),
+      NotMatchedBySourceUpdate(Some(col("t.id") <= 3L), Map("payload" -> lit("stale")))))
+    val sq = graft.sources.TxStore.read(spark, table)
+      .as[(Long, Option[String], Double)].collect().toSet
+    val tw = graft.sources.TxStore.read(spark, twin)
+      .as[(Long, Option[String], Double)].collect().toSet
+    assert(sq === tw && sq.nonEmpty, s"SQL $sq != Scala twin $tw")
+    assert(sq.exists(_._2.isEmpty), "column-list INSERT leaves unassigned columns NULL")
+    // a BY SOURCE clause referencing the source refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> s"ct=$table",
+        "sql" -> ("MERGE INTO ct t USING cwave s ON t.id = s.id " +
+          "WHEN NOT MATCHED BY SOURCE AND s.score > 0 THEN DELETE")))
+    }
+    assert(ex.getMessage.contains("target row only"), ex.getMessage)
+    // duplicate SET targets inside a merge clause refuse
+    val ex2 = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> s"ct=$table",
+        "sql" -> ("MERGE INTO ct t USING cwave s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET payload = 'a', payload = 'b'")))
+    }
+    assert(ex2.getMessage.contains("duplicate"), ex2.getMessage)
+  }
+
   test("sql step: MERGE USING a subquery; DELETE without WHERE empties the table") {
     import org.apache.spark.sql.functions.col
     val dir = tmp()

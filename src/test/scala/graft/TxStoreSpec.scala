@@ -344,6 +344,98 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.read(spark, t).as[(Long, String)].collect().toMap.apply(4L) === "v4")
   }
 
+  test("mergeClauses: column assignments, ordered dispatch, NOT MATCHED BY SOURCE") {
+    import graft.sources.TxStore.MergeClause._
+    val t = tmpDir()
+    // target: ids 0..9 (payload p<i>, score i); source: ids 6..12
+    TxStore.append((0L to 9L).map(i => (i, s"p$i", i.toDouble))
+      .toDF("id", "payload", "score"), t)
+    val src = (6L to 12L).map(i => (i, s"s$i", i * 10.0))
+      .toDF("id", "payload", "score")
+    TxStore.mergeClauses(spark, t, src, Seq("id"), Seq(
+      // matched, id < 8: column assignments see the OLD row + its source
+      MatchedUpdate(Some(col("t.id") < 8L), Some(Map(
+        "payload" -> concat(col("t.payload"), lit("+"), col("s.payload")),
+        "score" -> (col("t.score") + col("s.score"))))),
+      // matched, rest (8, 9): delete
+      MatchedDelete(None),
+      // unmatched source, id <= 11: column insert — unassigned → NULL
+      NotMatchedInsert(Some(col("s.id") <= 11L), Some(Map(
+        "id" -> col("s.id"), "score" -> col("s.score")))),
+      // unmatched target: delete id <= 1 FIRST, then mark id <= 3 stale
+      // (clause order — id 0/1 must hit the delete, never the update)
+      NotMatchedBySourceDelete(Some(col("t.id") <= 1L)),
+      NotMatchedBySourceUpdate(Some(col("t.id") <= 3L), Map("payload" -> lit("stale")))))
+    val got = TxStore.read(spark, t).as[(Long, Option[String], Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val expect = Map(
+      2L -> ((Some("stale"), 2.0)), 3L -> ((Some("stale"), 3.0)),
+      4L -> ((Some("p4"), 4.0)), 5L -> ((Some("p5"), 5.0)),
+      6L -> ((Some("p6+s6"), 66.0)), 7L -> ((Some("p7+s7"), 77.0)),
+      10L -> ((None, 100.0)), 11L -> ((None, 110.0)))
+    assert(got === expect, s"got $got")
+  }
+
+  test("mergeClauses: assignments evaluate against the OLD row (swap law); empty source + BY SOURCE") {
+    import graft.sources.TxStore.MergeClause._
+    val t = tmpDir()
+    TxStore.append(Seq((1L, "a", "b")).toDF("id", "x", "y"), t)
+    TxStore.mergeClauses(spark, t, Seq((1L, "", "")).toDF("id", "x", "y"), Seq("id"),
+      Seq(MatchedUpdate(None, Some(Map("x" -> col("t.y"), "y" -> col("t.x"))))))
+    assert(TxStore.read(spark, t).as[(Long, String, String)].head() === ((1L, "b", "a")),
+      "SET x = y, y = x must swap — the update-against-OLD discipline")
+    // an EMPTY source with a BY SOURCE clause still acts (ANSI): every
+    // target row is unmatched — the sync idiom's 'source is truth' wipe
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "x", "y")
+    val v = TxStore.mergeClauses(spark, t, empty, Seq("id"),
+      Seq(NotMatchedBySourceDelete(None)))
+    assert(TxStore.read(spark, t).count() === 0L)
+    assert(v === TxStore.snapshot(spark, t).version, "the wipe commits")
+    // …and an empty source WITHOUT a BY SOURCE clause is a no-op
+    val v2 = TxStore.mergeClauses(spark, t, empty, Seq("id"),
+      Seq(MatchedUpdate(None, None), NotMatchedInsert(None, None)))
+    assert(v2 === v, "no commit for the no-op")
+  }
+
+  test("mergeClauses: BY SOURCE candidates prune on the log's stats — refuted files keep their bytes") {
+    import graft.sources.TxStore.MergeClause._
+    val t = tmpDir()
+    // range layout: 8 files, each a narrow id band
+    val df = (0 until 800).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    TxStore.append(df.repartitionByRange(8, col("id")), t)
+    val before = TxStore.snapshot(spark, t).files
+    // keys hit nothing (ids ≥ 10_000); the BY SOURCE condition only
+    // reaches ids < 100 — exactly one band; the other 7 files must
+    // survive the merge UNTOUCHED (same staged names = same bytes)
+    val src = Seq((10000L, "z")).toDF("id", "payload")
+    TxStore.mergeClauses(spark, t, src, Seq("id"), Seq(
+      NotMatchedBySourceUpdate(Some(col("t.id") < 100L), Map("payload" -> lit("old"))),
+      NotMatchedInsert(Some(lit(false)), None)))
+    val after = TxStore.snapshot(spark, t).files
+    val surviving = after.toSet.intersect(before.toSet)
+    assert(surviving.size >= 6,
+      s"stats must prune BY SOURCE candidates: only ${surviving.size} of ${before.size} " +
+        "files survived untouched")
+    assert(TxStore.read(spark, t).filter(col("payload") === "old").count() === 100)
+    assert(TxStore.read(spark, t).count() === 800, "no rows lost or invented")
+  }
+
+  test("mergeClauses refusals: unknown assignment column; column-scoped merge into empty table") {
+    import graft.sources.TxStore.MergeClause._
+    val t = tmpDir()
+    TxStore.append(rows(5), t)
+    val src = Seq((1L, "u1")).toDF("id", "payload")
+    val e1 = intercept[IllegalArgumentException](
+      TxStore.mergeClauses(spark, t, src, Seq("id"),
+        Seq(MatchedUpdate(None, Some(Map("nope" -> lit("x")))))))
+    assert(e1.getMessage.contains("unknown column"), e1.getMessage)
+    val t2 = tmpDir() // never written: schemaless
+    val e2 = intercept[IllegalArgumentException](
+      TxStore.mergeClauses(spark, t2, src, Seq("id"),
+        Seq(NotMatchedInsert(None, Some(Map("id" -> col("s.id")))))))
+    assert(e2.getMessage.contains("schemaless"), e2.getMessage)
+  }
+
   test("conditional merge with default clauses equals plain merge; ambiguity still rejected") {
     val ta = tmpDir(); val tb = tmpDir()
     TxStore.append(rows(10), ta); TxStore.append(rows(10), tb)
