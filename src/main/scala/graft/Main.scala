@@ -176,19 +176,38 @@ object Main {
           txAll.collect { case (n, p, None) => n -> p }.toMap
         // DML (DELETE/UPDATE/MERGE on a --tx view) translates to the
         // TxStore API — Catalyst parses but cannot execute DML on a
-        // file-backed view; plain queries run through Catalyst as before
+        // file-backed view; plain queries run through SqlRead, which
+        // rewrites tx relations to log-pruned scans (and resolves
+        // VERSION/TIMESTAMP AS OF) before Catalyst plans the rest
         graft.sources.SqlDml.maybeExecute(spark, text, tx) match {
           case Some(r) =>
             // the view captured the pre-DML snapshot; advance it and
-            // land the table's new state as the step result
+            // land the COMMIT'S OWN CHANGED ROWS (CDF) as the step
+            // result — a one-partition DELETE is a metadata-only commit
+            // and its artifact costs O(changes), never a full-table
+            // re-land (VERDICT r13). No commit ⇒ an empty change set
+            // with the table's schema.
             graft.sources.TxStore.registerView(spark, r.path, r.view)
-            graft.sources.TxStore.read(spark, r.path)
-              .write.mode("overwrite").parquet(s"$outDir/sql_result")
+            val since = r.version.map(_ - 1)
+              .getOrElse(graft.sources.TxStore.snapshot(spark, r.path).version)
+            val (_, changes) = graft.sources.TxStore.readChangesSince(spark, r.path, since)
+            changes.write.mode("overwrite").parquet(s"$outDir/sql_result")
             println(s"[graft] sql ${r.op} on tx '${r.view}' " +
               r.version.fold("(matched nothing, no commit)")(v => s"committed v$v") +
-              s"; table state -> $outDir/sql_result")
+              s"; changed rows -> $outDir/sql_result")
           case None =>
-            spark.sql(text).write.mode("overwrite").parquet(s"$outDir/sql_result")
+            graft.sources.SqlRead.plan(spark, text, txAll) match {
+              case Some(p) =>
+                p.rewrites.foreach { rw =>
+                  println(s"[graft] sql scan on tx '${rw.view}'" +
+                    rw.version.fold("")(v => s" @v$v") +
+                    s": skipped ${rw.skipped.size} of " +
+                    s"${rw.kept.size + rw.skipped.size} files from log metadata")
+                }
+                p.df.write.mode("overwrite").parquet(s"$outDir/sql_result")
+              case None => // not a single-plan statement — let Catalyst report
+                spark.sql(text).write.mode("overwrite").parquet(s"$outDir/sql_result")
+            }
             println(s"[graft] sql -> $outDir/sql_result")
         }
       case other =>

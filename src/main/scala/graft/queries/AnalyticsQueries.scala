@@ -189,21 +189,43 @@ object AnalyticsQueries {
     // that lets a pre-aggregated per-partition sketch table answer
     // global distinct questions without re-touching the facts
     // (AggregateSketchSpec pins estimate accuracy and mergeability).
-    // Estimates are engine-specific (DataSketches HLL / GK quantiles) —
-    // no DuckDB oracle by design, rows-only + ScalaTest; since round 9
-    // this is the registry's ONLY rows-only lane (simhash graduated to
-    // a full MD5-nibble oracle).
+    // Raw estimates are engine-specific (DataSketches HLL / GK
+    // quantiles) and can never hash-match a DuckDB oracle — so the lane
+    // emits a SCORECARD (the ext50 pattern): the EXACT values both
+    // engines agree on, plus booleans pinning each estimate inside its
+    // documented error envelope (HLL++ rsd 5% → 3σ bound 15%;
+    // DataSketches lgK=12 rsd ~1.6% → 5%; approx_percentile accuracy
+    // 10000 → the estimate must land between the exact 45th and 55th
+    // percentiles, a 500× slack on its guaranteed 0.01% rank error).
+    // The oracle computes the same exact values and literal trues — the
+    // hash passes iff every estimate is inside its bound.
     QueryDef(
       "an13_sketches",
       (s, d) =>
         Tables.events(s, d)
           .groupBy("event_type")
           .agg(
-            approx_count_distinct(col("user_id")).as("n_users_hllpp"),
-            hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n_users_sketch"),
-            graft.Num.rnd(expr("approx_percentile(value, 0.5, 10000)"), 2).as("p50_value"),
-            count(lit(1)).as("n")),
-      None),
+            count_distinct(col("user_id")).as("n_users_exact"),
+            approx_count_distinct(col("user_id")).as("hllpp"),
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("sketch"),
+            expr("approx_percentile(value, 0.5, 10000)").as("p50_est"),
+            expr("percentile(value, 0.45)").as("p50_lo"),
+            expr("percentile(value, 0.55)").as("p50_hi"),
+            count(lit(1)).as("n"))
+          .select(
+            col("event_type"),
+            col("n_users_exact"),
+            (abs(col("hllpp") - col("n_users_exact"))
+              <= col("n_users_exact") * 0.15).as("hllpp_ok"),
+            (abs(col("sketch") - col("n_users_exact"))
+              <= col("n_users_exact") * 0.05).as("sketch_ok"),
+            (col("p50_est") >= col("p50_lo") && col("p50_est") <= col("p50_hi"))
+              .as("p50_ok"),
+            col("n")),
+      Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+             |       true AS hllpp_ok, true AS sketch_ok, true AS p50_ok,
+             |       CAST(COUNT(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1""".stripMargin)),
 
     // ── AN20 — PAGERANK (power iteration, k=3, d=0.85) over the
     //    symmetrized customer↔supplier trade graph (edge = the pair

@@ -626,6 +626,38 @@ object StorageQueries {
              |FROM events
              |WHERE event_id % 10 = 0 AND user_id % 2 = 0""".stripMargin)),
 
+    // ── S45 — SQL reads through the commit log's FILE SKIPPING: a
+    //    `SELECT … WHERE event_id <= 500` as SQL TEXT over a tx table
+    //    must consult the log's min/max stats exactly like
+    //    TxStore.readWhere — the REQUIRE pins that SqlRead's rewrite
+    //    skips the IDENTICAL file set pruneFiles skips (not merely
+    //    "some" files), and the oracle pins the pruned plan's rows
+    //    byte-for-byte. This is the r13 verdict's top item: the
+    //    engine's marquee feature (metadata-only pruning) serving its
+    //    marquee interface (SQL text). At 100 TB the difference is a
+    //    handful of file opens vs a full file-set scan before the
+    //    parquet reader even starts.
+    QueryDef(
+      "s45_sql_pruned_read",
+      (s, d) => {
+        val store = freshStore(s, "s45-sqlread", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.repartitionByRange(8, col("event_id")), store)
+        val (_, kept, skipped) = TxStore.pruneFiles(s, store, col("event_id") <= 500L)
+        require(skipped.nonEmpty,
+          s"range layout + selective predicate must skip files (kept ${kept.size})")
+        val planned = graft.sources.SqlRead.plan(s,
+          "SELECT event_id, ts div 1000 AS ts_us, user_id, event_type, value, props " +
+            "FROM s45tx WHERE event_id <= 500",
+          Seq(("s45tx", store, None))).get
+        require(planned.rewrites.map(r => (r.kept.toSet, r.skipped.toSet))
+            == Seq((kept.toSet, skipped.toSet)),
+          s"the SQL path must skip the SAME file set readWhere skips " +
+            s"(sql ${planned.rewrites.map(_.skipped.size)}, walk ${skipped.size})")
+        planned.df
+      },
+      Some(eventsSql(" WHERE event_id <= 500"))),
+
     // ── S18 — schema evolution through the commit log. The first wave
     //    lands WITHOUT `props`; the second wave adds it, evolving the
     //    table schema additively. The read must surface the evolved

@@ -43,6 +43,9 @@ import org.apache.spark.sql.{Column, SparkSession}
   *     equalities (TxStore merges are keyed); clauses dispatch in
   *     statement order per group ([[TxStore.mergeClauses]]); BY SOURCE
   *     clauses see the target row only.
+  *   - `CREATE TABLE [IF NOT EXISTS] name LOCATION '/p'
+  *      [PARTITIONED BY (cols)] AS SELECT …` → a fresh table's v1
+  *     commit (refuses non-empty locations — the cloneTable rule)
   */
 object SqlDml {
 
@@ -290,6 +293,48 @@ object SqlDml {
             } finally df.unpersist(): Unit
           }
         Some(Result("insert", view, path, version))
+
+      case c: CreateTableAsSelect =>
+        // CTAS: CREATE TABLE name LOCATION '/p' [PARTITIONED BY (…)]
+        // AS SELECT … — completes the SQL lifecycle (create → query →
+        // DML → time travel). The v1 commit goes through the same
+        // partitioning-establishing append every table starts with.
+        val name = c.name match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+            u.nameParts.mkString(".")
+          case other => refuse(s"unsupported CTAS name ${other.nodeName}")
+        }
+        val location: Option[String] = c.tableSpec match {
+          case t: TableSpec => t.location
+          case t: UnresolvedTableSpec => t.location // the parse-stage form
+          case other => refuse(s"unsupported CTAS table spec ${other.getClass.getSimpleName}")
+        }
+        val path = location.getOrElse(refuse(
+          s"CTAS needs LOCATION — tx tables are path-addressed " +
+            s"(CREATE TABLE $name LOCATION '/path' AS SELECT …)"))
+        if (TxStore.isTable(spark, path)) {
+          if (c.ignoreIfExists) return Some(Result("create", name, path, None))
+          refuse(s"CTAS location $path already holds a table " +
+            "(CREATE TABLE IF NOT EXISTS to no-op, or pick a fresh path)")
+        }
+        // the cloneTable establishment rule: never create over existing
+        // content — the new data plane would mix with whatever lived there
+        if (!TxStore.isEmptyLocation(spark, path))
+          refuse(s"CTAS location $path exists and is not empty")
+        val parts: Seq[String] = c.partitioning.map { t =>
+          // the DSv2 Transform surface (IdentityTransform itself is
+          // private[sql]): identity = name "identity" over one field
+          if (t.name == "identity" && t.references.length == 1)
+            t.references.head.fieldNames match {
+              case Array(n) => n
+              case other => refuse(
+                s"PARTITIONED BY nested field ${other.mkString(".")} is not supported")
+            }
+          else refuse(s"unsupported PARTITIONED BY transform $t — identity columns only")
+        }
+        val df = ColumnBridge.dataFrame(spark, c.query)
+        val v = TxStore.append(df, path, partitionBy = parts)
+        Some(Result("create", name, path, Some(v)))
 
       case _ => None
     }

@@ -1071,6 +1071,16 @@ object TxStore {
   def isTable(spark: SparkSession, path: String): Boolean =
     allCommits(fs(spark, path), path).nonEmpty
 
+  /** Table-establishment guard (CTAS; the [[cloneTable]] rule made
+    * reusable): true when `path` does not exist or is an empty
+    * directory — creating a table over existing content would mix the
+    * new data plane with whatever lived there. */
+  def isEmptyLocation(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    !f.exists(p) || f.listStatus(p).isEmpty
+  }
+
   /** Current snapshot (version 0 = empty table, no log yet). */
   def snapshot(spark: SparkSession, path: String): Snapshot = {
     val f = fs(spark, path)
@@ -3709,17 +3719,41 @@ object TxStore {
     // the Spark-4 Column→Catalyst bridge (Column.expr is gone with the
     // Connect-unified API; see ColumnBridge)
     val pred = org.apache.spark.sql.graft.ColumnBridge.expression(predicate)
+    val (kept, skipped) = pruneSnapFiles(snap, pred)
+    (snap, kept, skipped)
+  }
+
+  /** The stats walk of [[pruneFiles]] against an already-replayed
+    * snapshot: (kept, skipped). Partition pruning FIRST (O(partition
+    * cols) per file, memoized per dir), then the per-file stats walk —
+    * short-circuited, so a partition-refuted file never pays the stats
+    * check. Shared by [[readWhere]]/[[readWhereAt]], [[pruneFiles]] and
+    * the SQL read path ([[SqlRead]]). */
+  private[sources] def pruneSnapFiles(
+      snap: Snapshot,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression): (Seq[String], Seq[String]) = {
     val phys = physByLogical(snap)
-    // partition pruning FIRST (O(partition cols) per file, memoized per
-    // dir), then the per-file stats walk — short-circuited, so a
-    // partition-refuted file never pays the stats check
     val pranges = partitionRanges(snap)
-    val (kept, skipped) = snap.files.partition { f =>
+    snap.files.partition { f =>
       mayMatch(pred, pranges(f), phys) &&
         snap.stats.get(f).forall(ranges => mayMatch(pred, ranges, phys))
     }
-    (snap, kept, skipped)
   }
+
+  /** Scan `files` of `snap` WITHOUT applying any predicate — the SQL
+    * read path embeds this under the statement's own Filter node, so
+    * the predicate evaluates exactly ONCE (log pruning is an
+    * optimization, never a substitute for the filter: conjuncts the
+    * stats walk cannot interpret simply keep their files). An empty
+    * file set reads as an empty frame with the snapshot's schema. */
+  private[sources] def readSnapFiles(
+      spark: SparkSession, path: String, snap: Snapshot, files: Seq[String]): DataFrame =
+    if (files.isEmpty) {
+      val schema = logicalSchema(snap).getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      readFiles(spark, path, files, snap.schema, snap.dv, dvp = snap.dvp,
+        mapping = snap.mapping)
 
   /** Stats-pruned read: `read(...).filter(predicate)` semantics, with
     * files whose logged ranges refute the predicate never entering the
@@ -3747,11 +3781,7 @@ object TxStore {
   private def readSnapWhere(
       spark: SparkSession, path: String, snap: Snapshot, predicate: Column): DataFrame = {
     val pred = org.apache.spark.sql.graft.ColumnBridge.expression(predicate)
-    val phys = physByLogical(snap)
-    val pranges = partitionRanges(snap) // partition pruning before stats
-    val kept = snap.files.filter(f =>
-      mayMatch(pred, pranges(f), phys) &&
-        snap.stats.get(f).forall(ranges => mayMatch(pred, ranges, phys)))
+    val (kept, _) = pruneSnapFiles(snap, pred)
     if (kept.isEmpty) {
       val schema = logicalSchema(snap).getOrElse(org.apache.spark.sql.types.StructType(Nil))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

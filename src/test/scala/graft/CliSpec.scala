@@ -112,8 +112,12 @@ class CliSpec extends SparkSpec {
     assert(viaSql.count() === graft.sources.TxStore.read(spark, twin).count())
     // the commit went through the same log machinery
     assert(graft.sources.TxStore.history(spark, table).last.op === "delete")
-    // the step result is the post-DML table state
-    assert(spark.read.parquet(s"$out/sql_result").count() === viaSql.count())
+    // the step result is the commit's own CHANGED ROWS (CDF), not a
+    // full-table re-land: exactly the deleted 'view' rows, tagged
+    val changed = spark.read.parquet(s"$out/sql_result")
+    assert(changed.count() === ev.filter(col("event_type") === "view").count())
+    assert(changed.select("_change_type").distinct().as[String].collect().toSeq
+      === Seq("delete"))
 
     // UPDATE with an expression assignment and WHERE
     Main.run(spark, Map(
@@ -314,6 +318,125 @@ class CliSpec extends SparkSpec {
     // …and the table is still appendable (schema intact in the log)
     graft.sources.TxStore.append(ev.limit(5), table)
     assert(graft.sources.TxStore.read(spark, table).count() === 5)
+  }
+
+  test("sql step: tx reads prune files from log metadata; VERSION/TIMESTAMP AS OF syntax") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/readtbl"
+    val ev = Tables.events(spark, sf("sf0.001"))
+    graft.sources.TxStore.append(ev.repartitionByRange(8, col("event_id")), table) // v1
+    // the SQL path must skip the SAME file set readWhere skips…
+    val (_, kept, skipped) =
+      graft.sources.TxStore.pruneFiles(spark, table, col("event_id") <= 100L)
+    assert(skipped.nonEmpty, "range layout + selective predicate must skip files")
+    val planned = graft.sources.SqlRead.plan(spark,
+      "SELECT event_id, value FROM rtx WHERE rtx.event_id <= 100",
+      Seq(("rtx", table, None))).get
+    assert(planned.rewrites.map(r => (r.kept.toSet, r.skipped.toSet))
+      === Seq((kept.toSet, skipped.toSet)),
+      "SQL pruning must decide exactly as readWhere's stats walk")
+    // …and hash-match the unpruned view read
+    graft.sources.TxStore.registerView(spark, table, "rtx")
+    val viaView = spark.sql("SELECT event_id, value FROM rtx WHERE event_id <= 100")
+      .as[(Long, Double)].collect().toSet
+    assert(planned.df.as[(Long, Double)].collect().toSet === viaView && viaView.nonEmpty)
+    // a conjunct the walk can't interpret weakens pruning, never drops rows
+    val mixed = graft.sources.SqlRead.plan(spark,
+      "SELECT event_id FROM rtx WHERE event_id <= 100 AND length(event_type) > 0",
+      Seq(("rtx", table, None))).get
+    assert(mixed.df.count() === viaView.size)
+    // VERSION AS OF n ≡ readAt(n) ≡ the @vN-flag registration
+    graft.sources.TxStore.delete(spark, table, col("event_type") === "view") // v2
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "tx" -> s"rtx=$table,rold=$table@v1",
+      "sql" -> ("SELECT (SELECT COUNT(*) FROM rtx VERSION AS OF 1) AS syntax, " +
+        "(SELECT COUNT(*) FROM rold) AS flag, (SELECT COUNT(*) FROM rtx) AS now")))
+    val r = spark.read.parquet(s"$out/sql_result").head
+    val atV1 = graft.sources.TxStore.readAt(spark, table, 1L).count()
+    assert(r.getLong(0) === atV1 && r.getLong(1) === atV1,
+      s"VERSION AS OF must equal readAt and the @vN flag path: $r vs $atV1")
+    assert(r.getLong(2) < atV1, "the current view sees the delete")
+    // TIMESTAMP AS OF a post-commit instant resolves to the latest version
+    val out2 = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out2,
+      "tx" -> s"rtx=$table",
+      "sql" -> "SELECT COUNT(*) AS n FROM rtx TIMESTAMP AS OF '2100-01-01'"))
+    assert(spark.read.parquet(s"$out2/sql_result").head.getLong(0)
+      === graft.sources.TxStore.read(spark, table).count())
+    // pruning composes with time travel: the v1 filter must skip files too
+    val tt = graft.sources.SqlRead.plan(spark,
+      "SELECT event_id FROM rtx VERSION AS OF 1 WHERE event_id <= 100",
+      Seq(("rtx", table, None))).get
+    assert(tt.rewrites.head.skipped.nonEmpty && tt.rewrites.head.version === Some(1L))
+    assert(tt.df.count() ===
+      graft.sources.TxStore.readAt(spark, table, 1L).filter(col("event_id") <= 100L).count())
+  }
+
+  test("sql step: a one-partition DELETE lands exactly its changed rows as the artifact") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/pdeltbl"
+    val rows = (0 until 300).map(i => (i.toLong, s"v$i", s"p${i % 3}"))
+      .toDF("id", "payload", "bucket")
+    graft.sources.TxStore.append(rows, table, partitionBy = Seq("bucket"))
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "tx" -> s"pd=$table", "sql" -> "DELETE FROM pd WHERE bucket = 'p1'"))
+    // metadata-only commit (whole-partition removes, zero adds)…
+    val c = graft.sources.TxStore.history(spark, table).last
+    assert(c.op === "delete" && c.add.isEmpty && c.remove.nonEmpty)
+    // …whose artifact is exactly the 100 deleted rows, never the table
+    val changed = spark.read.parquet(s"$out/sql_result")
+    assert(changed.count() === 100)
+    assert(changed.filter(col("_change_type") =!= "delete").count() === 0)
+    assert(changed.select("id").as[Long].collect().toSet
+      === (0 until 300).filter(_ % 3 == 1).map(_.toLong).toSet)
+  }
+
+  test("sql step: CTAS round-trip — create, query, DML, time travel on the created table") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/ctastbl"
+    def run(sql: String, txArg: Option[String] = None, out: String = tmp()): String = {
+      val base = Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> out, "sql" -> sql)
+      Main.run(spark, txArg.fold(base)(t => base + ("tx" -> t)))
+      out
+    }
+    // CREATE … PARTITIONED BY … AS SELECT over the fixture catalog
+    run("CREATE TABLE ctas LOCATION '" + table + "' PARTITIONED BY (event_type) " +
+      "AS SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 9 = 0")
+    assert(graft.sources.TxStore.isTable(spark, table))
+    assert(graft.sources.TxStore.tablePartitioning(spark, table) === Seq("event_type"))
+    val n0 = graft.sources.TxStore.read(spark, table).count()
+    assert(n0 === Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_id") % 9 === 0).count() && n0 > 0)
+    // SELECT through --tx sees the created table
+    val out1 = run("SELECT COUNT(*) AS n FROM ctas", Some(s"ctas=$table"))
+    assert(spark.read.parquet(s"$out1/sql_result").head.getLong(0) === n0)
+    // DML on it (partition delete), then time travel back to v1
+    run("DELETE FROM ctas WHERE event_type = 'click'", Some(s"ctas=$table"))
+    val out2 = run("SELECT (SELECT COUNT(*) FROM ctas VERSION AS OF 1) AS before, " +
+      "(SELECT COUNT(*) FROM ctas) AS after", Some(s"ctas=$table"))
+    val r = spark.read.parquet(s"$out2/sql_result").head
+    assert(r.getLong(0) === n0 && r.getLong(1) < n0)
+    // a second CTAS at the same location refuses; IF NOT EXISTS no-ops
+    val ex = intercept[IllegalArgumentException](
+      run(s"CREATE TABLE ctas LOCATION '$table' AS SELECT 1 AS x"))
+    assert(ex.getMessage.contains("already holds a table"), ex.getMessage)
+    run(s"CREATE TABLE IF NOT EXISTS ctas LOCATION '$table' AS SELECT 1 AS x")
+    assert(graft.sources.TxStore.snapshot(spark, table).version === 2L, "no-op kept v2")
+    // …and a non-empty non-table location refuses (the cloneTable rule)
+    val occupied = s"$dir/occupied"
+    Tables.events(spark, sf("sf0.001")).limit(1).write.parquet(occupied)
+    val ex2 = intercept[IllegalArgumentException](
+      run(s"CREATE TABLE o LOCATION '$occupied' AS SELECT 1 AS x"))
+    assert(ex2.getMessage.contains("not empty"), ex2.getMessage)
   }
 
   test("sql step: --tx name=path@vN registers a read-only time-travel view") {
