@@ -161,13 +161,14 @@ object Main {
             // is a real table — a literal path whose last component
             // happens to end in '@v2' must register as itself (trailing
             // '/' is the documented escape: 'path@v2/' strips to the
-            // literal path)
-            spec.split("@v", 2) match {
-              case Array(p, v) if v.nonEmpty && v.forall(_.isDigit) &&
-                  graft.sources.TxStore.isTable(spark, p) =>
-                (name, p, Some(v.toLong))
-              case _ => (name, spec.stripSuffix("/"), None)
-            }
+            // literal path). The LAST '@v' is the split point: a path
+            // like /data@vault/tbl@v3 means version 3 of /data@vault/tbl
+            val at = spec.lastIndexOf("@v")
+            val v = if (at > 0) spec.substring(at + 2) else ""
+            if (v.nonEmpty && v.forall(_.isDigit) &&
+                graft.sources.TxStore.isTable(spark, spec.substring(0, at)))
+              (name, spec.substring(0, at), Some(v.toLong))
+            else (name, spec.stripSuffix("/"), None)
           }
         txAll.foreach { case (name, path, version) =>
           graft.sources.TxStore.registerView(spark, path, name, version)

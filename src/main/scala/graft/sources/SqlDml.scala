@@ -80,18 +80,7 @@ object SqlDml {
           }
           name -> ColumnBridge.column(unqualify(a.value, view, alias))
         }
-        // duplicate SET targets are an ANSI error — .toMap would
-        // silently keep only the last assignment. Duplication follows
-        // the SESSION's case rule: under spark.sql.caseSensitive=true,
-        // columns differing only by case are distinct targets.
-        val caseSensitive =
-          spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-        val dup = pairs
-          .groupBy(p => if (caseSensitive) p._1
-                        else p._1.toLowerCase(java.util.Locale.ROOT))
-          .collect { case (n, vs) if vs.size > 1 => n }
-        if (dup.nonEmpty)
-          refuse(s"duplicate UPDATE SET target(s): ${dup.mkString(", ")}")
+        requireNoDuplicateTargets(spark, pairs.map(_._1), "UPDATE SET")
         val set: Map[String, Column] = pairs.toMap
         val pred = cond.map(c => ColumnBridge.column(unqualify(c, view, alias)))
           .getOrElse(lit(true))
@@ -153,13 +142,7 @@ object SqlDml {
             }
             name -> a.value
           }
-          val caseSensitive =
-            spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
-          val dup = pairs
-            .groupBy(p => if (caseSensitive) p._1
-                          else p._1.toLowerCase(java.util.Locale.ROOT))
-            .collect { case (n, vs) if vs.size > 1 => n }
-          if (dup.nonEmpty) refuse(s"duplicate $what target(s): ${dup.mkString(", ")}")
+          requireNoDuplicateTargets(spark, pairs.map(_._1), what)
           pairs.map { case (n, e) =>
             n -> ColumnBridge.column(requalify(e,
               targetAs = (view, alias), sourceAs = srcAlias))
@@ -191,13 +174,12 @@ object SqlDml {
                 assignMap(as, "UPDATE SET"))
             case other => refuse(s"unsupported WHEN NOT MATCHED BY SOURCE action '$other'")
           }
-        // mergeClauses returns the PRE-merge version unchanged when the
-        // statement is a no-op (empty USING source, no BY SOURCE clause)
-        // — map that to None so the CLI never prints 'committed vN' for
-        // a no-op, consistent with delete/update
-        val pre = TxStore.snapshot(spark, path).version
-        val v = TxStore.mergeClauses(spark, path, source, keys, clauses)
-        Some(Result("merge", view, path, if (v == pre) None else Some(v)))
+        // mergeClauses answers None when the statement matched nothing
+        // and wrote no commit — the CLI prints 'matched nothing' like
+        // delete/update, with no extra log replay and no pre/post
+        // version race
+        Some(Result("merge", view, path,
+          TxStore.mergeClauses(spark, path, source, keys, clauses)))
 
       case i: InsertIntoStatement =>
         val (view, _, path) = target("INSERT", i.table, tx)
@@ -301,7 +283,12 @@ object SqlDml {
         // partitioning-establishing append every table starts with.
         val name = c.name match {
           case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
-            u.nameParts.mkString(".")
+            // refuse BEFORE any write: a dotted name would commit v1 and
+            // then crash temp-view registration — a half-completed step
+            if (u.nameParts.length > 1)
+              refuse(s"qualified CTAS name '${u.nameParts.mkString(".")}' is not " +
+                "supported — tx views are single-part names over LOCATION paths")
+            u.nameParts.head
           case other => refuse(s"unsupported CTAS name ${other.nodeName}")
         }
         val location: Option[String] = c.tableSpec match {
@@ -342,6 +329,20 @@ object SqlDml {
 
   private def refuse(msg: String): Nothing = throw new IllegalArgumentException(s"sql dml: $msg")
 
+  /** Duplicate SET/VALUES targets are an ANSI error — a Map would
+    * silently keep only the last assignment. Duplication follows the
+    * SESSION's case rule: under spark.sql.caseSensitive=true, columns
+    * differing only by case are distinct targets. Shared by UPDATE and
+    * every MERGE assignment list. */
+  private def requireNoDuplicateTargets(
+      spark: SparkSession, names: Seq[String], what: String): Unit = {
+    val caseSensitive = TxStore.sessionCaseSensitive(spark)
+    val dup = names
+      .groupBy(n => if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (n, vs) if vs.size > 1 => n }
+    if (dup.nonEmpty) refuse(s"duplicate $what target(s): ${dup.mkString(", ")}")
+  }
+
   /** Resolve the DML's target relation to (viewName, alias, txPath). */
   private def target(
       op: String, plan: LogicalPlan, tx: Map[String, String]): (String, Option[String], String) =
@@ -373,7 +374,8 @@ object SqlDml {
   private def qualifier(u: UnresolvedAttribute): Option[String] =
     if (u.nameParts.length >= 2) Some(u.nameParts.head.toLowerCase) else None
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
+  /** Flatten an AND tree (shared with [[SqlRead]]). */
+  private[sources] def conjuncts(e: Expression): Seq[Expression] = e match {
     case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
   }

@@ -32,8 +32,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     stays for compat). Composes with pruning: a Filter above a
   *     time-traveled relation prunes on the ranges the log knew AT that
   *     version (replay accumulates per-version stats).
-  *   - anything else resolves against the registered temp views
-  *     unchanged (same full-snapshot read as before).
+  *   - bare tx relations rewrite to full-snapshot scans of the SAME
+  *     memoized snapshot, so one statement reads each table at exactly
+  *     one version — never a mix of the registered view's
+  *     registration-time state and a fresh replay. Non-tx relations
+  *     resolve against the registered temp views unchanged.
   *
   * Each rewritten occurrence reports its (kept, skipped) file sets —
   * the CLI surfaces them, and the s45 lane asserts the SQL path skips
@@ -104,14 +107,17 @@ object SqlRead {
       case _ => None
     }
 
+    // ONE snapshot per (path, version) for the WHOLE statement — two
+    // occurrences of the same table (filtered, bare, in a subquery)
+    // must never read different versions because a concurrent commit
+    // landed between their replays (intra-statement consistency); the
+    // memo also pays each log replay once
+    val snapCache =
+      scala.collection.mutable.Map.empty[(String, Option[Long]), TxStore.Snapshot]
     def snapOf(ref: TxRef): TxStore.Snapshot =
-      ref.version.fold(TxStore.snapshot(spark, ref.path))(
-        TxStore.snapshotAt(spark, ref.path, _))
-
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
+      snapCache.getOrElseUpdate((ref.path, ref.version),
+        ref.version.fold(TxStore.snapshot(spark, ref.path))(
+          TxStore.snapshotAt(spark, ref.path, _)))
 
     def stripQuals(e: Expression, ref: TxRef): Expression = e.transform {
       case u: UnresolvedAttribute
@@ -131,7 +137,7 @@ object SqlRead {
       val fields = TxStore.logicalSchema(snap)
         .map(_.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
         .getOrElse(Set.empty)
-      conjuncts(cond).map(stripQuals(_, ref)).filter { c =>
+      SqlDml.conjuncts(cond).map(stripQuals(_, ref)).filter { c =>
         val noSubquery = !c.exists { case _: SubqueryExpression => true; case _ => false }
         val attrs = c.collect { case a: UnresolvedAttribute => a }
         noSubquery && attrs.nonEmpty && attrs.forall(a =>
@@ -158,14 +164,17 @@ object SqlRead {
                 val (kept, skipped) = TxStore.pruneSnapFiles(snap, pred)
                 rewrites += Rewrite(ref.view, ref.version, kept, skipped)
                 Filter(cond, scanOf(ref, snap, kept))
-              case None if ref.syntactic =>
+              case None =>
                 rewrites += Rewrite(ref.view, ref.version, snap.files, Nil)
                 Filter(cond, scanOf(ref, snap, snap.files))
-              case None => f // registered view already serves this read
             }
           case None => f
         }
-      case p if asTx(p).exists(_.syntactic) =>
+      // EVERY tx relation rewrites — bare occurrences too — so one
+      // statement reads each table at exactly one memoized snapshot,
+      // never a mix of the registered view's registration-time state
+      // and a fresh replay
+      case p if asTx(p).isDefined =>
         val ref = asTx(p).get
         val snap = snapOf(ref)
         rewrites += Rewrite(ref.view, ref.version, snap.files, Nil)

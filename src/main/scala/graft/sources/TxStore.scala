@@ -920,7 +920,7 @@ object TxStore {
     }
   }
 
-  private def sessionCaseSensitive(spark: SparkSession): Boolean =
+  private[sources] def sessionCaseSensitive(spark: SparkSession): Boolean =
     spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
 
   // ── log primitives ─────────────────────────────────────────────────
@@ -1094,7 +1094,15 @@ object TxStore {
     * there). */
   def snapshotAt(spark: SparkSession, path: String, version: Long): Snapshot = {
     val f = fs(spark, path)
-    val cs = commits(f, path).filter(_.version <= version)
+    val all = commits(f, path)
+    // a FUTURE version must refuse, not silently read the current state
+    // — "VERSION AS OF 99" on a v2 table answering with v2's data would
+    // let the user believe they reproduced v99 (Delta raises
+    // VersionNotFoundException here too)
+    val latest = all.lastOption.fold(0L)(_.version)
+    require(version <= latest,
+      s"version $version does not exist at $path (latest is v$latest)")
+    val cs = all.filter(_.version <= version)
     require(cs.nonEmpty || version == 0, s"version $version predates the retained log at $path")
     replay(f, path, cs)
   }
@@ -2816,11 +2824,13 @@ object TxStore {
     * their bytes). Only hit files rewrite; any commit landing after the
     * decided snapshot conflicts.
     *
-    * An EMPTY source with no BY SOURCE clause touches nothing and
-    * returns the current version without committing; with BY SOURCE
-    * clauses every target row is unmatched and the merge proceeds
-    * (ANSI semantics — `MERGE … USING empty` still applies NOT MATCHED
-    * BY SOURCE actions). */
+    * Returns Some(committed version); None = the merge matched nothing
+    * anywhere (empty source with no BY SOURCE clause, or no key hit, no
+    * BY SOURCE candidate and no insert-clause survivor) and NO COMMIT
+    * was written — the [[delete]]/[[update]] contract, never an empty
+    * version. With BY SOURCE clauses an empty source still acts (ANSI
+    * semantics — `MERGE … USING empty` applies NOT MATCHED BY SOURCE
+    * actions to every target row). */
   def mergeClauses(
       spark: SparkSession,
       path: String,
@@ -2828,7 +2838,7 @@ object TxStore {
       keys: Seq[String],
       clauses: Seq[MergeClause],
       collectStats: Boolean = true,
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None): Option[Long] = {
     import MergeClause._
     require(keys.nonEmpty, "merge needs at least one key column")
     require(clauses.nonEmpty, "merge needs at least one WHEN clause")
@@ -2883,7 +2893,7 @@ object TxStore {
         .agg(count(lit(1)).as("n"), count_distinct(struct(keys.map(col): _*)).as("k"))
         .head()
       val nUpdates = counts.getLong(0)
-      if (nUpdates == 0 && bySourceCl.isEmpty) return base.version
+      if (nUpdates == 0 && bySourceCl.isEmpty) return None
       require(
         nUpdates == 0 || counts.getLong(1) == nUpdates,
         s"updates must be unique per key (${keys.mkString(", ")}) — ambiguous winners")
@@ -2926,15 +2936,8 @@ object TxStore {
             case _ => None
           }
           if (conds.exists(_.isEmpty)) base.files
-          else {
-            val pred = org.apache.spark.sql.graft.ColumnBridge
-              .expression(conds.flatten.reduce(_ || _))
-            val phys = physByLogical(base)
-            val pranges = partitionRanges(base)
-            base.files.filter(f =>
-              mayMatch(pred, pranges(f), phys) &&
-                base.stats.get(f).forall(rs => mayMatch(pred, rs, phys)))
-          }
+          else pruneSnapFiles(base, org.apache.spark.sql.graft.ColumnBridge
+            .expression(conds.flatten.reduce(_ || _)))._1
         }
       val hit = (keyHit ++ bySourceHit).distinct
       val srcCols = updates.columns.toSeq
@@ -3034,10 +3037,15 @@ object TxStore {
           val anti = src.join(cur.select(keys.map(col): _*).distinct(), keys, "left_anti")
           (Some(kept), updatedFrames ++ insertFrames(anti))
         }
+      val newValues =
+        newValueFrames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      // a merge that matched NOTHING anywhere — no hit file, and no
+      // source row surviving an insert clause — writes NO commit (the
+      // delete/update None contract), never an empty version
+      if (keptRows.isEmpty && newValues.forall(_.isEmpty)) return None
       // gate only rows that LAND with new values (kept rows are valid
       // by the live-table invariant; guarded-away rows never materialize)
-      newValueFrames.reduceOption(_.unionByName(_, allowMissingColumns = true))
-        .foreach(nv => enforceConstraints(nv, base.constraints, "merge", path))
+      newValues.foreach(nv => enforceConstraints(nv, base.constraints, "merge", path))
       val out = (keptRows.toSeq ++ newValueFrames)
         .reduceOption(_.unionByName(_, allowMissingColumns = true))
         .getOrElse(updates.limit(0))
@@ -3045,14 +3053,14 @@ object TxStore {
         stage(toPhysical(out, m2), path, collectStats, partitionBy = base.partitioning)
       val f = fs(spark, path)
       try
-        commitLoop(spark, path, "merge", txn) { snap =>
+        Some(commitLoop(spark, path, "merge", txn) { snap =>
           if (snap.version != base.version)
             throw new java.util.ConcurrentModificationException(
               s"merge at $path conflicts: table advanced from " +
                 s"v${base.version} to v${snap.version} after the probe")
           val mp = if (m2 != base.mapping) Some(encodeMapping(m2, base.retired)) else None
           Some(CommitSpec(staged, hit, evolvedOpt.map(encodeSchema), mStats, mapping = mp))
-        }.get.version
+        }.get.version)
       catch {
         case e: Throwable =>
           staged.foreach(n => f.delete(new Path(s"$path/$DataDir/$n"), false))
@@ -3085,7 +3093,9 @@ object TxStore {
       matchedDelete.map(c => MatchedDelete(Some(c))),
       matchedUpdate.map(c => MatchedUpdate(Some(c), None)),
       notMatchedInsert.map(c => NotMatchedInsert(Some(c), None))).flatten
+    // the historical contract: a no-op answers the CURRENT version
     mergeClauses(spark, path, updates, keys, clauses, collectStats, txn)
+      .getOrElse(snapshot(spark, path).version)
   }
 
   /** Exactly-once [[mergeConditional]] under a (writerId, batchId)

@@ -509,6 +509,20 @@ class CliSpec extends SparkSpec {
       "tx" -> s"a=$amb@v1/", "sql" -> "SELECT COUNT(*) AS n FROM a"))
     assert(spark.read.parquet(s"$out2/sql_result").head.getLong(0) === 9L,
       "trailing slash must escape the time-travel interpretation")
+    // the LAST '@v' splits: an earlier '@v' inside the path is path text
+    val vaulted = s"$dir/da@vault/vtbl"
+    graft.sources.TxStore.append(ev.limit(4), vaulted)
+    graft.sources.TxStore.append(ev.limit(2), vaulted) // v2
+    val out3 = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out3,
+      "tx" -> s"vv=$vaulted@v1", "sql" -> "SELECT COUNT(*) AS n FROM vv"))
+    assert(spark.read.parquet(s"$out3/sql_result").head.getLong(0) === 4L,
+      "a path containing '@v' must still time-travel on its SUFFIX")
+    // a FUTURE version refuses — never silently the current state
+    val exV = intercept[IllegalArgumentException](
+      graft.sources.TxStore.readAt(spark, vaulted, 99L))
+    assert(exV.getMessage.contains("does not exist"), exV.getMessage)
   }
 
   test("sql step: inline --sql over a fixture view; missing statement refuses") {

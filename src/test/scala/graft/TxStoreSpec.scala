@@ -390,11 +390,19 @@ class TxStoreSpec extends SparkSpec {
     val v = TxStore.mergeClauses(spark, t, empty, Seq("id"),
       Seq(NotMatchedBySourceDelete(None)))
     assert(TxStore.read(spark, t).count() === 0L)
-    assert(v === TxStore.snapshot(spark, t).version, "the wipe commits")
+    assert(v === Some(TxStore.snapshot(spark, t).version), "the wipe commits")
     // …and an empty source WITHOUT a BY SOURCE clause is a no-op
     val v2 = TxStore.mergeClauses(spark, t, empty, Seq("id"),
       Seq(MatchedUpdate(None, None), NotMatchedInsert(None, None)))
-    assert(v2 === v, "no commit for the no-op")
+    assert(v2 === None, "no commit for the no-op")
+    // a NON-empty source that matches nothing and inserts nothing also
+    // writes no commit — never an empty version (review r14)
+    val before = TxStore.history(spark, t).size
+    val v3 = TxStore.mergeClauses(spark, t,
+      Seq((99L, "z", "z")).toDF("id", "x", "y"), Seq("id"),
+      Seq(MatchedUpdate(None, None), NotMatchedInsert(Some(lit(false)), None)))
+    assert(v3 === None && TxStore.history(spark, t).size === before,
+      "no-match merge must not commit an empty version")
   }
 
   test("mergeClauses: BY SOURCE candidates prune on the log's stats — refuted files keep their bytes") {
