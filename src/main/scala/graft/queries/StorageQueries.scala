@@ -624,7 +624,8 @@ object StorageQueries {
              |SELECT event_id, epoch_us(ts) AS ts_us, user_id, 'ins' AS event_type,
              |       -value AS value, props
              |FROM events
-             |WHERE event_id % 10 = 0 AND user_id % 2 = 0""".stripMargin)),
+             |WHERE event_id % 10 = 0 AND user_id % 2 = 0""".stripMargin),
+      bench = true),
 
     // ── S45 — SQL reads through the commit log's FILE SKIPPING: a
     //    `SELECT … WHERE event_id <= 500` as SQL TEXT over a tx table
@@ -656,7 +657,8 @@ object StorageQueries {
             s"(sql ${planned.rewrites.map(_.skipped.size)}, walk ${skipped.size})")
         planned.df
       },
-      Some(eventsSql(" WHERE event_id <= 500"))),
+      Some(eventsSql(" WHERE event_id <= 500")),
+      bench = true),
 
     // ── S18 — schema evolution through the commit log. The first wave
     //    lands WITHOUT `props`; the second wave adds it, evolving the
