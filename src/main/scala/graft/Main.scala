@@ -175,11 +175,27 @@ object Main {
         }
         val tx: Map[String, String] =
           txAll.collect { case (n, p, None) => n -> p }.toMap
-        // DML (DELETE/UPDATE/MERGE on a --tx view) translates to the
-        // TxStore API — Catalyst parses but cannot execute DML on a
-        // file-backed view; plain queries run through SqlRead, which
-        // rewrites tx relations to log-pruned scans (and resolves
-        // VERSION/TIMESTAMP AS OF) before Catalyst plans the rest
+        // dispatch order: maintenance (OPTIMIZE/VACUUM/RESTORE/DESCRIBE
+        // HISTORY — statements Spark's grammar doesn't know, so they
+        // must intercept before its parser sees them), then DML
+        // (DELETE/UPDATE/MERGE on a --tx view translate to the TxStore
+        // API — Catalyst parses but cannot execute DML on a file-backed
+        // view), then plain queries through SqlRead, which rewrites tx
+        // relations to log-pruned scans (and resolves VERSION/TIMESTAMP
+        // AS OF) before Catalyst plans the rest
+        graft.sources.SqlMaint.maybeExecute(spark, text, tx) match {
+          case Some(m) =>
+            // restore/optimize moved the snapshot — advance the view;
+            // the artifact is the statement's own summary frame (O(1)
+            // rows, or O(retained commits) for DESCRIBE HISTORY),
+            // never table data
+            m.version.foreach(_ =>
+              graft.sources.TxStore.registerView(spark, m.path, m.view))
+            m.df.write.mode("overwrite").parquet(s"$outDir/sql_result")
+            println(s"[graft] sql ${m.op} on tx '${m.view}' " +
+              m.version.fold("(no commit)")(v => s"committed v$v") +
+              s" -> $outDir/sql_result")
+          case None =>
         graft.sources.SqlDml.maybeExecute(spark, text, tx) match {
           case Some(r) =>
             // the view captured the pre-DML snapshot; advance it and
@@ -210,6 +226,7 @@ object Main {
                 spark.sql(text).write.mode("overwrite").parquet(s"$outDir/sql_result")
             }
             println(s"[graft] sql -> $outDir/sql_result")
+        }
         }
       case other =>
         sys.error(s"unknown --step $other (build-journeys|score|score-external|report|clean-corpus|sql|all)")

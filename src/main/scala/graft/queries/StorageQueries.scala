@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.{ChannelReport, IhcScorer, IncrementalReport, JourneyBuilder, Skew}
-import graft.sources.{Compaction, TxStore}
+import graft.sources.{Compaction, SqlMaint, TxStore}
 import graft.streaming.StreamingIngest
 import org.apache.spark.sql.functions._
 
@@ -1034,6 +1034,52 @@ object StorageQueries {
         eventsCols(TxStore.read(s, store))
       },
       Some(eventsSql("")),
+      bench = true),
+
+    // ── S47 — MAINTENANCE SQL: the nightly-operations statements
+    //    (OPTIMIZE / DESCRIBE HISTORY / RESTORE / VACUUM) as SQL TEXT
+    //    through the same pre-Catalyst dispatch DML rides — Spark's
+    //    grammar knows none of them, so a lake operator previously
+    //    needed the Scala API for exactly the jobs they script most.
+    //    The lane drives the full lifecycle: a trickle-ingested table
+    //    is OPTIMIZEd (bin-packing commit), its history read back as a
+    //    frame (metadata-only, log-scale), RESTOREd to v1 (a NEW
+    //    commit re-adding v1's live set — history stays append-only),
+    //    then VACUUMed past a checkpoint so the final readback — which
+    //    must hash-match the v1 content — runs PHYSICALLY from the
+    //    files the reap left behind. REQUIREs pin each statement's
+    //    commit op; the oracle pins the restored content exactly.
+    QueryDef(
+      "s47_sql_maintenance",
+      (s, d) => {
+        val store = freshStore(s, "s47-maint", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0).repartition(1), store) // v1
+        for (w <- 0 until 4) // odd-id trickle, 4 small files (v2..v5)
+          TxStore.append(ev.filter(col("event_id") % 8 === 2 * w + 1).repartition(1), store)
+        val tx = Map("mt" -> store)
+        def run(sql: String): SqlMaint.Result = SqlMaint.maybeExecute(s, sql, tx).get
+        val opt = run("OPTIMIZE mt")
+        require(opt.version.isDefined && TxStore.history(s, store).last.op == "compact",
+          "OPTIMIZE must land a bin-packing compact commit")
+        require(TxStore.snapshot(s, store).files.size == 1,
+          "every sub-floor file folds into one at this scale")
+        val hist = run("DESCRIBE HISTORY mt").df
+        require(hist.count() == 6 &&
+          hist.columns.sameElements(Array("version", "ts", "op", "n_add", "n_remove")),
+          "DESCRIBE HISTORY must answer one row per commit")
+        val rst = run("RESTORE TABLE mt TO VERSION AS OF 1")
+        require(rst.version.contains(7L) && TxStore.history(s, store).last.op == "restore",
+          "RESTORE must land a new commit, never rewrite history")
+        // reap everything the restore orphaned; the readback below must
+        // survive on the kept files alone
+        TxStore.checkpoint(s, store) // v8
+        val vac = run("VACUUM mt RETAIN 1 VERSIONS GRACE 0 MS")
+        require(vac.df.select("files_deleted").head.getLong(0) >= 4,
+          "VACUUM must reap the trickle + packed files the restore orphaned")
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(" WHERE event_id % 2 = 0")),
       bench = true),
 
     // ── S29 — MULTI-PART CHECKPOINT: the restated per-file stats and

@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.util.Locale
+
+import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Maintenance SQL against TxStore tables — the statements a lake
+  * operator runs nightly, none of which Spark's grammar knows (Delta
+  * adds them through a parser extension; this engine adds them through
+  * the same pre-Catalyst dispatch SqlDml uses, so the one `--step sql`
+  * surface carries reads, DML AND maintenance):
+  *
+  *   - `OPTIMIZE v [WHERE <partition-pred>] [ZORDER BY (c1[, c2…])]`
+  *     → [[TxStore.compactSmallFiles]] (bin-packing, Delta's plain
+  *     OPTIMIZE) or [[TxStore.compactZOrder]] when ZORDER BY is given;
+  *     WHERE scopes either to matching partitions (the partition-only
+  *     rule those APIs already enforce).
+  *   - `VACUUM v [RETAIN n VERSIONS] [GRACE n MS]` → [[TxStore.vacuum]].
+  *     The engine's retention unit is VERSIONS (the log is the clock),
+  *     not Delta's wall-clock HOURS; GRACE exposes the age-grace guard
+  *     for operators who just lowered retention and want the reap now
+  *     (the same parameter the Scala API takes).
+  *   - `RESTORE [TABLE] v TO VERSION AS OF n | TO TIMESTAMP AS OF <expr>`
+  *     → [[TxStore.restore]] (a NEW commit re-adding the target
+  *     version's live set — history is append-only, so the restore
+  *     itself is undoable).
+  *   - `DESCRIBE|DESC HISTORY v` → [[TxStore.historyFrame]] (version,
+  *     commit-file mtime, op, files added/removed — the mtime is the
+  *     clock `TIMESTAMP AS OF` resolves against, so the output feeds
+  *     straight back into time travel).
+  *
+  * Each statement answers a SMALL summary frame (O(1) rows, or
+  * O(retained commits) for DESCRIBE HISTORY) — never table data; the
+  * CLI lands it as the step artifact. Targets must be `--tx`-registered
+  * CURRENT views: a time-travel view (`@vN` / VERSION AS OF) is
+  * read-only and never enters the addressable set, same rule as DML.
+  * Refusals are loud, never silent no-ops. */
+object SqlMaint {
+
+  /** Executed maintenance statement: kind, target view + path, the
+    * committed version (None = nothing qualified / metadata-only
+    * statement), and the summary frame to land as the step result. */
+  final case class Result(
+      op: String, view: String, path: String, version: Option[Long], df: DataFrame)
+
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+(\S+)\s*(.*?)\s*""".r
+  private val ZOrderRe = """(?is)(.*?)\bZORDER\s+BY\s+(.+)""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+(\S+)\s*(?:\bRETAIN\s+(\d+)\s+VERSIONS\b)?\s*(?:\bGRACE\s+(\d+)\s+MS\b)?\s*""".r
+  private val RestoreVersionRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val RestoreTimestampRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(.+?)\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+)\s*""".r
+
+  /** If `text` is a maintenance statement, execute it against the
+    * `--tx`-registered table it targets and return Some(result);
+    * None = not maintenance (DML / plain-read dispatch applies). */
+  def maybeExecute(
+      spark: SparkSession, text: String, tx: Map[String, String]): Option[Result] = {
+    val t = text.trim.stripSuffix(";").trim
+    val head = t.split("\\s+", 2)(0).toUpperCase(Locale.ROOT)
+    val isHistory = HistoryRe.pattern.matcher(t).matches()
+    if (!Set("OPTIMIZE", "VACUUM", "RESTORE").contains(head) && !isHistory) return None
+
+    def resolve(view: String): (String, String) = {
+      val v = view.trim
+      tx.get(v).orElse(tx.find(_._1.equalsIgnoreCase(v)).map(_._2)) match {
+        case Some(p) => (v, p)
+        case None => refuse(
+          s"'$v' is not a --tx-registered table (time-travel views are read-only); " +
+            s"registered: ${if (tx.isEmpty) "none" else tx.keys.toSeq.sorted.mkString(", ")}")
+      }
+    }
+    def one(cols: (String, Column)*): DataFrame =
+      cols.foldLeft(spark.range(1).toDF())((df, c) => df.withColumn(c._1, c._2)).drop("id")
+    def verCol(v: Option[Long]): Column =
+      v.map(lit(_)).getOrElse(lit(null).cast("long"))
+
+    Some(t match {
+      case OptimizeRe(viewRaw, tail) =>
+        val (view, path) = resolve(viewRaw)
+        // split WHERE from ZORDER BY before parsing either — the
+        // predicate text must not swallow the clause keyword
+        val (beforeZ, zCols) = tail match {
+          case ZOrderRe(pre, colsRaw) =>
+            val inner = colsRaw.trim.stripSuffix(")").stripPrefix("(")
+            val cols = inner.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty).toSeq
+            if (cols.isEmpty) refuse("ZORDER BY needs at least one column")
+            (pre.trim, cols)
+          case other => (other.trim, Nil)
+        }
+        val where: Option[Column] = beforeZ match {
+          case "" => None
+          case w if w.toUpperCase(Locale.ROOT).startsWith("WHERE ") =>
+            Some(expr(w.substring(6)))
+          case other => refuse(s"OPTIMIZE: unrecognized clause '$other' " +
+            "(expected [WHERE <partition-pred>] [ZORDER BY (cols)])")
+        }
+        // sizing rides session config (the Delta idiom — OPTIMIZE takes
+        // no size literals; the lake's unit size is an operations
+        // setting, not a per-statement choice)
+        val committed =
+          if (zCols.nonEmpty) TxStore.compactZOrder(spark, path, zCols, where = where)
+          else TxStore.compactSmallFiles(spark, path,
+            targetBytes = spark.conf.getOption("graft.optimize.targetBytes")
+              .map(_.toLong).getOrElse(128L << 20),
+            minBytes = spark.conf.getOption("graft.optimize.minBytes")
+              .map(_.toLong).getOrElse(64L << 20),
+            where = where)
+        Result("optimize", view, path, committed,
+          one("op" -> lit(if (zCols.nonEmpty) "optimize-zorder" else "optimize"),
+            "table" -> lit(view), "version" -> verCol(committed),
+            "rewrote" -> lit(committed.isDefined)))
+
+      case VacuumRe(viewRaw, retain, grace) =>
+        val (view, path) = resolve(viewRaw)
+        val deleted = TxStore.vacuum(spark, path,
+          retainVersions = Option(retain).map(_.toInt).getOrElse(2),
+          ageGraceMs = Option(grace).map(_.toLong)
+            .getOrElse(TxStore.DefaultAgeGraceMs))
+        Result("vacuum", view, path, None,
+          one("op" -> lit("vacuum"), "table" -> lit(view),
+            "files_deleted" -> lit(deleted.toLong)))
+
+      case RestoreVersionRe(viewRaw, v) =>
+        val (view, path) = resolve(viewRaw)
+        val target = v.toLong
+        val committed = TxStore.restore(spark, path, target)
+        Result("restore", view, path, Some(committed),
+          one("op" -> lit("restore"), "table" -> lit(view),
+            "restored_to" -> lit(target), "version" -> lit(committed)))
+
+      case RestoreTimestampRe(viewRaw, tsExpr) =>
+        val (view, path) = resolve(viewRaw)
+        // same resolution as SqlRead's TIMESTAMP AS OF: evaluate the
+        // expression through the session (a literal, date arithmetic —
+        // whatever casts to timestamp), then the latest version at or
+        // before it by commit-file mtime
+        val ts = spark.range(1).select(expr(tsExpr).cast("timestamp")).head.getTimestamp(0)
+        if (ts == null) refuse("RESTORE: TIMESTAMP AS OF expression evaluated to NULL")
+        val target = TxStore.versionAtTimestamp(spark, path, ts.getTime)
+        val committed = TxStore.restore(spark, path, target)
+        Result("restore", view, path, Some(committed),
+          one("op" -> lit("restore"), "table" -> lit(view),
+            "restored_to" -> lit(target), "version" -> lit(committed)))
+
+      case HistoryRe(viewRaw) =>
+        val (view, path) = resolve(viewRaw)
+        Result("describe-history", view, path, None, TxStore.historyFrame(spark, path))
+
+      case other =>
+        refuse(s"cannot parse maintenance statement: $other")
+    })
+  }
+
+  private def refuse(msg: String): Nothing =
+    throw new IllegalArgumentException(s"sql maintenance: $msg")
+}

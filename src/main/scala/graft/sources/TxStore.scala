@@ -1111,6 +1111,23 @@ object TxStore {
   def history(spark: SparkSession, path: String): Seq[Commit] =
     commits(fs(spark, path), path)
 
+  /** [[history]] as a DataFrame — the DESCRIBE HISTORY surface: one
+    * row per retained commit, timestamped by the commit file's mtime
+    * (the same clock [[versionAtTimestamp]] resolves time travel
+    * against, so `ts` here is directly usable in a later
+    * `TIMESTAMP AS OF`). O(retained commits) metadata lookups, no
+    * data IO — the frame is log-scale regardless of table size. */
+  def historyFrame(spark: SparkSession, path: String): DataFrame = {
+    val f = fs(spark, path)
+    val rows = commits(f, path).map { c =>
+      (c.version,
+        new java.sql.Timestamp(
+          f.getFileStatus(logPath(path, c.version)).getModificationTime),
+        c.op, c.add.size.toLong, c.remove.size.toLong)
+    }
+    spark.createDataFrame(rows).toDF("version", "ts", "op", "n_add", "n_remove")
+  }
+
   // ── CHECK constraints (public surface) ─────────────────────────────
 
   /** The table's live CHECK constraints, (name, SQL expression) in

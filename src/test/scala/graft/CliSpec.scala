@@ -536,4 +536,119 @@ class CliSpec extends SparkSpec {
       Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> tmp()))
     }
   }
+
+  test("sql step: OPTIMIZE / DESCRIBE HISTORY / RESTORE / VACUUM maintenance lifecycle") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/mainttbl"
+    val ev = Tables.events(spark, sf("sf0.001"))
+    graft.sources.TxStore.append(
+      ev.filter(col("event_id") % 2 === 0).repartition(1), table) // v1
+    for (w <- 0 until 4) // odd-id trickle: v2..v5
+      graft.sources.TxStore.append(
+        ev.filter(col("event_id") % 8 === 2 * w + 1).repartition(1), table)
+    val before = graft.sources.TxStore.read(spark, table).count()
+    def sql(stmt: String): String = {
+      val out = tmp()
+      Main.run(spark, Map(
+        "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+        "tx" -> s"mt=$table", "sql" -> stmt))
+      s"$out/sql_result"
+    }
+
+    // OPTIMIZE = bin-packing compact; readback row-identical, the
+    // artifact is a one-row summary, never table data
+    val opt = spark.read.parquet(sql("OPTIMIZE mt"))
+    assert(opt.count() === 1)
+    assert(opt.select("op").as[String].head === "optimize")
+    assert(opt.select("rewrote").as[Boolean].head)
+    assert(graft.sources.TxStore.history(spark, table).last.op === "compact")
+    assert(graft.sources.TxStore.read(spark, table).count() === before)
+    assert(graft.sources.TxStore.snapshot(spark, table).files.size === 1)
+
+    // DESCRIBE HISTORY answers the log as a frame, ops in order
+    val hist = spark.read.parquet(sql("DESCRIBE HISTORY mt"))
+    assert(hist.columns.toSeq === Seq("version", "ts", "op", "n_add", "n_remove"))
+    assert(hist.orderBy("version").select("op").as[String].collect().toSeq ===
+      graft.sources.TxStore.history(spark, table).map(_.op))
+
+    // RESTORE TO VERSION AS OF 1 lands a NEW commit whose readback is
+    // exactly the v1 snapshot (the even-id half)
+    val rst = spark.read.parquet(sql("RESTORE TABLE mt TO VERSION AS OF 1"))
+    assert(rst.select("restored_to").as[Long].head === 1L)
+    assert(graft.sources.TxStore.history(spark, table).last.op === "restore")
+    val restored = graft.sources.TxStore.read(spark, table)
+    assert(restored.count() === ev.filter(col("event_id") % 2 === 0).count())
+    assert(restored.filter(col("event_id") % 2 =!= 0).count() === 0)
+
+    // RESTORE TO TIMESTAMP AS OF resolves against commit-file mtimes —
+    // the same clock DESCRIBE HISTORY reports, so its ts feeds back in.
+    // The latest commit's ts targets that commit itself (the restore
+    // just landed v7, so this restore is content-preserving — the
+    // even-id half must survive through the vacuum below)
+    val ts = spark.read.parquet(sql("DESC HISTORY mt"))
+      .orderBy("version").select("ts").as[java.sql.Timestamp].collect().last
+    val viaTs = spark.read.parquet(
+      sql(s"RESTORE mt TO TIMESTAMP AS OF '${ts.toString}'"))
+    assert(viaTs.select("restored_to").as[Long].head ===
+      graft.sources.TxStore.versionAtTimestamp(spark, table, ts.getTime))
+
+    // VACUUM past a checkpoint reaps what the restore orphaned; the
+    // restored content must still read from the survivors alone
+    graft.sources.TxStore.checkpoint(spark, table)
+    val vac = spark.read.parquet(sql("VACUUM mt RETAIN 1 VERSIONS GRACE 0 MS"))
+    assert(vac.select("files_deleted").as[Long].head >= 4L)
+    assert(graft.sources.TxStore.read(spark, table).count() ===
+      ev.filter(col("event_id") % 2 === 0).count())
+
+    // maintenance on an unregistered view refuses loudly — never a
+    // Catalyst fallthrough, never a silent no-op
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "sql" -> "OPTIMIZE events"))
+    }
+    assert(ex.getMessage.contains("not a --tx-registered table"))
+    // DESCRIBE of a plain view still belongs to Catalyst (only
+    // DESCRIBE HISTORY intercepts)
+    Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+      "out-dir" -> tmp(), "sql" -> "DESCRIBE events"))
+  }
+
+  test("sql step: OPTIMIZE WHERE … ZORDER BY scopes to partitions ≡ compactZOrder") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/zopttbl"
+    val twin = s"$dir/zopttwin"
+    val ev = Tables.events(spark, sf("sf0.001"))
+    graft.sources.TxStore.append(ev.repartition(4), table, partitionBy = Seq("event_type"))
+    graft.sources.TxStore.append(ev.repartition(4), twin, partitionBy = Seq("event_type"))
+    val untouched = graft.sources.TxStore.snapshot(spark, table)
+      .files.filterNot(_.startsWith("event_type=click/"))
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "tx" -> s"mt=$table",
+      "sql" -> "OPTIMIZE mt WHERE event_type = 'click' ZORDER BY (event_id, user_id)"))
+    graft.sources.TxStore.compactZOrder(spark, twin, Seq("event_id", "user_id"),
+      where = Some(col("event_type") === "click"))
+    val c = graft.sources.TxStore.history(spark, table).last
+    assert(c.op === "optimize-zorder")
+    assert(c.remove.nonEmpty && c.remove.forall(_.startsWith("event_type=click/")))
+    // other partitions' files are untouched bytes
+    val after = graft.sources.TxStore.snapshot(spark, table).files
+    assert(untouched.forall(after.contains))
+    // ≡ the Scala twin: same rows, same file-set shape
+    val a = graft.sources.TxStore.read(spark, table)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    val b = graft.sources.TxStore.read(spark, twin)
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(a === b)
+    // an unparseable clause refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> s"mt=$table",
+        "sql" -> "OPTIMIZE mt INTO 3 FILES"))
+    }
+    assert(ex.getMessage.contains("unrecognized clause"))
+  }
 }
