@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.ops.{ChannelReport, IhcScorer, IncrementalReport, JourneyBuilder, Skew}
 import graft.sources.{Compaction, SqlMaint, TxStore}
-import graft.streaming.StreamingIngest
+import graft.streaming.{StreamingCdf, StreamingIngest}
 import org.apache.spark.sql.functions._
 
 /** Round-5 storage & physical-layout surface: text source/sink formats
@@ -1080,6 +1080,50 @@ object StorageQueries {
         eventsCols(TxStore.read(s, store))
       },
       Some(eventsSql(" WHERE event_id % 2 = 0")),
+      bench = true),
+
+    // ── S48 — STREAMING CDF FOLLOW: a TxStore table as a STREAMING
+    //    SOURCE (Delta's readStream-on-a-table). The commit log is the
+    //    stream — Spark's file source checkpoints which commit files
+    //    each micro-batch saw — and each batch derives its versions'
+    //    row-level changes from the table's own parquet
+    //    (readChangesBetween) into a history sink via exactly-once
+    //    stamped appends. TWO drains: the first moves v1 (the initial
+    //    snapshot as the inserts it was), the second resumes from the
+    //    stream checkpoint and moves ONLY v2 (a copy-on-write delete →
+    //    delete rows). The REQUIRE pins stream ≡ batch CDC; the oracle
+    //    pins the full change history exactly: inserts = the even-id
+    //    half at v1, deletes = the %4 rows at v2.
+    QueryDef(
+      "s48_tx_cdf_follow",
+      (s, d) => {
+        val src = freshStore(s, "s48-src", d)
+        val sink = freshStore(s, "s48-sink", d)
+        val ckpt = freshStore(s, "s48-ckpt", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0), src) // v1
+        StreamingCdf.follow(s, src, sink, ckpt).awaitTermination(300000)
+        val firstDrain = TxStore.snapshot(s, sink).version
+        TxStore.delete(s, src, col("event_id") % 4 === 0) // v2
+        StreamingCdf.follow(s, src, sink, ckpt).awaitTermination(300000)
+        require(TxStore.snapshot(s, sink).version > firstDrain,
+          "the resumed drain must land v2's changes in a new sink commit")
+        val streamed = TxStore.read(s, sink)
+        val batch = TxStore.readChangesSince(s, src, 0L)._2
+        require(streamed.count() == batch.count() &&
+          streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+          "the follower's history table must equal the batch CDC read exactly")
+        streamed.select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"),
+          col("_change_type"), col("_commit_version"))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+             |       'insert' AS "_change_type", CAST(1 AS BIGINT) AS "_commit_version"
+             |FROM events WHERE event_id % 2 = 0
+             |UNION ALL
+             |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+             |       'delete' AS "_change_type", CAST(2 AS BIGINT) AS "_commit_version"
+             |FROM events WHERE event_id % 4 = 0""".stripMargin),
       bench = true),
 
     // ── S29 — MULTI-PART CHECKPOINT: the restated per-file stats and

@@ -2006,7 +2006,25 @@ object TxStore {
     * referenced by in-range commits must still exist: the same
     * [[vacuum]] retention contract as time travel. */
   def readChangesSince(
-      spark: SparkSession, path: String, sinceVersion: Long): (Long, DataFrame) = {
+      spark: SparkSession, path: String, sinceVersion: Long): (Long, DataFrame) =
+    changesBetween(spark, path, sinceVersion, None)
+
+  /** [[readChangesSince]] with an INCLUSIVE upper bound — the streaming
+    * follower's shape: a micro-batch that discovered versions
+    * (since, until] derives exactly those commits' rows, never a
+    * concurrent later commit's (which the next batch owns). Same
+    * refusal contract as the unbounded read. */
+  def readChangesBetween(
+      spark: SparkSession, path: String,
+      sinceVersion: Long, untilVersion: Long): DataFrame = {
+    require(sinceVersion <= untilVersion,
+      s"empty change range: since v$sinceVersion > until v$untilVersion")
+    changesBetween(spark, path, sinceVersion, Some(untilVersion))._2
+  }
+
+  private def changesBetween(
+      spark: SparkSession, path: String, sinceVersion: Long,
+      untilVersion: Option[Long]): (Long, DataFrame) = {
     val f = fs(spark, path)
     val cs = commits(f, path)
     val snap = replay(f, path, cs)
@@ -2014,12 +2032,15 @@ object TxStore {
       sinceVersion <= snap.version,
       s"consumer position v$sinceVersion is ahead of the log at $path " +
         s"(latest v${snap.version}) — wrong path, or the table was recreated")
+    require(untilVersion.forall(_ <= snap.version),
+      s"until v${untilVersion.get} is ahead of the log at $path (latest v${snap.version})")
     if (cs.nonEmpty)
       require(
         cs.head.version <= sinceVersion + 1,
         s"changes since v$sinceVersion are not derivable: the retained log starts at " +
           s"v${cs.head.version} (checkpoint truncated history) — re-read the snapshot")
-    val tail = cs.filter(c => c.version > sinceVersion && c.op != "checkpoint")
+    val tail = cs.filter(c => c.version > sinceVersion &&
+      untilVersion.forall(c.version <= _) && c.op != "checkpoint")
     // CDF reads in the CURRENT schema (old files' missing columns are
     // NULL via schema-on-read) — one schema across every emitted frame;
     // same for the CURRENT column mapping (a renamed column's whole
