@@ -2152,18 +2152,55 @@ object ExtQueries {
     //    quantizer (kmeansCentroids, the production form): cells follow
     //    the corpus's actual density modes instead of the k lowest-id
     //    seeds. Trained centroids depend on float summation order in
-    //    the Lloyd averages, so no portable oracle exists — rows-only
-    //    here; the balance PROPERTIES (per-cell quota honored, mode
-    //    imbalance flattened vs a uniform cut) are pinned in
-    //    DedupSimilaritySpec, the same trade as topKIvf vs topKBlocked.
+    //    the Lloyd averages, so the MEMBERSHIP can never hash-match a
+    //    DuckDB replay — but the lane carries a full oracle anyway via
+    //    a SCORECARD (the an13 pattern): the one exact value both
+    //    engines agree on (corpus size — the anchor that catches a
+    //    silently empty input) plus booleans pinning every
+    //    centroid-independent LAW of the sample: per-cell quota
+    //    honored, each cell's keep a COMPLETE min(pop, quota) prefix
+    //    (the window kept neither more nor fewer), ids a distinct
+    //    subset of the corpus, cells inside [0, k), and the total
+    //    inside its provable envelope [min(n, quota), min(n, k·quota)].
+    //    The oracle computes the same count and literal trues — green
+    //    ⇔ every law holds. The detailed balance properties (mode
+    //    flattening vs a uniform cut) stay pinned in
+    //    DedupSimilaritySpec, the topKIvf-vs-topKBlocked trade.
     QueryDef(
       "ext40_cluster_balance_trained",
       (s, d) => {
         val e = Tables.embeddings(s, d)
         val cents = Similarity.kmeansCentroids(e, k = 8, iters = 3)
-        Similarity.clusterBalancedSample(e, cents, quota = 50)
+        val sample = Similarity.clusterBalancedSample(e, cents, quota = 50)
+        // the FULL assignment (quota = ∞) yields per-cell populations
+        // without touching the private assignment seam
+        val pops = Similarity.clusterBalancedSample(e, cents, quota = Int.MaxValue)
+          .groupBy("cell").agg(count(lit(1)).as("pop"))
+        val kept = sample.groupBy("cell").agg(count(lit(1)).as("kept"))
+        val cellRow = pops.join(kept, Seq("cell"), "left")
+          .na.fill(0L, Seq("kept"))
+          .agg(
+            max("kept").as("max_kept"),
+            sum(when(col("kept") === least(col("pop"), lit(50L)), 0L)
+              .otherwise(1L)).as("bad_cells"),
+            min("cell").as("min_cell"), max("cell").as("max_cell"))
+          .head()
+        val n = e.count()
+        val nKept = sample.count()
+        val idsValid = sample.join(e, Seq("vec_id"), "left_anti").count() == 0 &&
+          sample.select("vec_id").distinct().count() == nKept
+        s.range(1).select(
+          lit(n).as("n_vectors"),
+          lit(cellRow.getLong(0) <= 50L).as("quota_ok"),
+          lit(cellRow.getLong(1) == 0L).as("kept_complete"),
+          lit(idsValid).as("ids_valid"),
+          lit(cellRow.getLong(2) >= 0L && cellRow.getLong(3) <= 7L).as("cells_in_range"),
+          lit(nKept >= math.min(n, 50L) && nKept <= math.min(n, 400L)).as("n_kept_bounded"))
       },
-      None),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             |       true AS quota_ok, true AS kept_complete, true AS ids_valid,
+             |       true AS cells_in_range, true AS n_kept_bounded
+             |FROM embeddings""".stripMargin)),
 
     // ── EXT42 — BPE vocabulary induction (Sennrich et al. 2016): the
     //    first 3 merge rules learned from the documents corpus. The
