@@ -185,11 +185,12 @@ object Main {
         // AS OF) before Catalyst plans the rest
         graft.sources.SqlMaint.maybeExecute(spark, text, tx) match {
           case Some(m) =>
-            // restore/optimize moved the snapshot — advance the view;
-            // the artifact is the statement's own summary frame (O(1)
+            // restore/optimize moved the snapshot — advance the view
+            // (CONVERT targets a raw path, not a registered view); the
+            // artifact is the statement's own summary frame (O(1)
             // rows, or O(retained commits) for DESCRIBE HISTORY),
             // never table data
-            m.version.foreach(_ =>
+            m.version.foreach(_ => if (tx.contains(m.view))
               graft.sources.TxStore.registerView(spark, m.path, m.view))
             m.df.write.mode("overwrite").parquet(s"$outDir/sql_result")
             println(s"[graft] sql ${m.op} on tx '${m.view}' " +

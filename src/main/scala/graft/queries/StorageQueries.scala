@@ -1126,6 +1126,57 @@ object StorageQueries {
              |FROM events WHERE event_id % 4 = 0""".stripMargin),
       bench = true),
 
+    // ── S49 — CONVERT TO TX: adopt a pre-existing plain-parquet estate
+    //    (hive-partitioned, written by Spark's own writer) into a
+    //    transactional table IN PLACE — Delta's CONVERT TO DELTA, the
+    //    migration path for the 100 TB a lake already holds, where any
+    //    rewriting converter would cost a full copy. The REQUIREs pin
+    //    the three claims that make convert convert: (1) ZERO data IO —
+    //    every adopted file keeps its exact byte length under its
+    //    original partition path; (2) file skipping works from the
+    //    FIRST read — partition dirs prune from the commit's names,
+    //    and the footer-harvested stats prune within a partition
+    //    (the estate was range-laid-out on event_id, so ranges refute);
+    //    (3) the adopted table is a full citizen — a partition DELETE
+    //    lands as v2 and the oracle pins the post-DML readback exactly.
+    QueryDef(
+      "s49_tx_convert",
+      (s, d) => {
+        val store = freshStore(s, "s49-convert", d)
+        val ev = Tables.events(s, d)
+        ev.repartitionByRange(4, col("event_id"))
+          .write.partitionBy("event_type").parquet(store)
+        def walk(dir: java.io.File, prefix: String): Seq[(String, Long)] =
+          dir.listFiles().toSeq.flatMap { ch =>
+            if (ch.isDirectory) walk(ch, s"$prefix${ch.getName}/")
+            else if (ch.getName.endsWith(".parquet") &&
+              !ch.getName.startsWith("_") && !ch.getName.startsWith("."))
+              Seq((s"$prefix${ch.getName}", ch.length()))
+            else Nil
+          }
+        val before = walk(new java.io.File(store), "").toMap
+        require(before.nonEmpty, "fixture: the estate must hold parquet files")
+        val r = SqlMaint.maybeExecute(s, s"CONVERT TO TX '$store'", Map.empty).get
+        require(r.version.contains(1L) &&
+          TxStore.history(s, store).head.op == "convert",
+          "convert must publish exactly one v1 commit")
+        val snap = TxStore.snapshot(s, store)
+        val after = snap.files
+          .map(fl => fl -> new java.io.File(s"$store/data/$fl").length()).toMap
+        require(after == before,
+          "convert must RENAME the estate's files — same paths, same bytes")
+        val (_, kept, skipped) = TxStore.pruneFiles(s, store,
+          col("event_type") === "click" && col("event_id") <= 100L)
+        require(kept.nonEmpty && kept.forall(_.startsWith("event_type=click/")),
+          "partition pruning must scope the first read to the click dir")
+        require(skipped.exists(_.startsWith("event_type=click/")),
+          "footer-harvested stats must prune within the partition too")
+        TxStore.delete(s, store, col("event_type") === "view") // v2
+        eventsCols(TxStore.read(s, store))
+      },
+      Some(eventsSql(" WHERE event_type <> 'view'")),
+      bench = true),
+
     // ── S29 — MULTI-PART CHECKPOINT: the restated per-file stats and
     //    deletion vectors shard into sidecar files (2 files per shard
     //    here, so an 8-file table crosses several shard boundaries) and

@@ -29,6 +29,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *     commit-file mtime, op, files added/removed — the mtime is the
   *     clock `TIMESTAMP AS OF` resolves against, so the output feeds
   *     straight back into time travel).
+  *   - `CONVERT TO TX '/path'` → [[TxStore.convert]] (adopt an existing
+  *     plain-parquet directory in place — renames, footer stats, one
+  *     v1 commit; zero data IO). Takes a quoted PATH, not a view: the
+  *     table does not exist to register until the convert lands.
   *
   * Each statement answers a SMALL summary frame (O(1) rows, or
   * O(retained commits) for DESCRIBE HISTORY) — never table data; the
@@ -55,6 +59,8 @@ object SqlMaint {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(.+?)\s*""".r
   private val HistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+)\s*""".r
+  private val ConvertRe =
+    """(?is)\s*CONVERT\s+TO\s+TX\s+'([^']+)'\s*""".r
 
   /** If `text` is a maintenance statement, execute it against the
     * `--tx`-registered table it targets and return Some(result);
@@ -64,7 +70,8 @@ object SqlMaint {
     val t = text.trim.stripSuffix(";").trim
     val head = t.split("\\s+", 2)(0).toUpperCase(Locale.ROOT)
     val isHistory = HistoryRe.pattern.matcher(t).matches()
-    if (!Set("OPTIMIZE", "VACUUM", "RESTORE").contains(head) && !isHistory) return None
+    if (!Set("OPTIMIZE", "VACUUM", "RESTORE", "CONVERT").contains(head) && !isHistory)
+      return None
 
     def resolve(view: String): (String, String) = {
       val v = view.trim
@@ -152,6 +159,14 @@ object SqlMaint {
       case HistoryRe(viewRaw) =>
         val (view, path) = resolve(viewRaw)
         Result("describe-history", view, path, None, TxStore.historyFrame(spark, path))
+
+      case ConvertRe(pathRaw) =>
+        val path = pathRaw.trim.stripSuffix("/")
+        val committed = TxStore.convert(spark, path)
+        Result("convert", path, path, Some(committed),
+          one("op" -> lit("convert"), "location" -> lit(path),
+            "version" -> lit(committed),
+            "n_files" -> lit(TxStore.snapshot(spark, path).files.size.toLong)))
 
       case other =>
         refuse(s"cannot parse maintenance statement: $other")

@@ -2113,10 +2113,10 @@ object TxStore {
             if (c.add.isEmpty) Nil
             else Seq(tagged(readFiles(spark, path, c.add, readSchema, mapping = curMap), "insert", c.version))
           dels ++ ins
-        // a clone's creating commit restates the source snapshot into a
-        // fresh table: its adds are inserts, read through the commit's
-        // own restated DV marks
-        case "clone" =>
+        // a clone's (or convert's) creating commit restates existing
+        // data into a fresh table: its adds are inserts, read through
+        // the commit's own restated DV marks (none for convert)
+        case "clone" | "convert" =>
           if (c.add.isEmpty) Nil
           else Seq(tagged(effective(after, c.add), "insert", c.version))
         case "restore" =>
@@ -3851,6 +3851,85 @@ object TxStore {
     * target snapshot. Fails loudly if vacuum already reclaimed a
     * target file (restore reach = the vacuum retention window, the
     * same trade Delta documents). */
+  /** CONVERT an existing plain-parquet directory into a transactional
+    * table IN PLACE — Delta's CONVERT TO DELTA. Data files are RENAMED
+    * under `data/` (same-filesystem metadata ops, never copied),
+    * preserving hive `col=value/` partition segments, and ONE `convert`
+    * commit publishes them as v1 with the inferred schema, the
+    * partition column list, and (optionally) footer-harvested min/max
+    * stats — so file skipping works from the first read. Cost is
+    * O(files) driver-side renames + O(files) footer opens; ZERO data
+    * IO — the adoption path for a lake's existing parquet estate,
+    * where any rewriting converter would cost a full copy of the
+    * 100 TB it is supposed to manage.
+    *
+    * Contract: the directory must not already be a table, must hold at
+    * least one parquet file, and every file must agree on the partition
+    * directory shape. The move requires EXCLUSIVE access — a concurrent
+    * plain-dir reader would lose files mid-rename (Delta's in-place
+    * convert makes the same writers-stop demand). Crash-restartable:
+    * files an interrupted convert already moved are picked up by the
+    * re-run; the commit is the atomic publish point. */
+  def convert(spark: SparkSession, path: String, collectStats: Boolean = true): Long = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    require(f.exists(root), s"nothing to convert: $path does not exist")
+    require(!isTable(spark, path), s"$path is already a transactional table")
+    val rootQ = f.makeQualified(root).toString
+    // every parquet file under the dir, EXCLUDING ones an interrupted
+    // convert already moved under data/ (they rejoin by relative name);
+    // underscore/dot-prefixed files and dirs (_SUCCESS, .crc) are
+    // hidden, same rule as Spark's own file index
+    def hidden(rel: String): Boolean =
+      rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
+    val toMove = scala.collection.mutable.ArrayBuffer.empty[String]
+    val already = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = f.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.substring(rootQ.length + 1)
+      if (rel.endsWith(".parquet")) {
+        if (rel.startsWith(s"$DataDir/")) {
+          val inner = rel.substring(DataDir.length + 1)
+          if (!hidden(inner)) already += inner
+        } else if (!hidden(rel)) toMove += rel
+      }
+    }
+    val names: Seq[String] = (already ++ toMove).sorted.toSeq
+    require(names.nonEmpty, s"nothing to convert: no parquet files under $path")
+    // one partition shape for the whole table: identical col= sequences
+    def dirCols(n: String): Seq[String] =
+      n.split('/').dropRight(1).toSeq.map { seg =>
+        val i = seg.indexOf('=')
+        require(i > 0, s"convert: '$seg' in $n is not a col=value partition segment")
+        seg.substring(0, i)
+      }
+    val partCols = dirCols(names.head)
+    names.foreach(n => require(dirCols(n) == partCols,
+      s"convert: inconsistent partition layout — ${names.head} vs $n"))
+    toMove.foreach { rel =>
+      val dst = new Path(s"$rootQ/$DataDir/$rel")
+      if (rel.indexOf('/') >= 0) f.mkdirs(dst.getParent): Unit
+      require(f.rename(new Path(s"$rootQ/$rel"), dst), s"convert: rename failed for $rel")
+    }
+    // schema from ONE directory read of the moved files (partition
+    // columns inferred from the paths, surfaced last by the scan) —
+    // stored all-nullable, the log's evolution contract
+    val inferred = spark.read.parquet(s"$path/$DataDir").schema
+    val schema = org.apache.spark.sql.types.StructType(
+      inferred.fields.map(_.copy(nullable = true)))
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"convert: partition column $c missing from the inferred schema"))
+    val stats = if (collectStats) fileStats(f, path, names) else None
+    commitLoop(spark, path, "convert") { snap =>
+      if (snap.version != 0)
+        throw new java.util.ConcurrentModificationException(
+          s"convert lost the creation race at $path (v${snap.version} exists)")
+      Some(CommitSpec(names, Nil, Some(encodeSchema(schema)), stats,
+        partcols = Some(encodePartitioning(partCols))))
+    }.get.version
+  }
+
   def restore(
       spark: SparkSession, path: String, version: Long, shardFiles: Int = 512): Long = {
     val target = snapshotAt(spark, path, version)

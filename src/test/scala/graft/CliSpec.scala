@@ -651,4 +651,34 @@ class CliSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("unrecognized clause"))
   }
+
+  test("sql step: CONVERT TO TX adopts a plain parquet estate, then SQL queries it") {
+    import org.apache.spark.sql.functions.col
+    val est = s"${tmp()}/estate"
+    val ev = Tables.events(spark, sf("sf0.001"))
+    ev.write.partitionBy("event_type").parquet(est)
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "sql" -> s"CONVERT TO TX '$est'"))
+    val sum = spark.read.parquet(s"$out/sql_result")
+    assert(sum.select("op").as[String].head === "convert")
+    assert(sum.select("version").as[Long].head === 1L)
+    assert(sum.select("n_files").as[Long].head > 0L)
+    // the adopted table registers and serves pruned SQL reads like any
+    // other tx table
+    val out2 = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out2,
+      "tx" -> s"ct=$est",
+      "sql" -> "SELECT COUNT(*) AS n FROM ct WHERE event_type = 'click'"))
+    assert(spark.read.parquet(s"$out2/sql_result").as[Long].head ===
+      ev.filter(col("event_type") === "click").count())
+    // converting an existing table refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "sql" -> s"CONVERT TO TX '$est'"))
+    }
+    assert(ex.getMessage.contains("already a transactional table"))
+  }
 }

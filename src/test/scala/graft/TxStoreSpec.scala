@@ -2245,4 +2245,59 @@ class TxStoreSpec extends SparkSpec {
     TxStore.append(Seq((10L, "x", "y")).toDF("id", "body", "fine_name"), t)
     assert(TxStore.read(spark, t).count() === 4)
   }
+
+  test("convert adopts a plain parquet dir in place; restartable; loud refusals") {
+    val t = tmpDir() + "/estate"
+    rows(100).repartitionByRange(4, col("id")).write.parquet(t)
+    // an interrupted previous convert already moved ONE file under
+    // data/ — the re-run must pick it up by relative name, not lose it
+    val est = new java.io.File(t)
+    val one = est.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dataDir = new java.io.File(est, "data")
+    assert(dataDir.mkdirs())
+    assert(one.renameTo(new java.io.File(dataDir, one.getName)))
+
+    assert(TxStore.convert(spark, t) === 1L)
+    assert(TxStore.history(spark, t).map(_.op) === Seq("convert"))
+    assert(TxStore.read(spark, t).as[(Long, String)].collect().toSet ===
+      (0 until 100).map(i => (i.toLong, s"v$i")).toSet)
+    // no parquet left outside data/; nothing copied, everything moved
+    assert(est.listFiles().forall(f => !f.getName.endsWith(".parquet")))
+    // footer stats harvested: the range layout refutes a low-id read
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, col("id") <= 5L)
+    assert(kept.nonEmpty && skipped.nonEmpty)
+    // CDC derives the creating commit as inserts
+    val (_, changes) = TxStore.readChangesSince(spark, t, 0L)
+    assert(changes.filter(col("_change_type") === "insert").count() === 100)
+    // full citizen: DML + time travel work on the adopted table
+    TxStore.delete(spark, t, col("id") < 50L)
+    assert(TxStore.read(spark, t).count() === 50)
+    assert(TxStore.readAt(spark, t, 1L).count() === 100)
+    // refusals: already a table; no parquet files; nonexistent path
+    intercept[IllegalArgumentException](TxStore.convert(spark, t))
+    val empty = tmpDir()
+    intercept[IllegalArgumentException](TxStore.convert(spark, empty))
+    intercept[IllegalArgumentException](TxStore.convert(spark, s"$empty/nope"))
+  }
+
+  test("convert refuses a mixed partition layout and keeps hive dirs intact") {
+    val t = tmpDir() + "/part-estate"
+    rows(40).withColumn("bucket", col("id") % 2)
+      .write.partitionBy("bucket").parquet(t)
+    // a stray flat file beside the bucket=… dirs breaks the one-shape rule
+    val stray = new java.io.File(tmpDir() + "/stray")
+    rows(1, from = 999).coalesce(1).write.parquet(stray.getPath)
+    val flat = stray.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(flat.renameTo(new java.io.File(t, flat.getName)))
+    intercept[IllegalArgumentException](TxStore.convert(spark, t))
+    // removing the stray lets the convert land with partitioning intact
+    assert(new java.io.File(t, flat.getName).delete())
+    assert(TxStore.convert(spark, t) === 1L)
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.files.forall(_.startsWith("bucket=")))
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, col("bucket") === 0L)
+    assert(kept.forall(_.startsWith("bucket=0/")) &&
+      skipped.forall(_.startsWith("bucket=1/")))
+    assert(TxStore.read(spark, t).count() === 40)
+  }
 }
