@@ -1059,11 +1059,16 @@ object StorageQueries {
           TxStore.append(ev.filter(col("event_id") % 8 === 2 * w + 1).repartition(1), store)
         val tx = Map("mt" -> store)
         def run(sql: String): SqlMaint.Result = SqlMaint.maybeExecute(s, sql, tx).get
+        val filesBefore = TxStore.snapshot(s, store).files.size // 1 big + 4 trickle
         val opt = run("OPTIMIZE mt")
         require(opt.version.isDefined && TxStore.history(s, store).last.op == "compact",
           "OPTIMIZE must land a bin-packing compact commit")
-        require(TxStore.snapshot(s, store).files.size == 1,
-          "every sub-floor file folds into one at this scale")
+        // scale-honest bin math: at bench SFs every file sits under the
+        // 64 MB floor and all 5 fold into one; at century scale the big
+        // v1 file crosses the floor and is untouched BYTES while the
+        // trickle still folds — either way strictly fewer files
+        require(TxStore.snapshot(s, store).files.size < filesBefore,
+          "the sub-floor trickle files must fold")
         val hist = run("DESCRIBE HISTORY mt").df
         require(hist.count() == 6 &&
           hist.columns.sameElements(Array("version", "ts", "op", "n_add", "n_remove")),
