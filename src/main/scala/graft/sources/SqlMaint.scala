@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util.Locale
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions.{expr, lit}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -16,11 +18,20 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *     OPTIMIZE) or [[TxStore.compactZOrder]] when ZORDER BY is given;
   *     WHERE scopes either to matching partitions (the partition-only
   *     rule those APIs already enforce).
-  *   - `VACUUM v [RETAIN n VERSIONS] [GRACE n MS]` → [[TxStore.vacuum]].
-  *     The engine's retention unit is VERSIONS (the log is the clock),
-  *     not Delta's wall-clock HOURS; GRACE exposes the age-grace guard
-  *     for operators who just lowered retention and want the reap now
-  *     (the same parameter the Scala API takes).
+  *   - `VACUUM v [RETAIN n VERSIONS] [GRACE n MS] [DRY RUN]` →
+  *     [[TxStore.vacuum]] / [[TxStore.vacuumPreview]]. The engine's
+  *     retention unit is VERSIONS (the log is the clock), not Delta's
+  *     wall-clock HOURS; GRACE exposes the age-grace guard for
+  *     operators who just lowered retention and want the reap now (the
+  *     same parameter the Scala API takes); DRY RUN answers the
+  *     DATA-file victim list without deleting — preview and reap share
+  *     one computation (the reap's count additionally includes log and
+  *     sidecar debris, which has no preview value to an operator
+  *     sizing a reclaim).
+  *   - `SHOW PARTITIONS v` → the table's live partition directories as
+  *     a frame (one string column per partition column, logical names
+  *     under column mapping, hive %XX escapes decoded) — derived from
+  *     the COMMIT LOG's file names, zero directory listings.
   *   - `RESTORE [TABLE] v TO VERSION AS OF n | TO TIMESTAMP AS OF <expr>`
   *     → [[TxStore.restore]] (a NEW commit re-adding the target
   *     version's live set — history is append-only, so the restore
@@ -52,7 +63,9 @@ object SqlMaint {
     """(?is)\s*OPTIMIZE\s+(\S+)\s*(.*?)\s*""".r
   private val ZOrderRe = """(?is)(.*?)\bZORDER\s+BY\s+(.+)""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(\S+)\s*(?:\bRETAIN\s+(\d+)\s+VERSIONS\b)?\s*(?:\bGRACE\s+(\d+)\s+MS\b)?\s*""".r
+    """(?is)\s*VACUUM\s+(\S+)\s*(?:\bRETAIN\s+(\d+)\s+VERSIONS\b)?\s*(?:\bGRACE\s+(\d+)\s+MS\b)?\s*(DRY\s+RUN)?\s*""".r
+  private val ShowPartsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+(\S+)\s*""".r
   private val RestoreVersionRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val RestoreTimestampRe =
@@ -70,7 +83,11 @@ object SqlMaint {
     val t = text.trim.stripSuffix(";").trim
     val head = t.split("\\s+", 2)(0).toUpperCase(Locale.ROOT)
     val isHistory = HistoryRe.pattern.matcher(t).matches()
-    if (!Set("OPTIMIZE", "VACUUM", "RESTORE", "CONVERT").contains(head) && !isHistory)
+    // SHOW has other Spark-grammar forms (SHOW TABLES…) — intercept
+    // only the exact SHOW PARTITIONS shape, leave the rest to Catalyst
+    val isShowParts = ShowPartsRe.pattern.matcher(t).matches()
+    if (!Set("OPTIMIZE", "VACUUM", "RESTORE", "CONVERT").contains(head) &&
+      !isHistory && !isShowParts)
       return None
 
     def resolve(view: String): (String, String) = {
@@ -124,15 +141,24 @@ object SqlMaint {
             "table" -> lit(view), "version" -> verCol(committed),
             "rewrote" -> lit(committed.isDefined)))
 
-      case VacuumRe(viewRaw, retain, grace) =>
+      case VacuumRe(viewRaw, retain, grace, dry) =>
         val (view, path) = resolve(viewRaw)
-        val deleted = TxStore.vacuum(spark, path,
-          retainVersions = Option(retain).map(_.toInt).getOrElse(2),
-          ageGraceMs = Option(grace).map(_.toLong)
-            .getOrElse(TxStore.DefaultAgeGraceMs))
-        Result("vacuum", view, path, None,
-          one("op" -> lit("vacuum"), "table" -> lit(view),
-            "files_deleted" -> lit(deleted.toLong)))
+        val retainV = Option(retain).map(_.toInt).getOrElse(2)
+        val graceMs = Option(grace).map(_.toLong).getOrElse(TxStore.DefaultAgeGraceMs)
+        if (dry != null) {
+          val victims = TxStore.vacuumPreview(spark, path, retainV, graceMs)
+          Result("vacuum-dry-run", view, path, None,
+            spark.createDataFrame(
+              victims.sorted.map(org.apache.spark.sql.Row(_)).asJava,
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField(
+                  "file", org.apache.spark.sql.types.StringType, nullable = false)))))
+        } else {
+          val deleted = TxStore.vacuum(spark, path, retainV, graceMs)
+          Result("vacuum", view, path, None,
+            one("op" -> lit("vacuum"), "table" -> lit(view),
+              "files_deleted" -> lit(deleted.toLong)))
+        }
 
       case RestoreVersionRe(viewRaw, v) =>
         val (view, path) = resolve(viewRaw)
@@ -160,6 +186,27 @@ object SqlMaint {
         val (view, path) = resolve(viewRaw)
         Result("describe-history", view, path, None, TxStore.historyFrame(spark, path))
 
+      case ShowPartsRe(viewRaw) =>
+        val (view, path) = resolve(viewRaw)
+        val snap = TxStore.snapshot(spark, path)
+        require(snap.partitioning.nonEmpty,
+          s"sql maintenance: SHOW PARTITIONS — table '$view' is not partitioned")
+        // logical names under column mapping (partitioning is physical)
+        val logical = snap.partitioning.map(p =>
+          snap.mapping.find(_._2 == p).map(_._1).getOrElse(p))
+        val dirs = snap.files
+          .map(fl => fl.substring(0, fl.lastIndexOf('/'))).distinct.sorted
+        val rows = dirs.map { d =>
+          org.apache.spark.sql.Row.fromSeq(d.split('/').toSeq.map { seg =>
+            unescapeHive(seg.substring(seg.indexOf('=') + 1))
+          })
+        }
+        Result("show-partitions", view, path, None,
+          spark.createDataFrame(rows.asJava,
+            org.apache.spark.sql.types.StructType(logical.map(
+              org.apache.spark.sql.types.StructField(
+                _, org.apache.spark.sql.types.StringType, nullable = false)))))
+
       case ConvertRe(pathRaw) =>
         val path = pathRaw.trim.stripSuffix("/")
         val committed = TxStore.convert(spark, path)
@@ -175,4 +222,22 @@ object SqlMaint {
 
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(s"sql maintenance: $msg")
+
+  /** Decode hive partition-path %XX escapes (hive escapes a fixed
+    * special-char set, NOT full URL encoding — '+' stays '+'). */
+  private def unescapeHive(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 }

@@ -4055,15 +4055,35 @@ object TxStore {
     * tmp reclaimed under a mid-commit writer — degrades to a lost
     * commit race (retried), not a failure. Tests pass `ageGraceMs = 0`
     * to reclaim deterministically. */
-  def vacuum(
+  /** The data files a [[vacuum]] with these parameters would delete
+    * RIGHT NOW (relative names) — the DRY RUN an operator reads before
+    * lowering retention. Shares the victim computation with vacuum
+    * itself, so preview and reap cannot drift; clock-dependent (a file
+    * aging past the grace between preview and vacuum joins the reap —
+    * inherent to any dry run). */
+  def vacuumPreview(
       spark: SparkSession,
       path: String,
       retainVersions: Int = 2,
-      ageGraceMs: Long = DefaultAgeGraceMs): Int = {
+      ageGraceMs: Long = DefaultAgeGraceMs): Seq[String] = {
     require(retainVersions >= 1, s"retainVersions must be ≥ 1: $retainVersions")
     val f = fs(spark, path)
     val dataDir = new Path(s"$path/$DataDir")
-    if (!f.exists(dataDir)) return 0
+    if (!f.exists(dataDir)) return Nil
+    val dataQ = f.makeQualified(dataDir).toString
+    vacuumVictims(f, path, retainVersions, ageGraceMs)._1
+      .map(_.toString.substring(dataQ.length + 1))
+  }
+
+  /** The unreferenced-and-aged data files under `path` — the victim set
+    * shared by [[vacuum]] (which deletes it) and [[vacuumPreview]]
+    * (which reports it) — plus the full commit list and retention
+    * cutoff the scan derived them from (vacuum's log-truncation leg
+    * reuses both, so the log reads once per run). */
+  private def vacuumVictims(
+      f: FileSystem, path: String, retainVersions: Int,
+      ageGraceMs: Long): (Seq[Path], Seq[Commit], Long) = {
+    val dataDir = new Path(s"$path/$DataDir")
     val all = allCommits(f, path)
     val latest = if (all.isEmpty) 0L else all.last.version
     val cutoff = latest - retainVersions + 1
@@ -4079,25 +4099,37 @@ object TxStore {
     // checkpoint stays referencable for time travel
     keep ++= commits(f, path).flatMap(_.add)
     val now = System.currentTimeMillis()
-    def aged(s: org.apache.hadoop.fs.FileStatus): Boolean =
-      now - s.getModificationTime >= ageGraceMs
-    val listed = f.listStatus(dataDir).toSeq
     // RECURSIVE file walk: partitioned tables nest data files under
     // col=value/ dirs and the keep-set holds RELATIVE names. In-flight
     // _stage-*/ part files are excluded here (whole stage dirs sweep
-    // below under the same age grace).
+    // in vacuum under the same age grace).
     val dataQ = f.makeQualified(dataDir).toString
-    val victims = {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
-      val it = f.listFiles(dataDir, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val rel = st.getPath.toString.substring(dataQ.length + 1)
-        if (rel.endsWith(".parquet") && !rel.startsWith("_stage-") &&
-          !keep.contains(rel) && aged(st)) buf += st.getPath
-      }
-      buf.toSeq
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = f.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.substring(dataQ.length + 1)
+      if (rel.endsWith(".parquet") && !rel.startsWith("_stage-") &&
+        !keep.contains(rel) && now - st.getModificationTime >= ageGraceMs)
+        buf += st.getPath
     }
+    (buf.toSeq, all, cutoff)
+  }
+
+  def vacuum(
+      spark: SparkSession,
+      path: String,
+      retainVersions: Int = 2,
+      ageGraceMs: Long = DefaultAgeGraceMs): Int = {
+    require(retainVersions >= 1, s"retainVersions must be ≥ 1: $retainVersions")
+    val f = fs(spark, path)
+    val dataDir = new Path(s"$path/$DataDir")
+    if (!f.exists(dataDir)) return 0
+    val now = System.currentTimeMillis()
+    def aged(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - s.getModificationTime >= ageGraceMs
+    val listed = f.listStatus(dataDir).toSeq
+    val (victims, all, cutoff) = vacuumVictims(f, path, retainVersions, ageGraceMs)
     victims.foreach(f.delete(_, false))
     // partition dirs a partition delete + vacuum fully emptied are
     // dead weight in every later recursive listing — reap them

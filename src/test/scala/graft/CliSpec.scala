@@ -593,11 +593,19 @@ class CliSpec extends SparkSpec {
     assert(viaTs.select("restored_to").as[Long].head ===
       graft.sources.TxStore.versionAtTimestamp(spark, table, ts.getTime))
 
-    // VACUUM past a checkpoint reaps what the restore orphaned; the
-    // restored content must still read from the survivors alone
+    // VACUUM past a checkpoint reaps what the restore orphaned; DRY RUN
+    // first answers the victim list WITHOUT deleting, and the real reap
+    // deletes exactly that set
     graft.sources.TxStore.checkpoint(spark, table)
+    val preview = spark.read.parquet(sql("VACUUM mt RETAIN 1 VERSIONS GRACE 0 MS DRY RUN"))
+      .as[String].collect().toSet
+    assert(preview.size >= 4)
+    assert(preview.forall(fl => new java.io.File(s"$table/data/$fl").exists()))
+    // the reap count covers the previewed data files plus log/sidecar
+    // debris the preview (data-side by contract) does not name
     val vac = spark.read.parquet(sql("VACUUM mt RETAIN 1 VERSIONS GRACE 0 MS"))
-    assert(vac.select("files_deleted").as[Long].head >= 4L)
+    assert(vac.select("files_deleted").as[Long].head >= preview.size.toLong)
+    assert(preview.forall(fl => !new java.io.File(s"$table/data/$fl").exists()))
     assert(graft.sources.TxStore.read(spark, table).count() ===
       ev.filter(col("event_id") % 2 === 0).count())
 
@@ -643,6 +651,27 @@ class CliSpec extends SparkSpec {
     val b = graft.sources.TxStore.read(spark, twin)
       .select("event_id", "value").as[(Long, Double)].collect().toMap
     assert(a === b)
+    // SHOW PARTITIONS answers the live partition dirs from the log —
+    // one row per event_type, no directory listing involved
+    val outP = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> outP,
+      "tx" -> s"mt=$table", "sql" -> "SHOW PARTITIONS mt"))
+    val parts = spark.read.parquet(s"$outP/sql_result")
+    assert(parts.columns.toSeq === Seq("event_type"))
+    assert(parts.as[String].collect().sorted.toSeq ===
+      ev.select("event_type").distinct().as[String].collect().sorted.toSeq)
+    // SHOW PARTITIONS on an unpartitioned table refuses; other SHOW
+    // forms still belong to Catalyst
+    val flat = s"$dir/flattbl"
+    graft.sources.TxStore.append(ev.limit(10), flat)
+    val exP = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> s"ft=$flat", "sql" -> "SHOW PARTITIONS ft"))
+    }
+    assert(exP.getMessage.contains("not partitioned"))
+    Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+      "out-dir" -> tmp(), "sql" -> "SHOW TABLES"))
     // an unparseable clause refuses loudly
     val ex = intercept[IllegalArgumentException] {
       Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),

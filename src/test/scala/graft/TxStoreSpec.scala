@@ -2246,6 +2246,23 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.read(spark, t).count() === 4)
   }
 
+  test("vacuumPreview names exactly the files vacuum then reaps") {
+    val t = tmpDir()
+    TxStore.append(rows(20), t) // v1
+    TxStore.overwrite(rows(5, from = 100), t) // v2 — v1's files now dead
+    TxStore.checkpoint(spark, t) // v3 — truncate so retained adds stop shielding them
+    val preview = TxStore.vacuumPreview(spark, t, retainVersions = 1, ageGraceMs = 0L)
+    assert(preview.nonEmpty)
+    // the preview deleted nothing
+    preview.foreach(fl => assert(new java.io.File(s"$t/data/$fl").exists()))
+    // vacuum's count additionally includes log/sidecar debris (the
+    // pre-checkpoint commit files here) — the preview is the DATA side
+    val n = TxStore.vacuum(spark, t, retainVersions = 1, ageGraceMs = 0L)
+    assert(n >= preview.size)
+    preview.foreach(fl => assert(!new java.io.File(s"$t/data/$fl").exists()))
+    assert(TxStore.read(spark, t).count() === 5)
+  }
+
   test("convert adopts a plain parquet dir in place; restartable; loud refusals") {
     val t = tmpDir() + "/estate"
     rows(100).repartitionByRange(4, col("id")).write.parquet(t)
