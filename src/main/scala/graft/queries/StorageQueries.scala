@@ -1107,10 +1107,12 @@ object StorageQueries {
         val ckpt = freshStore(s, "s48-ckpt", d)
         val ev = Tables.events(s, d)
         TxStore.append(ev.filter(col("event_id") % 2 === 0), src) // v1
-        StreamingCdf.follow(s, src, sink, ckpt).awaitTermination(300000)
+        require(StreamingCdf.follow(s, src, sink, ckpt).awaitTermination(300000),
+          "first CDF drain timed out")
         val firstDrain = TxStore.snapshot(s, sink).version
         TxStore.delete(s, src, col("event_id") % 4 === 0) // v2
-        StreamingCdf.follow(s, src, sink, ckpt).awaitTermination(300000)
+        require(StreamingCdf.follow(s, src, sink, ckpt).awaitTermination(300000),
+          "resumed CDF drain timed out")
         require(TxStore.snapshot(s, sink).version > firstDrain,
           "the resumed drain must land v2's changes in a new sink commit")
         val streamed = TxStore.read(s, sink)

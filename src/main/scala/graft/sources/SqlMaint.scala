@@ -198,7 +198,7 @@ object SqlMaint {
           .map(fl => fl.substring(0, fl.lastIndexOf('/'))).distinct.sorted
         val rows = dirs.map { d =>
           org.apache.spark.sql.Row.fromSeq(d.split('/').toSeq.map { seg =>
-            unescapeHive(seg.substring(seg.indexOf('=') + 1))
+            TxStore.unescapePathName(seg.substring(seg.indexOf('=') + 1))
           })
         }
         Result("show-partitions", view, path, None,
@@ -222,22 +222,4 @@ object SqlMaint {
 
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(s"sql maintenance: $msg")
-
-  /** Decode hive partition-path %XX escapes (hive escapes a fixed
-    * special-char set, NOT full URL encoding — '+' stays '+'). */
-  private def unescapeHive(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length &&
-        Character.digit(s.charAt(i + 1), 16) >= 0 &&
-        Character.digit(s.charAt(i + 2), 16) >= 0) {
-        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
-          Character.digit(s.charAt(i + 2), 16)).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
 }

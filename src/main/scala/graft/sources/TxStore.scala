@@ -280,8 +280,11 @@ object TxStore {
     files.iterator.map(n => leafOf(n) -> n).toMap
 
   /** Hive path unescaping (the inverse of the `%xx` escaping Spark's
-    * partitioned writer applies to special characters in values). */
-  private def unescapePathName(s: String): String =
+    * partitioned writer applies to special characters in values).
+    * `private[sources]`: SqlMaint's SHOW PARTITIONS decodes values
+    * through THIS function so display and partition pruning can never
+    * disagree on an escape. */
+  private[sources] def unescapePathName(s: String): String =
     if (s.indexOf('%') < 0) s
     else {
       val sb = new StringBuilder(s.length)
@@ -3895,7 +3898,11 @@ object TxStore {
         } else if (!hidden(rel)) toMove += rel
       }
     }
-    val names: Seq[String] = (already ++ toMove).sorted.toSeq
+    // distinct: a crashed previous convert on a copy-fallback filesystem
+    // can leave a file BOTH at the root and under data/ — the rename
+    // below overwrites the data/ copy, and the commit must list the
+    // survivor once, never double-count its rows
+    val names: Seq[String] = (already ++ toMove).distinct.sorted.toSeq
     require(names.nonEmpty, s"nothing to convert: no parquet files under $path")
     // one partition shape for the whole table: identical col= sequences
     def dirCols(n: String): Seq[String] =
@@ -3909,7 +3916,9 @@ object TxStore {
       s"convert: inconsistent partition layout — ${names.head} vs $n"))
     toMove.foreach { rel =>
       val dst = new Path(s"$rootQ/$DataDir/$rel")
-      if (rel.indexOf('/') >= 0) f.mkdirs(dst.getParent): Unit
+      // unconditionally: a FLAT estate's first rename must not target a
+      // nonexistent data/ (mkdirs on an existing dir is a cheap no-op)
+      f.mkdirs(dst.getParent): Unit
       require(f.rename(new Path(s"$rootQ/$rel"), dst), s"convert: rename failed for $rel")
     }
     // schema from ONE directory read of the moved files (partition

@@ -86,14 +86,22 @@ object StreamingCdf {
         }.sorted.toSeq
         val wanted = vs.filter(_ > sinceVersion)
         if (wanted.nonEmpty) {
-          // commits publish sequentially and the file source lists
-          // oldest-first, so a batch's versions are contiguous —
-          // REQUIRE it (a gap would be silent data loss downstream)
-          require(wanted == (wanted.head to wanted.last),
-            s"commit stream gap: batch $batchId discovered versions " +
-              wanted.mkString(", "))
-          val changes = TxStore.readChangesBetween(
-            spark, srcTable, wanted.head - 1, wanted.last)
+          // commits publish sequentially under zero-padded names, so a
+          // batch is normally one contiguous run — but the file source
+          // only ORDERS by mtime, and this loop must never assume more
+          // than it guarantees (a non-contiguous batch would replay
+          // identically from the checkpoint on every restart: a wedged
+          // stream, not a recoverable error). Derive each maximal
+          // contiguous run separately and land them as ONE stamped
+          // append — versions a batch skipped arrive with their own
+          // batch, and sink rows carry _commit_version regardless.
+          val runs = wanted.foldLeft(List.empty[(Long, Long)]) {
+            case ((lo, hi) :: rest, v) if v == hi + 1 => (lo, v) :: rest
+            case (acc, v) => (v, v) :: acc
+          }.reverse
+          val changes = runs
+            .map { case (lo, hi) => TxStore.readChangesBetween(spark, srcTable, lo - 1, hi) }
+            .reduce(_.unionByName(_))
           TxStore.appendOnce(changes, sinkTable, writer, batchId): Unit
         }
       }

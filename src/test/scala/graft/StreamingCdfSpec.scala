@@ -31,7 +31,7 @@ class StreamingCdfSpec extends SparkSpec {
     TxStore.append(ev.filter(col("event_id") % 2 === 0), src) // v1
     TxStore.delete(spark, src, col("event_id") % 4 === 0) // v2 (copy-on-write)
 
-    StreamingCdf.follow(spark, src, sink, ckpt).awaitTermination(180000)
+    assert(StreamingCdf.follow(spark, src, sink, ckpt).awaitTermination(180000))
     val afterFirst = TxStore.read(spark, sink)
     assert(sameRows(afterFirst, TxStore.readChangesSince(spark, src, 0L)._2))
     assert(afterFirst.select("_commit_version").distinct()
@@ -39,14 +39,14 @@ class StreamingCdfSpec extends SparkSpec {
     val sinkV = TxStore.snapshot(spark, sink).version
 
     // replay with nothing new: no sink commit at all
-    StreamingCdf.follow(spark, src, sink, ckpt).awaitTermination(180000)
+    assert(StreamingCdf.follow(spark, src, sink, ckpt).awaitTermination(180000))
     assert(TxStore.snapshot(spark, sink).version === sinkV)
 
     // two more source commits; the next drain moves ONLY v3+v4 rows
     TxStore.update(spark, src, col("event_type") === "click",
       Map("value" -> (col("value") + 1))) // v3
     TxStore.append(ev.filter(col("event_id") % 2 =!= 0).limit(10), src) // v4
-    StreamingCdf.follow(spark, src, sink, ckpt).awaitTermination(180000)
+    assert(StreamingCdf.follow(spark, src, sink, ckpt).awaitTermination(180000))
     val afterSecond = TxStore.read(spark, sink)
     assert(sameRows(afterSecond, TxStore.readChangesSince(spark, src, 0L)._2))
     // the resumed drain's sink commits carry only the new versions
@@ -61,8 +61,8 @@ class StreamingCdfSpec extends SparkSpec {
     TxStore.append(ev.filter(col("event_id") > 100 && col("event_id") <= 200), src) // v2
     TxStore.append(ev.filter(col("event_id") > 200 && col("event_id") <= 300), src) // v3
 
-    StreamingCdf.follow(spark, src, sink, ckpt, sinceVersion = 2L)
-      .awaitTermination(180000)
+    assert(StreamingCdf.follow(spark, src, sink, ckpt, sinceVersion = 2L)
+      .awaitTermination(180000))
     val got = TxStore.read(spark, sink)
     assert(got.select("_commit_version").distinct().as[Long].collect().toSeq === Seq(3L))
     assert(sameRows(got, TxStore.readChangesBetween(spark, src, 2L, 3L)))

@@ -2297,6 +2297,19 @@ class TxStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](TxStore.convert(spark, s"$empty/nope"))
   }
 
+  test("convert handles a flat estate with no pre-existing data/ dir") {
+    // the simplest estate shape: root-level part files only — the
+    // first rename must create data/ itself (a crashed-convert test
+    // above pre-creates it, which would mask a missing mkdirs)
+    val t = tmpDir() + "/flat-estate"
+    rows(30).coalesce(2).write.parquet(t)
+    assert(!new java.io.File(t, "data").exists())
+    assert(TxStore.convert(spark, t) === 1L)
+    assert(TxStore.read(spark, t).count() === 30)
+    // renamed, not copied: nothing parquet left at the root
+    assert(new java.io.File(t).listFiles().forall(f => !f.getName.endsWith(".parquet")))
+  }
+
   test("convert refuses a mixed partition layout and keeps hive dirs intact") {
     val t = tmpDir() + "/part-estate"
     rows(40).withColumn("bucket", col("id") % 2)
