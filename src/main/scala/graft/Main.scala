@@ -176,13 +176,14 @@ object Main {
         val tx: Map[String, String] =
           txAll.collect { case (n, p, None) => n -> p }.toMap
         // dispatch order: maintenance (OPTIMIZE/VACUUM/RESTORE/DESCRIBE
-        // HISTORY — statements Spark's grammar doesn't know, so they
-        // must intercept before its parser sees them), then DML
-        // (DELETE/UPDATE/MERGE on a --tx view translate to the TxStore
-        // API — Catalyst parses but cannot execute DML on a file-backed
-        // view), then plain queries through SqlRead, which rewrites tx
-        // relations to log-pruned scans (and resolves VERSION/TIMESTAMP
-        // AS OF) before Catalyst plans the rest
+        // HISTORY/SHOW PARTITIONS/CONVERT — statements Spark's grammar
+        // doesn't know, so they must intercept before its parser sees
+        // them), then DDL (ALTER TABLE → schema-evolution API), then
+        // DML (DELETE/UPDATE/MERGE on a --tx view translate to the
+        // TxStore API — Catalyst parses both but cannot execute either
+        // on a file-backed view), then plain queries through SqlRead,
+        // which rewrites tx relations to log-pruned scans (and resolves
+        // VERSION/TIMESTAMP AS OF) before Catalyst plans the rest
         graft.sources.SqlMaint.maybeExecute(spark, text, tx) match {
           case Some(m) =>
             // restore/optimize moved the snapshot — advance the view
@@ -195,6 +196,17 @@ object Main {
             m.df.write.mode("overwrite").parquet(s"$outDir/sql_result")
             println(s"[graft] sql ${m.op} on tx '${m.view}' " +
               m.version.fold("(no commit)")(v => s"committed v$v") +
+              s" -> $outDir/sql_result")
+          case None =>
+        graft.sources.SqlDdl.maybeExecute(spark, text, tx) match {
+          case Some(dd) =>
+            // the schema/constraint set moved — advance the view so a
+            // following statement sees the altered table
+            dd.version.foreach(_ =>
+              graft.sources.TxStore.registerView(spark, dd.path, dd.view))
+            dd.df.write.mode("overwrite").parquet(s"$outDir/sql_result")
+            println(s"[graft] sql ${dd.op} on tx '${dd.view}' " +
+              dd.version.fold("(no commit)")(v => s"committed v$v") +
               s" -> $outDir/sql_result")
           case None =>
         graft.sources.SqlDml.maybeExecute(spark, text, tx) match {
@@ -227,6 +239,7 @@ object Main {
                 spark.sql(text).write.mode("overwrite").parquet(s"$outDir/sql_result")
             }
             println(s"[graft] sql -> $outDir/sql_result")
+        }
         }
         }
       case other =>

@@ -1184,6 +1184,40 @@ object StorageQueries {
       Some(eventsSql(" WHERE event_type <> 'view'")),
       bench = true),
 
+    // ── S50 — SQL DDL: ALTER TABLE statements (RENAME/ADD/DROP COLUMN,
+    //    ADD CONSTRAINT) translated onto the schema-evolution API —
+    //    four ALTERs, and the REQUIRE pins what makes them lake-grade:
+    //    ALL metadata-only (the file set stays byte-identical through
+    //    the whole sequence — rename rides the column mapping, add/drop
+    //    restate schema/mapping, the constraint validates in one pass
+    //    and writes only the log). The oracle reads the table under the
+    //    ALTERed schema: value surfaces as score, tag reads NULL in
+    //    every pre-ALTER row, props is gone.
+    QueryDef(
+      "s50_sql_ddl",
+      (s, d) => {
+        val store = freshStore(s, "s50-ddl", d)
+        TxStore.append(Tables.events(s, d), store) // v1
+        val files1 = TxStore.snapshot(s, store).files.toSet
+        val tx = Map("mt" -> store)
+        def run(sql: String): Unit = { graft.sources.SqlDdl.maybeExecute(s, sql, tx).get; () }
+        run("ALTER TABLE mt RENAME COLUMN value TO score") // v2
+        run("ALTER TABLE mt ADD COLUMN tag STRING") // v3
+        run("ALTER TABLE mt DROP COLUMN props") // v4
+        run("ALTER TABLE mt ADD CONSTRAINT nonneg CHECK (score >= -1e18)") // v5
+        require(TxStore.history(s, store).map(_.op) ==
+          Seq("append", "rename-column", "add-column", "drop-column", "constraint"),
+          "each ALTER must land as its own metadata commit")
+        require(TxStore.snapshot(s, store).files.toSet == files1,
+          "ALTERs are metadata-only — no data file may be added or rewritten")
+        TxStore.read(s, store).select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("score"), col("tag"))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             |       value AS score, CAST(NULL AS VARCHAR) AS tag
+             |FROM events""".stripMargin),
+      bench = true),
+
     // ── S29 — MULTI-PART CHECKPOINT: the restated per-file stats and
     //    deletion vectors shard into sidecar files (2 files per shard
     //    here, so an 8-file table crosses several shard boundaries) and

@@ -1311,6 +1311,43 @@ object TxStore {
         mapping = Some(encodeMapping(keep, snap.retired ++ gone.map(_._2)))))
     }.get.version
 
+  /** ALTER TABLE ADD COLUMN — metadata-only schema evolution: the log
+    * schema restates with the new ALL-NULLABLE field appended; existing
+    * files simply lack it and read NULL (schema-on-log, the same
+    * contract an evolving append relies on — this is its explicit
+    * no-data form). Under column mapping the logical name binds to a
+    * FRESH physical name when its own is in use or retired, so
+    * re-adding a previously dropped column can never resurrect the old
+    * files' values. Refuses existing, reserved (`__*`) and
+    * grammar-breaking names. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    require(name.nonEmpty &&
+      !name.exists(c => c == '\t' || c == '\n' || c == '"' || c == '\\' || c == '#'),
+      s"invalid column name: '$name'")
+    require(!name.startsWith("__"), "names starting with __ are reserved")
+    commitLoop(spark, path, "add-column") { snap =>
+      val logical = logicalSchema(snap).getOrElse(throw new IllegalArgumentException(
+        "table carries no log schema — write data before altering columns"))
+      require(!logical.fieldNames.exists(n => lc(n) == lc(name)),
+        s"column '$name' already exists")
+      val field = org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
+      if (snap.mapping.isEmpty)
+        Some(CommitSpec(Nil, Nil, Some(encodeSchema(
+          org.apache.spark.sql.types.StructType(logical.fields :+ field)))))
+      else {
+        val used = (snap.schema.get.fieldNames.toSeq ++ snap.retired ++
+          snap.mapping.map(_._2)).map(lc).toSet
+        val phys =
+          if (used(lc(name))) s"${name}_${UUID.randomUUID().toString.take(8)}" else name
+        Some(CommitSpec(Nil, Nil,
+          Some(encodeSchema(org.apache.spark.sql.types.StructType(
+            snap.schema.get.fields :+ field.copy(name = phys)))),
+          mapping = Some(encodeMapping(snap.mapping :+ ((name, phys)), snap.retired))))
+      }
+    }.get.version
+  }
+
   // ── writes ─────────────────────────────────────────────────────────
 
   /** Stage `df` as new immutable data files; returns their names. Staged
@@ -2070,7 +2107,7 @@ object TxStore {
         // (buildBlooms' "bloom" op adds/removes nothing) emit no change
         // rows — a CDC range spanning one stays readable
         case "compact" | "optimize-zorder" | "constraint" | "rename-column"
-            | "drop-column" | "bloom" =>
+            | "drop-column" | "add-column" | "bloom" =>
           Nil
         case "delete-dv" =>
           val touched = dvTouchedFiles(f, path, c).filter(after.files.contains)

@@ -681,6 +681,71 @@ class CliSpec extends SparkSpec {
     assert(ex.getMessage.contains("unrecognized clause"))
   }
 
+  test("sql step: ALTER TABLE — rename/add/drop columns and CHECK constraints as SQL") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/ddltbl"
+    val ev = Tables.events(spark, sf("sf0.001")).filter(col("event_id") <= 100)
+    graft.sources.TxStore.append(ev, table) // v1
+    def sql(stmt: String): String = {
+      val out = tmp()
+      Main.run(spark, Map(
+        "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+        "tx" -> s"mt=$table", "sql" -> stmt))
+      s"$out/sql_result"
+    }
+
+    // RENAME COLUMN: metadata-only; current reads see the new name,
+    // time travel keeps the historical one
+    spark.read.parquet(sql("ALTER TABLE mt RENAME COLUMN value TO score"))
+    val renamed = graft.sources.TxStore.read(spark, table)
+    assert(renamed.columns.contains("score") && !renamed.columns.contains("value"))
+    assert(graft.sources.TxStore.readAt(spark, table, 1L).columns.contains("value"))
+    assert(renamed.select("score").as[Double].collect().sorted.toSeq ===
+      ev.select("value").as[Double].collect().sorted.toSeq)
+
+    // ADD COLUMN: schema restates, existing rows read NULL
+    spark.read.parquet(sql("ALTER TABLE mt ADD COLUMN tag STRING"))
+    val withTag = graft.sources.TxStore.read(spark, table)
+    assert(withTag.columns.contains("tag"))
+    assert(withTag.filter(col("tag").isNotNull).count() === 0)
+
+    // ADD CONSTRAINT validates and then gates writes; DROP removes it
+    spark.read.parquet(sql("ALTER TABLE mt ADD CONSTRAINT nonneg CHECK (score >= 0)"))
+    assert(graft.sources.TxStore.tableConstraints(spark, table).map(_._1) === Seq("nonneg"))
+    val bad = withTag.limit(1).withColumn("score", org.apache.spark.sql.functions.lit(-1.0))
+    intercept[IllegalArgumentException] {
+      graft.sources.TxStore.append(bad, table)
+    }
+    spark.read.parquet(sql("ALTER TABLE mt DROP CONSTRAINT nonneg"))
+    assert(graft.sources.TxStore.tableConstraints(spark, table).isEmpty)
+    // IF EXISTS on an absent constraint: no commit, the artifact says so
+    val skipped = spark.read.parquet(sql("ALTER TABLE mt DROP CONSTRAINT IF EXISTS nope"))
+    assert(skipped.select("detail").as[String].head.contains("skipped"))
+
+    // DROP COLUMN retires the column
+    spark.read.parquet(sql("ALTER TABLE mt DROP COLUMN props"))
+    assert(!graft.sources.TxStore.read(spark, table).columns.contains("props"))
+
+    // refusals: NOT NULL adds, non-tx targets, unsupported ALTER shapes
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> s"mt=$table",
+        "sql" -> "ALTER TABLE mt ADD COLUMN req STRING NOT NULL"))
+    }
+    val exTx = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "sql" -> "ALTER TABLE events DROP COLUMN value"))
+    }
+    assert(exTx.getMessage.contains("not a --tx-registered table"))
+    val exShape = intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> s"mt=$table",
+        "sql" -> "ALTER TABLE mt SET TBLPROPERTIES ('a'='b')"))
+    }
+    assert(exShape.getMessage.contains("unsupported ALTER statement"))
+  }
+
   test("sql step: CONVERT TO TX adopts a plain parquet estate, then SQL queries it") {
     import org.apache.spark.sql.functions.col
     val est = s"${tmp()}/estate"

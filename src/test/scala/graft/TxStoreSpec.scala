@@ -2246,6 +2246,33 @@ class TxStoreSpec extends SparkSpec {
     assert(TxStore.read(spark, t).count() === 4)
   }
 
+  test("addColumn: metadata-only evolution, no resurrection after drop, refusals") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    // identity mode: schema restates, old rows read NULL, appends fill
+    val t = tmpDir()
+    TxStore.append(rows(3), t) // v1
+    val files1 = TxStore.snapshot(spark, t).files.toSet
+    assert(TxStore.addColumn(spark, t, "extra", LongType) === 2L)
+    assert(TxStore.snapshot(spark, t).files.toSet === files1) // no data IO
+    val got = TxStore.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "payload", "extra"))
+    assert(got.filter(col("extra").isNotNull).count() === 0)
+    TxStore.append(Seq((99L, "x", 7L)).toDF("id", "payload", "extra"), t)
+    assert(TxStore.read(spark, t).filter(col("extra") === 7L).count() === 1)
+    // time travel: v1 predates the column
+    assert(!TxStore.readAt(spark, t, 1L).columns.contains("extra"))
+    // mapping mode: re-adding a DROPPED column must never resurrect
+    // the old files' values (fresh physical name via the retired list)
+    TxStore.dropColumn(spark, t, "payload")
+    TxStore.addColumn(spark, t, "payload", StringType)
+    val back = TxStore.read(spark, t)
+    assert(back.columns.contains("payload"))
+    assert(back.filter(col("payload").isNotNull).count() === 0)
+    // refusals: duplicate and reserved names
+    intercept[IllegalArgumentException](TxStore.addColumn(spark, t, "extra", LongType))
+    intercept[IllegalArgumentException](TxStore.addColumn(spark, t, "__z", LongType))
+  }
+
   test("vacuumPreview names exactly the files vacuum then reaps") {
     val t = tmpDir()
     TxStore.append(rows(20), t) // v1
