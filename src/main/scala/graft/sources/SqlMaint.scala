@@ -40,6 +40,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *     commit-file mtime, op, files added/removed — the mtime is the
   *     clock `TIMESTAMP AS OF` resolves against, so the output feeds
   *     straight back into time travel).
+  *   - `DESCRIBE|DESC DETAIL v` → one row of table facts straight from
+  *     the snapshot + log metadata: location, current version, file
+  *     count, total live bytes, partition columns, constraint count,
+  *     whether column mapping is active. The size comes from the log's
+  *     own file listing — one `getFileStatus` per live file, no data
+  *     IO (Delta's DESCRIBE DETAIL shape).
   *   - `CONVERT TO TX '/path'` → [[TxStore.convert]] (adopt an existing
   *     plain-parquet directory in place — renames, footer stats, one
   *     v1 commit; zero data IO). Takes a quoted PATH, not a view: the
@@ -72,6 +78,8 @@ object SqlMaint {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(.+?)\s*""".r
   private val HistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+(\S+)\s*""".r
+  private val DetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+(\S+)\s*""".r
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+TX\s+'([^']+)'\s*""".r
 
@@ -82,7 +90,8 @@ object SqlMaint {
       spark: SparkSession, text: String, tx: Map[String, String]): Option[Result] = {
     val t = text.trim.stripSuffix(";").trim
     val head = t.split("\\s+", 2)(0).toUpperCase(Locale.ROOT)
-    val isHistory = HistoryRe.pattern.matcher(t).matches()
+    val isHistory = HistoryRe.pattern.matcher(t).matches() ||
+      DetailRe.pattern.matcher(t).matches()
     // SHOW has other Spark-grammar forms (SHOW TABLES…) — intercept
     // only the exact SHOW PARTITIONS shape, leave the rest to Catalyst
     val isShowParts = ShowPartsRe.pattern.matcher(t).matches()
@@ -185,6 +194,10 @@ object SqlMaint {
       case HistoryRe(viewRaw) =>
         val (view, path) = resolve(viewRaw)
         Result("describe-history", view, path, None, TxStore.historyFrame(spark, path))
+
+      case DetailRe(viewRaw) =>
+        val (view, path) = resolve(viewRaw)
+        Result("describe-detail", view, path, None, TxStore.tableDetail(spark, path))
 
       case ShowPartsRe(viewRaw) =>
         val (view, path) = resolve(viewRaw)

@@ -1131,6 +1131,23 @@ object TxStore {
     spark.createDataFrame(rows).toDF("version", "ts", "op", "n_add", "n_remove")
   }
 
+  /** DESCRIBE DETAIL — one row of table facts from snapshot + log
+    * metadata: location, current version, live file count and bytes
+    * (one `getFileStatus` per live file, zero data IO), partition
+    * columns, constraint count, column-mapping mode. */
+  def tableDetail(spark: SparkSession, path: String): DataFrame = {
+    val snap = snapshot(spark, path)
+    val f = fs(spark, path)
+    val bytes = snap.files.iterator
+      .map(n => f.getFileStatus(new Path(s"$path/$DataDir/$n")).getLen).sum
+    spark.createDataFrame(Seq((
+      path, snap.version, snap.files.size.toLong, bytes,
+      snap.partitioning.mkString(","), snap.constraints.size.toLong,
+      snap.mapping.nonEmpty)))
+      .toDF("location", "version", "num_files", "size_bytes",
+        "partition_columns", "num_constraints", "column_mapping")
+  }
+
   // ── CHECK constraints (public surface) ─────────────────────────────
 
   /** The table's live CHECK constraints, (name, SQL expression) in

@@ -661,6 +661,18 @@ class CliSpec extends SparkSpec {
     assert(parts.columns.toSeq === Seq("event_type"))
     assert(parts.as[String].collect().sorted.toSeq ===
       ev.select("event_type").distinct().as[String].collect().sorted.toSeq)
+    // DESCRIBE DETAIL: one row of log-resident table facts
+    val outD = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> outD,
+      "tx" -> s"mt=$table", "sql" -> "DESCRIBE DETAIL mt"))
+    val det = spark.read.parquet(s"$outD/sql_result")
+    assert(det.count() === 1)
+    assert(det.select("location").as[String].head === table)
+    assert(det.select("partition_columns").as[String].head === "event_type")
+    assert(det.select("num_files").as[Long].head ===
+      graft.sources.TxStore.snapshot(spark, table).files.size.toLong)
+    assert(det.select("size_bytes").as[Long].head > 0L)
     // SHOW PARTITIONS on an unpartitioned table refuses; other SHOW
     // forms still belong to Catalyst
     val flat = s"$dir/flattbl"
