@@ -201,17 +201,30 @@ object AnalyticsQueries {
     // hash passes iff every estimate is inside its bound.
     QueryDef(
       "an13_sketches",
-      (s, d) =>
-        Tables.events(s, d)
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        // the exact-distinct ANCHOR runs as its own two-step aggregate
+        // (distinct → count): mixing count_distinct into the sketch
+        // aggregation forced Expand + SortAggregate around the object
+        // aggregates — 10× the lane (r14 sweep regression); split, both
+        // legs stay hash-aggregated and meet in a 5-row join
+        val exact = ev.select("event_type", "user_id").distinct()
+          .groupBy("event_type").agg(count(lit(1)).as("n_users_exact"))
+        val sketches = ev
           .groupBy("event_type")
           .agg(
-            count_distinct(col("user_id")).as("n_users_exact"),
             approx_count_distinct(col("user_id")).as("hllpp"),
             hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("sketch"),
-            expr("approx_percentile(value, 0.5, 10000)").as("p50_est"),
-            expr("percentile(value, 0.45)").as("p50_lo"),
-            expr("percentile(value, 0.55)").as("p50_hi"),
+            // the median estimate AND its envelope bounds from ONE
+            // shared quantile summary (a multi-quantile aggregate) —
+            // the bounds are themselves approximate (rank error 0.01%
+            // at accuracy 10000, noise next to the 5-point slack), and
+            // exact percentile() here cost a full per-group sort — 10×
+            // the whole lane — to bound an estimate whose entire point
+            // is avoiding that sort (r14 sweep regression)
+            expr("approx_percentile(value, array(0.45, 0.5, 0.55), 10000)").as("p50s"),
             count(lit(1)).as("n"))
+        sketches.join(exact, Seq("event_type"))
           .select(
             col("event_type"),
             col("n_users_exact"),
@@ -219,9 +232,11 @@ object AnalyticsQueries {
               <= col("n_users_exact") * 0.15).as("hllpp_ok"),
             (abs(col("sketch") - col("n_users_exact"))
               <= col("n_users_exact") * 0.05).as("sketch_ok"),
-            (col("p50_est") >= col("p50_lo") && col("p50_est") <= col("p50_hi"))
+            (element_at(col("p50s"), 2) >= element_at(col("p50s"), 1) &&
+              element_at(col("p50s"), 2) <= element_at(col("p50s"), 3))
               .as("p50_ok"),
-            col("n")),
+            col("n"))
+      },
       Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
              |       true AS hllpp_ok, true AS sketch_ok, true AS p50_ok,
              |       CAST(COUNT(*) AS BIGINT) AS n
