@@ -194,9 +194,15 @@ object AnalyticsQueries {
     // emits a SCORECARD (the ext50 pattern): the EXACT values both
     // engines agree on, plus booleans pinning each estimate inside its
     // documented error envelope (HLL++ rsd 5% → 3σ bound 15%;
-    // DataSketches lgK=12 rsd ~1.6% → 5%; approx_percentile accuracy
-    // 10000 → the estimate must land between the exact 45th and 55th
-    // percentiles, a 500× slack on its guaranteed 0.01% rank error).
+    // DataSketches lgK=12 rsd ~1.6% → 5%; approx_percentile verified
+    // by EXACT RANK: a second hash-aggregated pass counts values ≤ the
+    // estimate, and that count must rank the estimate inside the
+    // [40%, 60%] band — a 400× slack on the sketch's guaranteed 0.01%
+    // rank error that a wrong median (e.g. an off-by-a-quartile
+    // estimate) CANNOT satisfy. No per-group sort anywhere: exact
+    // percentile() cost 10× the lane (r14 sweep regression), and the
+    // first replacement bounded the estimate by quantiles of the SAME
+    // sketch — monotone by construction, vacuously true (ADVICE r14).
     // The oracle computes the same exact values and literal trues — the
     // hash passes iff every estimate is inside its bound.
     QueryDef(
@@ -207,24 +213,30 @@ object AnalyticsQueries {
         // (distinct → count): mixing count_distinct into the sketch
         // aggregation forced Expand + SortAggregate around the object
         // aggregates — 10× the lane (r14 sweep regression); split, both
-        // legs stay hash-aggregated and meet in a 5-row join
-        val exact = ev.select("event_type", "user_id").distinct()
+        // legs stay hash-aggregated and meet in a 5-row join. NULLs are
+        // excluded BEFORE distinct to preserve count_distinct (and the
+        // oracle's COUNT(DISTINCT …)) semantics, which never count NULL
+        // (ADVICE r14).
+        val exact = ev.select("event_type", "user_id")
+          .filter(col("user_id").isNotNull).distinct()
           .groupBy("event_type").agg(count(lit(1)).as("n_users_exact"))
         val sketches = ev
           .groupBy("event_type")
           .agg(
             approx_count_distinct(col("user_id")).as("hllpp"),
             hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("sketch"),
-            // the median estimate AND its envelope bounds from ONE
-            // shared quantile summary (a multi-quantile aggregate) —
-            // the bounds are themselves approximate (rank error 0.01%
-            // at accuracy 10000, noise next to the 5-point slack), and
-            // exact percentile() here cost a full per-group sort — 10×
-            // the whole lane — to bound an estimate whose entire point
-            // is avoiding that sort (r14 sweep regression)
-            expr("approx_percentile(value, array(0.45, 0.5, 0.55), 10000)").as("p50s"),
+            expr("approx_percentile(value, 0.5, 10000)").as("p50_est"),
             count(lit(1)).as("n"))
+        // exact-rank verification of the median estimate: one more
+        // hash-aggregated pass over events joined to the 5-row estimate
+        // frame (broadcast), counting values at-or-under the estimate —
+        // independent of the sketch, so the boolean CAN fail
+        val ranks = ev.select("event_type", "value")
+          .join(broadcast(sketches.select("event_type", "p50_est")), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)).as("rank_cnt"))
         sketches.join(exact, Seq("event_type"))
+          .join(broadcast(ranks), Seq("event_type"))
           .select(
             col("event_type"),
             col("n_users_exact"),
@@ -232,9 +244,8 @@ object AnalyticsQueries {
               <= col("n_users_exact") * 0.15).as("hllpp_ok"),
             (abs(col("sketch") - col("n_users_exact"))
               <= col("n_users_exact") * 0.05).as("sketch_ok"),
-            (element_at(col("p50s"), 2) >= element_at(col("p50s"), 1) &&
-              element_at(col("p50s"), 2) <= element_at(col("p50s"), 3))
-              .as("p50_ok"),
+            (col("rank_cnt") >= col("n") * 0.40 &&
+              col("rank_cnt") <= col("n") * 0.60).as("p50_ok"),
             col("n"))
       },
       Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,

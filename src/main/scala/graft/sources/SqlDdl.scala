@@ -48,9 +48,12 @@ object SqlDdl {
       try spark.sessionState.sqlParser.parsePlan(text)
       catch { case e: Exception => refuse(s"cannot parse ALTER statement: ${e.getMessage}") }
 
+    // returns the REGISTERED key, never the name as typed — the caller
+    // advances the registered temp view by this name (ADVICE r14)
     def resolve(name: String): (String, String) =
-      tx.get(name).orElse(tx.find(_._1.equalsIgnoreCase(name)).map(_._2)) match {
-        case Some(path) => (name, path)
+      tx.get(name).map((name, _))
+        .orElse(tx.find(_._1.equalsIgnoreCase(name)).map(e => (e._1, e._2))) match {
+        case Some(p) => p
         case None => refuse(
           s"'$name' is not a --tx-registered table (time-travel views are read-only); " +
             s"registered: ${if (tx.isEmpty) "none" else tx.keys.toSeq.sorted.mkString(", ")}")
@@ -89,11 +92,12 @@ object SqlDdl {
           names.partition(n => have(n.toLowerCase(java.util.Locale.ROOT)))
         if (absent.nonEmpty && !ifExists)
           refuse(s"DROP COLUMN: no such column(s) ${absent.mkString(", ")}")
-        // sequential single-column commits — each is one metadata-only
-        // retire, and a later refusal (last column, constraint ref)
-        // leaves every earlier drop durable, exactly like running the
-        // statements one by one
-        val vs = present.map(TxStore.dropColumn(spark, path, _))
+        // ONE commit for the whole column list — every name validates
+        // against the snapshot before anything publishes, so a refusal
+        // on the second column (last-column rule, constraint ref) leaves
+        // no earlier drop durable: the statement is atomic (ADVICE r14)
+        val vs = if (present.isEmpty) Nil
+          else Seq(TxStore.dropColumns(spark, path, present))
         summary("alter-drop-column", view, path, vs.lastOption,
           (present.map(n => s"dropped $n") ++ absent.map(n => s"skipped $n (absent)"))
             .mkString("; "))

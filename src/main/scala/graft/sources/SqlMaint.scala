@@ -99,10 +99,16 @@ object SqlMaint {
       !isHistory && !isShowParts)
       return None
 
+    // returns the REGISTERED key (not the name as typed): the caller
+    // keys `tx.contains(result.view)` re-registration on it, and a
+    // case-insensitive hit under a differently-cased spelling must
+    // still advance the view after a committing RESTORE/OPTIMIZE
+    // (ADVICE r14)
     def resolve(view: String): (String, String) = {
       val v = view.trim
-      tx.get(v).orElse(tx.find(_._1.equalsIgnoreCase(v)).map(_._2)) match {
-        case Some(p) => (v, p)
+      tx.get(v).map((v, _))
+        .orElse(tx.find(_._1.equalsIgnoreCase(v)).map(e => (e._1, e._2))) match {
+        case Some(p) => p
         case None => refuse(
           s"'$v' is not a --tx-registered table (time-travel views are read-only); " +
             s"registered: ${if (tx.isEmpty) "none" else tx.keys.toSeq.sorted.mkString(", ")}")

@@ -1328,6 +1328,35 @@ object TxStore {
         mapping = Some(encodeMapping(keep, snap.retired ++ gone.map(_._2)))))
     }.get.version
 
+  /** [[dropColumn]] for SEVERAL columns in ONE commit — the atomic form
+    * `ALTER TABLE … DROP COLUMN a, b` needs: every column is validated
+    * against the snapshot (existence, not-all-columns, constraint refs,
+    * partition membership) BEFORE anything commits, so a refusal on the
+    * last name leaves no earlier drop durable (ADVICE r14 — sequential
+    * single-column commits broke statement atomicity). */
+  def dropColumns(spark: SparkSession, path: String, names: Seq[String]): Long = {
+    require(names.nonEmpty, "DROP COLUMN: no columns given")
+    require(names.map(lc).distinct.size == names.size,
+      s"DROP COLUMN: duplicate name in ${names.mkString(", ")}")
+    commitLoop(spark, path, "drop-column") { snap =>
+      val m = materializedMapping(snap)
+      val dropSet = names.map(lc).toSet
+      names.foreach { n =>
+        require(m.exists(p => lc(p._1) == lc(n)), s"no such column: $n")
+        requireNoConstraintRefs(snap, n, "drop")
+      }
+      val (gone, keep) = m.partition(p => dropSet(lc(p._1)))
+      require(keep.nonEmpty, "cannot drop every column")
+      gone.foreach { g =>
+        require(!snap.partitioning.exists(p => lc(p) == lc(g._2)),
+          s"cannot drop partition column '${g._1}' — re-layout with " +
+            "overwrite(partitionBy) first")
+      }
+      Some(CommitSpec(Nil, Nil, None,
+        mapping = Some(encodeMapping(keep, snap.retired ++ gone.map(_._2)))))
+    }.get.version
+  }
+
   /** ALTER TABLE ADD COLUMN — metadata-only schema evolution: the log
     * schema restates with the new ALL-NULLABLE field appended; existing
     * files simply lack it and read NULL (schema-on-log, the same

@@ -57,6 +57,31 @@ class AggregateSketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact <= 0.02, s"approx=$approx exact=$exact")
   }
 
+  test("an13's exact-rank median law is falsifiable: a wrong estimate fails the band") {
+    // the lane verifies the p50 estimate by EXACT RANK — count(value <=
+    // est) must land in [40%, 60%] of n (ADVICE r14 replaced a law that
+    // compared three quantiles of the SAME sketch, monotone by
+    // construction). Show the band has teeth on the real fixture: the
+    // true median ranks inside it, a deliberately wrong estimate (the
+    // exact 10th percentile) ranks far outside.
+    val (p50, p10) = {
+      val r = events.agg(
+        expr("approx_percentile(value, 0.5, 10000)").as("p50"),
+        expr("percentile(value, 0.10)").as("p10")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    def rankFrac(est: Double): Double = {
+      val r = events.agg(
+        sum(when(col("value") <= est, 1L).otherwise(0L)).as("cnt"),
+        count(lit(1)).as("n")).head()
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val fTrue = rankFrac(p50)
+    assert(fTrue >= 0.40 && fTrue <= 0.60, s"true median ranks at $fTrue")
+    val fWrong = rankFrac(p10)
+    assert(fWrong < 0.40, s"a 10th-percentile 'median' must fail the band, ranked $fWrong")
+  }
+
   test("approx_count_distinct (HyperLogLog++) within 5% of exact") {
     val r = events.agg(
       approx_count_distinct(col("user_id")).as("est"),

@@ -537,6 +537,28 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("sql step: maintenance under a differently-cased name still advances the view") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/casetbl"
+    val ev = Tables.events(spark, sf("sf0.001"))
+    graft.sources.TxStore.append(ev.filter(col("event_id") % 2 === 0), table) // v1
+    graft.sources.TxStore.append(ev.filter(col("event_id") % 2 =!= 0), table) // v2
+    val v1Count = ev.filter(col("event_id") % 2 === 0).count()
+    // RESTORE spelled 'MT' against the registered key 'mt': resolve
+    // must hand back the REGISTERED key so the committing statement
+    // re-registers the temp view — otherwise a later statement in the
+    // same session reads the pre-restore snapshot (ADVICE r14)
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "tx" -> s"mt=$table", "sql" -> "RESTORE TABLE MT TO VERSION AS OF 1"))
+    assert(spark.read.parquet(s"$out/sql_result")
+      .select("restored_to").as[Long].head === 1L)
+    assert(spark.table("mt").count() === v1Count,
+      "the registered view must serve the POST-restore snapshot")
+  }
+
   test("sql step: OPTIMIZE / DESCRIBE HISTORY / RESTORE / VACUUM maintenance lifecycle") {
     import org.apache.spark.sql.functions.col
     val dir = tmp()

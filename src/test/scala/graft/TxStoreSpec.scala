@@ -1598,6 +1598,28 @@ class TxStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](TxStore.dropColumn(spark, t, "id2"))
   }
 
+  test("dropColumns: multi-column drop is ONE atomic commit; a refused name commits nothing") {
+    val t = tmpDir()
+    TxStore.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "payload", "score"), t) // v1
+    TxStore.addConstraint(spark, t, "has_payload", "payload IS NOT NULL") // v2
+    val v = TxStore.snapshot(spark, t).version
+    // the SECOND name is constraint-referenced — the whole statement
+    // must refuse with NOTHING durable (ADVICE r14: sequential commits
+    // left the first drop committed)
+    val ex = intercept[IllegalArgumentException](
+      TxStore.dropColumns(spark, t, Seq("score", "payload")))
+    assert(ex.getMessage.contains("has_payload"))
+    assert(TxStore.snapshot(spark, t).version === v, "refused multi-drop must commit nothing")
+    assert(TxStore.read(spark, t).columns.toSeq === Seq("id", "payload", "score"))
+    // a valid multi-drop lands as exactly ONE commit
+    TxStore.dropConstraint(spark, t, "has_payload")
+    val v2 = TxStore.snapshot(spark, t).version
+    assert(TxStore.dropColumns(spark, t, Seq("payload", "score")) === v2 + 1)
+    assert(TxStore.read(spark, t).columns.toSeq === Seq("id"))
+    // the whole-table drop refuses
+    intercept[IllegalArgumentException](TxStore.dropColumns(spark, t, Seq("id")))
+  }
+
   test("column mapping: merge/update/delete/zorder/checkpoint/restore work logically") {
     val t = tmpDir()
     TxStore.append(rows(8), t) // v1
