@@ -660,6 +660,89 @@ object StorageQueries {
       Some(eventsSql(" WHERE event_id <= 500")),
       bench = true),
 
+    // ── S51 — DataSource v2 PUSHED-FILTER pruning (EXT73): the native
+    //    `spark.read.format("graft")` scan must skip the IDENTICAL file
+    //    set the readWhere stats walk skips — pruning now happens INSIDE
+    //    Catalyst (SupportsPushDownFilters → pruneSnapFiles), not in a
+    //    pre-analysis rewrite, and the kept files are planned into
+    //    splits from the log's #size facts (zero filesystem RPCs). The
+    //    REQUIREs pin the file-set identity; the oracle pins the rows.
+    QueryDef(
+      "s51_dsv2_pruned_read",
+      (s, d) => {
+        val store = freshStore(s, "s51-dsv2", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.repartitionByRange(8, col("event_id")), store)
+        val (_, kept, skipped) = TxStore.pruneFiles(s, store, col("event_id") <= 500L)
+        require(skipped.nonEmpty,
+          s"range layout + selective predicate must skip files (kept ${kept.size})")
+        graft.sources.GraftScanEvents.clear(store)
+        val v2 = s.read.format("graft").load(store).filter(col("event_id") <= 500L)
+        require(v2.count() > 0, "the pruned v2 scan must still return rows")
+        val planned = graft.sources.GraftScanEvents.last(store).getOrElse(
+          sys.error("the v2 scan recorded no planning event"))
+        require(planned.kept.toSet == kept.toSet && planned.skipped.toSet == skipped.toSet,
+          s"the v2 scan must skip the SAME file set readWhere skips " +
+            s"(v2 ${planned.skipped.size}, walk ${skipped.size})")
+        eventsCols(v2)
+      },
+      Some(eventsSql(" WHERE event_id <= 500")),
+      bench = true),
+
+    // ── S52 — DataSource v2 RUNTIME (dynamic-pruning) filtering
+    //    (EXT73): a star join's broadcast dimension build hands its key
+    //    set to the fact scan AT EXECUTION START (SupportsRuntimeFiltering
+    //    → the same pruneSnapFiles walk over the runtime IN), so fact
+    //    files of unselected partitions are never read — the plan a
+    //    pre-analysis rewrite structurally cannot produce (the dim's
+    //    surviving keys exist only after its filter runs). The fixture
+    //    partitions events by event_type and keeps the two
+    //    lexicographically-first types via a FILE-BACKED dim (a local
+    //    relation would constant-fold its filter away and DPP would
+    //    correctly decline). REQUIREs pin that a runtime filter arrived
+    //    and only the selected partitions' files were read.
+    QueryDef(
+      "s52_dsv2_runtime_prune",
+      (s, d) => {
+        val store = freshStore(s, "s52-dsv2dpp", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev, store, partitionBy = Seq("event_type"))
+        val keepTypes = ev.select("event_type").distinct()
+          .orderBy("event_type").limit(2)
+          .collect().map(_.getString(0)).toSeq // 2 values — model-bounded
+        val dimPath = freshStore(s, "s52-dsv2dim", d)
+        ev.select(col("event_type").as("etype")).distinct()
+          .withColumn("flag",
+            when(col("etype").isin(keepTypes: _*), "keep").otherwise("drop"))
+          .coalesce(1).write.parquet(dimPath)
+        val dim = s.read.parquet(dimPath).filter(col("flag") === "keep")
+        graft.sources.GraftScanEvents.clear(store)
+        val fact = s.read.format("graft").load(store)
+        val joined = fact
+          .join(broadcast(dim), fact("event_type") === dim("etype"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), graft.Num.rnd(sum("value"), 2).as("total"))
+        require(joined.count() == 2, "both kept event types must aggregate")
+        val planned = graft.sources.GraftScanEvents.last(store).getOrElse(
+          sys.error("the v2 scan recorded no planning event"))
+        val total = TxStore.snapshot(s, store).files.size
+        require(planned.runtimeFilterCount > 0,
+          "the fact scan must receive a runtime (dynamic pruning) filter " +
+            s"(kept ${planned.kept.size} of $total)")
+        require(planned.kept.nonEmpty && planned.kept.size < total,
+          s"the runtime filter must prune fact files: kept ${planned.kept.size} of $total")
+        val keepDirs = keepTypes.map(t => s"event_type=$t/").toSet
+        require(planned.kept.forall(f => keepDirs.exists(f.startsWith)),
+          s"only the dim-selected partitions may be read: ${planned.kept.take(5)}")
+        joined
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n, ${graft.Sql.rnd("SUM(value)", 2)} AS total
+              |FROM events
+              |WHERE event_type IN (
+              |  SELECT DISTINCT event_type FROM events ORDER BY 1 LIMIT 2)
+              |GROUP BY 1""".stripMargin),
+      bench = true),
+
     // ── S18 — schema evolution through the commit log. The first wave
     //    lands WITHOUT `props`; the second wave adds it, evolving the
     //    table schema additively. The read must surface the evolved
@@ -812,6 +895,63 @@ object StorageQueries {
         eventsCols(TxStore.readWhere(s, store, pred))
       },
       Some(eventsSql(" WHERE event_id <= 500"))),
+
+    // ── S53 — data skipping on NULL-COUNT facts (EXT74): commits carry
+    //    per-file null counts (`<col>#n`, beside min/max/blooms/#rows),
+    //    so `IS NOT NULL` prunes every ALL-NULL file and `IS NULL`
+    //    prunes every all-non-null file — from log metadata, zero file
+    //    IO (Delta's checkpoint nullCount re-derived). The fixture
+    //    lands two waves: one with props nulled wholesale, one with
+    //    props made never-null; the REQUIREs pin BOTH refutation
+    //    directions to exact wave file sets, the oracle pins content.
+    QueryDef(
+      "s53_tx_null_skipping",
+      (s, d) => {
+        val store = freshStore(s, "s53-nullskip", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0)
+          .withColumn("props", lit(null).cast("string")), store) // v1: all-null props
+        TxStore.append(ev.filter(col("event_id") % 2 =!= 0)
+          .withColumn("props", coalesce(col("props"), lit("{}"))), store) // v2: no nulls
+        val v1Files = TxStore.history(s, store).find(_.version == 1L).get.add.toSet
+        val v2Files = TxStore.history(s, store).find(_.version == 2L).get.add.toSet
+        val (_, keptNN, skippedNN) = TxStore.pruneFiles(s, store, col("props").isNotNull)
+        require(skippedNN.toSet == v1Files && keptNN.toSet == v2Files,
+          s"IS NOT NULL must skip exactly the all-null wave " +
+            s"(skipped ${skippedNN.size}, wave ${v1Files.size})")
+        val (_, keptN, skippedN) = TxStore.pruneFiles(s, store, col("props").isNull)
+        require(skippedN.toSet == v2Files && keptN.toSet == v1Files,
+          s"IS NULL must skip exactly the never-null wave " +
+            s"(skipped ${skippedN.size}, wave ${v2Files.size})")
+        eventsCols(TxStore.readWhere(s, store, col("props").isNotNull))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+             |       COALESCE(props, '{}') AS props
+             |FROM events WHERE event_id % 2 <> 0""".stripMargin)),
+
+    // ── S54 — TABLE PROPERTIES in the log (EXT76): free-form
+    //    TBLPROPERTIES ride commits latest-wins (like the schema),
+    //    merge on SET, drop atomically on UNSET, and restate through a
+    //    CHECKPOINT (whose replay truncation would otherwise lose
+    //    them). The lane drives the full lifecycle and lands the final
+    //    property set — deterministic, so the oracle is literal.
+    QueryDef(
+      "s54_tx_properties",
+      (s, d) => {
+        val store = freshStore(s, "s54-props", d)
+        TxStore.append(Tables.events(s, d).limit(100), store) // v1
+        TxStore.setTableProperties(s, store,
+          Seq("owner" -> "data-eng", "pii" -> "false")) // v2
+        TxStore.setTableProperties(s, store, Seq("pii" -> "true")) // v3 merge
+        TxStore.unsetTableProperties(s, store, Seq("pii")) // v4
+        TxStore.setTableProperties(s, store, Seq("retention.hours" -> "168")) // v5
+        TxStore.checkpoint(s, store) // v6 — properties must survive truncation
+        val props = TxStore.tableProperties(s, store)
+        import s.implicits._
+        props.toDF("key", "value")
+      },
+      Some("""SELECT 'owner' AS key, 'data-eng' AS value
+             |UNION ALL SELECT 'retention.hours', '168'""".stripMargin)),
 
     // ── S23 — data skipping on STRING stats: the table is laid out by
     //    event_type (range partitioning clusters the five values into

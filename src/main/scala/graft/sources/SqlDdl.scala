@@ -164,9 +164,33 @@ object SqlDdl {
           summary("alter-drop-constraint", view, path, Some(v), s"dropped ${d.name}")
         }
 
+      // TBLPROPERTIES: free-form operational metadata riding the log
+      // latest-wins — one commit per statement (atomic multi-pair)
+      case p: SetTableProperties =>
+        val (view, path) = target(p.table)
+        val pairs = p.properties.toSeq
+        val v = TxStore.setTableProperties(spark, path, pairs)
+        summary("alter-set-properties", view, path, Some(v),
+          pairs.map { case (k, vv) => s"$k=$vv" }.sorted.mkString("; "))
+
+      case p: UnsetTableProperties =>
+        val (view, path) = target(p.table)
+        val have = TxStore.tableProperties(spark, path)
+          .map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
+        val (present, absent) =
+          p.propertyKeys.partition(k => have(k.toLowerCase(java.util.Locale.ROOT)))
+        if (absent.nonEmpty && !p.ifExists)
+          refuse(s"UNSET TBLPROPERTIES: no such key(s) ${absent.mkString(", ")}")
+        val vs = if (present.isEmpty) Nil
+          else Seq(TxStore.unsetTableProperties(spark, path, present, ifExists = true))
+        summary("alter-unset-properties", view, path, vs.lastOption,
+          (present.map(k => s"unset $k") ++ absent.map(k => s"skipped $k (absent)"))
+            .mkString("; "))
+
       case other =>
         refuse(s"unsupported ALTER statement: ${other.nodeName} — the table format " +
-          "supports RENAME/DROP/ADD COLUMN and ADD/DROP CONSTRAINT")
+          "supports RENAME/DROP/ADD COLUMN, ADD/DROP CONSTRAINT and " +
+          "SET/UNSET TBLPROPERTIES")
     })
   }
 

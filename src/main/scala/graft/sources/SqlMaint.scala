@@ -18,10 +18,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *     OPTIMIZE) or [[TxStore.compactZOrder]] when ZORDER BY is given;
   *     WHERE scopes either to matching partitions (the partition-only
   *     rule those APIs already enforce).
-  *   - `VACUUM v [RETAIN n VERSIONS] [GRACE n MS] [DRY RUN]` →
+  *   - `VACUUM v [RETAIN n VERSIONS|HOURS] [GRACE n MS] [DRY RUN]` →
   *     [[TxStore.vacuum]] / [[TxStore.vacuumPreview]]. The engine's
-  *     retention unit is VERSIONS (the log is the clock), not Delta's
-  *     wall-clock HOURS; GRACE exposes the age-grace guard for
+  *     native retention unit is VERSIONS (the log is the clock);
+  *     Delta's wall-clock `RETAIN n HOURS` form resolves to a version
+  *     count against commit-file mtimes first
+  *     ([[TxStore.retainVersionsForWindow]] — the versionAtTimestamp
+  *     clock), so both forms drive ONE victim computation and
+  *     `TIMESTAMP AS OF now−window` keeps resolving after the reap;
+  *     GRACE exposes the age-grace guard for
   *     operators who just lowered retention and want the reap now (the
   *     same parameter the Scala API takes); DRY RUN answers the
   *     DATA-file victim list without deleting — preview and reap share
@@ -32,6 +37,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *     a frame (one string column per partition column, logical names
   *     under column mapping, hive %XX escapes decoded) — derived from
   *     the COMMIT LOG's file names, zero directory listings.
+  *   - `SHOW TBLPROPERTIES v` → the table's property set as a
+  *     (key, value) frame — the log's latest-wins property state
+  *     (set/unset via `ALTER TABLE … [UN]SET TBLPROPERTIES`, SqlDdl).
   *   - `RESTORE [TABLE] v TO VERSION AS OF n | TO TIMESTAMP AS OF <expr>`
   *     → [[TxStore.restore]] (a NEW commit re-adding the target
   *     version's live set — history is append-only, so the restore
@@ -69,9 +77,11 @@ object SqlMaint {
     """(?is)\s*OPTIMIZE\s+(\S+)\s*(.*?)\s*""".r
   private val ZOrderRe = """(?is)(.*?)\bZORDER\s+BY\s+(.+)""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+(\S+)\s*(?:\bRETAIN\s+(\d+)\s+VERSIONS\b)?\s*(?:\bGRACE\s+(\d+)\s+MS\b)?\s*(DRY\s+RUN)?\s*""".r
+    """(?is)\s*VACUUM\s+(\S+)\s*(?:\bRETAIN\s+(\d+)\s+(VERSIONS|HOURS)\b)?\s*(?:\bGRACE\s+(\d+)\s+MS\b)?\s*(DRY\s+RUN)?\s*""".r
   private val ShowPartsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+(\S+)\s*""".r
+  private val ShowPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+(\S+)\s*""".r
   private val RestoreVersionRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val RestoreTimestampRe =
@@ -93,8 +103,10 @@ object SqlMaint {
     val isHistory = HistoryRe.pattern.matcher(t).matches() ||
       DetailRe.pattern.matcher(t).matches()
     // SHOW has other Spark-grammar forms (SHOW TABLES…) — intercept
-    // only the exact SHOW PARTITIONS shape, leave the rest to Catalyst
-    val isShowParts = ShowPartsRe.pattern.matcher(t).matches()
+    // only the exact SHOW PARTITIONS / SHOW TBLPROPERTIES shapes, leave
+    // the rest to Catalyst
+    val isShowParts = ShowPartsRe.pattern.matcher(t).matches() ||
+      ShowPropsRe.pattern.matcher(t).matches()
     if (!Set("OPTIMIZE", "VACUUM", "RESTORE", "CONVERT").contains(head) &&
       !isHistory && !isShowParts)
       return None
@@ -156,9 +168,13 @@ object SqlMaint {
             "table" -> lit(view), "version" -> verCol(committed),
             "rewrote" -> lit(committed.isDefined)))
 
-      case VacuumRe(viewRaw, retain, grace, dry) =>
+      case VacuumRe(viewRaw, retain, unit, grace, dry) =>
         val (view, path) = resolve(viewRaw)
-        val retainV = Option(retain).map(_.toInt).getOrElse(2)
+        val retainV = Option(retain).map(_.toInt).getOrElse(2) match {
+          case n if unit != null && unit.equalsIgnoreCase("HOURS") =>
+            TxStore.retainVersionsForWindow(spark, path, n.toLong * 3600000L)
+          case n => n
+        }
         val graceMs = Option(grace).map(_.toLong).getOrElse(TxStore.DefaultAgeGraceMs)
         if (dry != null) {
           val victims = TxStore.vacuumPreview(spark, path, retainV, graceMs)
@@ -174,6 +190,18 @@ object SqlMaint {
             one("op" -> lit("vacuum"), "table" -> lit(view),
               "files_deleted" -> lit(deleted.toLong)))
         }
+
+      case ShowPropsRe(viewRaw) =>
+        val (view, path) = resolve(viewRaw)
+        val props = TxStore.tableProperties(spark, path)
+        Result("show-tblproperties", view, path, None,
+          spark.createDataFrame(
+            props.map { case (k, v) => org.apache.spark.sql.Row(k, v) }.asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "key", org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField(
+                "value", org.apache.spark.sql.types.StringType, nullable = false)))))
 
       case RestoreVersionRe(viewRaw, v) =>
         val (view, path) = resolve(viewRaw)

@@ -62,7 +62,7 @@ import java.util.UUID
 object TxStore {
 
   private val LogDir = "_txlog"
-  private val DataDir = "data"
+  private[sources] val DataDir = "data"
   private val MaxRetries = 20
 
   /** One log entry: the files this commit added/removed plus the op name
@@ -99,7 +99,11 @@ object TxStore {
         * unpartitioned). Latest commit carrying one defines it — set at
         * table creation by a partitioned [[append]], reset only by
         * [[overwrite]] (which replaces the table). */
-      partcols: Option[String] = None)
+      partcols: Option[String] = None,
+      /** Base64 payload carrying the table's PROPERTIES (key → value,
+        * the Delta TBLPROPERTIES surface); latest commit carrying one
+        * defines the full set (see [[setTableProperties]]). */
+      props: Option[String] = None)
 
   /** One column's [min, max] over a file's NON-NULL values: exact
     * decimals for numeric primitives, raw strings (ASCII-only, ≤ 64
@@ -157,7 +161,11 @@ object TxStore {
         * PATH (not in file content), and partition-predicate pruning
         * runs ahead of the per-file stats walk. Empty = flat layout
         * (the default; zero overhead, names are bare UUIDs). */
-      partitioning: Seq[String] = Nil)
+      partitioning: Seq[String] = Nil,
+      /** Table PROPERTIES (key → value, declaration order), replayed
+        * latest-wins like the schema — ride checkpoint/clone/restore
+        * restatements (see [[setTableProperties]]). */
+      properties: Seq[(String, String)] = Nil)
 
   /** What a write op asks the commit loop to publish at the next
     * version. `stats` ride with added files; `dv` marks row positions
@@ -174,7 +182,8 @@ object TxStore {
       sidecars: Seq[String] = Nil,
       constraints: Option[String] = None,
       mapping: Option[String] = None,
-      partcols: Option[String] = None)
+      partcols: Option[String] = None,
+      props: Option[String] = None)
 
   // ── schema in the log ──────────────────────────────────────────────
   // The table schema travels in commit entries (base64 of Spark's schema
@@ -271,7 +280,7 @@ object TxStore {
     * and deletion-vector keys carry the FULL relative name; leaf names
     * are staged UUIDs, so the leaf → full map over a snapshot's live
     * set is always injective. */
-  private def leafOf(n: String): String = {
+  private[sources] def leafOf(n: String): String = {
     val i = n.lastIndexOf('/')
     if (i < 0) n else n.substring(i + 1)
   }
@@ -577,15 +586,40 @@ object TxStore {
     def harvest(name: String): (String, Map[String, ColRange]) = {
       val acc = scala.collection.mutable.LinkedHashMap.empty[String, ColRange]
       val dropped = scala.collection.mutable.HashSet.empty[String]
+      // per-column NULL COUNTS under the synthetic `<col>#n` key —
+      // harvested for EVERY top-level column (type-independent, unlike
+      // ranges), summed across row groups; a single group with the
+      // count unset drops the column's fact (a partial sum would be an
+      // unsound under-count for IS NULL refutation). Delta's checkpoint
+      // nullCount re-derived on the stats map — `WHERE c IS NULL`
+      // prunes all-non-null files, `IS NOT NULL` prunes all-null ones
+      // (with `#rows` supplying the denominator).
+      val nullAcc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val nullUnknown = scala.collection.mutable.HashSet.empty[String]
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(s"$path/$DataDir/$name"), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
+        // FILE FACTS ride the stats channel under synthetic keys a
+        // column can never claim ('#' is refused in column names):
+        // byte size and row count, harvested from the footer the walk
+        // is already paying for. The DSv2 scan plans its input splits
+        // and reports sizeInBytes/rowCount from THESE — a plan over
+        // 100 TB costs zero per-file getFileStatus RPCs (the Delta
+        // AddFile.size design re-derived on the stats map). mayMatch
+        // never consults them (no attribute maps to a '#' key), and
+        // checkpoints/clones restate them like any other range.
+        acc("#size") = NumRange(BigDecimal(in.getLength), BigDecimal(in.getLength))
+        val nRows = reader.getRecordCount
+        acc("#rows") = NumRange(BigDecimal(nRows), BigDecimal(nRows))
         reader.getFooter.getBlocks.asScala.foreach { block =>
           block.getColumns.asScala.foreach { cc =>
             val parts = cc.getPath.toArray
             if (parts.length == 1 && !parts(0).toString.exists(c => c == '"' || c == '\\')) {
               val cname = parts(0).toString
+              val stNulls = cc.getStatistics
+              if (stNulls == null || !stNulls.isNumNullsSet) nullUnknown += cname
+              else nullAcc(cname) = nullAcc.getOrElse(cname, 0L) + stNulls.getNumNulls
               val pt = cc.getPrimitiveType
               val ann = pt.getLogicalTypeAnnotation
               val numeric =
@@ -647,6 +681,9 @@ object TxStore {
           }
         }
       } finally reader.close()
+      nullAcc.foreach { case (c, n) =>
+        if (!nullUnknown(c) && !c.contains('#')) acc(c + "#n") = NumRange(n, n)
+      }
       name -> acc.toMap
     }
     val all: FileStats = {
@@ -729,7 +766,7 @@ object TxStore {
 
   private val SidecarDirName = "_sidecar"
 
-  private def sidecarPath(path: String, name: String): Path =
+  private[sources] def sidecarPath(path: String, name: String): Path =
     new Path(s"$path/$LogDir/$SidecarDirName/$name")
 
   /** Packed deletion-vector codec for sidecars: per file, sorted
@@ -944,7 +981,8 @@ object TxStore {
     val cns = c.constraints.fold("")(s => s""","constraints":"$s"""")
     val mps = c.mapping.fold("")(s => s""","mapping":"$s"""")
     val pcs = c.partcols.fold("")(s => s""","partcols":"$s"""")
-    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs$scs$cns$mps$pcs}"""
+    val pps = c.props.fold("")(s => s""","props":"$s"""")
+    s"""{"version":${c.version},"op":"${c.op}","add":${arr(c.add)},"remove":${arr(c.remove)}$txn$sch$sts$dvs$scs$cns$mps$pcs$pps}"""
   }
 
   private def parse(s: String): Commit = {
@@ -974,7 +1012,8 @@ object TxStore {
       sidecars = fieldOpt("sidecars").map(strArr).getOrElse(Nil),
       constraints = fieldOpt("constraints").map(_.drop(1).takeWhile(_ != '"')),
       mapping = fieldOpt("mapping").map(_.drop(1).takeWhile(_ != '"')),
-      partcols = fieldOpt("partcols").map(_.drop(1).takeWhile(_ != '"')))
+      partcols = fieldOpt("partcols").map(_.drop(1).takeWhile(_ != '"')),
+      props = fieldOpt("props").map(_.drop(1).takeWhile(_ != '"')))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -1015,6 +1054,7 @@ object TxStore {
     var constraints: Option[String] = None
     var mapping: Option[String] = None
     var partcols: Option[String] = None
+    var props: Option[String] = None
     cs.foreach { c =>
       c.remove.foreach { n =>
         live -= n; stats.remove(n): Unit; dv.remove(n): Unit; dvp.remove(n): Unit
@@ -1057,13 +1097,15 @@ object TxStore {
       if (c.constraints.isDefined) constraints = c.constraints
       if (c.mapping.isDefined) mapping = c.mapping
       if (c.partcols.isDefined) partcols = c.partcols
+      if (c.props.isDefined) props = c.props
     }
     val (pairs, retired) = mapping.map(decodeMapping).getOrElse((Nil, Nil))
     Snapshot(
       if (cs.isEmpty) 0L else cs.last.version, live.toSeq,
       schema.map(decodeSchema), stats.toMap, dv.toMap, dvp.toMap,
       constraints.map(decodeConstraints).getOrElse(Nil), pairs, retired,
-      partcols.map(decodePartitioning).getOrElse(Nil))
+      partcols.map(decodePartitioning).getOrElse(Nil),
+      props.map(decodeConstraints).getOrElse(Nil))
   }
 
   /** Whether `path` holds a transactional table — its commit log exists
@@ -1143,9 +1185,10 @@ object TxStore {
     spark.createDataFrame(Seq((
       path, snap.version, snap.files.size.toLong, bytes,
       snap.partitioning.mkString(","), snap.constraints.size.toLong,
-      snap.mapping.nonEmpty)))
+      snap.mapping.nonEmpty,
+      snap.properties.map { case (k, v) => s"$k=$v" }.mkString(","))))
       .toDF("location", "version", "num_files", "size_bytes",
-        "partition_columns", "num_constraints", "column_mapping")
+        "partition_columns", "num_constraints", "column_mapping", "properties")
   }
 
   // ── CHECK constraints (public surface) ─────────────────────────────
@@ -1249,6 +1292,52 @@ object TxStore {
     }.get.version
 
   // ── column rename / drop (public surface) ──────────────────────────
+
+  /** Table PROPERTIES — Delta's TBLPROPERTIES surface re-derived on the
+    * log: free-form (key → value) pairs riding commits latest-wins
+    * (like the schema), restated through checkpoints/clones so
+    * truncation never loses them, and rewound by restore only if the
+    * target's commit chain says so (a restore commit does not restate
+    * properties — they are operational metadata, not data state). Keys
+    * are case-preserving but case-insensitively unique. One commit per
+    * statement — an ALTER with several pairs is atomic. */
+  def setTableProperties(
+      spark: SparkSession, path: String, kv: Seq[(String, String)]): Long = {
+    require(kv.nonEmpty, "SET TBLPROPERTIES: no pairs given")
+    kv.foreach { case (k, v) =>
+      require(k.nonEmpty, "property keys must be non-empty")
+      require(!k.exists(c => c == '\t' || c == '\n') && !v.exists(c => c == '\t' || c == '\n'),
+        s"property '$k' must not contain tabs or newlines")
+    }
+    require(kv.map(p => lc(p._1)).distinct.size == kv.size,
+      s"duplicate property key in ${kv.map(_._1).mkString(", ")}")
+    commitLoop(spark, path, "set-properties") { snap =>
+      val newKeys = kv.map(p => lc(p._1)).toSet
+      val merged = snap.properties.filterNot(p => newKeys(lc(p._1))) ++ kv
+      Some(CommitSpec(Nil, Nil, None, props = Some(encodeConstraints(merged))))
+    }.get.version
+  }
+
+  /** Drop properties by key; `ifExists = false` refuses on a missing
+    * key (the ALTER … UNSET TBLPROPERTIES contract). */
+  def unsetTableProperties(
+      spark: SparkSession, path: String, keys: Seq[String],
+      ifExists: Boolean = false): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES: no keys given")
+    commitLoop(spark, path, "unset-properties") { snap =>
+      val have = snap.properties.map(p => lc(p._1)).toSet
+      val missing = keys.filterNot(k => have(lc(k)))
+      require(ifExists || missing.isEmpty,
+        s"no such propert${if (missing.size == 1) "y" else "ies"}: ${missing.mkString(", ")}")
+      val drop = keys.map(lc).toSet
+      Some(CommitSpec(Nil, Nil, None,
+        props = Some(encodeConstraints(snap.properties.filterNot(p => drop(lc(p._1)))))))
+    }.get.version
+  }
+
+  /** The current property set, declaration order. */
+  def tableProperties(spark: SparkSession, path: String): Seq[(String, String)] =
+    snapshot(spark, path).properties
 
   private def lc(n: String) = n.toLowerCase(java.util.Locale.ROOT)
 
@@ -1523,7 +1612,7 @@ object TxStore {
         case Some(spec) =>
           val c = Commit(snap.version + 1, op, spec.add, spec.remove, txn,
             spec.schema, spec.stats, spec.dv, spec.sidecars, spec.constraints, spec.mapping,
-            spec.partcols)
+            spec.partcols, spec.props)
           if (tryCommit(f, path, c)) return Some(c)
       }
       tries += 1
@@ -3312,6 +3401,7 @@ object TxStore {
     val cons = Some(encodeConstraints(snap.constraints))
     val mp = Some(encodeMapping(snap.mapping, snap.retired))
     val pc = Some(encodePartitioning(snap.partitioning))
+    val pp = Some(encodeConstraints(snap.properties))
     if (payloadFiles.size <= shardFiles) {
       val sts =
         if (snap.stats.isEmpty) None
@@ -3319,8 +3409,8 @@ object TxStore {
           renderStats(snap.stats).getBytes(StandardCharsets.UTF_8)))
       val dvs = if (snap.dv.isEmpty) None else Some(encodeDv(snap.dv))
       val sc = dvpSidecar()
-      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, sc, cons, mp, pc),
-        sc)
+      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), sts, dvs, sc, cons, mp, pc,
+        pp), sc)
     } else {
       val sc = payloadFiles.grouped(shardFiles).map { group =>
         val g = group.toSet
@@ -3328,8 +3418,8 @@ object TxStore {
           snap.stats.view.filterKeys(g).toMap,
           snap.dv.view.filterKeys(g).toMap)
       }.toSeq ++ dvpSidecar()
-      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), None, None, sc, cons, mp, pc),
-        sc)
+      (CommitSpec(snap.files, Nil, snap.schema.map(encodeSchema), None, None, sc, cons, mp, pc,
+        pp), sc)
     }
   }
 
@@ -3594,7 +3684,8 @@ object TxStore {
     * `e`? Sound, not complete: unsupported expression shapes and
     * missing stats answer true (keep the file); only a comparison the
     * ranges REFUTE answers false. Supported: And/Or over {=, <, <=, >,
-    * >=, IN} between a column and a literal (either side) — numeric
+    * >=, IN, IS [NOT] NULL} between a column and a literal (either
+    * side; the null tests consult the `<col>#n`/`#rows` facts) — numeric
     * literals against numeric ranges, string literals against string
     * ranges (pure-ASCII bounds only, where Java and parquet byte order
     * agree; a non-ASCII literal is simply not pruned on). NULL
@@ -3658,6 +3749,25 @@ object TxStore {
         case Some(b: BloomSum) => bloomContains(b, v)
         case _ => true
       }
+    // NULL-presence refutation from the `<col>#n` / `#rows` facts:
+    // `c IS NULL` is unsatisfiable in a file logged all-non-null,
+    // `c IS NOT NULL` in a file logged all-null. Absent facts keep the
+    // file; deletion vectors only shrink counts, so neither refutation
+    // can go unsound under merge-on-read deletes.
+    def isNullSat(e: Expression): Boolean = attr(e) match {
+      case Some(c) => range(c + "#n") match {
+        case Some(NumRange(n, _)) => n > 0
+        case _ => true
+      }
+      case None => true
+    }
+    def isNotNullSat(e: Expression): Boolean = attr(e) match {
+      case Some(c) => (range(c + "#n"), range("#rows")) match {
+        case (Some(NumRange(n, _)), Some(NumRange(r, _))) => n < r
+        case _ => true
+      }
+      case None => true
+    }
     // col OP v with OP's (lt,eq,gt); the flipped orientation (v OP col)
     // mirrors the flags
     def test(a: Expression, b: Expression, lt: Boolean, eq: Boolean, gt: Boolean): Boolean = {
@@ -3701,6 +3811,8 @@ object TxStore {
           case (">", Seq(a, b)) => test(a, b, lt = false, eq = false, gt = true)
           case (">=", Seq(a, b)) => test(a, b, lt = false, eq = true, gt = true)
           case ("in", a +: vs) if vs.nonEmpty => inList(a, vs)
+          case ("isnull", Seq(a)) => isNullSat(a)
+          case ("isnotnull", Seq(a)) => isNotNullSat(a)
           case _ => true
         }
       case And(l, r) => mayMatch(l, ranges, phys) && mayMatch(r, ranges, phys)
@@ -3711,6 +3823,8 @@ object TxStore {
       case GreaterThan(a, b) => test(a, b, lt = false, eq = false, gt = true)
       case GreaterThanOrEqual(a, b) => test(a, b, lt = false, eq = true, gt = true)
       case In(a, vs) if vs.nonEmpty => inList(a, vs)
+      case IsNull(a) => isNullSat(a)
+      case IsNotNull(a) => isNotNullSat(a)
       case _ => true
     }
   }
@@ -3872,6 +3986,33 @@ object TxStore {
       mayMatch(pred, pranges(f), phys) &&
         snap.stats.get(f).forall(ranges => mayMatch(pred, ranges, phys))
     }
+  }
+
+  /** Per-file byte sizes for `files` of `snap`: from the log's `#size`
+    * facts when present (zero IO — the footer harvest records them at
+    * stage time), else one getFileStatus per missing file (older logs,
+    * `collectStats = false` writes). The DSv2 scan sizes its input
+    * splits from this. */
+  private[sources] def fileSizes(
+      spark: SparkSession, path: String, snap: Snapshot,
+      files: Seq[String]): Map[String, Long] = {
+    val f = fs(spark, path)
+    files.map { n =>
+      val logged = snap.stats.get(n).flatMap(_.get("#size")).collect {
+        case NumRange(lo, _) => lo.toLong
+      }
+      n -> logged.getOrElse(f.getFileStatus(new Path(s"$path/$DataDir/$n")).getLen)
+    }.toMap
+  }
+
+  /** Total row count over `files` from the log's `#rows` facts — None
+    * unless EVERY file carries one (a partial sum would silently
+    * understate; the caller reports no estimate instead). */
+  private[sources] def fileRowTotal(snap: Snapshot, files: Seq[String]): Option[Long] = {
+    val counts = files.map(n => snap.stats.get(n).flatMap(_.get("#rows")).collect {
+      case NumRange(lo, _) => lo.toLong
+    })
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
   /** Scan `files` of `snap` WITHOUT applying any predicate — the SQL
@@ -4147,6 +4288,33 @@ object TxStore {
     * tmp reclaimed under a mid-commit writer — degrades to a lost
     * commit race (retried), not a failure. Tests pass `ageGraceMs = 0`
     * to reclaim deterministically. */
+  /** WALL-CLOCK retention resolved to a VERSION count — Delta's
+    * `VACUUM … RETAIN 168 HOURS` re-derived on the log's own clock
+    * (commit-file mtimes, the same clock [[versionAtTimestamp]] and
+    * DESCRIBE HISTORY report): every version whose commit published
+    * inside the window stays reachable, PLUS the version that was
+    * current AT the window's edge — so `TIMESTAMP AS OF now−window`
+    * keeps resolving after the reap, the same contract Delta documents.
+    * The count feeds the unchanged [[vacuum]]/[[vacuumPreview]]
+    * single-scan victim computation; version- and time-based retention
+    * are one mechanism with two frontends. A window older than the
+    * retained log keeps everything (a checkpoint already truncated
+    * further back). */
+  def retainVersionsForWindow(spark: SparkSession, path: String, windowMs: Long): Int = {
+    require(windowMs >= 0, s"retention window must be ≥ 0 ms: $windowMs")
+    val f = fs(spark, path)
+    // the FULL log: commit files are never deleted, and vacuum's victim
+    // replay walks all of history — the window must resolve on the same
+    // axis (a checkpoint truncates replay for READERS, not retention)
+    val cs = allCommits(f, path)
+    require(cs.nonEmpty, s"no transaction log at $path")
+    val cutoffTs = System.currentTimeMillis() - windowMs
+    val atEdge = cs.filter(c =>
+      f.getFileStatus(logPath(path, c.version)).getModificationTime <= cutoffTs)
+    val cutoffVersion = if (atEdge.isEmpty) cs.head.version else atEdge.last.version
+    (cs.last.version - cutoffVersion + 1).toInt
+  }
+
   /** The data files a [[vacuum]] with these parameters would delete
     * RIGHT NOW (relative names) — the DRY RUN an operator reads before
     * lowering retention. Shares the victim computation with vacuum

@@ -559,6 +559,60 @@ class CliSpec extends SparkSpec {
       "the registered view must serve the POST-restore snapshot")
   }
 
+  test("sql step: TBLPROPERTIES lifecycle — SET, SHOW, UNSET, DESCRIBE DETAIL") {
+    val dir = tmp()
+    val table = s"$dir/propstbl"
+    graft.sources.TxStore.append(
+      Tables.events(spark, sf("sf0.001")).limit(20), table)
+    def sql(stmt: String): String = {
+      val out = tmp()
+      Main.run(spark, Map(
+        "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+        "tx" -> s"mt=$table", "sql" -> stmt))
+      s"$out/sql_result"
+    }
+    val set = spark.read.parquet(
+      sql("ALTER TABLE mt SET TBLPROPERTIES ('team'='data-eng', 'pii'='false')"))
+    assert(set.select("op").as[String].head === "alter-set-properties")
+    val shown = spark.read.parquet(sql("SHOW TBLPROPERTIES mt"))
+    assert(shown.columns.toSeq === Seq("key", "value"))
+    assert(shown.as[(String, String)].collect().toMap ===
+      Map("team" -> "data-eng", "pii" -> "false"))
+    spark.read.parquet(sql("ALTER TABLE mt UNSET TBLPROPERTIES ('pii')"))
+    assert(spark.read.parquet(sql("SHOW TBLPROPERTIES mt"))
+      .as[(String, String)].collect().toMap === Map("team" -> "data-eng"))
+    // a missing key refuses without IF EXISTS, no-ops with it
+    intercept[IllegalArgumentException](sql("ALTER TABLE mt UNSET TBLPROPERTIES ('ghost')"))
+    spark.read.parquet(sql("ALTER TABLE mt UNSET TBLPROPERTIES IF EXISTS ('ghost')"))
+    // DESCRIBE DETAIL surfaces the property set
+    val det = spark.read.parquet(sql("DESCRIBE DETAIL mt"))
+    assert(det.select("properties").as[String].head === "team=data-eng")
+  }
+
+  test("sql step: VACUUM RETAIN n HOURS resolves wall-clock retention to versions") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/hourstbl"
+    val ev = Tables.events(spark, sf("sf0.001")).limit(40)
+    graft.sources.TxStore.append(ev, table) // v1
+    graft.sources.TxStore.overwrite(ev.limit(20), table) // v2 — orphans v1
+    graft.sources.TxStore.overwrite(ev.limit(10), table) // v3 — orphans v2
+    graft.sources.TxStore.checkpoint(spark, table) // v4
+    for (v <- Seq(1L, 2L)) // v1+v2 committed two hours ago, v3+v4 fresh
+      assert(new java.io.File(f"$table/_txlog/$v%020d.json")
+        .setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L))
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "tx" -> s"mt=$table",
+      "sql" -> "VACUUM mt RETAIN 1 HOURS GRACE 0 MS DRY RUN"))
+    val victims = spark.read.parquet(s"$out/sql_result").as[String].collect().sorted.toSeq
+    // the 1-hour window resolves to 3 retained versions (v2 at the
+    // edge, v3+v4 inside) — identical victims to the VERSIONS form
+    assert(victims === graft.sources.TxStore.vacuumPreview(spark, table, 3, 0L).sorted)
+    assert(victims.nonEmpty, "the aged layout must have reapable files (v1's)")
+  }
+
   test("sql step: OPTIMIZE / DESCRIBE HISTORY / RESTORE / VACUUM maintenance lifecycle") {
     import org.apache.spark.sql.functions.col
     val dir = tmp()
@@ -772,10 +826,13 @@ class CliSpec extends SparkSpec {
         "out-dir" -> tmp(), "sql" -> "ALTER TABLE events DROP COLUMN value"))
     }
     assert(exTx.getMessage.contains("not a --tx-registered table"))
+    // an ALTER shape the table format cannot honor refuses with the
+    // reason (SET TBLPROPERTIES graduated to a supported statement in
+    // round 15 — SET LOCATION stands in as the unsupported shape)
     val exShape = intercept[IllegalArgumentException] {
       Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
         "out-dir" -> tmp(), "tx" -> s"mt=$table",
-        "sql" -> "ALTER TABLE mt SET TBLPROPERTIES ('a'='b')"))
+        "sql" -> "ALTER TABLE mt SET LOCATION '/elsewhere'"))
     }
     assert(exShape.getMessage.contains("unsupported ALTER statement"))
   }

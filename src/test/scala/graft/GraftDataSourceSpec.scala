@@ -1,0 +1,163 @@
+package graft
+
+import graft.sources.{GraftScanEvents, TxStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The DataSource v2 provider: `spark.read.format("graft")` must read
+  * byte-identically to the TxStore v1 API across every table shape
+  * (flat, partitioned, column-mapped, deletion-vectored), prune files
+  * inside Catalyst from the SAME log walk `readWhere` uses, and accept
+  * runtime (dynamic-pruning) filters at execution start. */
+class GraftDataSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-dsv2").toString + "/t"
+
+  private def rows(n: Int, from: Int = 0) =
+    (from until from + n).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+
+  private def v2(path: String): DataFrame = spark.read.format("graft").load(path)
+
+  /** Order-insensitive frame comparison by aligned column names. */
+  private def assertSame(got: DataFrame, want: DataFrame): Unit = {
+    val cols = want.columns.sorted.toSeq
+    val g = got.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val w = want.select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(g.toSeq === w.toSeq)
+  }
+
+  test("v2 read round-trips a flat table; schema is the log schema") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t)
+    TxStore.append(rows(5, from = 10), t)
+    val df = v2(t)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "payload"))
+    assertSame(df, TxStore.read(spark, t))
+    assert(df.count() === 15) // empty-projection scan (count star)
+  }
+
+  test("v2 pushed filters prune the IDENTICAL file set readWhere prunes") {
+    val t = tmpDir()
+    // one file per id-century so min/max ranges separate cleanly
+    for (c <- 0 until 4)
+      TxStore.append(rows(100, from = c * 100).repartition(1), t)
+    val pred = col("id") >= 250L && col("id") < 320L
+    val (_, keptV1, skippedV1) = TxStore.pruneFiles(spark, t, pred)
+    GraftScanEvents.clear(t)
+    val got = v2(t).filter(pred)
+    assert(got.count() === 70)
+    val ev = GraftScanEvents.last(t).getOrElse(fail("scan recorded no planning event"))
+    assert(ev.kept.toSet === keptV1.toSet,
+      s"v2 kept ${ev.kept.size} files, readWhere kept ${keptV1.size}")
+    assert(ev.skipped.toSet === skippedV1.toSet)
+    assert(ev.skipped.nonEmpty, "the fixture must actually skip files")
+    assertSame(v2(t).filter(pred), TxStore.readWhere(spark, t, pred))
+  }
+
+  test("v2 reads a hive-partitioned table with typed partition values") {
+    val t = tmpDir()
+    val df = (0 until 40).map(i => (i.toLong, i % 4, s"p$i")).toDF("id", "shard", "payload")
+    TxStore.append(df, t, partitionBy = Seq("shard"))
+    val got = v2(t)
+    // partition columns surface LAST in the v2 schema (hive layout)
+    assert(got.schema.fieldNames.toSeq.sorted === Seq("id", "payload", "shard"))
+    assert(got.schema("shard").dataType === org.apache.spark.sql.types.IntegerType)
+    assertSame(got, TxStore.read(spark, t))
+    // a partition predicate prunes to that partition's files only
+    GraftScanEvents.clear(t)
+    assert(v2(t).filter(col("shard") === 2).count() === 10)
+    val ev = GraftScanEvents.last(t).get
+    assert(ev.kept.forall(_.startsWith("shard=2/")),
+      s"partition pruning must keep only shard=2 files, kept ${ev.kept}")
+  }
+
+  test("v2 time travel: versionAsOf and timestampAsOf pin historical snapshots") {
+    val t = tmpDir()
+    TxStore.append(rows(10), t) // v1
+    TxStore.append(rows(10, from = 10), t) // v2
+    assert(spark.read.format("graft").option("versionAsOf", 1).load(t).count() === 10)
+    assert(v2(t).count() === 20)
+    val ts = graft.sources.TxStore.history(spark, t).last.version
+    assert(ts === 2L)
+    intercept[Exception](
+      spark.read.format("graft").option("versionAsOf", 99).load(t).count())
+  }
+
+  test("v2 applies inline deletion vectors (row-index skip, row-based scan)") {
+    val t = tmpDir()
+    TxStore.append(rows(100).repartition(2), t)
+    TxStore.deleteVectored(spark, t, col("id") % 10 === 3L)
+    val got = v2(t)
+    assert(got.count() === 90)
+    assert(got.filter(col("id") % 10 === 3L).count() === 0)
+    assertSame(got, TxStore.read(spark, t))
+  }
+
+  test("v2 applies parquet-vectored (sidecar) deletion vectors executor-side") {
+    val t = tmpDir()
+    TxStore.append(rows(200).repartition(2), t)
+    TxStore.deleteVectoredBulk(spark, t, col("id") >= 150L)
+    assertSame(v2(t), TxStore.read(spark, t))
+    assert(v2(t).count() === 150)
+  }
+
+  test("v2 reads a column-mapped table under logical names; filters still prune") {
+    val t = tmpDir()
+    for (c <- 0 until 3)
+      TxStore.append(rows(100, from = c * 100).repartition(1), t)
+    TxStore.renameColumn(spark, t, "payload", "note")
+    val got = v2(t)
+    assert(got.schema.fieldNames.toSeq === Seq("id", "note"))
+    assertSame(got, TxStore.read(spark, t))
+    GraftScanEvents.clear(t)
+    assert(v2(t).filter(col("id") === 250L).count() === 1)
+    val ev = GraftScanEvents.last(t).get
+    assert(ev.skipped.size === 2, s"mapped-table pruning must skip 2 of 3 files: $ev")
+  }
+
+  test("v2 runtime filtering: a broadcast dim filter prunes fact files at execution") {
+    val t = tmpDir()
+    // fact partitioned by region key — 8 partitions, one file each
+    val fact = (0 until 800).map(i => (i.toLong, i % 8, i * 2.0))
+      .toDF("order_id", "region_id", "amount")
+    TxStore.append(fact, t, partitionBy = Seq("region_id"))
+    // tiny dim: only regions 6 and 7 survive its filter. The dim must
+    // be FILE-backed — a local relation constant-folds its filter away
+    // and DPP (correctly) sees no selective predicate to reuse
+    val dimPath = t + "_dim"
+    (0 until 8).map(i => (i, if (i >= 6) "keep" else "drop"))
+      .toDF("r_id", "flag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    GraftScanEvents.clear(t)
+    val joined = v2(t)
+      .join(broadcast(dim.filter(col("flag") === "keep")),
+        col("region_id") === col("r_id"))
+      .agg(sum("amount").as("total"), count(lit(1)).as("n"))
+    val row = joined.head()
+    assert(row.getLong(1) === 200L)
+    val total = TxStore.snapshot(spark, t).files.size
+    val ev = GraftScanEvents.last(t).getOrElse(fail("no planning event"))
+    assert(ev.runtimeFilterCount > 0,
+      "the scan must have received a runtime (dynamic pruning) filter")
+    assert(ev.kept.nonEmpty && ev.kept.size < total,
+      s"runtime filter must prune fact files: kept ${ev.kept.size} of $total; " +
+        s"filters=${ev.runtimeFilters}")
+    assert(ev.kept.forall(f => f.startsWith("region_id=6/") || f.startsWith("region_id=7/")),
+      s"kept files must be the dim-selected partitions only: ${ev.kept}")
+    assert(ev.kept.size === total / 4,
+      s"exactly the two selected regions' files survive: ${ev.kept.size} vs $total/4")
+  }
+
+  test("v2 estimateStatistics reports log-fact sizes (broadcastable filtered reads)") {
+    val t = tmpDir()
+    for (c <- 0 until 4)
+      TxStore.append(rows(100, from = c * 100).repartition(1), t)
+    // a selective filter shrinks the reported size to the kept file(s)
+    val full = v2(t).queryExecution.optimizedPlan.stats.sizeInBytes
+    val pruned = v2(t).filter(col("id") < 50L).queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(pruned < full, s"pruned stats $pruned must be under full $full")
+  }
+}

@@ -1598,6 +1598,130 @@ class TxStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](TxStore.dropColumn(spark, t, "id2"))
   }
 
+  test("file facts: #size and #rows ride the stats channel and match the filesystem") {
+    val t = tmpDir()
+    TxStore.append(rows(10).repartition(2), t)
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.files.size === 2)
+    val rowTotal = snap.files.map { f =>
+      val st = snap.stats(f)
+      val sz = st("#size").asInstanceOf[TxStore.NumRange].lo.toLong
+      assert(sz === new java.io.File(s"$t/data/$f").length(),
+        s"logged #size must equal the filesystem length for $f")
+      st("#rows").asInstanceOf[TxStore.NumRange].lo.toLong
+    }.sum
+    assert(rowTotal === 10L, "logged #rows must sum to the table row count")
+    // facts survive a checkpoint restatement like any other range
+    TxStore.checkpoint(spark, t)
+    val snap2 = TxStore.snapshot(spark, t)
+    snap2.files.foreach(f => assert(snap2.stats(f).contains("#size") &&
+      snap2.stats(f).contains("#rows"), s"facts lost through checkpoint for $f"))
+  }
+
+  test("table properties: latest-wins merge, atomic unset, survive checkpoint/clone/restore") {
+    val t = tmpDir()
+    TxStore.append(rows(5), t) // v1
+    TxStore.setTableProperties(spark, t, Seq("owner" -> "data-eng", "pii" -> "false")) // v2
+    TxStore.setTableProperties(spark, t, Seq("pii" -> "true")) // v3 — merges, latest wins
+    assert(TxStore.tableProperties(spark, t).toMap ===
+      Map("owner" -> "data-eng", "pii" -> "true"))
+    // refusal on unset of a missing key without IF EXISTS; atomic — the
+    // present key survives the refused statement
+    val ex = intercept[IllegalArgumentException](
+      TxStore.unsetTableProperties(spark, t, Seq("owner", "ghost")))
+    assert(ex.getMessage.contains("ghost"))
+    assert(TxStore.tableProperties(spark, t).toMap.contains("owner"))
+    TxStore.unsetTableProperties(spark, t, Seq("ghost"), ifExists = true) // no-op commit
+    TxStore.unsetTableProperties(spark, t, Seq("pii")) // drops
+    assert(TxStore.tableProperties(spark, t).toMap === Map("owner" -> "data-eng"))
+    // checkpoint truncates replay — properties must restate through it
+    TxStore.checkpoint(spark, t)
+    assert(TxStore.tableProperties(spark, t).toMap === Map("owner" -> "data-eng"))
+    // clone carries them to the destination's v1
+    val dest = tmpDir()
+    TxStore.cloneTable(spark, t, dest)
+    assert(TxStore.tableProperties(spark, dest).toMap === Map("owner" -> "data-eng"))
+    // restore rewinds DATA, not operational metadata — properties persist
+    TxStore.append(rows(5, from = 10), t)
+    TxStore.restore(spark, t, TxStore.snapshot(spark, t).version - 1)
+    assert(TxStore.tableProperties(spark, t).toMap === Map("owner" -> "data-eng"))
+    // validation: tab/newline and duplicate keys refuse
+    intercept[IllegalArgumentException](
+      TxStore.setTableProperties(spark, t, Seq("a" -> "x\ty")))
+    intercept[IllegalArgumentException](
+      TxStore.setTableProperties(spark, t, Seq("a" -> "1", "A" -> "2")))
+  }
+
+  test("time-based retention: RETAIN hours resolves to the version window the commit clock defines") {
+    val t = tmpDir()
+    TxStore.append(rows(4), t) // v1 — files A
+    TxStore.overwrite(rows(4, 10), t) // v2 — files B, orphans A
+    TxStore.overwrite(rows(4, 20), t) // v3 — files C, orphans B
+    TxStore.checkpoint(spark, t) // v4 — truncates replay; restates C
+    // construct the clock: v1 and v2 committed two hours ago, v3+v4 fresh
+    for (v <- Seq(1L, 2L)) {
+      val log = new java.io.File(f"$t/_txlog/$v%020d.json")
+      assert(log.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L))
+    }
+    // a 1-hour window: the version current AT the edge is v2 → retain 3
+    // (v2, v3, v4 stay reachable — and TIMESTAMP AS OF now−1h keeps
+    // resolving to v2 after the reap)
+    val n = TxStore.retainVersionsForWindow(spark, t, 3600 * 1000L)
+    assert(n === 3, s"1h window over (old v1, old v2, fresh v3, fresh v4) → 3, got $n")
+    // version- and time-based retention agree on a NON-EMPTY victim set
+    // that a DIFFERENT version count would not produce
+    val byTime = TxStore.vacuumPreview(spark, t, n, 0L).sorted
+    assert(byTime === TxStore.vacuumPreview(spark, t, 3, 0L).sorted)
+    assert(byTime.nonEmpty, "the constructed log must actually have victims (files A)")
+    assert(byTime !== TxStore.vacuumPreview(spark, t, 2, 0L).sorted,
+      "a narrower window must reap MORE (files A and B) — resolution has teeth")
+    // a window wider than the whole log keeps every version
+    assert(TxStore.retainVersionsForWindow(spark, t, 365L * 24 * 3600 * 1000L) === 4)
+    assert(TxStore.vacuumPreview(spark, t, 4, 0L).isEmpty,
+      "full-log retention must reap nothing")
+    // the reap deletes exactly the preview (files A); the live table —
+    // and the checkpoint-retained reader reach — are untouched
+    assert(TxStore.vacuum(spark, t, n, 0L) > 0)
+    assert(TxStore.read(spark, t).count() === 4)
+    assert(TxStore.readAt(spark, t, 4L).count() === 4)
+  }
+
+  test("null facts: IS NULL / IS NOT NULL prune files from log metadata") {
+    val t = tmpDir()
+    val allNull = (0 until 10).map(i => (i.toLong, None: Option[String]))
+      .toDF("id", "payload").repartition(1)
+    val noNull = (10 until 20).map(i => (i.toLong, Some(s"v$i"): Option[String]))
+      .toDF("id", "payload").repartition(1)
+    val mixed = (20 until 30).map(i =>
+      (i.toLong, if (i % 2 == 0) Some(s"v$i") else None))
+      .toDF("id", "payload").repartition(1)
+    TxStore.append(allNull, t) // v1
+    TxStore.append(noNull, t) // v2
+    TxStore.append(mixed, t) // v3
+    val snap = TxStore.snapshot(spark, t)
+    assert(snap.files.size === 3)
+    assert(snap.files.forall(f => snap.stats(f).contains("payload#n")),
+      "every file must carry the payload null-count fact")
+    // IS NULL refutes the zero-null file; IS NOT NULL the all-null one
+    val (keptN, skippedN) = (TxStore.pruneFiles(spark, t, $"payload".isNull)._2,
+      TxStore.pruneFiles(spark, t, $"payload".isNull)._3)
+    assert(keptN.size === 2 && skippedN.size === 1)
+    val (_, keptNN, skippedNN) = TxStore.pruneFiles(spark, t, $"payload".isNotNull)
+    assert(keptNN.size === 2 && skippedNN.size === 1 && skippedNN != skippedN)
+    assert(TxStore.readWhere(spark, t, $"payload".isNull).count() === 15)
+    assert(TxStore.readWhere(spark, t, $"payload".isNotNull).count() === 15)
+    // facts restate through a checkpoint; a compaction rewrite
+    // re-harvests them for its fresh files
+    TxStore.checkpoint(spark, t)
+    assert(TxStore.pruneFiles(spark, t, $"payload".isNotNull)._3.size === 1)
+    TxStore.compact(spark, t, target = 1)
+    val snap2 = TxStore.snapshot(spark, t)
+    assert(snap2.files.size === 1 &&
+      snap2.stats(snap2.files.head).contains("payload#n"),
+      "compact must re-harvest null facts for its rewritten files")
+    assert(TxStore.readWhere(spark, t, $"payload".isNull).count() === 15)
+  }
+
   test("dropColumns: multi-column drop is ONE atomic commit; a refused name commits nothing") {
     val t = tmpDir()
     TxStore.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "payload", "score"), t) // v1
