@@ -54,6 +54,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   *     whether column mapping is active. The size comes from the log's
   *     own file listing — one `getFileStatus` per live file, no data
   *     IO (Delta's DESCRIBE DETAIL shape).
+  *   - `CREATE TABLE '/dest' SHALLOW CLONE v` → [[TxStore.cloneTable]]
+  *     (the source's snapshot as v1 of a fresh table — hard links, no
+  *     data rewrite; Delta's SHALLOW CLONE). Dest is a quoted PATH.
   *   - `CONVERT TO TX '/path'` → [[TxStore.convert]] (adopt an existing
   *     plain-parquet directory in place — renames, footer stats, one
   *     v1 commit; zero data IO). Takes a quoted PATH, not a view: the
@@ -92,6 +95,8 @@ object SqlMaint {
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+(\S+)\s*""".r
   private val ConvertRe =
     """(?is)\s*CONVERT\s+TO\s+TX\s+'([^']+)'\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+(\S+)\s*""".r
 
   /** If `text` is a maintenance statement, execute it against the
     * `--tx`-registered table it targets and return Some(result);
@@ -107,8 +112,11 @@ object SqlMaint {
     // the rest to Catalyst
     val isShowParts = ShowPartsRe.pattern.matcher(t).matches() ||
       ShowPropsRe.pattern.matcher(t).matches()
+    // CREATE TABLE has a second life as CTAS (SqlDml) — intercept only
+    // the exact SHALLOW CLONE shape, let everything else fall through
+    val isClone = CloneRe.pattern.matcher(t).matches()
     if (!Set("OPTIMIZE", "VACUUM", "RESTORE", "CONVERT").contains(head) &&
-      !isHistory && !isShowParts)
+      !isHistory && !isShowParts && !isClone)
       return None
 
     // returns the REGISTERED key (not the name as typed): the caller
@@ -170,10 +178,31 @@ object SqlMaint {
 
       case VacuumRe(viewRaw, retain, unit, grace, dry) =>
         val (view, path) = resolve(viewRaw)
-        val retainV = Option(retain).map(_.toInt).getOrElse(2) match {
-          case n if unit != null && unit.equalsIgnoreCase("HOURS") =>
+        // a bare VACUUM honors the TABLE'S OWN retention policy when one
+        // is declared as a property (Delta's deletedFileRetentionDuration
+        // idiom): `graft.vacuum.retainVersions` wins over
+        // `graft.vacuum.retainHours`; an explicit RETAIN clause wins over
+        // both; default 2 versions
+        def propDefault: Option[Int] = {
+          val props = TxStore.tableProperties(spark, path)
+          def get(k: String) = props.collectFirst {
+            case (n, v) if n.equalsIgnoreCase(k) => v
+          }
+          def asInt(k: String, v: String): Int =
+            try v.trim.toInt catch {
+              case _: NumberFormatException =>
+                refuse(s"table property $k must be an integer, got '$v'")
+            }
+          get("graft.vacuum.retainVersions").map(asInt("graft.vacuum.retainVersions", _))
+            .orElse(get("graft.vacuum.retainHours").map(v =>
+              TxStore.retainVersionsForWindow(spark, path,
+                asInt("graft.vacuum.retainHours", v).toLong * 3600000L)))
+        }
+        val retainV = Option(retain).map(_.toInt) match {
+          case Some(n) if unit != null && unit.equalsIgnoreCase("HOURS") =>
             TxStore.retainVersionsForWindow(spark, path, n.toLong * 3600000L)
-          case n => n
+          case Some(n) => n
+          case None => propDefault.getOrElse(2)
         }
         val graceMs = Option(grace).map(_.toLong).getOrElse(TxStore.DefaultAgeGraceMs)
         if (dry != null) {
@@ -190,6 +219,20 @@ object SqlMaint {
             one("op" -> lit("vacuum"), "table" -> lit(view),
               "files_deleted" -> lit(deleted.toLong)))
         }
+
+      // Delta's CREATE TABLE … SHALLOW CLONE: publish the source's
+      // current snapshot as v1 of a fresh table at the quoted path —
+      // hard links where the filesystem allows, never a data rewrite;
+      // stats/DVs/constraints/mapping/properties restate through the
+      // checkpoint shape (TxStore.cloneTable). The dest is a PATH (the
+      // CONVERT rule): the table does not exist to register until the
+      // clone lands.
+      case CloneRe(destPath, viewRaw) =>
+        val (view, path) = resolve(viewRaw)
+        val v = TxStore.cloneTable(spark, path, destPath)
+        Result("shallow-clone", view, path, Some(v),
+          one("op" -> lit("shallow-clone"), "source" -> lit(view),
+            "dest" -> lit(destPath), "version" -> lit(v)))
 
       case ShowPropsRe(viewRaw) =>
         val (view, path) = resolve(viewRaw)

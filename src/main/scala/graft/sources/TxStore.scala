@@ -3863,7 +3863,8 @@ object TxStore {
       path: String,
       cols: Seq[String],
       numBits: Int = 65536,
-      numHashes: Int = 7): Long = {
+      numHashes: Int = 7,
+      inlineMaxBytes: Int = 4 << 20): Long = {
     require(cols.nonEmpty, "buildBlooms needs at least one column")
     require(cols.forall(!_.contains("#")), "column names may not contain '#'")
     require(numBits >= 64 && numBits % 64 == 0,
@@ -3917,15 +3918,30 @@ object TxStore {
         built(file) = built.getOrElse(file, Map.empty) +
           (s"$c#b" -> BloomSum(tpes(c), numHashes, bits))
     }
-    val payload = java.util.Base64.getEncoder.encodeToString(
-      renderStats(built.toMap).getBytes(StandardCharsets.UTF_8))
+    val rendered = renderStats(built.toMap)
+    // Bloom payloads grow with ROWS (bits ∝ values indexed), not files —
+    // the one stats payload that can outgrow a commit line. INLINE stays
+    // the fast path for small indexes; past `inlineMaxBytes` the blocks
+    // ride a SIDECAR (the multipart-checkpoint shape): commit files are
+    // re-read on EVERY replay, sidecars are immutable and decoded once
+    // per JVM. The sf100 probe measured the difference — a ~100 MB
+    // inline bloom re-read per snapshot was the super-linear term in the
+    // s37 read path.
+    val sidecarName =
+      if (rendered.length <= inlineMaxBytes) None
+      else Some(writeSidecar(fs(spark, path), path, built.toMap, Map.empty))
     commitLoop(spark, path, "bloom") { snap =>
       val vanished = base.files.toSet -- snap.files.toSet
       if (vanished.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"bloom build at $path conflicts: indexed files rewritten concurrently: " +
             vanished.take(3).mkString(", "))
-      Some(CommitSpec(Nil, Nil, None, Some(payload)))
+      sidecarName match {
+        case Some(sc) => Some(CommitSpec(Nil, Nil, None, sidecars = Seq(sc)))
+        case None => Some(CommitSpec(Nil, Nil, None,
+          Some(java.util.Base64.getEncoder.encodeToString(
+            rendered.getBytes(StandardCharsets.UTF_8)))))
+      }
     }.get.version
   }
 

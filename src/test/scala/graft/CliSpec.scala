@@ -611,6 +611,59 @@ class CliSpec extends SparkSpec {
     // edge, v3+v4 inside) — identical victims to the VERSIONS form
     assert(victims === graft.sources.TxStore.vacuumPreview(spark, table, 3, 0L).sorted)
     assert(victims.nonEmpty, "the aged layout must have reapable files (v1's)")
+
+    // a BARE vacuum honors the table's own retention policy property
+    // (graft.vacuum.retainHours); an explicit retainVersions property
+    // wins over it; an explicit RETAIN clause would win over both
+    def sqlOut(stmt: String): String = {
+      val o = tmp()
+      Main.run(spark, Map(
+        "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> o,
+        "tx" -> s"mt=$table", "sql" -> stmt))
+      s"$o/sql_result"
+    }
+    spark.read.parquet(sqlOut(
+      "ALTER TABLE mt SET TBLPROPERTIES ('graft.vacuum.retainHours'='1')"))
+    val viaProp = spark.read.parquet(sqlOut("VACUUM mt GRACE 0 MS DRY RUN"))
+      .as[String].collect().sorted.toSeq
+    assert(viaProp === victims, "bare VACUUM must resolve the hours property")
+    spark.read.parquet(sqlOut(
+      "ALTER TABLE mt SET TBLPROPERTIES ('graft.vacuum.retainVersions'='100')"))
+    assert(spark.read.parquet(sqlOut("VACUUM mt GRACE 0 MS DRY RUN"))
+      .as[String].collect().isEmpty,
+      "retainVersions=100 (whole log) must win over retainHours and reap nothing")
+  }
+
+  test("sql step: CREATE TABLE SHALLOW CLONE publishes the snapshot at a new path") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/clonesrc"
+    val ev = Tables.events(spark, sf("sf0.001"))
+    graft.sources.TxStore.append(ev.limit(50), table) // v1
+    graft.sources.TxStore.setTableProperties(spark, table, Seq("team" -> "x")) // v2
+    graft.sources.TxStore.deleteVectored(spark, table, col("event_id") % 10 === 1L) // v3
+    val dest = s"$dir/clonedst"
+    val out = tmp()
+    Main.run(spark, Map(
+      "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> out,
+      "tx" -> s"mt=$table", "sql" -> s"CREATE TABLE '$dest' SHALLOW CLONE mt"))
+    val summary = spark.read.parquet(s"$out/sql_result")
+    assert(summary.select("op").as[String].head === "shallow-clone")
+    assert(summary.select("dest").as[String].head === dest)
+    // the clone reads identically (DV marks restated) and carries the
+    // property set; the source is untouched
+    val src = graft.sources.TxStore.read(spark, table)
+    val dst = graft.sources.TxStore.read(spark, dest)
+    assert(dst.count() === src.count())
+    assert(dst.exceptAll(src).isEmpty && src.exceptAll(dst).isEmpty)
+    assert(graft.sources.TxStore.tableProperties(spark, dest).toMap === Map("team" -> "x"))
+    assert(graft.sources.TxStore.snapshot(spark, dest).version === 1L)
+    // a CTAS still falls through to SqlDml untouched by the clone rule
+    intercept[IllegalArgumentException] {
+      Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
+        "out-dir" -> tmp(), "tx" -> s"mt=$table",
+        "sql" -> s"CREATE TABLE '$dest' SHALLOW CLONE nosuchview"))
+    }
   }
 
   test("sql step: OPTIMIZE / DESCRIBE HISTORY / RESTORE / VACUUM maintenance lifecycle") {

@@ -1618,6 +1618,24 @@ class TxStoreSpec extends SparkSpec {
       snap2.stats(f).contains("#rows"), s"facts lost through checkpoint for $f"))
   }
 
+  test("oversized bloom payloads ride a sidecar; pruning and checkpoints unaffected") {
+    val t = tmpDir()
+    TxStore.append(rows(400).repartition(4), t)
+    // inlineMaxBytes = 0 forces the sidecar route the sf100 probe
+    // motivated (a rows-proportional payload must never become a
+    // commit line re-read on every replay)
+    TxStore.buildBlooms(spark, t, Seq("payload"), inlineMaxBytes = 0)
+    val c = TxStore.history(spark, t).last
+    assert(c.op === "bloom" && c.sidecars.nonEmpty && c.stats.isEmpty,
+      s"bloom blocks must ride the sidecar, got $c")
+    val (_, _, skipped) = TxStore.pruneFiles(spark, t, $"payload" === "v7")
+    assert(skipped.size === 3, s"sidecar blooms must prune 3 of 4 files, skipped ${skipped.size}")
+    // a checkpoint restates sidecar-carried blooms like inline ones
+    TxStore.checkpoint(spark, t)
+    assert(TxStore.pruneFiles(spark, t, $"payload" === "v7")._3.size === 3)
+    assert(TxStore.readWhere(spark, t, $"payload" === "v7").count() === 1)
+  }
+
   test("table properties: latest-wins merge, atomic unset, survive checkpoint/clone/restore") {
     val t = tmpDir()
     TxStore.append(rows(5), t) // v1
