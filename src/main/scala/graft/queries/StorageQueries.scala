@@ -929,6 +929,45 @@ object StorageQueries {
              |       COALESCE(props, '{}') AS props
              |FROM events WHERE event_id % 2 <> 0""".stripMargin)),
 
+    // ── S55 — METADATA-ONLY AGGREGATES (EXT77): an unfiltered,
+    //    ungrouped COUNT(*)/COUNT(col)/MIN/MAX over a mark-free table
+    //    answers from the commit log's own facts — `#rows` for counts,
+    //    `<col>#n` for COUNT(col), min/max ranges (and hive path values
+    //    for partition columns) for MIN/MAX — via DSv2 aggregate
+    //    pushdown, with ZERO files planned (parquet answers these from
+    //    footers, one open per file; the log answers from memory — the
+    //    100 TB COUNT(*) is O(1) IO). Exact-only by construction: any
+    //    file missing a required fact refuses the pushdown and the
+    //    ordinary scan answers instead. The REQUIREs pin that the
+    //    answer came from facts; the oracle pins the values.
+    QueryDef(
+      "s55_dsv2_agg_pushdown",
+      (s, d) => {
+        val store = freshStore(s, "s55-agg", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev, store, partitionBy = Seq("event_type"))
+        graft.sources.GraftScanEvents.clear(store)
+        val got = s.read.format("graft").load(store).agg(
+          count(lit(1)).as("n"),
+          count(col("props")).as("n_props"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          min("value").as("min_v"), max("value").as("max_v"),
+          min("event_type").as("type_lo"), max("event_type").as("type_hi"))
+        require(got.collect().length == 1, "one aggregate row")
+        val planned = graft.sources.GraftScanEvents.last(store).getOrElse(
+          sys.error("the aggregate scan recorded no planning event"))
+        require(planned.aggregatePushed && planned.kept.isEmpty,
+          s"aggregates must answer from log facts with zero files planned: " +
+            s"pushed=${planned.aggregatePushed}, kept=${planned.kept.size}")
+        got
+      },
+      Some("""SELECT COUNT(*) AS n, COUNT(props) AS n_props,
+             |       MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+             |       MIN(value) AS min_v, MAX(value) AS max_v,
+             |       MIN(event_type) AS type_lo, MAX(event_type) AS type_hi
+             |FROM events""".stripMargin),
+      bench = true),
+
     // ── S54 — TABLE PROPERTIES in the log (EXT76): free-form
     //    TBLPROPERTIES ride commits latest-wins (like the schema),
     //    merge on SET, drop atomically on UNSET, and restate through a

@@ -321,7 +321,7 @@ object TxStore {
     * __HIVE_DEFAULT_PARTITION__ null marker) yields no range — the
     * file is kept, which is always sound. Memoized per partition DIR:
     * many files share one. */
-  private def partitionRanges(snap: Snapshot): String => Map[String, ColRange] =
+  private[sources] def partitionRanges(snap: Snapshot): String => Map[String, ColRange] =
     if (snap.partitioning.isEmpty) (_: String) => Map.empty
     else {
       import org.apache.spark.sql.types._

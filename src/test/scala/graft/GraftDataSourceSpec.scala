@@ -151,6 +151,86 @@ class GraftDataSourceSpec extends SparkSpec {
       s"exactly the two selected regions' files survive: ${ev.kept.size} vs $total/4")
   }
 
+  test("v2 metadata-only aggregates: COUNT/MIN/MAX answer from log facts, zero files planned") {
+    val t = tmpDir()
+    val df = (0 until 300).map(i => (i.toLong, s"u${i % 7}", i * 1.5, i % 3))
+      .toDF("id", "user", "score", "part")
+    TxStore.append(df, t, partitionBy = Seq("part"))
+    GraftScanEvents.clear(t)
+    val got = v2(t).agg(
+      count(lit(1)).as("n"), count(col("user")).as("nu"),
+      min("id").as("min_id"), max("id").as("max_id"),
+      min("score").as("lo"), max("score").as("hi"),
+      min("user").as("u_lo"), max("user").as("u_hi"),
+      min("part").as("p_lo"), max("part").as("p_hi")).head()
+    assert(got.getLong(0) === 300L && got.getLong(1) === 300L)
+    assert(got.getLong(2) === 0L && got.getLong(3) === 299L)
+    assert(got.getDouble(4) === 0.0 && got.getDouble(5) === 448.5)
+    assert(got.getString(6) === "u0" && got.getString(7) === "u6")
+    assert(got.getInt(8) === 0 && got.getInt(9) === 2) // partition col, from path values
+    val ev = GraftScanEvents.last(t).getOrElse(fail("no planning event"))
+    assert(ev.aggregatePushed && ev.kept.isEmpty,
+      s"aggregates must answer from log facts with zero files planned: $ev")
+
+    // refusal paths stay CORRECT, just unpushed: filters, DISTINCT,
+    // group-by, unsupported funcs, and deletion marks
+    GraftScanEvents.clear(t)
+    assert(v2(t).filter(col("id") >= 100L).agg(count(lit(1))).head().getLong(0) === 200L)
+    assert(!GraftScanEvents.last(t).exists(_.aggregatePushed))
+    assert(v2(t).agg(countDistinct(col("user"))).head().getLong(0) === 7L)
+    assert(v2(t).groupBy("part").count().count() === 3)
+    assert(v2(t).agg(sum("id")).head().getLong(0) === (0L until 300L).sum)
+    TxStore.deleteVectored(spark, t, col("id") === 5L)
+    GraftScanEvents.clear(t)
+    assert(v2(t).agg(count(lit(1))).head().getLong(0) === 299L,
+      "deletion marks must fall back to the real scan")
+    assert(!GraftScanEvents.last(t).exists(_.aggregatePushed))
+  }
+
+  test("v2 aggregate pushdown handles nulls exactly: proven-all-null files skip, NULL answers") {
+    val t = tmpDir()
+    TxStore.append((0 until 50).map(i => (i.toLong, None: Option[String]))
+      .toDF("id", "payload").repartition(1), t) // all-null payload
+    TxStore.append((50 until 90).map(i => (i.toLong, Some(s"v$i")))
+      .toDF("id", "payload").repartition(1), t)
+    GraftScanEvents.clear(t)
+    val got = v2(t).agg(
+      count(col("payload")).as("np"),
+      min("payload").as("lo"), max("payload").as("hi")).head()
+    assert(got.getLong(0) === 40L, "count(col) = rows minus logged nulls")
+    assert(got.getString(1) === "v50" && got.getString(2) === "v89",
+      "the proven-all-null file contributes nothing to min/max")
+    assert(GraftScanEvents.last(t).exists(_.aggregatePushed))
+    // a column that is null EVERYWHERE answers SQL NULL — from facts
+    val t2 = tmpDir()
+    TxStore.append((0 until 10).map(i => (i.toLong, None: Option[String]))
+      .toDF("id", "payload"), t2)
+    GraftScanEvents.clear(t2)
+    val r2 = v2(t2).agg(min("payload"), max("payload"), count(col("payload"))).head()
+    assert(r2.isNullAt(0) && r2.isNullAt(1) && r2.getLong(2) === 0L)
+    assert(GraftScanEvents.last(t2).exists(_.aggregatePushed))
+  }
+
+  test("SQL over CREATE TABLE USING graft: pruning and aggregates ride the catalog path") {
+    val t = tmpDir()
+    for (c <- 0 until 4)
+      TxStore.append(rows(100, from = c * 100).repartition(1), t)
+    spark.sql(s"CREATE TABLE graft_sql_tab USING graft OPTIONS (path '$t')")
+    try {
+      GraftScanEvents.clear(t)
+      assert(spark.sql("SELECT count(*) AS n FROM graft_sql_tab").head().getLong(0) === 400L)
+      assert(GraftScanEvents.last(t).exists(_.aggregatePushed),
+        "SQL count(*) must answer from log facts")
+      GraftScanEvents.clear(t)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_sql_tab WHERE id BETWEEN 150 AND 180")
+        .head().getLong(0) === 31L)
+      val ev = GraftScanEvents.last(t).get
+      assert(ev.kept.size === 1 && ev.skipped.size === 3,
+        s"SQL WHERE must prune from the log walk: $ev")
+    } finally spark.sql("DROP TABLE graft_sql_tab")
+  }
+
   test("v2 estimateStatistics reports log-fact sizes (broadcastable filtered reads)") {
     val t = tmpDir()
     for (c <- 0 until 4)
