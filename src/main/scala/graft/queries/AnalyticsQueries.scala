@@ -226,7 +226,13 @@ object AnalyticsQueries {
             approx_count_distinct(col("user_id")).as("hllpp"),
             hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("sketch"),
             expr("approx_percentile(value, 0.5, 10000)").as("p50_est"),
-            count(lit(1)).as("n"))
+            count(lit(1)).as("n"),
+            // the rank band's denominator: approx_percentile and the
+            // rank count both IGNORE NULL values, so the band must too
+            // (n counts all rows and would bias the band if value ever
+            // carried NULLs — same fixture-semantics class as the
+            // user_id fix above)
+            count(col("value")).as("n_vals"))
         // exact-rank verification of the median estimate: one more
         // hash-aggregated pass over events joined to the 5-row estimate
         // frame (broadcast), counting values at-or-under the estimate —
@@ -244,8 +250,8 @@ object AnalyticsQueries {
               <= col("n_users_exact") * 0.15).as("hllpp_ok"),
             (abs(col("sketch") - col("n_users_exact"))
               <= col("n_users_exact") * 0.05).as("sketch_ok"),
-            (col("rank_cnt") >= col("n") * 0.40 &&
-              col("rank_cnt") <= col("n") * 0.60).as("p50_ok"),
+            (col("rank_cnt") >= col("n_vals") * 0.40 &&
+              col("rank_cnt") <= col("n_vals") * 0.60).as("p50_ok"),
             col("n"))
       },
       Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,

@@ -150,35 +150,43 @@ private[graft] final case class GraftDvReaderFactory(
   // probe the v1 anti-join uses via _metadata.file_name
   private def leafOf(p: PartitionedFile): String = p.filePath.toPath.getName
 
-  /** The file's full deleted-position set: inline marks plus an
-    * executor-side scan of each applicable sidecar dir (parquet of
-    * (__file, __row), filtered to this leaf). One set per file reader;
-    * positions for ONE file bound by its row count. */
-  private def marksFor(leaf: String): java.util.HashSet[java.lang.Long] = {
-    val set = new java.util.HashSet[java.lang.Long]()
-    inlineMarks.getOrElse(leaf, Array.empty[Long]).foreach(p => set.add(p))
-    sidecarDirsByLeaf.getOrElse(leaf, Nil).foreach { dir =>
-      val dp = new Path(dir)
-      val fs = dp.getFileSystem(conf.value.value)
-      fs.listStatus(dp).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
-        val rdr = org.apache.parquet.hadoop.ParquetReader
-          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
-          .withConf(conf.value.value)
-          .build()
-        try {
-          var g = rdr.read()
-          while (g != null) {
-            if (g.getString("__file", 0) == leaf) set.add(g.getLong("__row", 0))
-            g = rdr.read()
-          }
-        } finally rdr.close()
-      }
+  /** One sidecar dir, read ONCE and bucketed by leaf — a reader over a
+    * partition holding k files of the same bulk delete must not scan
+    * the shared sidecar k times (the v1 path decodes it once per JVM;
+    * this cache is per reader, the executor-side equivalent). */
+  private def loadDir(dir: String): Map[String, java.util.HashSet[java.lang.Long]] = {
+    val byLeaf = scala.collection.mutable.HashMap.empty[String, java.util.HashSet[java.lang.Long]]
+    val dp = new Path(dir)
+    val fs = dp.getFileSystem(conf.value.value)
+    fs.listStatus(dp).filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+      val rdr = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), st.getPath)
+        .withConf(conf.value.value)
+        .build()
+      try {
+        var g = rdr.read()
+        while (g != null) {
+          byLeaf.getOrElseUpdate(g.getString("__file", 0),
+            new java.util.HashSet[java.lang.Long]()).add(g.getLong("__row", 0)): Unit
+          g = rdr.read()
+        }
+      } finally rdr.close()
     }
-    set
+    byLeaf.toMap
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[FilePartition].files.toIterator
+    val dirCache = scala.collection.mutable.HashMap.empty[
+      String, Map[String, java.util.HashSet[java.lang.Long]]]
+    def marksFor(leaf: String): java.util.HashSet[java.lang.Long] = {
+      val set = new java.util.HashSet[java.lang.Long]()
+      inlineMarks.getOrElse(leaf, Array.empty[Long]).foreach(p => set.add(p))
+      sidecarDirsByLeaf.getOrElse(leaf, Nil).foreach { dir =>
+        dirCache.getOrElseUpdate(dir, loadDir(dir)).get(leaf).foreach(set.addAll(_): Unit)
+      }
+      set
+    }
     // chain per-file readers lazily — each with ITS file's mark set
     new PartitionReader[InternalRow] {
       private var current: PartitionReader[InternalRow] = _

@@ -48,16 +48,8 @@ object SqlDdl {
       try spark.sessionState.sqlParser.parsePlan(text)
       catch { case e: Exception => refuse(s"cannot parse ALTER statement: ${e.getMessage}") }
 
-    // returns the REGISTERED key, never the name as typed — the caller
-    // advances the registered temp view by this name (ADVICE r14)
     def resolve(name: String): (String, String) =
-      tx.get(name).map((name, _))
-        .orElse(tx.find(_._1.equalsIgnoreCase(name)).map(e => (e._1, e._2))) match {
-        case Some(p) => p
-        case None => refuse(
-          s"'$name' is not a --tx-registered table (time-travel views are read-only); " +
-            s"registered: ${if (tx.isEmpty) "none" else tx.keys.toSeq.sorted.mkString(", ")}")
-      }
+      SqlResolve.view(tx, name).getOrElse(refuse(SqlResolve.unknown(tx, name)))
     def target(p: LogicalPlan): (String, String) = p match {
       case u: UnresolvedTable => resolve(u.multipartIdentifier.mkString("."))
       case other => refuse(s"unsupported ALTER target: ${other.nodeName}")

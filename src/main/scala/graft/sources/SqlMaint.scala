@@ -119,21 +119,8 @@ object SqlMaint {
       !isHistory && !isShowParts && !isClone)
       return None
 
-    // returns the REGISTERED key (not the name as typed): the caller
-    // keys `tx.contains(result.view)` re-registration on it, and a
-    // case-insensitive hit under a differently-cased spelling must
-    // still advance the view after a committing RESTORE/OPTIMIZE
-    // (ADVICE r14)
-    def resolve(view: String): (String, String) = {
-      val v = view.trim
-      tx.get(v).map((v, _))
-        .orElse(tx.find(_._1.equalsIgnoreCase(v)).map(e => (e._1, e._2))) match {
-        case Some(p) => p
-        case None => refuse(
-          s"'$v' is not a --tx-registered table (time-travel views are read-only); " +
-            s"registered: ${if (tx.isEmpty) "none" else tx.keys.toSeq.sorted.mkString(", ")}")
-      }
-    }
+    def resolve(view: String): (String, String) =
+      SqlResolve.view(tx, view).getOrElse(refuse(SqlResolve.unknown(tx, view)))
     def one(cols: (String, Column)*): DataFrame =
       cols.foldLeft(spark.range(1).toDF())((df, c) => df.withColumn(c._1, c._2)).drop("id")
     def verCol(v: Option[Long]): Column =
@@ -312,4 +299,21 @@ object SqlMaint {
 
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(s"sql maintenance: $msg")
+}
+
+/** Case-insensitive `--tx` view resolution, shared by the maintenance
+  * and DDL dispatchers — returns the REGISTERED key, never the name as
+  * typed, so the committing statement re-registers the temp view under
+  * the right name (ADVICE r14: the two private copies drifted once and
+  * needed the identical fix twice). */
+private[sources] object SqlResolve {
+  def view(tx: Map[String, String], name: String): Option[(String, String)] = {
+    val v = name.trim
+    tx.get(v).map((v, _))
+      .orElse(tx.find(_._1.equalsIgnoreCase(v)).map(e => (e._1, e._2)))
+  }
+  def unknown(tx: Map[String, String], name: String): String =
+    s"'${name.trim}' is not a --tx-registered table (time-travel views are " +
+      s"read-only); registered: " +
+      (if (tx.isEmpty) "none" else tx.keys.toSeq.sorted.mkString(", "))
 }

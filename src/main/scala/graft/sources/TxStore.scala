@@ -1127,6 +1127,21 @@ object TxStore {
   }
 
   /** Current snapshot (version 0 = empty table, no log yet). */
+  /** The latest committed version — ONE directory listing, zero
+    * payload reads or decodes. The streaming source polls this per
+    * trigger; a full [[snapshot]] replay here would re-read every
+    * retained commit's payloads on every poll (the inline-payload
+    * re-read cost the sf100 probe measured). */
+  def latestVersion(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/$LogDir")
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
   def snapshot(spark: SparkSession, path: String): Snapshot = {
     val f = fs(spark, path)
     replay(f, path, commits(f, path))
@@ -1401,21 +1416,7 @@ object TxStore {
     * GDPR path). Refuses the last column and constraint-referenced
     * ones. */
   def dropColumn(spark: SparkSession, path: String, name: String): Long =
-    commitLoop(spark, path, "drop-column") { snap =>
-      val m = materializedMapping(snap)
-      require(m.exists(p => lc(p._1) == lc(name)), s"no such column: $name")
-      require(m.size >= 2, "cannot drop the last column")
-      requireNoConstraintRefs(snap, name, "drop")
-      val (gone, keep) = m.partition(p => lc(p._1) == lc(name))
-      // a partition column's values live in the file PATHS — dropping
-      // the pair would leave every path segment orphaned (and the
-      // basePath read would re-surface the column); re-layout via
-      // overwrite instead (the Delta rule)
-      require(!gone.exists(g => snap.partitioning.exists(p => lc(p) == lc(g._2))),
-        s"cannot drop partition column '$name' — re-layout with overwrite(partitionBy) first")
-      Some(CommitSpec(Nil, Nil, None,
-        mapping = Some(encodeMapping(keep, snap.retired ++ gone.map(_._2)))))
-    }.get.version
+    dropColumns(spark, path, Seq(name))
 
   /** [[dropColumn]] for SEVERAL columns in ONE commit — the atomic form
     * `ALTER TABLE … DROP COLUMN a, b` needs: every column is validated
@@ -3930,7 +3931,11 @@ object TxStore {
     val sidecarName =
       if (rendered.length <= inlineMaxBytes) None
       else Some(writeSidecar(fs(spark, path), path, built.toMap, Map.empty))
-    commitLoop(spark, path, "bloom") { snap =>
+    def discardSidecar(): Unit = sidecarName.foreach { n =>
+      try { fs(spark, path).delete(sidecarPath(path, n), false): Unit }
+      catch { case _: Exception => () } // best-effort; vacuum sweeps debris
+    }
+    try commitLoop(spark, path, "bloom") { snap =>
       val vanished = base.files.toSet -- snap.files.toSet
       if (vanished.nonEmpty)
         throw new java.util.ConcurrentModificationException(
@@ -3943,6 +3948,7 @@ object TxStore {
             rendered.getBytes(StandardCharsets.UTF_8)))))
       }
     }.get.version
+    catch { case t: Throwable => discardSidecar(); throw t }
   }
 
   /** Driver-side twin of the distributed bloom build's membership test:

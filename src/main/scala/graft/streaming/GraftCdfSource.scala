@@ -47,7 +47,9 @@ class GraftCdfSource(
   }
 
   override def getOffset: Option[V1Offset] = {
-    val latest = TxStore.snapshot(spark, path).version
+    // one directory listing per poll — a full snapshot replay here
+    // would re-decode every retained commit's payloads per trigger
+    val latest = TxStore.latestVersion(spark, path)
     if (latest <= startingVersion) None else Some(LongOffset(latest))
   }
 
