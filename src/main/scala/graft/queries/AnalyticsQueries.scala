@@ -237,10 +237,18 @@ object AnalyticsQueries {
         // hash-aggregated pass over events joined to the 5-row estimate
         // frame (broadcast), counting values at-or-under the estimate —
         // independent of the sketch, so the boolean CAN fail
+        // TIE-ROBUST two-sided band (ADVICE r15): with heavy ties at the
+        // median, count(value <= est) legitimately exceeds 60% — so the
+        // upper band tests the STRICT rank (values < est must not pass
+        // 60%) and the lower band the inclusive rank (values <= est must
+        // reach 40%). A correct median satisfies both under any tie
+        // distribution; an off-by-a-quartile estimate still fails one.
         val ranks = ev.select("event_type", "value")
           .join(broadcast(sketches.select("event_type", "p50_est")), Seq("event_type"))
           .groupBy("event_type")
-          .agg(sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)).as("rank_cnt"))
+          .agg(
+            sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)).as("rank_le"),
+            sum(when(col("value") < col("p50_est"), 1L).otherwise(0L)).as("rank_lt"))
         sketches.join(exact, Seq("event_type"))
           .join(broadcast(ranks), Seq("event_type"))
           .select(
@@ -250,8 +258,8 @@ object AnalyticsQueries {
               <= col("n_users_exact") * 0.15).as("hllpp_ok"),
             (abs(col("sketch") - col("n_users_exact"))
               <= col("n_users_exact") * 0.05).as("sketch_ok"),
-            (col("rank_cnt") >= col("n_vals") * 0.40 &&
-              col("rank_cnt") <= col("n_vals") * 0.60).as("p50_ok"),
+            (col("rank_le") >= col("n_vals") * 0.40 &&
+              col("rank_lt") <= col("n_vals") * 0.60).as("p50_ok"),
             col("n"))
       },
       Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,

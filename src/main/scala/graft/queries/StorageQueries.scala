@@ -679,11 +679,15 @@ object StorageQueries {
         graft.sources.GraftScanEvents.clear(store)
         val v2 = s.read.format("graft").load(store).filter(col("event_id") <= 500L)
         require(v2.count() > 0, "the pruned v2 scan must still return rows")
-        val planned = graft.sources.GraftScanEvents.last(store).getOrElse(
-          sys.error("the v2 scan recorded no planning event"))
-        require(planned.kept.toSet == kept.toSet && planned.skipped.toSet == skipped.toSet,
+        // search the per-path ring: a concurrent scan of the same path
+        // must not clobber THIS scan's event (ADVICE r15) — the REQUIRE
+        // stays falsifiable (broken pruning leaves NO matching event)
+        val ring = graft.sources.GraftScanEvents.recent(store)
+        require(ring.nonEmpty, "the v2 scan recorded no planning event")
+        require(ring.exists(p =>
+            p.kept.toSet == kept.toSet && p.skipped.toSet == skipped.toSet),
           s"the v2 scan must skip the SAME file set readWhere skips " +
-            s"(v2 ${planned.skipped.size}, walk ${skipped.size})")
+            s"(v2 ${ring.head.skipped.size}, walk ${skipped.size})")
         eventsCols(v2)
       },
       Some(eventsSql(" WHERE event_id <= 500")),
@@ -723,12 +727,13 @@ object StorageQueries {
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), graft.Num.rnd(sum("value"), 2).as("total"))
         require(joined.count() == 2, "both kept event types must aggregate")
-        val planned = graft.sources.GraftScanEvents.last(store).getOrElse(
-          sys.error("the v2 scan recorded no planning event"))
+        // pick THIS scan's event from the ring: the one that received a
+        // runtime filter (a concurrent plain scan of the path records a
+        // filterless event that must not shadow it — ADVICE r15)
+        val planned = graft.sources.GraftScanEvents.recent(store)
+          .find(_.runtimeFilterCount > 0).getOrElse(
+            sys.error("the fact scan must receive a runtime (dynamic pruning) filter"))
         val total = TxStore.snapshot(s, store).files.size
-        require(planned.runtimeFilterCount > 0,
-          "the fact scan must receive a runtime (dynamic pruning) filter " +
-            s"(kept ${planned.kept.size} of $total)")
         require(planned.kept.nonEmpty && planned.kept.size < total,
           s"the runtime filter must prune fact files: kept ${planned.kept.size} of $total")
         val keepDirs = keepTypes.map(t => s"event_type=$t/").toSet
@@ -954,11 +959,14 @@ object StorageQueries {
           min("value").as("min_v"), max("value").as("max_v"),
           min("event_type").as("type_lo"), max("event_type").as("type_hi"))
         require(got.collect().length == 1, "one aggregate row")
-        val planned = graft.sources.GraftScanEvents.last(store).getOrElse(
-          sys.error("the aggregate scan recorded no planning event"))
-        require(planned.aggregatePushed && planned.kept.isEmpty,
+        // THIS scan's event is the aggregate-pushed one — search the
+        // ring so a concurrent plain scan cannot shadow it (ADVICE r15)
+        val planned = graft.sources.GraftScanEvents.recent(store)
+          .find(_.aggregatePushed).getOrElse(
+            sys.error("aggregates must push down to log facts (no pushed event recorded)"))
+        require(planned.kept.isEmpty,
           s"aggregates must answer from log facts with zero files planned: " +
-            s"pushed=${planned.aggregatePushed}, kept=${planned.kept.size}")
+            s"kept=${planned.kept.size}")
         got
       },
       Some("""SELECT COUNT(*) AS n, COUNT(props) AS n_props,
@@ -991,6 +999,160 @@ object StorageQueries {
       },
       Some("""SELECT 'owner' AS key, 'data-eng' AS value
              |UNION ALL SELECT 'retention.hours', '168'""".stripMargin)),
+
+    // ── S57 — PARTITION-FILTERED + GROUPED METADATA AGGREGATES
+    //    (EXT79, the rung above S55): a WHERE whose every conjunct is a
+    //    PARTITION predicate is consumed EXACTLY by the scan (hive path
+    //    values decide each file definitively — Spark's own
+    //    partition-filter contract), so `COUNT(*) WHERE ptcol = 'x'`
+    //    still answers from `#rows` facts over the partition-pruned
+    //    file set with ZERO files planned — the Delta-checkpoint trick.
+    //    GROUP BY a partition column likewise: one row per live
+    //    partition dir, keys parsed from the paths, aggregates from the
+    //    facts. Any non-partition conjunct refuses to the ordinary scan
+    //    (REQUIRE-pinned). The oracle pins all values.
+    QueryDef(
+      "s57_dsv2_filtered_agg",
+      (s, d) => {
+        val store = freshStore(s, "s57-fagg", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev, store, partitionBy = Seq("event_type"))
+        val t0 = ev.agg(min("event_type")).first().getString(0)
+        graft.sources.GraftScanEvents.clear(store)
+        val filtered = s.read.format("graft").load(store)
+          .filter(col("event_type") === t0)
+          .agg(count(lit(1)).as("n_t0"), min("event_id").as("min_id_t0"))
+        require(filtered.count() == 1, "one aggregate row")
+        require(graft.sources.GraftScanEvents.recent(store)
+            .exists(p => p.aggregatePushed && p.kept.isEmpty),
+          "a partition-filtered aggregate must answer from log facts, zero files planned")
+        graft.sources.GraftScanEvents.clear(store)
+        val grouped = s.read.format("graft").load(store)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), count(col("props")).as("n_props"),
+            min("value").as("min_v"), max("value").as("max_v"))
+        require(grouped.count() > 1, "several live partitions must group")
+        require(graft.sources.GraftScanEvents.recent(store)
+            .exists(p => p.aggregatePushed && p.kept.isEmpty),
+          "GROUP BY a partition column must answer from log facts, zero files planned")
+        // REFUSAL leg: a non-partition conjunct cannot consume exactly —
+        // the ordinary scan (with file pruning) answers instead
+        graft.sources.GraftScanEvents.clear(store)
+        val refused = s.read.format("graft").load(store)
+          .filter(col("event_type") === t0 && col("event_id") >= 0L)
+          .agg(count(lit(1)).as("n"))
+        require(refused.first().getLong(0) > 0, "the refused pushdown still answers")
+        require(!graft.sources.GraftScanEvents.recent(store).exists(_.aggregatePushed),
+          "a non-partition conjunct must refuse the aggregate pushdown")
+        grouped.crossJoin(broadcast(filtered))
+      },
+      Some("""SELECT g.event_type, g.n, g.n_props, g.min_v, g.max_v, f.n_t0, f.min_id_t0
+             |FROM (SELECT event_type, COUNT(*) AS n, COUNT(props) AS n_props,
+             |             MIN(value) AS min_v, MAX(value) AS max_v
+             |      FROM events GROUP BY 1) g
+             |CROSS JOIN (SELECT COUNT(*) AS n_t0, MIN(event_id) AS min_id_t0
+             |            FROM events
+             |            WHERE event_type = (SELECT MIN(event_type) FROM events)) f"""
+        .stripMargin),
+      bench = true),
+
+    // ── S58 — PREFIX-PREDICATE FILE PRUNING: `LIKE 'p%'` refutes files
+    //    from the log's exact ASCII string ranges by the
+    //    truncate-to-prefix-length endpoint compare (the ORC/parquet
+    //    rule: values with prefix p exist iff lo[:|p|] <= p <= hi[:|p|]).
+    //    The fixture derives a zero-padded tag whose range-partitioned
+    //    layout gives each file a tight range, so a short prefix skips
+    //    all but the low files — REQUIRE-pinned to the identical file
+    //    set in the v1 walk and the v2 scan; the oracle pins the rows.
+    QueryDef(
+      "s58_tx_prefix_skipping",
+      (s, d) => {
+        val store = freshStore(s, "s58-prefix", d)
+        val ev = Tables.events(s, d)
+          .withColumn("tag", lpad(col("event_id").cast("string"), 8, "0"))
+        TxStore.append(ev.repartitionByRange(8, col("event_id")), store)
+        val pred = col("tag").startsWith("00000")
+        val (_, kept, skipped) = TxStore.pruneFiles(s, store, pred)
+        require(skipped.nonEmpty && kept.nonEmpty,
+          s"the prefix must skip range-refuted files (kept ${kept.size}, " +
+            s"skipped ${skipped.size})")
+        graft.sources.GraftScanEvents.clear(store)
+        val v2 = s.read.format("graft").load(store).filter(pred)
+        require(v2.count() > 0, "the pruned scan must still return matching rows")
+        require(graft.sources.GraftScanEvents.recent(store)
+            .exists(p => p.kept.toSet == kept.toSet && p.skipped.toSet == skipped.toSet),
+          "the v2 scan must skip the SAME file set the walk skips")
+        v2.select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"), col("tag"))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+             |       LPAD(CAST(event_id AS VARCHAR), 8, '0') AS tag
+             |FROM events
+             |WHERE LPAD(CAST(event_id AS VARCHAR), 8, '0') LIKE '00000%'"""
+        .stripMargin),
+      bench = true),
+
+    // ── S56 — NATIVE v2 WRITE (EXT78): `df.write.format("graft")`
+    //    lands appends / partition-scoped overwrites as ONE staged
+    //    commit THROUGH TxStore's own machinery — GraftWriteBuilder's
+    //    V1Write IS the API (stats/null/bloom harvest, hive layout,
+    //    constraint gates, optimistic commit races, exactly-once txn
+    //    stamps all hold by identity, not re-implementation). The lane
+    //    drives a creating partitioned write + an inheriting append
+    //    against a TxStore-API twin and REQUIREs the two tables are
+    //    indistinguishable (version, layout, row set); then a
+    //    replaceWhere-scoped v2 overwrite restates one partition and
+    //    an exactly-once stamped append proves replay no-ops. The
+    //    oracle pins the final content.
+    QueryDef(
+      "s56_dsv2_write",
+      (s, d) => {
+        val store = freshStore(s, "s56-v2w", d)
+        val twin = freshStore(s, "s56-v2w-twin", d)
+        val ev = Tables.events(s, d)
+        val even = ev.filter(col("event_id") % 2 === 0)
+        val odd = ev.filter(col("event_id") % 2 =!= 0)
+        even.write.format("graft").mode("append")
+          .option("partitionBy", "event_type").save(store) // creates + layouts
+        odd.write.format("graft").mode("append").save(store) // inherits layout
+        TxStore.append(even, twin, partitionBy = Seq("event_type"))
+        TxStore.append(odd, twin)
+        val sv = TxStore.snapshot(s, store); val tv = TxStore.snapshot(s, twin)
+        require(sv.version == tv.version && sv.partitioning == tv.partitioning,
+          s"v2 writes must commit exactly like the API twin " +
+            s"(v${sv.version}/${sv.partitioning} vs v${tv.version}/${tv.partitioning})")
+        require(sv.files.forall(f => sv.stats.get(f).exists(_.contains("#rows"))),
+          "the harvest discipline must ride the v2 write (missing #rows facts)")
+        // row-set identity with the twin (event_id is unique, so
+        // except-both-ways + equal counts is set equality)
+        val a = TxStore.read(s, store); val b = TxStore.read(s, twin)
+        require(a.count() == b.count() && a.except(b).isEmpty,
+          "v2-written rows must equal the API twin's")
+        // partition-scoped restatement through the v2 writer
+        val t0 = ev.agg(min("event_type")).first().getString(0)
+        ev.filter(col("event_type") === t0).withColumn("value", col("value") * 2)
+          .write.format("graft").mode("overwrite")
+          .option("replaceWhere", s"event_type = '$t0'").save(store)
+        // exactly-once: the SAME stamped batch lands once (ids negated
+        // so the marker rows are disjoint from the base content)
+        val stamp = ev.limit(100).withColumn("event_id", -col("event_id") - 1L)
+        stamp.write.format("graft").mode("append")
+          .option("txnAppId", "s56").option("txnVersion", "1").save(store)
+        val v = TxStore.snapshot(s, store).version
+        stamp.write.format("graft").mode("append")
+          .option("txnAppId", "s56").option("txnVersion", "1").save(store)
+        require(TxStore.snapshot(s, store).version == v,
+          "a redelivered txn stamp must be a committed no-op")
+        // readback minus the disjoint stamped markers; value doubling is
+        // exact in binary, so the compare needs no rounding
+        eventsCols(TxStore.read(s, store).filter(col("event_id") >= 0))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+             |       CASE WHEN event_type = (SELECT MIN(event_type) FROM events)
+             |            THEN value * 2 ELSE value END AS value,
+             |       props
+             |FROM events""".stripMargin),
+      bench = true),
 
     // ── S23 — data skipping on STRING stats: the table is laid out by
     //    event_type (range partitioning clusters the five values into
@@ -1299,6 +1461,61 @@ object StorageQueries {
         require(streamed.count() == batch.count() &&
           streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
           "the follower's history table must equal the batch CDC read exactly")
+        streamed.select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props"),
+          col("_change_type"), col("_commit_version"))
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+             |       'insert' AS "_change_type", CAST(1 AS BIGINT) AS "_commit_version"
+             |FROM events WHERE event_id % 2 = 0
+             |UNION ALL
+             |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
+             |       'delete' AS "_change_type", CAST(2 AS BIGINT) AS "_commit_version"
+             |FROM events WHERE event_id % 4 = 0""".stripMargin),
+      bench = true),
+
+    // ── S59 — NATIVE CDF FOLLOW (EXT75 + EXT78 composed): the s48
+    //    shape rebuilt ENTIRELY from engine-native streaming pieces —
+    //    `readStream.format("graft")` (the v1-Source-behind-v2-table
+    //    change feed, O(commits) offset polling) piped into
+    //    `writeStream.format("graft")` (per-batch exactly-once
+    //    appendOnce commits) — no foreachBatch hand assembly. The
+    //    REQUIREs pin drain + resume landing exactly the batch CDC
+    //    read; the oracle pins the rows. Gives EXT75 the registry lane
+    //    it shipped without (r15: spec-only).
+    QueryDef(
+      "s59_cdf_native_follow",
+      (s, d) => {
+        val src = freshStore(s, "s59-src", d)
+        val sink = freshStore(s, "s59-sink", d)
+        val ckpt = freshStore(s, "s59-ckpt", d)
+        val ev = Tables.events(s, d)
+        TxStore.append(ev.filter(col("event_id") % 2 === 0), src) // v1
+        def drain(): Unit = {
+          val q = s.readStream.format("graft").load(src)
+            .writeStream.format("graft")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(sink)
+          require(q.awaitTermination(300000), "CDF drain timed out")
+        }
+        drain()
+        val firstDrain = TxStore.snapshot(s, sink).version
+        require(firstDrain > 0, "the first drain must land the v1 inserts")
+        TxStore.delete(s, src, col("event_id") % 4 === 0) // v2
+        drain()
+        require(TxStore.snapshot(s, sink).version > firstDrain,
+          "the resumed drain must land v2's changes in a new sink commit")
+        // replay with nothing new: the stamped sink must not re-append
+        val settled = TxStore.snapshot(s, sink).version
+        drain()
+        require(TxStore.snapshot(s, sink).version == settled,
+          "an empty resume must be a committed no-op (exactly-once sink)")
+        val streamed = TxStore.read(s, sink)
+        val batch = TxStore.readChangesSince(s, src, 0L)._2
+        require(streamed.count() == batch.count() &&
+          streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+          "the native follower's history table must equal the batch CDC read exactly")
         streamed.select(col("event_id"), expr("ts div 1000").as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"),
           col("_change_type"), col("_commit_version"))

@@ -127,6 +127,15 @@ object DsvBridge {
   def streamingFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
+
+  /** The sink-side inverse: re-wrap a micro-batch's STREAMING plan as a
+    * batch frame so a v1 `Sink.addBatch` can hand it to batch writers
+    * (DataFrameWriter refuses streaming plans). The RDD is captured
+    * lazily — the micro-batch still computes fully distributed when the
+    * sink's own write runs it; the same wrap Delta's sink uses. */
+  def batchFrame(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
 }
 
 /** Per-file deletion-vector skipping around the v2 parquet row reader.

@@ -8,12 +8,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, EvalMode, Expression, GenericInternalRow, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.graft.DsvBridge
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -53,7 +53,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition columns surface LAST in the schema (the v1 read path
   * re-orders to the log's declared order; v2 relations bind output
   * attributes by name, so SQL and named projections are unaffected). */
-class GraftDataSource extends TableProvider with DataSourceRegister with StreamSourceProvider {
+class GraftDataSource extends TableProvider with DataSourceRegister
+  with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -67,13 +68,22 @@ class GraftDataSource extends TableProvider with DataSourceRegister with StreamS
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft: a table path is required — spark.read.format(\"graft\").load(path)"))
-    require(TxStore.isTable(spark, path), s"graft: not a transactional table: $path")
     val version: Option[Long] =
       Option(options.get("versionAsOf")).map(_.trim.toLong)
         .orElse(Option(options.get("timestampAsOf")).map(ts =>
           TxStore.versionAtTimestamp(spark, path, parseTs(ts))))
+    val mergeSchema =
+      Option(options.get("mergeSchema")).exists(_.trim.equalsIgnoreCase("true"))
+    if (!TxStore.isTable(spark, path)) {
+      // a WRITE may CREATE the table here (df.write.format("graft") on
+      // a fresh path — the first commit establishes it, exactly like a
+      // creating TxStore.append); reads refuse at scan build with the
+      // original message, and time travel over nothing is meaningless
+      require(version.isEmpty, s"graft: not a transactional table: $path")
+      return new GraftTable(spark, path, TxStore.snapshot(spark, path), exists = false)
+    }
     val snap = version.fold(TxStore.snapshot(spark, path))(TxStore.snapshotAt(spark, path, _))
-    new GraftTable(spark, path, snap)
+    new GraftTable(spark, path, snap, mergeSchema = mergeSchema)
   }
 
   private def parseTs(s: String): Long = {
@@ -92,7 +102,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister with StreamS
     // key on everything that picks the snapshot — a reused provider
     // instance must never serve a stale table for a different
     // version/timestamp ask on the same path
-    val key = Seq("path", "versionAsOf", "timestampAsOf")
+    val key = Seq("path", "versionAsOf", "timestampAsOf", "mergeSchema")
       .map(k => Option(options.get(k)).getOrElse("")).mkString("\u0000")
     if (resolved == null || resolvedKey != key) {
       resolved = resolve(options)
@@ -145,17 +155,45 @@ class GraftDataSource extends TableProvider with DataSourceRegister with StreamS
       sqlContext.sparkSession,
       streamPath(parameters),
       param(parameters, "startingVersion").map(_.trim.toLong).getOrElse(0L))
+
+  // ── streaming SINK: `writeStream.format("graft")` — each micro-batch
+  // lands as ONE idempotent commit through TxStore.appendOnce, stamped
+  // (queryId, batchId) so a crash/restart redelivery is a no-op (the
+  // exactly-once contract). A v1 Sink for the same reason as the
+  // source: the v2 table reports no STREAMING_WRITE, so
+  // DataStreamWriter falls back here — the shape Delta ships.
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+    : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft: the streaming sink appends immutable micro-batches — $outputMode output " +
+        "is not supported (aggregate with watermarks upstream, or use foreachBatch + merge)")
+    new graft.streaming.GraftSink(
+      streamPath(parameters),
+      param(parameters, "txnAppId"),
+      partitionColumns)
+  }
 }
 
-/** One pinned snapshot of a transactional table, as a v2 Table. */
+/** One pinned snapshot of a transactional table, as a v2 Table.
+  * `exists = false` marks a CREATABLE table (fresh path): writes may
+  * establish it, reads refuse at scan build. */
 final class GraftTable(
     val spark: SparkSession,
     val path: String,
-    val snap: TxStore.Snapshot) extends Table with SupportsRead {
+    val snap: TxStore.Snapshot,
+    val exists: Boolean = true,
+    val mergeSchema: Boolean = false) extends Table with SupportsRead with SupportsWrite {
 
   private[sources] val logical: StructType =
-    TxStore.logicalSchema(snap).getOrElse(throw new IllegalArgumentException(
-      s"graft: table at $path carries no log schema"))
+    TxStore.logicalSchema(snap).getOrElse {
+      if (!exists) new StructType()
+      else throw new IllegalArgumentException(
+        s"graft: table at $path carries no log schema")
+    }
 
   private def lc(s: String) = s.toLowerCase(Locale.ROOT)
   private val logicalByPhys: Map[String, String] =
@@ -170,11 +208,46 @@ final class GraftTable(
   override def partitioning(): Array[Transform] =
     partitionLogical.map(Expressions.identity).toArray
 
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  /** BATCH_READ + the V1-fallback WRITE set (the Delta shape):
+    * V1_BATCH_WRITE routes AppendData/OverwriteByExpression through
+    * [[GraftWriteBuilder]]'s `V1Write` → `InsertableRelation`, whose
+    * insert IS [[TxStore.append]]/[[TxStore.overwrite]] — one staged
+    * commit with the full discipline (stats/null/bloom harvest,
+    * partition layout, constraints, exactly-once txn stamps), proven
+    * ≡ the API twins rather than re-implemented.
+    *
+    * Schema contract (Delta's): writes resolve BY NAME against the log
+    * schema — the analyzer reorders and safe-casts, and refuses drift.
+    * ACCEPT_ANY_SCHEMA lifts that gate ONLY for a creating write (no
+    * schema to resolve against yet) or an explicit
+    * `option("mergeSchema", "true")`, where the log's own name-based
+    * evolution takes over. Positional SQL (`INSERT INTO t VALUES …`)
+    * keeps exact resolution either way — its frame reaches the write
+    * already renamed to the table schema. */
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      // BATCH_WRITE routes DataFrameWriter.save onto the v2 plans
+      // (AppendData/OverwriteByExpression); V1_BATCH_WRITE satisfies
+      // the analyzer's capability check for the V1Write the builder
+      // actually returns (exec dispatch is on the Write instance)
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+    if (!exists || mergeSchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA): Unit
+    caps
+  }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(exists, s"graft: not a transactional table: $path")
     new GraftScanBuilder(this)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(this, info)
 }
 
 final class GraftScanBuilder(table: GraftTable)
@@ -183,18 +256,26 @@ final class GraftScanBuilder(table: GraftTable)
 
   private var required: StructType = table.logical
   private var pushed: Array[Filter] = Array.empty
-  private var sawFilters: Boolean = false
-  private var pushedAgg: Option[(StructType, Array[Any])] = None
+  private var consumed: Array[Filter] = Array.empty
+  private var postScan: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, Seq[Array[Any]])] = None
 
-  /** Keep the filters the log walk can interpret for file pruning and
-    * report them as pushed (they also reach the parquet reader for
-    * row-group pruning); return EVERYTHING as post-scan — file/row-
-    * group skipping is approximate, the predicate must still evaluate
-    * exactly once above the scan. */
+  /** Filters over PARTITION columns that evaluate exactly per file from
+    * the hive path values are CONSUMED by the scan (no post-scan
+    * re-evaluation — the same contract Spark's own file sources use for
+    * partition filters; [[GraftPartitionEval]] is tri-state-strict, so
+    * a filter is only consumed when every live file gets a definite
+    * verdict). Everything else returns as post-scan: file/row-group
+    * skipping on data-column stats is approximate, the predicate must
+    * still evaluate exactly once above the scan. The log walk prunes on
+    * every translatable filter either way, and translatable filters
+    * also reach the parquet reader for row-group pruning. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    sawFilters = filters.nonEmpty
+    val (c, post) = filters.partition(f => GraftPartitionEval.consumable(table, f))
+    consumed = c
+    postScan = post
     pushed = filters.filter(f => GraftFilters.toCatalyst(f).isDefined)
-    filters
+    post
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -202,17 +283,21 @@ final class GraftScanBuilder(table: GraftTable)
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (pushedAgg.isEmpty) required = requiredSchema
 
-  /** METADATA-ONLY aggregates: an unfiltered, ungrouped COUNT(*)/
-    * COUNT(col)/MIN(col)/MAX(col) over a table without deletion marks
-    * answers from the commit log's own facts — `#rows` per file for
-    * counts, `<col>#n` null facts for COUNT(col), min/max ranges (and
-    * hive path values for partition columns) for MIN/MAX — with ZERO
-    * file IO at any table size (parquet answers these from footers,
-    * one open per file; the log answers them from memory). Exact-only:
-    * any file missing a required fact refuses the whole pushdown, a
-    * MIN/MAX column's files without a range must be PROVEN all-null by
-    * their null facts, and NaN-tainted ranges were never harvested —
-    * the fallback is simply the ordinary scan. */
+  /** METADATA-ONLY aggregates: COUNT(*)/COUNT(col)/MIN(col)/MAX(col)
+    * over a table without deletion marks answers from the commit log's
+    * own facts — `#rows` per file for counts, `<col>#n` null facts for
+    * COUNT(col), min/max ranges (and hive path values for partition
+    * columns) for MIN/MAX — with ZERO file IO at any table size
+    * (parquet answers these from footers, one open per file; the log
+    * answers them from memory). Allowed under a WHERE iff every
+    * conjunct was CONSUMED exactly by partition evaluation (the kept
+    * file set then contains precisely the qualifying rows), and under
+    * GROUP BY iff every grouping column is a partition column (one row
+    * per live partition-value combination). Exact-only: any kept file
+    * missing a required fact refuses the whole pushdown, a MIN/MAX
+    * column's files without a range must be PROVEN all-null by their
+    * null facts, and NaN-tainted ranges were never harvested — the
+    * fallback is simply the ordinary scan. */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     compute(agg).isDefined
@@ -229,22 +314,193 @@ final class GraftScanBuilder(table: GraftTable)
   // with the same Aggregation — memoize so the per-file facts walk
   // runs once per query, not twice
   private var lastAgg: AnyRef = null
-  private var lastResult: Option[(StructType, Array[Any])] = None
+  private var lastResult: Option[(StructType, Seq[Array[Any]])] = None
 
   private def compute(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-    : Option[(StructType, Array[Any])] = {
+    : Option[(StructType, Seq[Array[Any]])] = {
     if (!(agg eq lastAgg)) {
       lastAgg = agg
-      lastResult = if (sawFilters) None else GraftAggregates.compute(table.spark, table, agg)
+      lastResult =
+        if (postScan.nonEmpty) None // an unconsumed filter would re-evaluate over 1 row
+        else GraftAggregates.compute(
+          table.spark, table, agg, GraftPartitionEval.keptFiles(table, consumed))
     }
     lastResult
   }
 
-  override def build(): Scan = new GraftScan(table, required, pushed, pushedAgg)
+  override def build(): Scan = new GraftScan(table, required, pushed, consumed, pushedAgg)
 }
 
-/** The log-facts evaluator behind [[GraftScanBuilder.pushAggregation]]. */
+/** Exact per-file evaluation of v1 filters against hive PARTITION path
+  * values — Kleene tri-state (`Some(Some(b))` definite, `Some(None)` =
+  * SQL NULL, `None` = undecidable), so NULL partition dirs filter
+  * correctly under NOT and a filter is consumed only when every live
+  * file gets a definite verdict. This is what lets the scan drop the
+  * post-scan re-evaluation for partition predicates (Spark's own file
+  * sources' partition-filter contract) and what makes filtered
+  * metadata-aggregates sound: kept files contain EXACTLY the
+  * qualifying rows, because a partition column is constant per file. */
+private[sources] object GraftPartitionEval {
+
+  import java.util.Locale
+
+  private def lc(s: String) = s.toLowerCase(Locale.ROOT)
+
+  /** lc(physical column) → raw path value (None = the null dir) for a
+    * staged file's relative path. */
+  def rawValues(rel: String): Map[String, Option[String]] =
+    rel.split('/').dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else Some(lc(TxStore.unescapePathName(seg.take(i))) -> {
+        val raw = TxStore.unescapePathName(seg.drop(i + 1))
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)
+      })
+    }.toMap
+
+  /** The typed JVM value of a raw path segment under the LOGICAL field
+    * type — None when the type is outside the exactly-comparable set
+    * (timestamps and dates stay out: timezone/calendar parsing is not
+    * worth an exactness bug). */
+  private def typed(raw: String, dt: DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(raw)
+      case LongType | IntegerType | ShortType | ByteType =>
+        scala.util.Try(java.lang.Long.valueOf(raw.trim)).toOption
+      case DoubleType | FloatType =>
+        scala.util.Try(java.lang.Double.valueOf(raw.trim)).toOption
+      case BooleanType => raw.trim.toLowerCase(Locale.ROOT) match {
+        case "true" => Some(java.lang.Boolean.TRUE)
+        case "false" => Some(java.lang.Boolean.FALSE)
+        case _ => None
+      }
+      case _: DecimalType =>
+        scala.util.Try(new java.math.BigDecimal(raw.trim)).toOption
+      case _ => None
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      scala.util.Try(BigDecimal(x.toString).compare(BigDecimal(y.toString))).toOption
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Kleene evaluation of `f` for every row of file `rel`. Outer None =
+    * undecidable; inner None = SQL NULL (filters drop the row). */
+  def eval(table: GraftTable, rel: String, f: Filter): Option[Option[Boolean]] = {
+    val snap = table.snap
+    val partPhys = snap.partitioning.map(lc).toSet
+    val physFor = snap.mapping.map { case (l, p) => lc(l) -> p }.toMap
+    lazy val raws = rawValues(rel)
+    // logical attr name → Some(value) iff it IS a partition column with
+    // an exactly-typed value; the value itself is Option (null dir)
+    def lookup(a: String): Option[Option[Any]] = {
+      val phys = lc(physFor.getOrElse(lc(a), a))
+      if (!partPhys(phys)) return None
+      val dt = table.logical.fields.find(fd => lc(fd.name) == lc(a)).map(_.dataType)
+      raws.get(phys) match {
+        case Some(None) => Some(None) // explicit null dir
+        case Some(Some(raw)) =>
+          dt.flatMap(t => typed(raw, t)) match {
+            case Some(v) => Some(Some(v))
+            case None => None // unparseable / untyped — undecidable
+          }
+        case None => None // partition column missing from the path?!
+      }
+    }
+    def bin(a: String, v: Any)(op: Int => Boolean): Option[Option[Boolean]] =
+      if (v == null) lookup(a).map(_ => None) // col OP NULL is NULL
+      else lookup(a).flatMap {
+        case None => Some(None) // NULL OP v is NULL
+        case Some(x) => cmp(x, v).map(c => Some(op(c)))
+      }
+    def kleeneAnd(
+        l: Option[Option[Boolean]], r: Option[Option[Boolean]]): Option[Option[Boolean]] =
+      (l, r) match {
+        case (Some(Some(false)), _) | (_, Some(Some(false))) => Some(Some(false))
+        case (Some(a), Some(b)) =>
+          Some(if (a.contains(true) && b.contains(true)) Some(true) else None)
+        case _ => None
+      }
+    def kleeneOr(
+        l: Option[Option[Boolean]], r: Option[Option[Boolean]]): Option[Option[Boolean]] =
+      (l, r) match {
+        case (Some(Some(true)), _) | (_, Some(Some(true))) => Some(Some(true))
+        case (Some(a), Some(b)) =>
+          Some(if (a.contains(false) && b.contains(false)) Some(false) else None)
+        case _ => None
+      }
+    f match {
+      case sources.EqualTo(a, v) => bin(a, v)(_ == 0)
+      case sources.GreaterThan(a, v) => bin(a, v)(_ > 0)
+      case sources.GreaterThanOrEqual(a, v) => bin(a, v)(_ >= 0)
+      case sources.LessThan(a, v) => bin(a, v)(_ < 0)
+      case sources.LessThanOrEqual(a, v) => bin(a, v)(_ <= 0)
+      case sources.EqualNullSafe(a, v) => lookup(a).flatMap {
+        case None => Some(Some(v == null))
+        case Some(x) => if (v == null) Some(Some(false)) else cmp(x, v).map(c => Some(c == 0))
+      }
+      case sources.In(a, vs) => lookup(a).flatMap {
+        case None => Some(None) // NULL IN (...) is NULL
+        case Some(x) =>
+          val cs = vs.toSeq.filter(_ != null).map(v => cmp(x, v))
+          if (cs.exists(_.isEmpty)) None
+          else if (cs.exists(_.contains(0))) Some(Some(true))
+          else Some(if (vs.contains(null)) None else Some(false))
+      }
+      case sources.IsNull(a) => lookup(a).map(v => Some(v.isEmpty))
+      case sources.IsNotNull(a) => lookup(a).map(v => Some(v.nonEmpty))
+      case sources.StringStartsWith(a, v) => strTest(lookup(a), v)(_.startsWith(_))
+      case sources.StringEndsWith(a, v) => strTest(lookup(a), v)(_.endsWith(_))
+      case sources.StringContains(a, v) => strTest(lookup(a), v)(_.contains(_))
+      case sources.And(l, r) => kleeneAnd(eval(table, rel, l), eval(table, rel, r))
+      case sources.Or(l, r) => kleeneOr(eval(table, rel, l), eval(table, rel, r))
+      case sources.Not(x) => eval(table, rel, x).map(_.map(!_))
+      case _: sources.AlwaysTrue => Some(Some(true))
+      case _: sources.AlwaysFalse => Some(Some(false))
+      case _ => None
+    }
+  }
+
+  private def strTest(lk: Option[Option[Any]], v: String)(
+      op: (String, String) => Boolean): Option[Option[Boolean]] =
+    if (v == null) None
+    else lk.flatMap {
+      case None => Some(None)
+      case Some(x: String) => Some(Some(op(x, v)))
+      case _ => None
+    }
+
+  /** May the scan consume `f` (drop its post-scan re-evaluation)? Yes
+    * iff every live file gets a definite verdict. */
+  def consumable(table: GraftTable, f: Filter): Boolean =
+    table.snap.files.forall(rel => eval(table, rel, f).isDefined)
+
+  /** The files whose every row satisfies ALL consumed filters — exact,
+    * because each filter evaluated definitely per file. */
+  def keptFiles(table: GraftTable, consumed: Array[Filter]): Seq[String] =
+    if (consumed.isEmpty) table.snap.files
+    else table.snap.files.filter(rel =>
+      consumed.forall(f => eval(table, rel, f).exists(_.contains(true))))
+
+  /** Raw path segment → catalyst value of `dt` — LEGACY cast semantics
+    * (a malformed segment reads NULL rather than failing the scan). */
+  def catalystValue(spark: SparkSession, raw: String, dt: DataType): Any =
+    if (dt == StringType) UTF8String.fromString(raw)
+    else Cast(Literal(UTF8String.fromString(raw), StringType), dt,
+      Some(spark.sessionState.conf.sessionLocalTimeZone), EvalMode.LEGACY).eval(null)
+}
+
+/** The log-facts evaluator behind [[GraftScanBuilder.pushAggregation]].
+  * `kept` is the EXACT file set the consumed partition filters selected
+  * (all live files when unfiltered); GROUP BY is supported over
+  * partition columns only — one output row per live partition-value
+  * combination among the kept files. */
 private[sources] object GraftAggregates {
 
   import org.apache.spark.sql.connector.expressions.aggregate._
@@ -254,9 +510,9 @@ private[sources] object GraftAggregates {
   def compute(
       spark: SparkSession,
       table: GraftTable,
-      agg: Aggregation): Option[(StructType, Array[Any])] = {
+      agg: Aggregation,
+      kept: Seq[String]): Option[(StructType, Seq[Array[Any]])] = {
     val snap = table.snap
-    if (agg.groupByExpressions.nonEmpty) return None
     // deletion marks hide rows the facts still count
     if (snap.dv.nonEmpty || snap.dvp.nonEmpty) return None
     def lc(s: String) = s.toLowerCase(Locale.ROOT)
@@ -278,19 +534,42 @@ private[sources] object GraftAggregates {
       table.logical.fields.find(f => lc(f.name) == lc(name)).get.dataType
     def physName(l: String): String = physFor.getOrElse(lc(l), l)
 
-    // every file must carry #rows — the denominator for everything
-    val rowCounts: Seq[Long] = {
-      val rs = snap.files.map(rowsOf)
-      if (rs.exists(_.isEmpty)) return None else rs.flatten
+    // GROUP BY: every grouping expression must resolve to a PARTITION
+    // column — the path values ARE the group keys, so grouping costs
+    // zero IO; anything else refuses
+    val partPhys = snap.partitioning.map(lc).toSet
+    val groupCols: Seq[String] = {
+      val resolved = agg.groupByExpressions.toSeq.map(colName)
+      if (resolved.exists(_.isEmpty)) return None
+      val names = resolved.flatten
+      if (!names.forall(n => partPhys(lc(physName(n))))) return None
+      names
     }
-    val totalRows = rowCounts.sum
 
-    def countCol(l: String): Option[Long] = {
+    def countStar(files: Seq[String]): Option[Long] = {
+      val rs = files.map(rowsOf)
+      if (rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
+    }
+
+    def countCol(files: Seq[String], l: String): Option[Long] = {
       val phys = physName(l)
-      val perFile = snap.files.map { f =>
-        for { r <- rowsOf(f); n <- numFact(f, s"$phys#n") } yield r - n.toLong
+      // a PARTITION column has no per-file null fact — its nulls are the
+      // null-dir files (every row null there, no row null elsewhere)
+      if (partPhys(lc(phys))) {
+        val perFile = files.map { f =>
+          val isNullDir = GraftPartitionEval.rawValues(f).get(lc(phys)) match {
+            case Some(None) => true
+            case _ => false
+          }
+          rowsOf(f).map(r => if (isNullDir) 0L else r)
+        }
+        if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
+      } else {
+        val perFile = files.map { f =>
+          for { r <- rowsOf(f); n <- numFact(f, s"$phys#n") } yield r - n.toLong
+        }
+        if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
       }
-      if (perFile.exists(_.isEmpty)) None else Some(perFile.flatten.sum)
     }
 
     /** Exact endpoint reconstruction — only types whose harvested
@@ -310,16 +589,28 @@ private[sources] object GraftAggregates {
         case _ => None
       }
 
-    def minMax(l: String, lo: Boolean): Option[Any] = {
+    def minMax(files: Seq[String], l: String, lo: Boolean): Option[Any] = {
       val phys = physName(l)
       val dt = fieldType(l)
-      val contrib = snap.files.map { f =>
-        facts(f).get(phys) match {
+      val contrib = files.map { f =>
+        // a `#x` file's footer stats are PRUNE-ONLY (convert-adopted
+        // foreign writer — possibly truncated/NaN-ignoring bounds):
+        // refuse MIN/MAX over it, unless the column is a partition
+        // column whose value the log parsed from the PATH (writer-
+        // independent, exact)
+        if (facts(f).contains("#x") && !partPhys(lc(phys))) None
+        else facts(f).get(phys) match {
           case Some(r) => endpointValue(dt, r, lo).map(Some(_))
           case None =>
             // no range: sound ONLY if the file is PROVEN all-null for
-            // this column (nulls == rows) — then it contributes nothing
-            (numFact(f, s"$phys#n"), rowsOf(f)) match {
+            // this column — by null facts, or by BEING the null dir of a
+            // partition column — then it contributes nothing
+            if (partPhys(lc(phys))) {
+              GraftPartitionEval.rawValues(f).get(lc(phys)) match {
+                case Some(None) => Some(None) // null dir
+                case _ => None // typed-range parse failed — refuse
+              }
+            } else (numFact(f, s"$phys#n"), rowsOf(f)) match {
               case (Some(n), Some(rows)) if n.toLong == rows => Some(None)
               case _ => None // unprovable — refuse the pushdown
             }
@@ -343,34 +634,59 @@ private[sources] object GraftAggregates {
       })
     }
 
-    // schema AND values together, per func — the contract is positional:
-    // group-by columns would come first (refused above), then one typed
-    // field per aggregate (count → non-null LongType, min/max → the
-    // column's own type). Broader than the shared parquet helper, which
-    // refuses strings (footer truncation risk — the log's harvested
-    // bounds are exact or absent) and partition columns (no footer to
-    // read — the log parses path values).
-    val pushed: Array[Option[(StructType => StructType, Any)]] =
+    // schema AND per-group evaluators, per func — the contract is
+    // positional: group-by columns FIRST, then one typed field per
+    // aggregate (count → non-null LongType, min/max → the column's own
+    // type). Broader than the shared parquet helper, which refuses
+    // strings (footer truncation risk — the log's harvested bounds are
+    // exact or absent) and partition columns (no footer to read — the
+    // log parses path values).
+    val defs: Array[Option[(StructType => StructType, Seq[String] => Option[Any])]] =
       agg.aggregateExpressions.map {
         case _: CountStar => Some((
           (st: StructType) => st.add("count(*)", LongType, nullable = false),
-          java.lang.Long.valueOf(totalRows): Any))
+          (files: Seq[String]) =>
+            countStar(files).map(java.lang.Long.valueOf(_): Any)))
         case c: Count if !c.isDistinct =>
-          for { n <- colName(c.column); v <- countCol(n) } yield (
+          colName(c.column).map(n => (
             (st: StructType) => st.add(s"count($n)", LongType, nullable = false),
-            java.lang.Long.valueOf(v): Any)
+            (files: Seq[String]) =>
+              countCol(files, n).map(java.lang.Long.valueOf(_): Any)))
         case m: Min =>
-          for { n <- colName(m.column); v <- minMax(n, lo = true) } yield (
-            (st: StructType) => st.add(s"min($n)", fieldType(n), nullable = true), v)
+          colName(m.column).map(n => (
+            (st: StructType) => st.add(s"min($n)", fieldType(n), nullable = true),
+            (files: Seq[String]) => minMax(files, n, lo = true)))
         case m: Max =>
-          for { n <- colName(m.column); v <- minMax(n, lo = false) } yield (
-            (st: StructType) => st.add(s"max($n)", fieldType(n), nullable = true), v)
+          colName(m.column).map(n => (
+            (st: StructType) => st.add(s"max($n)", fieldType(n), nullable = true),
+            (files: Seq[String]) => minMax(files, n, lo = false)))
         case _ => None
       }
-    if (pushed.exists(_.isEmpty)) None
-    else Some((
-      pushed.flatten.foldLeft(new StructType())((st, p) => p._1(st)),
-      pushed.flatten.map(_._2).toArray))
+    if (defs.exists(_.isEmpty)) return None
+    val evals = defs.flatten
+
+    // one group per live partition-value combination among the kept
+    // files (deterministic order for stable plans); the ungrouped case
+    // is the single all-kept group
+    val groups: Seq[(Seq[Option[String]], Seq[String])] =
+      if (groupCols.isEmpty) Seq((Nil, kept))
+      else kept.groupBy { f =>
+        val raws = GraftPartitionEval.rawValues(f)
+        groupCols.map(n => raws.getOrElse(lc(physName(n)), None))
+      }.toSeq.sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+
+    val schema0 = groupCols.foldLeft(new StructType())(
+      (st, n) => st.add(n, fieldType(n), nullable = true))
+    val schema = evals.foldLeft(schema0)((st, d) => d._1(st))
+    val rows: Seq[Option[Array[Any]]] = groups.map { case (key, files) =>
+      val vals = evals.map(_._2(files))
+      if (vals.exists(_.isEmpty)) None
+      else Some((key.zip(groupCols).map { case (raw, n) =>
+        raw.map(r =>
+          GraftPartitionEval.catalystValue(spark, r, fieldType(n))).orNull
+      } ++ vals.map(_.get)).toArray)
+    }
+    if (rows.exists(_.isEmpty)) None else Some((schema, rows.flatten))
   }
 }
 
@@ -381,7 +697,8 @@ final class GraftScan(
     table: GraftTable,
     required: StructType,
     pushedV1: Array[Filter],
-    pushedAgg: Option[(StructType, Array[Any])] = None)
+    consumed: Array[Filter] = Array.empty,
+    pushedAgg: Option[(StructType, Seq[Array[Any]])] = None)
   extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   private val spark = table.spark
@@ -452,19 +769,27 @@ final class GraftScan(
     runtimeCatalyst = filters.flatMap(GraftFilters.toCatalyst).toSeq
   }
 
+  // the files the CONSUMED partition filters kept — exact (no post-scan
+  // re-evaluation happens for these; see GraftScanBuilder.pushFilters)
+  private lazy val exactKept: Seq[String] =
+    GraftPartitionEval.keptFiles(table, consumed)
+
   private def prunedFiles(preds: Seq[Expression]): (Seq[String], Seq[String]) =
     if (runtimeEmptyIn) (Nil, snap.files)
-    else if (preds.isEmpty) (snap.files, Nil)
-    else TxStore.pruneSnapFiles(snap, preds.reduce(And))
+    else if (preds.isEmpty) (exactKept, snap.files.diff(exactKept))
+    else {
+      val (kept, skipped) = TxStore.pruneFileSubset(snap, preds.reduce(And), exactKept)
+      (kept, skipped ++ snap.files.diff(exactKept))
+    }
 
   private lazy val pushedKept: Seq[String] = prunedFiles(pushedCatalyst)._1
 
   override def planInputPartitions(): Array[InputPartition] = pushedAgg match {
-    case Some((_, values)) =>
-      // the answer came from log facts — ZERO files planned, one row out
+    case Some((_, rows)) =>
+      // the answer came from log facts — ZERO files planned
       GraftScanEvents.record(path, GraftScanEvents.Planned(
         snap.version, Nil, snap.files, runtimeCount, runtimeShown, aggregatePushed = true))
-      Array(GraftAggPartition(values))
+      Array(GraftAggPartition(rows.map(_.toSeq)))
     case None => planFileSplits()
   }
 
@@ -544,8 +869,9 @@ final class GraftScan(
     * PUSHED-pruned file set — what lets a filtered graft table qualify
     * as the broadcast side of a join without any file IO. */
   override def estimateStatistics(): Statistics = if (pushedAgg.isDefined) new Statistics {
-    override val sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(256L)
-    override val numRows: java.util.OptionalLong = java.util.OptionalLong.of(1L)
+    private val n = pushedAgg.get._2.size
+    override val sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(256L * n)
+    override val numRows: java.util.OptionalLong = java.util.OptionalLong.of(n.toLong)
   } else new Statistics {
     private val sizes = TxStore.fileSizes(spark, path, snap, pushedKept)
     override val sizeInBytes: java.util.OptionalLong =
@@ -569,20 +895,21 @@ final class GraftScan(
       pushedAgg.fold("")(_ => " [aggregates from log facts]")
 }
 
-/** One pre-computed aggregate row, shipped as the scan's only
-  * partition — the values are LOG FACTS, not data (see
-  * [[GraftAggregates]]). */
-private[sources] final case class GraftAggPartition(values: Array[Any]) extends InputPartition
+/** Pre-computed aggregate rows (one per group; one total when
+  * ungrouped), shipped as the scan's only partition — the values are
+  * LOG FACTS, not data (see [[GraftAggregates]]). */
+private[sources] final case class GraftAggPartition(rows: Seq[Seq[Any]]) extends InputPartition
 
 private[sources] final case class GraftAggReaderFactory()
   extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow =
-        new GenericInternalRow(partition.asInstanceOf[GraftAggPartition].values)
+      private val it = partition.asInstanceOf[GraftAggPartition].rows.iterator
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (!it.hasNext) false else { row = new GenericInternalRow(it.next().toArray); true }
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
 }
@@ -596,24 +923,43 @@ object GraftScanEvents {
   final case class Planned(
       version: Long, kept: Seq[String], skipped: Seq[String], runtimeFilterCount: Int,
       runtimeFilters: Seq[String] = Nil, aggregatePushed: Boolean = false)
-  private val events = scala.collection.concurrent.TrieMap.empty[String, Planned]
+  // per-path RING (newest first, bounded): a concurrent scan of the
+  // same path — a stats-only estimate, a second action in the same
+  // query — must not clobber the event a probe is about to read
+  // (ADVICE r15); probes search `recent` for the event matching their
+  // own scan's shape instead of trusting last-writer-wins
+  private val RingSize = 8
+  private val events = scala.collection.concurrent.TrieMap.empty[String, List[Planned]]
   // BOUNDED: every scan records (lanes and specs probe the lists), but
   // a long-lived session over many paths must not pin file-name lists
-  // forever — evict arbitrary entries past the cap (probes read their
-  // own path immediately after running)
+  // forever — evict in INSERTION order past the cap (probes read their
+  // own path immediately after running, so the oldest paths are dead)
   private val MaxPaths = 64
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private def norm(p: String) = p.stripPrefix("file:")
   private[sources] def record(path: String, e: Planned): Unit = {
-    if (events.size >= MaxPaths && !events.contains(path))
-      events.keys.take(events.size - MaxPaths + 1).foreach(events.remove)
-    events.put(path, e): Unit
+    events.synchronized {
+      if (!events.contains(path)) {
+        order.add(path)
+        while (events.size >= MaxPaths) {
+          val victim = order.poll()
+          if (victim == null) events.keys.headOption.foreach(events.remove)
+          else events.remove(victim)
+        }
+      }
+      events.put(path, (e :: events.getOrElse(path, Nil)).take(RingSize)): Unit
+    }
   }
   /** Catalog-resolved scans record under the QUALIFIED location
     * (`file:/…`) — look up scheme-blind so callers can probe with the
     * raw path they created the table with. */
-  def last(path: String): Option[Planned] =
-    events.get(path).orElse(
-      events.collectFirst { case (k, v) if norm(k) == norm(path) => v })
+  def last(path: String): Option[Planned] = recent(path).headOption
+  /** All retained events for the path, newest first — REQUIRE sites
+    * pick THEIR scan's event (by version / filter shape) from here. */
+  def recent(path: String): Seq[Planned] =
+    events.getOrElse(path, events.collectFirst {
+      case (k, v) if norm(k) == norm(path) => v
+    }.getOrElse(Nil))
   def clear(path: String): Unit = {
     events.keys.filter(k => norm(k) == norm(path)).foreach(events.remove)
   }
@@ -643,6 +989,11 @@ private[sources] object GraftFilters {
     // logged null facts refute them skip; absent facts keep the file)
     case sources.IsNull(a) => Some(IsNull(attr(a)))
     case sources.IsNotNull(a) => Some(IsNotNull(attr(a)))
+    // a prefix predicate (`LIKE 'p%'`) translates for the string-range
+    // walk: truncate-to-prefix-length endpoint compare refutes soundly
+    // (mayMatch's startsWithSat); non-ASCII prefixes never prune
+    case sources.StringStartsWith(a, v) if v != null && v.nonEmpty && v.forall(_ < 128) =>
+      litOf(v).map(org.apache.spark.sql.catalyst.expressions.StartsWith(attr(a), _))
     case sources.And(l, r) => (toCatalyst(l), toCatalyst(r)) match {
       case (Some(a), Some(b)) => Some(And(a, b))
       // one translatable conjunct alone is still sound: refuting it

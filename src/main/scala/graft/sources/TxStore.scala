@@ -574,8 +574,21 @@ object TxStore {
     * non-null values only, and [[readWhere]] only prunes on comparison
     * predicates, which no NULL can satisfy — so skipping a file whose
     * non-null range refutes the predicate never loses a row. */
+  /** `foreign = true` marks files ADOPTED from another writer
+    * ([[convert]]): their footers may legally carry truncated binary
+    * min/max (exactness flags parquet-mr never exposes) and double
+    * stats computed ignoring NaN — under Spark's NaN-greatest ordering
+    * an upper-bound refutation on such a range is UNSOUND. So foreign
+    * harvests (a) skip FLOAT/DOUBLE ranges entirely and (b) stamp the
+    * file with the `#x` prune-only fact: integer/string ranges stay
+    * (int stats cannot truncate; spec-compliant binary truncation only
+    * WIDENS a range, which stays prune-sound) but metadata-only MIN/MAX
+    * answers refuse over any `#x` file (ADVICE r15) — the log's
+    * "exact or absent" aggregate claim holds only for graft-written
+    * footers. */
   private def fileStats(
-      f: FileSystem, path: String, names: Seq[String]): Option[String] = {
+      f: FileSystem, path: String, names: Seq[String],
+      foreign: Boolean = false): Option[String] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -612,6 +625,7 @@ object TxStore {
         acc("#size") = NumRange(BigDecimal(in.getLength), BigDecimal(in.getLength))
         val nRows = reader.getRecordCount
         acc("#rows") = NumRange(BigDecimal(nRows), BigDecimal(nRows))
+        if (foreign) acc("#x") = NumRange(1, 1) // prune-only marker (see scaladoc)
         reader.getFooter.getBlocks.asScala.foreach { block =>
           block.getColumns.asScala.foreach { cc =>
             val parts = cc.getPath.toArray
@@ -624,6 +638,11 @@ object TxStore {
               val ann = pt.getLogicalTypeAnnotation
               val numeric =
                 Set(INT32, INT64, FLOAT, DOUBLE).contains(pt.getPrimitiveTypeName) &&
+                  // a foreign writer's FP stats may ignore NaN — under
+                  // Spark's NaN-greatest ordering that makes upper-bound
+                  // refutation unsound, so foreign FP ranges never harvest
+                  !(foreign &&
+                    Set(FLOAT, DOUBLE).contains(pt.getPrimitiveTypeName)) &&
                   (ann == null || (ann match {
                     case it: LogicalTypeAnnotation.IntLogicalTypeAnnotation => it.isSigned
                     case _ => false
@@ -1323,6 +1342,12 @@ object TxStore {
       require(k.nonEmpty, "property keys must be non-empty")
       require(!k.exists(c => c == '\t' || c == '\n') && !v.exists(c => c == '\t' || c == '\n'),
         s"property '$k' must not contain tabs or newlines")
+      // BEHAVIOR-GATING keys validate at SET time — a typo'd boolean
+      // silently disabling the append-only gate would be a data-loss
+      // hole discovered only at the first delete
+      if (k.equalsIgnoreCase("graft.appendOnly"))
+        require(v.trim.equalsIgnoreCase("true") || v.trim.equalsIgnoreCase("false"),
+          s"graft.appendOnly must be 'true' or 'false', got '$v'")
     }
     require(kv.map(p => lc(p._1)).distinct.size == kv.size,
       s"duplicate property key in ${kv.map(_._1).mkString(", ")}")
@@ -1601,6 +1626,20 @@ object TxStore {
     * version + 1, or None to abort as a no-op (e.g. compaction inputs
     * vanished). The spec is decided per attempt so a retry restates it
     * against the freshest snapshot. */
+  /** Row-mutating ops the `graft.appendOnly` table property refuses —
+    * Delta's delta.appendOnly contract: existing rows can never be
+    * deleted or updated. The gate fires only when the decided spec
+    * actually removes files or adds deletion marks, so an insert-only
+    * merge and an overwrite of an EMPTY table pass (no rows mutated),
+    * while maintenance rewrites (compact / optimize-zorder: row-
+    * preserving) and checkpoint restatements stay exempt by op name. */
+  private val AppendOnlyGated =
+    Set("overwrite", "replace-where", "delete", "update", "delete-dv", "merge")
+
+  private def isAppendOnly(snap: Snapshot): Boolean =
+    snap.properties.exists(p =>
+      p._1.equalsIgnoreCase("graft.appendOnly") && p._2.trim.equalsIgnoreCase("true"))
+
   private def commitLoop(
       spark: SparkSession, path: String, op: String, txn: Option[String] = None)(
       attempt: Snapshot => Option[CommitSpec]): Option[Commit] = {
@@ -1611,6 +1650,14 @@ object TxStore {
       attempt(snap) match {
         case None => return None
         case Some(spec) =>
+          // enforced HERE, against the freshest snapshot, so a property
+          // landing while an op staged still gates its commit
+          if (AppendOnlyGated(op) && (spec.remove.nonEmpty || spec.dv.isDefined) &&
+              isAppendOnly(snap))
+            throw new UnsupportedOperationException(
+              s"$op at $path refused: graft.appendOnly=true — existing rows cannot be " +
+                "deleted or updated (ALTER TABLE … UNSET TBLPROPERTIES ('graft.appendOnly') " +
+                "to lift)")
           val c = Commit(snap.version + 1, op, spec.add, spec.remove, txn,
             spec.schema, spec.stats, spec.dv, spec.sidecars, spec.constraints, spec.mapping,
             spec.partcols, spec.props)
@@ -2018,7 +2065,8 @@ object TxStore {
       path: String,
       writerId: String,
       batchId: Long,
-      collectStats: Boolean = true): Long = {
+      collectStats: Boolean = true,
+      partitionBy: Seq[String] = Nil): Long = {
     require(
       writerId.nonEmpty && !writerId.exists(c => c == '"' || c == '\\' || c == ':'),
       "writerId must be non-empty and free of quotes, backslashes and colons")
@@ -2033,12 +2081,24 @@ object TxStore {
         val pre = snapshot(spark, path)
         var checked = pre.constraints
         enforceConstraints(df, checked, "appendOnce", path)
+        // partitioning: inherit the table's layout (Nil), restate it, or
+        // ESTABLISH it on a creating first batch — append's exact rule
+        val effParts = resolvePartitioning(pre, partitionBy, path)
+        if (effParts.nonEmpty) {
+          val logNames =
+            if (pre.mapping.isEmpty) effParts
+            else effParts.map(p => pre.mapping.find(_._2 == p).map(_._1).getOrElse(p))
+          val missing = logNames.filterNot(n => df.columns.exists(_.equalsIgnoreCase(n)))
+          require(missing.isEmpty,
+            s"appendOnce to partitioned table $path: frame lacks partition column(s) " +
+              missing.mkString(", "))
+        }
         val mapped = // see append: logical evolution + physical staging
           if (pre.mapping.isEmpty) None
           else Some(evolveMapped(pre, df.schema, cs))
         val (files, stats) =
           stage(mapped.fold(df) { case (_, m2) => toPhysical(df, m2) }, path, collectStats,
-            partitionBy = pre.partitioning) // inherit the table's layout
+            partitionBy = effParts)
         try
           commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
             if (committed.isDefined) None
@@ -2053,10 +2113,20 @@ object TxStore {
               if (snap.partitioning != pre.partitioning)
                 throw new java.util.ConcurrentModificationException(
                   s"appendOnce at $path conflicts: table partitioning changed while staging")
+              // establishing partitioning must not race a concurrent flat
+              // fill — see append's identical check
+              if (pre.partitioning.isEmpty && effParts.nonEmpty && snap.files.nonEmpty)
+                throw new java.util.ConcurrentModificationException(
+                  s"appendOnce at $path conflicts: a concurrent append filled the table " +
+                    "while this append was establishing partitioning")
+              val pc =
+                if (effParts != snap.partitioning) Some(encodePartitioning(effParts))
+                else None
               mapped match {
                 case None =>
                   Some(CommitSpec(files, Nil,
-                    Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats))
+                    Some(encodeSchema(evolve(snap.schema, df.schema, cs))), stats,
+                    partcols = pc))
                 case Some((physSchema, m2)) =>
                   if (snap.schema != pre.schema)
                     throw new java.util.ConcurrentModificationException(
@@ -2065,7 +2135,7 @@ object TxStore {
                   val mp =
                     if (m2 != pre.mapping) Some(encodeMapping(m2, pre.retired)) else None
                   Some(CommitSpec(files, Nil, Some(encodeSchema(physSchema)), stats,
-                    mapping = mp))
+                    mapping = mp, partcols = pc))
               }
             }
           } match {
@@ -3794,6 +3864,22 @@ object TxStore {
           })
         case None => true
       }
+    // PREFIX refutation (`c LIKE 'p%'` / startsWith): truncate both
+    // range endpoints to the prefix's length — the file's values can
+    // carry prefix p iff lo[:|p|] <= p <= hi[:|p|] (the ORC/parquet
+    // rule). Sound under truncation-at-harvest too: the harvest stores
+    // exact ASCII bounds or none. Empty prefixes and non-ASCII
+    // prefixes are simply not pruned on.
+    def startsWithSat(a: Expression, b: Expression): Boolean =
+      (attr(a), value(b)) match {
+        case (Some(c), Some(scala.Right(p))) if p.nonEmpty =>
+          range(c) match {
+            case Some(StrRange(lo, hi)) =>
+              lo.take(p.length) <= p && hi.take(p.length) >= p
+            case _ => true
+          }
+        case _ => true
+      }
     // The Spark-4 Column DSL yields UnresolvedFunction("and" | ">=" |
     // …) nodes (operators resolve to functions at ANALYSIS, which a
     // driver-side predicate never goes through); an already-analyzed
@@ -3814,6 +3900,7 @@ object TxStore {
           case ("in", a +: vs) if vs.nonEmpty => inList(a, vs)
           case ("isnull", Seq(a)) => isNullSat(a)
           case ("isnotnull", Seq(a)) => isNotNullSat(a)
+          case ("startswith", Seq(a, b)) => startsWithSat(a, b)
           case _ => true
         }
       case And(l, r) => mayMatch(l, ranges, phys) && mayMatch(r, ranges, phys)
@@ -3826,6 +3913,7 @@ object TxStore {
       case In(a, vs) if vs.nonEmpty => inList(a, vs)
       case IsNull(a) => isNullSat(a)
       case IsNotNull(a) => isNotNullSat(a)
+      case StartsWith(a, b) => startsWithSat(a, b)
       case _ => true
     }
   }
@@ -4001,10 +4089,18 @@ object TxStore {
     * the SQL read path ([[SqlRead]]). */
   private[sources] def pruneSnapFiles(
       snap: Snapshot,
-      pred: org.apache.spark.sql.catalyst.expressions.Expression): (Seq[String], Seq[String]) = {
+      pred: org.apache.spark.sql.catalyst.expressions.Expression): (Seq[String], Seq[String]) =
+    pruneFileSubset(snap, pred, snap.files)
+
+  /** [[pruneSnapFiles]] over an explicit file subset — the DSv2 scan
+    * walks only the files its exact partition evaluation already kept. */
+  private[sources] def pruneFileSubset(
+      snap: Snapshot,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      files: Seq[String]): (Seq[String], Seq[String]) = {
     val phys = physByLogical(snap)
     val pranges = partitionRanges(snap)
-    snap.files.partition { f =>
+    files.partition { f =>
       mayMatch(pred, pranges(f), phys) &&
         snap.stats.get(f).forall(ranges => mayMatch(pred, ranges, phys))
     }
@@ -4175,7 +4271,7 @@ object TxStore {
       inferred.fields.map(_.copy(nullable = true)))
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"convert: partition column $c missing from the inferred schema"))
-    val stats = if (collectStats) fileStats(f, path, names) else None
+    val stats = if (collectStats) fileStats(f, path, names, foreign = true) else None
     commitLoop(spark, path, "convert") { snap =>
       if (snap.version != 0)
         throw new java.util.ConcurrentModificationException(

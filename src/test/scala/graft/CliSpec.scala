@@ -919,4 +919,29 @@ class CliSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("already a transactional table"))
   }
+
+  test("sql step: graft.appendOnly lifecycle - SET gates DELETE, UNSET lifts it") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val table = s"$dir/aotab"
+    graft.sources.TxStore.append(
+      Tables.events(spark, sf("sf0.001")).limit(200), table)
+    def run(stmt: String): Unit = {
+      Main.run(spark, Map(
+        "step" -> "sql", "data-dir" -> sf("sf0.001"), "out-dir" -> tmp(),
+        "tx" -> s"ao=$table", "sql" -> stmt))
+    }
+    run("ALTER TABLE ao SET TBLPROPERTIES ('graft.appendOnly'='true')")
+    val ex = intercept[Exception] { run("DELETE FROM ao WHERE ao.event_id = 1") }
+    assert(ex.getMessage.contains("appendOnly"),
+      s"DELETE on an append-only table must name the gate: ${ex.getMessage}")
+    assert(graft.sources.TxStore.read(spark, table).count() === 200)
+    // INSERT still lands through the same SQL surface
+    run("INSERT INTO ao SELECT * FROM ao LIMIT 5")
+    assert(graft.sources.TxStore.read(spark, table).count() === 205)
+    run("ALTER TABLE ao UNSET TBLPROPERTIES ('graft.appendOnly')")
+    run("DELETE FROM ao WHERE ao.event_id = 1")
+    assert(graft.sources.TxStore.read(spark, table)
+      .filter(col("event_id") === 1L).count() === 0)
+  }
 }

@@ -172,8 +172,9 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(ev.aggregatePushed && ev.kept.isEmpty,
       s"aggregates must answer from log facts with zero files planned: $ev")
 
-    // refusal paths stay CORRECT, just unpushed: filters, DISTINCT,
-    // group-by, unsupported funcs, and deletion marks
+    // refusal paths stay CORRECT, just unpushed: DATA-column filters,
+    // DISTINCT, unsupported funcs, and deletion marks (partition-only
+    // filters and partition GROUP BYs push — separate tests below)
     GraftScanEvents.clear(t)
     assert(v2(t).filter(col("id") >= 100L).agg(count(lit(1))).head().getLong(0) === 200L)
     assert(!GraftScanEvents.last(t).exists(_.aggregatePushed))
@@ -239,5 +240,91 @@ class GraftDataSourceSpec extends SparkSpec {
     val full = v2(t).queryExecution.optimizedPlan.stats.sizeInBytes
     val pruned = v2(t).filter(col("id") < 50L).queryExecution.optimizedPlan.stats.sizeInBytes
     assert(pruned < full, s"pruned stats $pruned must be under full $full")
+  }
+
+  test("partition filters consume exactly: filtered aggregates push, data conjuncts refuse") {
+    val t = tmpDir()
+    val df = (0 until 300).map(i => (i.toLong, i % 3)).toDF("id", "part")
+    TxStore.append(df, t, partitionBy = Seq("part"))
+    GraftScanEvents.clear(t)
+    val got = v2(t).filter(col("part") === 1)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi")).head()
+    assert(got.getLong(0) === 100L)
+    assert(got.getLong(1) === 1L && got.getLong(2) === 298L)
+    assert(GraftScanEvents.recent(t).exists(p => p.aggregatePushed && p.kept.isEmpty),
+      "a partition-filtered aggregate must answer from facts, zero files planned")
+    // the consumed filter needs no post-scan re-evaluation; rows exact
+    assert(v2(t).filter(col("part") === 1).count() === 100L)
+    assert(v2(t).filter(col("part") === 1).select(sum("id")).head().getLong(0)
+      === (0L until 300L).filter(_ % 3 == 1).sum)
+    // a data-column conjunct refuses the aggregate pushdown (stays right)
+    GraftScanEvents.clear(t)
+    assert(v2(t).filter(col("part") === 1 && col("id") >= 0L)
+      .agg(count(lit(1))).head().getLong(0) === 100L)
+    assert(!GraftScanEvents.recent(t).exists(_.aggregatePushed))
+  }
+
+  test("GROUP BY partition columns answers one row per live dir from facts") {
+    val t = tmpDir()
+    val df = (0 until 300).map(i => (i.toLong, i % 3, s"u${i % 5}"))
+      .toDF("id", "part", "user")
+    TxStore.append(df, t, partitionBy = Seq("part"))
+    GraftScanEvents.clear(t)
+    val g = v2(t).groupBy("part")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(g.toSeq === Seq((0, 100L, 0L, 297L), (1, 100L, 1L, 298L), (2, 100L, 2L, 299L)))
+    assert(GraftScanEvents.recent(t).exists(p => p.aggregatePushed && p.kept.isEmpty),
+      "GROUP BY a partition column must answer from facts, zero files planned")
+    // filtered + grouped composes: only the selected partitions' rows out
+    GraftScanEvents.clear(t)
+    val fg = v2(t).filter(col("part") >= 1).groupBy("part").agg(count(lit(1)).as("n"))
+    assert(fg.collect().map(_.getLong(1)).toSeq === Seq(100L, 100L))
+    assert(GraftScanEvents.recent(t).exists(p => p.aggregatePushed && p.kept.isEmpty))
+    // grouping by a DATA column refuses (stays right through the scan)
+    GraftScanEvents.clear(t)
+    assert(v2(t).groupBy("user").count().count() === 5)
+    assert(!GraftScanEvents.recent(t).exists(_.aggregatePushed))
+  }
+
+  test("null partition dirs: Kleene consumption semantics and NULL group keys") {
+    val t = tmpDir()
+    val df = Seq((1L, Some(1)), (2L, Some(1)), (3L, None), (4L, Some(2)))
+      .toDF("id", "part")
+    TxStore.append(df, t, partitionBy = Seq("part"))
+    // NOT(part = 1) is NULL for the null dir — SQL drops those rows
+    assert(v2(t).filter(not(col("part") === 1)).select("id")
+      .as[Long].collect().toSet === Set(4L))
+    assert(v2(t).filter(col("part").isNull).count() === 1L)
+    assert(v2(t).filter(col("part").isNotNull).count() === 3L)
+    // the NULL group surfaces from the null dir; count(part) excludes it
+    GraftScanEvents.clear(t)
+    assert(v2(t).groupBy("part").agg(count(lit(1))).count() === 3L)
+    assert(GraftScanEvents.recent(t).exists(_.aggregatePushed))
+    GraftScanEvents.clear(t)
+    assert(v2(t).agg(count(col("part"))).head().getLong(0) === 3L)
+    assert(GraftScanEvents.recent(t).exists(_.aggregatePushed))
+  }
+
+  test("prefix predicates prune files from string ranges; walk and scan agree") {
+    val t = tmpDir()
+    val df = (0 until 400).map(i => (i.toLong, f"k$i%05d")).toDF("id", "key")
+    for (c <- 0 until 4)
+      TxStore.append(
+        df.filter(col("id") >= c * 100L && col("id") < (c + 1) * 100L).repartition(1), t)
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, col("key").startsWith("k001"))
+    assert(kept.size === 1 && skipped.size === 3,
+      s"the prefix must keep exactly the covering file (kept ${kept.size})")
+    GraftScanEvents.clear(t)
+    val got = v2(t).filter(col("key").startsWith("k001"))
+    assert(got.count() === 100L)
+    assert(GraftScanEvents.last(t).exists(p => p.kept.toSet == kept.toSet),
+      "the v2 scan must skip the same prefix-refuted files")
+    // a longer prefix narrows within the file; rows stay exact
+    assert(v2(t).filter(col("key").startsWith("k0010")).count() === 10L)
+    // a prefix ABOVE every range refutes everything
+    val (_, kept2, _) = TxStore.pruneFiles(spark, t, col("key").startsWith("z"))
+    assert(kept2.isEmpty)
+    assert(v2(t).filter(col("key").startsWith("z")).count() === 0L)
   }
 }

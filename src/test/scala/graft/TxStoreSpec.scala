@@ -2521,4 +2521,82 @@ class TxStoreSpec extends SparkSpec {
       skipped.forall(_.startsWith("bucket=1/")))
     assert(TxStore.read(spark, t).count() === 40)
   }
+
+  test("graft.appendOnly refuses row mutations; appends, maintenance and insert-only pass") {
+    val t = tmpDir()
+    TxStore.append(rows(20), t)
+    // value validation at SET time — a typo'd boolean must not silently
+    // disable the gate
+    intercept[IllegalArgumentException](
+      TxStore.setTableProperties(spark, t, Seq("graft.appendOnly" -> "yes")))
+    TxStore.setTableProperties(spark, t, Seq("graft.appendOnly" -> "true"))
+    // row mutations refuse at commit staging
+    intercept[UnsupportedOperationException](
+      TxStore.delete(spark, t, col("id") < 5L))
+    intercept[UnsupportedOperationException](
+      TxStore.deleteVectored(spark, t, col("id") === 1L))
+    intercept[UnsupportedOperationException](
+      TxStore.update(spark, t, col("id") === 1L,
+        Map("payload" -> org.apache.spark.sql.functions.lit("x"))))
+    intercept[UnsupportedOperationException](
+      TxStore.overwrite(rows(3), t))
+    intercept[UnsupportedOperationException](
+      TxStore.merge(spark, t, rows(5), Seq("id")))
+    assert(TxStore.read(spark, t).count() === 20, "nothing may have mutated")
+    // appends (plain + exactly-once) still land
+    TxStore.append(rows(5, from = 20), t)
+    TxStore.appendOnce(rows(5, from = 25), t, "ao", 1L)
+    assert(TxStore.read(spark, t).count() === 30)
+    // an insert-only merge removes nothing - it passes (the Delta rule:
+    // the gate fires on removed files / DV marks, not the op label)
+    TxStore.merge(spark, t, rows(5, from = 100), Seq("id"))
+    assert(TxStore.read(spark, t).count() === 35)
+    // maintenance rewrites are row-preserving - compaction passes
+    assert(TxStore.compact(spark, t).nonEmpty)
+    assert(TxStore.read(spark, t).count() === 35)
+    // UNSET lifts the gate
+    TxStore.unsetTableProperties(spark, t, Seq("graft.appendOnly"))
+    TxStore.delete(spark, t, col("id") >= 100L)
+    assert(TxStore.read(spark, t).count() === 30)
+  }
+
+  test("convert-adopted stats are prune-only: no FP ranges, #x marks, MIN/MAX refuses") {
+    val t = tmpDir() + "/foreign-estate"
+    (0 until 100).map(i => (i.toLong, i * 1.5, f"v$i%03d"))
+      .toDF("id", "score", "key")
+      .repartitionByRange(4, col("id")).write.parquet(t)
+    assert(TxStore.convert(spark, t) === 1L)
+    val snap = TxStore.snapshot(spark, t)
+    // every adopted file carries the prune-only marker and NO FP range
+    assert(snap.files.forall(f => snap.stats.get(f).exists(_.contains("#x"))))
+    assert(snap.files.forall(f => !snap.stats(f).contains("score")),
+      "foreign double ranges must not harvest (NaN-ignoring writers)")
+    // integer ranges still prune (cannot truncate, cannot hide NaN)
+    val (_, kept, skipped) = TxStore.pruneFiles(spark, t, col("id") <= 5L)
+    assert(kept.nonEmpty && skipped.nonEmpty)
+    // metadata-only COUNT still answers from facts; MIN/MAX refuses to
+    // the ordinary scan (and stays CORRECT either way)
+    import graft.sources.GraftScanEvents
+    GraftScanEvents.clear(t)
+    assert(spark.read.format("graft").load(t)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).head().getLong(0) === 100L)
+    assert(GraftScanEvents.recent(t).exists(_.aggregatePushed),
+      "COUNT(*) rides #rows facts regardless of stats origin")
+    GraftScanEvents.clear(t)
+    val mm = spark.read.format("graft").load(t)
+      .agg(org.apache.spark.sql.functions.min("id"),
+        org.apache.spark.sql.functions.max("key")).head()
+    assert(mm.getLong(0) === 0L && mm.getString(1) === "v099")
+    assert(!GraftScanEvents.recent(t).exists(_.aggregatePushed),
+      "MIN/MAX over foreign footers must refuse the metadata answer")
+    // graft-written files NEXT TO adopted ones: a later append harvests
+    // exact stats, but any #x file in the set still refuses MIN/MAX
+    TxStore.append((100 until 120).map(i => (i.toLong, i * 1.5, f"v$i%03d"))
+      .toDF("id", "score", "key"), t)
+    GraftScanEvents.clear(t)
+    assert(spark.read.format("graft").load(t)
+      .agg(org.apache.spark.sql.functions.max("id")).head().getLong(0) === 119L)
+    assert(!GraftScanEvents.recent(t).exists(_.aggregatePushed))
+  }
 }
