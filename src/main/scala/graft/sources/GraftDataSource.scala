@@ -186,7 +186,8 @@ final class GraftTable(
     val path: String,
     val snap: TxStore.Snapshot,
     val exists: Boolean = true,
-    val mergeSchema: Boolean = false) extends Table with SupportsRead with SupportsWrite {
+    val mergeSchema: Boolean = false) extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private[sources] val logical: StructType =
     TxStore.logicalSchema(snap).getOrElse {
@@ -237,6 +238,20 @@ final class GraftTable(
       TableCapability.OVERWRITE_BY_FILTER)
     if (!exists || mergeSchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA): Unit
     caps
+  }
+
+  /** HIDDEN metadata columns (Iceberg's `_file`, Delta's
+    * `_metadata.file_path` re-derived on the log): `_file` is the data
+    * file's table-relative path, `_commit_version` the commit that
+    * (re-)added it in the retained log (checkpoints restate adds, so
+    * truncated history reports the checkpoint) — both are PER-FILE
+    * CONSTANTS synthesized at planning time from log metadata and
+    * appended through the partition-value channel, zero extra IO at any
+    * table size. Resolved only when referenced by name; a (pathological)
+    * table column with the same name shadows the metadata column. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val taken = logical.fieldNames.map(n => n.toLowerCase(Locale.ROOT)).toSet
+    GraftMetaColumns.all.filterNot(c => taken(c.name.toLowerCase(Locale.ROOT)))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -330,6 +345,23 @@ final class GraftScanBuilder(table: GraftTable)
   }
 
   override def build(): Scan = new GraftScan(table, required, pushed, consumed, pushedAgg)
+}
+
+/** The table's hidden metadata columns (see
+  * [[GraftTable.metadataColumns]]). */
+private[sources] object GraftMetaColumns {
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+  final case class Col(name: String, dataType: DataType, override val comment: String)
+    extends MetadataColumn {
+    override def isNullable: Boolean = false
+  }
+  val File: Col = Col("_file", StringType,
+    "table-relative path of the data file the row lives in")
+  val CommitVersion: Col = Col("_commit_version",
+    org.apache.spark.sql.types.LongType,
+    "commit that (re-)added the row's file in the retained log")
+  val all: Array[MetadataColumn] = Array(File, CommitVersion)
+  val names: Set[String] = Set(File.name, CommitVersion.name)
 }
 
 /** Exact per-file evaluation of v1 filters against hive PARTITION path
@@ -714,17 +746,36 @@ final class GraftScan(
     partPhysSet(lc(physName(logicalName)))
 
   // requested columns split data-first, partition-last (the layout the
-  // parquet factory emits); physical names face the files
-  private val readPartitionSchemaL = StructType(required.fields.filter(f => isPartition(f.name)))
-  private val readDataSchemaL = StructType(required.fields.filterNot(f => isPartition(f.name)))
+  // parquet factory emits); physical names face the files. HIDDEN
+  // metadata columns (requested by name only) ride the partition-value
+  // channel: per-file constants appended after the real partition
+  // columns, synthesized from log metadata at planning time.
+  private def isMeta(n: String): Boolean =
+    GraftMetaColumns.names.exists(_.equalsIgnoreCase(n)) &&
+      !table.logical.fieldNames.exists(_.equalsIgnoreCase(n))
+  private val readMetaSchema = StructType(required.fields.filter(f => isMeta(f.name)))
+  private val readPartitionSchemaL =
+    StructType(required.fields.filter(f => !isMeta(f.name) && isPartition(f.name)))
+  private val readDataSchemaL =
+    StructType(required.fields.filterNot(f => isMeta(f.name) || isPartition(f.name)))
+  private val emittedPartSchema =
+    StructType(readPartitionSchemaL.fields ++ readMetaSchema.fields)
   private val readDataSchemaP =
     StructType(readDataSchemaL.fields.map(f => f.copy(name = physName(f.name))))
   private val dataSchemaP = StructType(table.logical.fields
     .filterNot(f => isPartition(f.name)).map(f => f.copy(name = physName(f.name))))
 
+  /** The commit that (re-)added each live file, for `_commit_version` —
+    * one retained-log walk, file-name scale, computed only when the
+    * column is actually requested. */
+  private lazy val addVersion: Map[String, Long] =
+    TxStore.history(spark, path).filter(_.version <= snap.version)
+      .flatMap(c => c.add.map(_ -> c.version)).toMap
+
   override def readSchema(): StructType = pushedAgg match {
     case Some((aggSchema, _)) => aggSchema
-    case None => StructType(readDataSchemaL.fields ++ readPartitionSchemaL.fields)
+    case None => StructType(
+      readDataSchemaL.fields ++ readPartitionSchemaL.fields ++ readMetaSchema.fields)
   }
 
   override def toBatch: Batch = this
@@ -817,7 +868,7 @@ final class GraftScan(
     * NULL rather than failing the scan (values are Spark-written, so
     * this is purely defensive). */
   private def partitionValuesOf(rel: String): InternalRow =
-    if (readPartitionSchemaL.isEmpty) InternalRow.empty
+    if (emittedPartSchema.isEmpty) InternalRow.empty
     else {
       val byName: Map[String, String] = rel.split('/').dropRight(1).toSeq.flatMap { seg =>
         val i = seg.indexOf('=')
@@ -830,7 +881,12 @@ final class GraftScan(
           case Some(raw) => castPartitionValue(raw, f.dataType)
         }
       }
-      new GenericInternalRow(values)
+      val meta: Array[Any] = readMetaSchema.fields.map { f =>
+        if (f.name.equalsIgnoreCase(GraftMetaColumns.File.name))
+          UTF8String.fromString(rel): Any
+        else java.lang.Long.valueOf(addVersion.getOrElse(rel, snap.version)): Any
+      }
+      new GenericInternalRow(values ++ meta)
     }
 
   private def castPartitionValue(raw: String, dt: DataType): Any =
@@ -848,7 +904,7 @@ final class GraftScan(
     if (pushedAgg.isDefined) GraftAggReaderFactory()
     else if (!hasDv)
       DsvBridge.parquetReaderFactory(spark, dataSchemaP, readDataSchemaP,
-        readPartitionSchemaL, GraftFilters.forParquet(pushedV1, physName,
+        emittedPartSchema, GraftFilters.forParquet(pushedV1, physName,
           dataSchemaP.fieldNames.map(lc).toSet))
     else {
       // restrict marks to live files and project keys to bare leaves
@@ -862,7 +918,7 @@ final class GraftScan(
         TxStore.leafOf(f) -> dirs.map(d => TxStore.sidecarPath(path, d).toString)
       }
       DsvBridge.dvReaderFactory(spark, dataSchemaP, readDataSchemaP,
-        readPartitionSchemaL, inline, sidecars)
+        emittedPartSchema, inline, sidecars)
     }
 
   /** Size/row estimates from the log's `#size`/`#rows` facts over the

@@ -588,7 +588,7 @@ object TxStore {
     * footers. */
   private def fileStats(
       f: FileSystem, path: String, names: Seq[String],
-      foreign: Boolean = false): Option[String] = {
+      foreign: Boolean = false, nullCounts: Boolean = true): Option[String] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -700,7 +700,7 @@ object TxStore {
           }
         }
       } finally reader.close()
-      nullAcc.foreach { case (c, n) =>
+      if (nullCounts) nullAcc.foreach { case (c, n) =>
         if (!nullUnknown(c) && !c.contains('#')) acc(c + "#n") = NumRange(n, n)
       }
       name -> acc.toMap
@@ -1345,9 +1345,10 @@ object TxStore {
       // BEHAVIOR-GATING keys validate at SET time — a typo'd boolean
       // silently disabling the append-only gate would be a data-loss
       // hole discovered only at the first delete
-      if (k.equalsIgnoreCase("graft.appendOnly"))
+      if (k.equalsIgnoreCase("graft.appendOnly") ||
+          k.equalsIgnoreCase("graft.stats.nullCounts"))
         require(v.trim.equalsIgnoreCase("true") || v.trim.equalsIgnoreCase("false"),
-          s"graft.appendOnly must be 'true' or 'false', got '$v'")
+          s"$k must be 'true' or 'false', got '$v'")
     }
     require(kv.map(p => lc(p._1)).distinct.size == kv.size,
       s"duplicate property key in ${kv.map(_._1).mkString(", ")}")
@@ -1515,9 +1516,21 @@ object TxStore {
     * files are invisible until a commit lists them. */
   /** Stage the frame's partitions as immutable data files and harvest
     * their footer stats — (names, stats payload for the commit). */
+  /** Should staging harvest per-column NULL facts? On unless the table
+    * opts out with `graft.stats.nullCounts=false` (the EXT74 bounding
+    * knob — the harvest rides the footer walk the commit already pays,
+    * but commit-heavy micro-batch workloads may trade the IS [NOT] NULL
+    * pruning and COUNT(col) pushdown those facts power for leaner
+    * commits; absent facts are always SOUND — they just prune nothing
+    * and refuse the metadata answer). */
+  private def harvestNullCounts(snap: Snapshot): Boolean =
+    !snap.properties.exists(p => p._1.equalsIgnoreCase("graft.stats.nullCounts") &&
+      p._2.trim.equalsIgnoreCase("false"))
+
   private def stage(
       df: DataFrame, path: String, collectStats: Boolean = true,
-      partitionBy: Seq[String] = Nil): (Seq[String], Option[String]) = {
+      partitionBy: Seq[String] = Nil,
+      nullCounts: Boolean = true): (Seq[String], Option[String]) = {
     val tmp = s"$path/$DataDir/_stage-${UUID.randomUUID()}"
     val writer = df.write.mode("error")
     (if (partitionBy.isEmpty) writer else writer.partitionBy(partitionBy: _*)).parquet(tmp)
@@ -1545,7 +1558,7 @@ object TxStore {
       name
     }
     f.delete(tmpPath, true)
-    (named, if (collectStats) fileStats(f, path, named) else None)
+    (named, if (collectStats) fileStats(f, path, named, nullCounts = nullCounts) else None)
   }
 
   /** Try to own version `v`; true iff this writer published the commit
@@ -1733,7 +1746,7 @@ object TxStore {
       else Some(evolveMapped(pre, df.schema, cs))
     val (files, stats) =
       stage(mapped.fold(df) { case (_, m2) => toPhysical(df, m2) }, path, collectStats,
-        partitionBy = effParts)
+        partitionBy = effParts, nullCounts = harvestNullCounts(pre))
     val f = fs(df.sparkSession, path)
     try
       commitLoop(df.sparkSession, path, "append") { snap =>
@@ -1799,7 +1812,8 @@ object TxStore {
     // an overwrite REPLACES the table, so the replacement's layout is
     // exactly `partitionBy` (default flat) — like the mapping reset, a
     // previously-partitioned table may legitimately go flat here
-    val (files, stats) = stage(df, path, partitionBy = partitionBy)
+    val (files, stats) =
+      stage(df, path, partitionBy = partitionBy, nullCounts = harvestNullCounts(base))
     val f = fs(df.sparkSession, path)
     try {
       commitLoop(df.sparkSession, path, "overwrite") { snap =>
@@ -2098,7 +2112,7 @@ object TxStore {
           else Some(evolveMapped(pre, df.schema, cs))
         val (files, stats) =
           stage(mapped.fold(df) { case (_, m2) => toPhysical(df, m2) }, path, collectStats,
-            partitionBy = effParts)
+            partitionBy = effParts, nullCounts = harvestNullCounts(pre))
         try
           commitLoop(spark, path, "append", txn = Some(stamp)) { snap =>
             if (committed.isDefined) None

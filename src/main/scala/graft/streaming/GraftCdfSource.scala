@@ -35,7 +35,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 class GraftCdfSource(
     spark: SparkSession,
     path: String,
-    startingVersion: Long) extends Source {
+    startingVersion: Long) extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
   override val schema: StructType = GraftCdfSource.cdfSchema(spark, path)
 
@@ -51,6 +54,26 @@ class GraftCdfSource(
     // would re-decode every retained commit's payloads per trigger
     val latest = TxStore.latestVersion(spark, path)
     if (latest <= startingVersion) None else Some(LongOffset(latest))
+  }
+
+  // ── Trigger.AvailableNow, FIRST-CLASS (the Delta DeltaSource shape:
+  // a v1 Source mixing in the connector admission-control interfaces):
+  // `prepareForTriggerAvailableNow` PINS the latest version when the
+  // run begins, `latestOffset` never answers past the pin, and the
+  // engine drains to exactly that point and terminates — commits
+  // landing DURING the drain wait for the next run, and the engine's
+  // single-batch fallback (which logs an at-least-once caveat for
+  // uncommitted batches) never engages.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(TxStore.latestVersion(spark, path))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latest = availableNowCap.getOrElse(TxStore.latestVersion(spark, path))
+    if (latest <= startingVersion) null else LongOffset(latest)
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {

@@ -105,4 +105,22 @@ class GraftCdfSourceSpec extends SparkSpec {
       TxStore.read(spark, src).columns.toSeq)
     assert(df.isStreaming)
   }
+
+  test("AvailableNow pins the latest version at run start; later commits wait") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val src = tmp("src5")
+    TxStore.append(ev.limit(5), src) // v1
+    val source = new graft.streaming.GraftCdfSource(spark, src, 0L)
+    source.prepareForTriggerAvailableNow()
+    TxStore.append(ev.limit(3), src) // v2 lands AFTER the pin
+    assert(source.latestOffset(null, ReadLimit.allAvailable()) === LongOffset(1L),
+      "the pinned run must never answer past the version at prepare time")
+    // without a pin the admission-control path tracks the live table
+    val live = new graft.streaming.GraftCdfSource(spark, src, 0L)
+    assert(live.latestOffset(null, ReadLimit.allAvailable()) === LongOffset(2L))
+    // a startingVersion at-or-past the latest answers no offset at all
+    val drained = new graft.streaming.GraftCdfSource(spark, src, 2L)
+    assert(drained.latestOffset(null, ReadLimit.allAvailable()) === null)
+  }
 }

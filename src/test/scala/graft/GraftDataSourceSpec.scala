@@ -306,6 +306,29 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(GraftScanEvents.recent(t).exists(_.aggregatePushed))
   }
 
+  test("metadata columns _file and _commit_version answer from the log") {
+    val t = tmpDir()
+    TxStore.append(rows(10).repartition(1), t) // v1
+    TxStore.append(rows(5, from = 10).repartition(1), t) // v2
+    // hidden: a bare read does not surface them …
+    assert(!v2(t).columns.contains("_file"))
+    // … but a by-name reference resolves, per-file constants from log
+    // metadata (zero extra IO)
+    val got = v2(t).select(col("id"), col("_file"), col("_commit_version")).collect()
+    assert(got.forall(_.getString(1).endsWith(".parquet")))
+    val versionById = got.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((0L until 10L).forall(versionById(_) === 1L))
+    assert((10L until 15L).forall(versionById(_) === 2L))
+    assert(got.map(_.getString(1)).distinct.sorted.toSeq ===
+      TxStore.snapshot(spark, t).files.sorted)
+    // composes with hive partitions (meta rides AFTER partition values)
+    val tp = tmpDir()
+    TxStore.append((0 until 20).map(i => (i.toLong, i % 2)).toDF("id", "part"),
+      tp, partitionBy = Seq("part"))
+    val rows2 = v2(tp).select(col("part"), col("_file")).collect()
+    assert(rows2.forall(r => r.getString(1).startsWith(s"part=${r.getInt(0)}/")))
+  }
+
   test("prefix predicates prune files from string ranges; walk and scan agree") {
     val t = tmpDir()
     val df = (0 until 400).map(i => (i.toLong, f"k$i%05d")).toDF("id", "key")

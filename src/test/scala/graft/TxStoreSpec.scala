@@ -2599,4 +2599,36 @@ class TxStoreSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.max("id")).head().getLong(0) === 119L)
     assert(!GraftScanEvents.recent(t).exists(_.aggregatePushed))
   }
+
+  test("graft.stats.nullCounts=false bounds the EXT74 harvest; absent facts stay sound") {
+    val t = tmpDir()
+    TxStore.append(rows(1), t)
+    TxStore.setTableProperties(spark, t, Seq("graft.stats.nullCounts" -> "false"))
+    TxStore.append(rows(20, from = 100).repartition(1), t)
+    val snap = TxStore.snapshot(spark, t)
+    val newest = TxStore.history(spark, t).last.add
+    // the opted-out append harvested ranges and file facts but NO null facts
+    assert(newest.nonEmpty)
+    assert(newest.forall(f => snap.stats.get(f).exists(_.contains("#rows"))))
+    assert(newest.forall(f => !snap.stats(f).keys.exists(_.endsWith("#n"))),
+      "null facts must not harvest under graft.stats.nullCounts=false")
+    // soundness: IS NULL pruning keeps the fact-less files; reads stay exact
+    assert(TxStore.readWhere(spark, t, col("payload").isNotNull).count() === 21)
+    // metadata COUNT(col) refuses (a missing fact refuses, never miscounts)
+    import graft.sources.GraftScanEvents
+    GraftScanEvents.clear(t)
+    assert(spark.read.format("graft").load(t)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.col("payload"))).head().getLong(0) === 21L)
+    assert(!GraftScanEvents.recent(t).exists(_.aggregatePushed))
+    // lifting the property resumes the harvest
+    TxStore.unsetTableProperties(spark, t, Seq("graft.stats.nullCounts"))
+    TxStore.append(rows(3, from = 200).repartition(1), t)
+    val snap2 = TxStore.snapshot(spark, t)
+    val resumed = TxStore.history(spark, t).last.add
+    assert(resumed.forall(f => snap2.stats(f).keys.exists(_.endsWith("#n"))))
+    // value validation at SET time
+    intercept[IllegalArgumentException](
+      TxStore.setTableProperties(spark, t, Seq("graft.stats.nullCounts" -> "off")))
+  }
 }
