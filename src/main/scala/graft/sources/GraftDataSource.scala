@@ -77,8 +77,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     if (!TxStore.isTable(spark, path)) {
       // a WRITE may CREATE the table here (df.write.format("graft") on
       // a fresh path — the first commit establishes it, exactly like a
-      // creating TxStore.append); reads refuse at scan build with the
-      // original message, and time travel over nothing is meaningless
+      // creating TxStore.append); time travel over nothing is
+      // meaningless. KNOWN TRADEOFF: a mistyped READ path no longer
+      // fails at load() — schema-only uses see a zero-column CREATABLE
+      // relation (name() says so) and the "not a transactional table"
+      // error surfaces at scan build; the cost of supporting creation
+      // through a path-based TableProvider, which cannot tell a read
+      // from a write at resolution time.
       require(version.isEmpty, s"graft: not a transactional table: $path")
       return new GraftTable(spark, path, TxStore.snapshot(spark, path), exists = false)
     }
@@ -202,7 +207,9 @@ final class GraftTable(
   private[sources] val partitionLogical: Seq[String] =
     snap.partitioning.map(p => logicalByPhys.getOrElse(lc(p), p))
 
-  override def name(): String = s"graft.`$path` @v${snap.version}"
+  override def name(): String =
+    if (exists) s"graft.`$path` @v${snap.version}"
+    else s"graft.`$path` (CREATABLE — not yet a table)"
 
   override def schema(): StructType = logical
 
@@ -285,8 +292,14 @@ final class GraftScanBuilder(table: GraftTable)
     * still evaluate exactly once above the scan. The log walk prunes on
     * every translatable filter either way, and translatable filters
     * also reach the parquet reader for row-group pruning. */
+  // one memoizing evaluator per scan build — partition verdicts are
+  // per-directory, paid once across consumability, the aggregate walk
+  // and the scan's kept set
+  private val partitionEval = new GraftPartitionEval.Evaluator(table)
+  private lazy val exactKeptFiles: Seq[String] = partitionEval.keptFiles(consumed)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (c, post) = filters.partition(f => GraftPartitionEval.consumable(table, f))
+    val (c, post) = filters.partition(partitionEval.consumable)
     consumed = c
     postScan = post
     pushed = filters.filter(f => GraftFilters.toCatalyst(f).isDefined)
@@ -338,13 +351,13 @@ final class GraftScanBuilder(table: GraftTable)
       lastAgg = agg
       lastResult =
         if (postScan.nonEmpty) None // an unconsumed filter would re-evaluate over 1 row
-        else GraftAggregates.compute(
-          table.spark, table, agg, GraftPartitionEval.keptFiles(table, consumed))
+        else GraftAggregates.compute(table.spark, table, agg, exactKeptFiles)
     }
     lastResult
   }
 
-  override def build(): Scan = new GraftScan(table, required, pushed, consumed, pushedAgg)
+  override def build(): Scan =
+    new GraftScan(table, required, pushed, exactKeptFiles, pushedAgg)
 }
 
 /** The table's hidden metadata columns (see
@@ -394,11 +407,14 @@ private[sources] object GraftPartitionEval {
   /** The typed JVM value of a raw path segment under the LOGICAL field
     * type — None when the type is outside the exactly-comparable set
     * (timestamps and dates stay out: timezone/calendar parsing is not
-    * worth an exactness bug). */
+    * worth an exactness bug; NON-ASCII strings stay out too — Java
+    * String ordering is UTF-16 code-unit order while Spark orders by
+    * UTF-8 binary, and a consumed filter's verdict is never
+    * re-checked, so the orders must provably agree). */
   private def typed(raw: String, dt: DataType): Option[Any] = {
     import org.apache.spark.sql.types._
     dt match {
-      case StringType => Some(raw)
+      case StringType => if (raw.forall(_ < 128)) Some(raw) else None
       case LongType | IntegerType | ShortType | ByteType =>
         scala.util.Try(java.lang.Long.valueOf(raw.trim)).toOption
       case DoubleType | FloatType =>
@@ -417,18 +433,57 @@ private[sources] object GraftPartitionEval {
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: java.lang.Number, y: java.lang.Number) =>
       scala.util.Try(BigDecimal(x.toString).compare(BigDecimal(y.toString))).toOption
-    case (x: String, y: String) => Some(x.compareTo(y))
+    // both sides must be pure ASCII, where UTF-16 and UTF-8 binary
+    // orders agree (the file side is guarded in typed(); the FILTER
+    // value arrives from the query and must be checked here)
+    case (x: String, y: String) if x.forall(_ < 128) && y.forall(_ < 128) =>
+      Some(x.compareTo(y))
     case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
     case _ => None
   }
 
-  /** Kleene evaluation of `f` for every row of file `rel`. Outer None =
-    * undecidable; inner None = SQL NULL (filters drop the row). */
-  def eval(table: GraftTable, rel: String, f: Filter): Option[Option[Boolean]] = {
+  /** Per-query memoizing wrapper: partition values are constant per
+    * DIRECTORY, so verdicts memoize per (dir, filter) — a 100k-file
+    * plan with 3 conjuncts does O(dirs × filters) evaluations, not
+    * O(files × filters), and each dir's path parses once (the
+    * partitionRanges memoization discipline). One instance per scan
+    * build; single-threaded planning state. */
+  final class Evaluator(table: GraftTable) {
+    private val dirValues =
+      scala.collection.mutable.HashMap.empty[String, Map[String, Option[String]]]
+    private val verdicts =
+      scala.collection.mutable.HashMap.empty[(String, Filter), Option[Option[Boolean]]]
+    private def dirOf(rel: String): String = {
+      val cut = rel.lastIndexOf('/')
+      if (cut < 0) "" else rel.substring(0, cut + 1)
+    }
+    def eval(rel: String, f: Filter): Option[Option[Boolean]] = {
+      val dir = dirOf(rel)
+      verdicts.getOrElseUpdate((dir, f),
+        evalValues(table, dirValues.getOrElseUpdate(dir, rawValues(rel)), f))
+    }
+    /** May the scan consume `f` (drop its post-scan re-evaluation)?
+      * Yes iff every live file gets a definite verdict. */
+    def consumable(f: Filter): Boolean =
+      table.snap.files.forall(rel => eval(rel, f).isDefined)
+    /** The files whose every row satisfies ALL consumed filters —
+      * exact, because each filter evaluated definitely per file. */
+    def keptFiles(consumed: Array[Filter]): Seq[String] =
+      if (consumed.isEmpty) table.snap.files
+      else table.snap.files.filter(rel =>
+        consumed.forall(f => eval(rel, f).exists(_.contains(true))))
+  }
+
+  /** Kleene evaluation of `f` against ONE directory's partition values.
+    * Outer None = undecidable; inner None = SQL NULL (filters drop the
+    * row). */
+  private def evalValues(
+      table: GraftTable,
+      raws: Map[String, Option[String]],
+      f: Filter): Option[Option[Boolean]] = {
     val snap = table.snap
     val partPhys = snap.partitioning.map(lc).toSet
     val physFor = snap.mapping.map { case (l, p) => lc(l) -> p }.toMap
-    lazy val raws = rawValues(rel)
     // logical attr name → Some(value) iff it IS a partition column with
     // an exactly-typed value; the value itself is Option (null dir)
     def lookup(a: String): Option[Option[Any]] = {
@@ -490,9 +545,11 @@ private[sources] object GraftPartitionEval {
       case sources.StringStartsWith(a, v) => strTest(lookup(a), v)(_.startsWith(_))
       case sources.StringEndsWith(a, v) => strTest(lookup(a), v)(_.endsWith(_))
       case sources.StringContains(a, v) => strTest(lookup(a), v)(_.contains(_))
-      case sources.And(l, r) => kleeneAnd(eval(table, rel, l), eval(table, rel, r))
-      case sources.Or(l, r) => kleeneOr(eval(table, rel, l), eval(table, rel, r))
-      case sources.Not(x) => eval(table, rel, x).map(_.map(!_))
+      case sources.And(l, r) =>
+        kleeneAnd(evalValues(table, raws, l), evalValues(table, raws, r))
+      case sources.Or(l, r) =>
+        kleeneOr(evalValues(table, raws, l), evalValues(table, raws, r))
+      case sources.Not(x) => evalValues(table, raws, x).map(_.map(!_))
       case _: sources.AlwaysTrue => Some(Some(true))
       case _: sources.AlwaysFalse => Some(Some(false))
       case _ => None
@@ -507,18 +564,6 @@ private[sources] object GraftPartitionEval {
       case Some(x: String) => Some(Some(op(x, v)))
       case _ => None
     }
-
-  /** May the scan consume `f` (drop its post-scan re-evaluation)? Yes
-    * iff every live file gets a definite verdict. */
-  def consumable(table: GraftTable, f: Filter): Boolean =
-    table.snap.files.forall(rel => eval(table, rel, f).isDefined)
-
-  /** The files whose every row satisfies ALL consumed filters — exact,
-    * because each filter evaluated definitely per file. */
-  def keptFiles(table: GraftTable, consumed: Array[Filter]): Seq[String] =
-    if (consumed.isEmpty) table.snap.files
-    else table.snap.files.filter(rel =>
-      consumed.forall(f => eval(table, rel, f).exists(_.contains(true))))
 
   /** Raw path segment → catalyst value of `dt` — LEGACY cast semantics
     * (a malformed segment reads NULL rather than failing the scan). */
@@ -705,7 +750,7 @@ private[sources] object GraftAggregates {
       else kept.groupBy { f =>
         val raws = GraftPartitionEval.rawValues(f)
         groupCols.map(n => raws.getOrElse(lc(physName(n)), None))
-      }.toSeq.sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+      }.toSeq.sortBy(_._1.map(_.getOrElse("\u0000")).mkString("\u0001"))
 
     val schema0 = groupCols.foldLeft(new StructType())(
       (st, n) => st.add(n, fieldType(n), nullable = true))
@@ -729,7 +774,10 @@ final class GraftScan(
     table: GraftTable,
     required: StructType,
     pushedV1: Array[Filter],
-    consumed: Array[Filter] = Array.empty,
+    /** The files the builder's CONSUMED partition filters kept — exact
+      * (no post-scan re-evaluation happens for those filters; see
+      * [[GraftScanBuilder.pushFilters]]). All live files when none. */
+    exactKept: Seq[String],
     pushedAgg: Option[(StructType, Seq[Array[Any]])] = None)
   extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -819,11 +867,6 @@ final class GraftScan(
     }
     runtimeCatalyst = filters.flatMap(GraftFilters.toCatalyst).toSeq
   }
-
-  // the files the CONSUMED partition filters kept — exact (no post-scan
-  // re-evaluation happens for these; see GraftScanBuilder.pushFilters)
-  private lazy val exactKept: Seq[String] =
-    GraftPartitionEval.keptFiles(table, consumed)
 
   private def prunedFiles(preds: Seq[Expression]): (Seq[String], Seq[String]) =
     if (runtimeEmptyIn) (Nil, snap.files)
@@ -996,6 +1039,10 @@ object GraftScanEvents {
   private[sources] def record(path: String, e: Planned): Unit = {
     events.synchronized {
       if (!events.contains(path)) {
+        // re-insertion after a clear(): drop the stale queue entry first,
+        // or the queue grows per clear+record cycle and eviction polls a
+        // RECENT path's stale slot ahead of genuinely older paths
+        order.remove(path)
         order.add(path)
         while (events.size >= MaxPaths) {
           val victim = order.poll()
@@ -1016,8 +1063,11 @@ object GraftScanEvents {
     events.getOrElse(path, events.collectFirst {
       case (k, v) if norm(k) == norm(path) => v
     }.getOrElse(Nil))
-  def clear(path: String): Unit = {
-    events.keys.filter(k => norm(k) == norm(path)).foreach(events.remove)
+  def clear(path: String): Unit = events.synchronized {
+    events.keys.filter(k => norm(k) == norm(path)).foreach { k =>
+      events.remove(k)
+      order.remove(k): Unit
+    }
   }
 }
 

@@ -93,10 +93,22 @@ private[sources] object GraftWrites {
     val replaceWhere = opt("replaceWhere")
     val txn = (opt("txnAppId"), opt("txnVersion"))
 
+    // a region-scoped replacement can never RE-LAYOUT the table — a
+    // partitionBy option alongside replaceWhere must be absent or
+    // restate the current layout (the append branch's strict rule;
+    // silently ignoring it would let a user believe they re-laid-out)
+    def requireNoRelayout(): Unit = partitionByOpt.foreach { req =>
+      val cur = table.partitionLogical
+      require(req.map(_.toLowerCase) == cur.map(_.toLowerCase),
+        s"graft: replaceWhere cannot re-layout — partitionBy (${req.mkString(", ")}) " +
+          s"must be absent or restate the table's layout (${cur.mkString(", ")})")
+    }
+
     overwriteBy match {
       case Some(filters) =>
         require(replaceWhere.isEmpty,
           "graft: give either overwrite filters or option replaceWhere, not both")
+        requireNoRelayout()
         // EXACT translation or refuse loudly — a replaceWhere region
         // must be the filter's precise meaning (the pruning-sound
         // partial translation the scan uses is NOT acceptable here)
@@ -104,6 +116,7 @@ private[sources] object GraftWrites {
       case None if truncateAll =>
         replaceWhere match {
           case Some(cond) =>
+            requireNoRelayout()
             TxStore.replaceWhere(data, path, expr(cond)): Unit
           case None =>
             // layout preserved unless explicitly restated — overwrite

@@ -1641,13 +1641,18 @@ object TxStore {
     * against the freshest snapshot. */
   /** Row-mutating ops the `graft.appendOnly` table property refuses —
     * Delta's delta.appendOnly contract: existing rows can never be
-    * deleted or updated. The gate fires only when the decided spec
-    * actually removes files or adds deletion marks, so an insert-only
-    * merge and an overwrite of an EMPTY table pass (no rows mutated),
-    * while maintenance rewrites (compact / optimize-zorder: row-
-    * preserving) and checkpoint restatements stay exempt by op name. */
+    * deleted or updated. The gate fires when the decided spec removes
+    * files or adds deletion marks — and for "delete-dv"
+    * UNCONDITIONALLY, because a bulk delete's marks travel in SIDECARS
+    * (spec.dv empty, spec.remove empty) and would otherwise slip the
+    * content test. RESTORE is gated too: a rewind removes every file
+    * appended after the target — recovery on an append-only table is
+    * the explicit two-step UNSET-then-restore. Insert-only merges and
+    * an overwrite of an EMPTY table pass (no rows mutated); maintenance
+    * rewrites (compact / optimize-zorder: row-preserving) and
+    * checkpoint restatements stay exempt by op name. */
   private val AppendOnlyGated =
-    Set("overwrite", "replace-where", "delete", "update", "delete-dv", "merge")
+    Set("overwrite", "replace-where", "delete", "update", "delete-dv", "merge", "restore")
 
   private def isAppendOnly(snap: Snapshot): Boolean =
     snap.properties.exists(p =>
@@ -1665,7 +1670,8 @@ object TxStore {
         case Some(spec) =>
           // enforced HERE, against the freshest snapshot, so a property
           // landing while an op staged still gates its commit
-          if (AppendOnlyGated(op) && (spec.remove.nonEmpty || spec.dv.isDefined) &&
+          if (AppendOnlyGated(op) &&
+              (spec.remove.nonEmpty || spec.dv.isDefined || op == "delete-dv") &&
               isAppendOnly(snap))
             throw new UnsupportedOperationException(
               s"$op at $path refused: graft.appendOnly=true — existing rows cannot be " +

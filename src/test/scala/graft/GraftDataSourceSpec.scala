@@ -329,6 +329,33 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(rows2.forall(r => r.getString(1).startsWith(s"part=${r.getInt(0)}/")))
   }
 
+  test("string partition consumption is ASCII-guarded: non-ASCII literals stay post-scan") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val t = tmpDir()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "pt")
+    TxStore.append(df, t, partitionBy = Seq("pt"))
+    // ASCII ordering consumes: the Filter node vanishes from the plan
+    // (UTF-16 and UTF-8 binary orders provably agree on pure ASCII)
+    val consumed = v2(t).filter(col("pt") >= "b")
+    assert(consumed.queryExecution.optimizedPlan
+      .collect { case f: logical.Filter => f }.isEmpty,
+      "an ASCII partition comparison must be consumed (no post-scan Filter)")
+    assert(consumed.count() === 2L)
+    // a NON-ASCII literal must NOT be consumed — Java's UTF-16
+    // code-unit order diverges from Spark's UTF-8 binary order above
+    // the surrogate range (e.g. U+FFFF vs U+1F600), and a consumed
+    // verdict is never re-checked. The guard keeps the comparison in
+    // the post-scan Filter, where Spark evaluates it exactly. (The
+    // wrong-verdict fixture itself — non-ASCII PARTITION DIRS — cannot
+    // be written under this container's POSIX locale; the guard exists
+    // for clusters that can.)
+    val guarded = v2(t).filter(col("pt") > "π")
+    assert(guarded.queryExecution.optimizedPlan
+      .collect { case f: logical.Filter => f }.nonEmpty,
+      "a non-ASCII literal must stay in the post-scan Filter")
+    assert(guarded.count() === 0L)
+  }
+
   test("prefix predicates prune files from string ranges; walk and scan agree") {
     val t = tmpDir()
     val df = (0 until 400).map(i => (i.toLong, f"k$i%05d")).toDF("id", "key")

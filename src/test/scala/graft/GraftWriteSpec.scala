@@ -90,6 +90,20 @@ class GraftWriteSpec extends SparkSpec {
       bad.write.format("graft").mode("overwrite")
         .option("replaceWhere", "grp = 'g1'").save(t)
     }
+    // a conflicting partitionBy alongside replaceWhere refuses loudly —
+    // a region replacement can never re-layout (review finding: it was
+    // silently ignored)
+    val ex = intercept[IllegalArgumentException] {
+      replacement.write.format("graft").mode("overwrite")
+        .option("replaceWhere", "grp = 'g1'")
+        .option("partitionBy", "payload").save(t)
+    }
+    assert(ex.getMessage.contains("re-layout"))
+    // restating the actual layout is fine
+    Seq((1001L, "new2", "g1")).toDF("id", "payload", "grp")
+      .write.format("graft").mode("overwrite")
+      .option("replaceWhere", "grp = 'g1'")
+      .option("partitionBy", "grp").save(t)
   }
 
   test("txnAppId/txnVersion: redelivering the same stamp is a committed no-op") {

@@ -2542,6 +2542,15 @@ class TxStoreSpec extends SparkSpec {
       TxStore.overwrite(rows(3), t))
     intercept[UnsupportedOperationException](
       TxStore.merge(spark, t, rows(5), Seq("id")))
+    // sidecar-backed bulk deletes carry NO inline dv and remove NO files
+    // — the gate must still fire (review finding: the content test alone
+    // let them through)
+    intercept[UnsupportedOperationException](
+      TxStore.deleteVectoredBulk(spark, t, col("id") < 5L))
+    // RESTORE rewinds = deletes everything after the target — gated too;
+    // recovery on an append-only table is the explicit UNSET-then-restore
+    intercept[UnsupportedOperationException](
+      TxStore.restore(spark, t, 1L))
     assert(TxStore.read(spark, t).count() === 20, "nothing may have mutated")
     // appends (plain + exactly-once) still land
     TxStore.append(rows(5, from = 20), t)
