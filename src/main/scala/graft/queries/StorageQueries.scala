@@ -1019,8 +1019,12 @@ object StorageQueries {
         TxStore.append(ev, store, partitionBy = Seq("event_type"))
         val t0 = ev.agg(min("event_type")).first().getString(0)
         graft.sources.GraftScanEvents.clear(store)
+        // filtered AND grouped compose in one pushdown; keying by the
+        // partition column keeps the final attach an equi-join (the
+        // registry-wide plan audit forbids cross-join shapes)
         val filtered = s.read.format("graft").load(store)
           .filter(col("event_type") === t0)
+          .groupBy("event_type")
           .agg(count(lit(1)).as("n_t0"), min("event_id").as("min_id_t0"))
         require(filtered.count() == 1, "one aggregate row")
         require(graft.sources.GraftScanEvents.recent(store)
@@ -1044,15 +1048,17 @@ object StorageQueries {
         require(refused.first().getLong(0) > 0, "the refused pushdown still answers")
         require(!graft.sources.GraftScanEvents.recent(store).exists(_.aggregatePushed),
           "a non-partition conjunct must refuse the aggregate pushdown")
-        grouped.crossJoin(broadcast(filtered))
+        grouped.join(broadcast(filtered), Seq("event_type"), "left")
       },
       Some("""SELECT g.event_type, g.n, g.n_props, g.min_v, g.max_v, f.n_t0, f.min_id_t0
              |FROM (SELECT event_type, COUNT(*) AS n, COUNT(props) AS n_props,
              |             MIN(value) AS min_v, MAX(value) AS max_v
              |      FROM events GROUP BY 1) g
-             |CROSS JOIN (SELECT COUNT(*) AS n_t0, MIN(event_id) AS min_id_t0
-             |            FROM events
-             |            WHERE event_type = (SELECT MIN(event_type) FROM events)) f"""
+             |LEFT JOIN (SELECT event_type, COUNT(*) AS n_t0,
+             |                  MIN(event_id) AS min_id_t0
+             |           FROM events
+             |           WHERE event_type = (SELECT MIN(event_type) FROM events)
+             |           GROUP BY 1) f USING (event_type)"""
         .stripMargin),
       bench = true),
 
@@ -1068,10 +1074,17 @@ object StorageQueries {
       "s58_tx_prefix_skipping",
       (s, d) => {
         val store = freshStore(s, "s58-prefix", d)
+        // SCALE-HONEST fixture: tags bucket into four letter groups
+        // (a…d by id mod 4) and the range layout sorts ON THE TAG, so
+        // at ANY scale factor at least the files wholly inside b/c/d
+        // refute the 'a' prefix — a zero-padded-id prefix would refute
+        // nothing at small SF (every file's truncated range covers it)
         val ev = Tables.events(s, d)
-          .withColumn("tag", lpad(col("event_id").cast("string"), 8, "0"))
-        TxStore.append(ev.repartitionByRange(8, col("event_id")), store)
-        val pred = col("tag").startsWith("00000")
+          .withColumn("tag", concat(
+            expr("chr(97 + cast(event_id % 4 as int))"),
+            lpad(col("event_id").cast("string"), 8, "0")))
+        TxStore.append(ev.repartitionByRange(4, col("tag")), store)
+        val pred = col("tag").startsWith("a")
         val (_, kept, skipped) = TxStore.pruneFiles(s, store, pred)
         require(skipped.nonEmpty && kept.nonEmpty,
           s"the prefix must skip range-refuted files (kept ${kept.size}, " +
@@ -1086,9 +1099,10 @@ object StorageQueries {
           col("user_id"), col("event_type"), col("value"), col("props"), col("tag"))
       },
       Some("""SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props,
-             |       LPAD(CAST(event_id AS VARCHAR), 8, '0') AS tag
+             |       chr(97 + CAST(event_id % 4 AS INTEGER))
+             |         || LPAD(CAST(event_id AS VARCHAR), 8, '0') AS tag
              |FROM events
-             |WHERE LPAD(CAST(event_id AS VARCHAR), 8, '0') LIKE '00000%'"""
+             |WHERE event_id % 4 = 0"""
         .stripMargin),
       bench = true),
 
