@@ -48,7 +48,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val cores = Runtime.getRuntime.availableProcessors()
-    val loadStart = os.getSystemLoadAverage // -1.0 where unsupported
+    // SELF-INDUCED startup load must not false-flag: the sbt/JVM launch
+    // alone lifts an idle machine's 1-min average past 1 for the first
+    // ~minute (measured r16: 0.1 before launch → 1.1 at this read).
+    // A reading over the gate settles 90 s and re-reads ONCE — launch
+    // load decays e^(-t/60) on an idle machine while genuine co-tenant
+    // load stays high and still flags.
+    val loadStart = {
+      val first = os.getSystemLoadAverage // -1.0 where unsupported
+      if (first <= LoadWarnAbsolute) first
+      else {
+        System.err.println(
+          f"[bench] 1-min load $first%.2f at start — settling 90 s to separate " +
+            "launch spike from genuine machine load")
+        Thread.sleep(90000)
+        os.getSystemLoadAverage
+      }
+    }
     val loadWarning = loadStart > LoadWarnAbsolute
     if (loadWarning)
       System.err.println(
