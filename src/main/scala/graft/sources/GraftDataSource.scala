@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualTo, EvalMode, Expression, GenericInternalRow, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.graft.DsvBridge
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, StreamSinkProvider, StreamSourceProvider}
@@ -49,10 +49,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     a historical snapshot — pruning then uses the ranges the log
   *     knew AT that version, exactly like [[TxStore.readWhereAt]].
   *
-  * Column order note: like every hive-layout scan, path-derived
-  * partition columns surface LAST in the schema (the v1 read path
-  * re-orders to the log's declared order; v2 relations bind output
-  * attributes by name, so SQL and named projections are unaffected). */
+  * Column order note: the scan's OUTPUT order is the requested order
+  * (declared schema for `select *`) — the parquet factory emits
+  * data-columns-first/partition-columns-last, and
+  * [[GraftReorderReaderFactory]] permutes that back (vector reshuffle
+  * per batch, zero copies), so v1 and v2 reads agree positionally. */
 class GraftDataSource extends TableProvider with DataSourceRegister
   with StreamSourceProvider with StreamSinkProvider {
 
@@ -85,6 +86,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       // through a path-based TableProvider, which cannot tell a read
       // from a write at resolution time.
       require(version.isEmpty, s"graft: not a transactional table: $path")
+      // surface probable typos before an action runs (ADVICE r16): a
+      // schema-only consumer of a misspelled READ path sees only this
+      // warning and a zero-column relation until scan build refuses
+      GraftDataSource.log.warn(
+        s"graft: $path is not a transactional table (yet) — resolved as CREATABLE; " +
+          "writes may establish it, reads will fail at scan build")
       return new GraftTable(spark, path, TxStore.snapshot(spark, path), exists = false)
     }
     val snap = version.fold(TxStore.snapshot(spark, path))(TxStore.snapshotAt(spark, path, _))
@@ -183,6 +190,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 }
 
+private[sources] object GraftDataSource {
+  val log: org.slf4j.Logger = org.slf4j.LoggerFactory.getLogger(classOf[GraftDataSource])
+}
+
 /** One pinned snapshot of a transactional table, as a v2 Table.
   * `exists = false` marks a CREATABLE table (fresh path): writes may
   * establish it, reads refuse at scan build. */
@@ -192,7 +203,8 @@ final class GraftTable(
     val snap: TxStore.Snapshot,
     val exists: Boolean = true,
     val mergeSchema: Boolean = false) extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private[sources] val logical: StructType =
     TxStore.logicalSchema(snap).getOrElse {
@@ -264,6 +276,32 @@ final class GraftTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(exists, s"graft: not a transactional table: $path")
     new GraftScanBuilder(this)
+  }
+
+  /** Native `DELETE FROM` (VERDICT r16 #3) — METADATA deletes only:
+    * canDeleteWhere says yes exactly when the predicate decides per
+    * partition directory ([[TxStore.canPartitionDelete]] — the same
+    * walk the partition-delete fast path runs), or is unconditional
+    * (truncate: remove every live file, one log line). Everything else
+    * refuses AT PLANNING — Catalyst then raises the standard
+    * cannot-delete error instead of this table silently paying a
+    * copy-on-write rewrite the plan never showed. Row-level deletes
+    * stay on [[TxStore.delete]] / SQL DML, where the rewrite is the
+    * documented contract. The freshest snapshot decides (not this
+    * pinned one): commit-time conflict detection in TxStore still
+    * guards the race. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    exists && (filters.forall(_.isInstanceOf[sources.AlwaysTrue]) ||
+      scala.util.Try(TxStore.canPartitionDelete(spark, path,
+        filters.map(GraftWrites.exactColumn).reduce(_ && _))).getOrElse(false))
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(exists, s"graft: not a transactional table: $path")
+    if (filters.forall(_.isInstanceOf[sources.AlwaysTrue]))
+      TxStore.truncate(spark, path): Unit
+    else
+      TxStore.deletePartitions(spark, path,
+        filters.map(GraftWrites.exactColumn).reduce(_ && _)): Unit
   }
 
   override def newWriteBuilder(
@@ -426,6 +464,40 @@ private[sources] object GraftPartitionEval {
       }
       case _: DecimalType =>
         scala.util.Try(new java.math.BigDecimal(raw.trim)).toOption
+      case _ => None
+    }
+  }
+
+  /** The exact GROUP-KEY value of a raw path segment under the LOGICAL
+    * field type — stricter than [[typed]]: the parse must land in the
+    * declared type's own value domain (Int overflow refuses; a decimal
+    * needing rounding to the declared scale refuses; floats parse as
+    * Float, not Double) so that key equality coincides exactly with
+    * output-value equality under complete pushdown. None = refuse the
+    * pushdown (a LEGACY cast could silently yield NULL or a merged
+    * duplicate key). */
+  private[sources] def typedKey(raw: String, dt: DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    val t = raw.trim
+    dt match {
+      case StringType => if (raw.forall(_ < 128)) Some(raw) else None
+      case LongType => scala.util.Try(java.lang.Long.valueOf(t)).toOption
+      case IntegerType => scala.util.Try(Integer.valueOf(t)).toOption
+      case ShortType => scala.util.Try(java.lang.Short.valueOf(t)).toOption
+      case ByteType => scala.util.Try(java.lang.Byte.valueOf(t)).toOption
+      case DoubleType => scala.util.Try(java.lang.Double.valueOf(t)).toOption
+      case FloatType => scala.util.Try(java.lang.Float.valueOf(t)).toOption
+      case BooleanType => t.toLowerCase(Locale.ROOT) match {
+        case "true" => Some(java.lang.Boolean.TRUE)
+        case "false" => Some(java.lang.Boolean.FALSE)
+        case _ => None
+      }
+      case d: DecimalType =>
+        // setScale without a rounding mode throws when rounding would be
+        // needed — exactly the refusal we want; the fixed scale makes
+        // BigDecimal.equals (scale-sensitive) agree with value equality
+        scala.util.Try(new java.math.BigDecimal(t).setScale(d.scale))
+          .toOption.filter(_.precision <= d.precision)
       case _ => None
     }
   }
@@ -744,13 +816,34 @@ private[sources] object GraftAggregates {
 
     // one group per live partition-value combination among the kept
     // files (deterministic order for stable plans); the ungrouped case
-    // is the single all-kept group
+    // is the single all-kept group. Keys are the exact TYPED values —
+    // not raw directory strings — because supportCompletePushDown means
+    // Spark never re-merges: two raws casting to one typed value
+    // (part=01 vs part=1 on INT) must land ONE row, and a raw that
+    // fails exact typed parsing (part=abc, overflow, rounding-needed
+    // decimal) refuses the whole pushdown rather than LEGACY-casting to
+    // a NULL key that would silently merge with the genuine null dir
+    // (the consumption discipline, applied to group keys).
     val groups: Seq[(Seq[Option[String]], Seq[String])] =
       if (groupCols.isEmpty) Seq((Nil, kept))
-      else kept.groupBy { f =>
-        val raws = GraftPartitionEval.rawValues(f)
-        groupCols.map(n => raws.getOrElse(lc(physName(n)), None))
-      }.toSeq.sortBy(_._1.map(_.getOrElse("\u0000")).mkString("\u0001"))
+      else {
+        val keyed: Seq[Option[(Seq[Option[Any]], Seq[Option[String]], String)]] =
+          kept.map { f =>
+            val raws = GraftPartitionEval.rawValues(f)
+            val rawKey = groupCols.map(n => raws.getOrElse(lc(physName(n)), None))
+            val typed = rawKey.zip(groupCols).map {
+              case (None, _) => Some(None) // genuine null dir
+              case (Some(r), n) =>
+                GraftPartitionEval.typedKey(r, fieldType(n)).map(Some(_))
+            }
+            if (typed.exists(_.isEmpty)) None
+            else Some((typed.map(_.get), rawKey, f))
+          }
+        if (keyed.exists(_.isEmpty)) return None
+        keyed.flatten.groupBy(_._1).toSeq
+          .sortBy(_._1.map(_.map(_.toString).getOrElse("\u0000")).mkString("\u0001"))
+          .map { case (_, members) => (members.head._2, members.map(_._3)) }
+      }
 
     val schema0 = groupCols.foldLeft(new StructType())(
       (st, n) => st.add(n, fieldType(n), nullable = true))
@@ -820,10 +913,17 @@ final class GraftScan(
     TxStore.history(spark, path).filter(_.version <= snap.version)
       .flatMap(c => c.add.map(_ -> c.version)).toMap
 
+  // what the underlying factories physically emit: data columns first,
+  // then partition values, then metadata constants (the parquet-reader
+  // layout). The scan's DECLARED output is `required`'s own order —
+  // the reorder wrapper permutes emitted → declared so positional
+  // consumers (select *, df.collect) see the v1 read's column order.
+  private val emittedSchema = StructType(
+    readDataSchemaL.fields ++ readPartitionSchemaL.fields ++ readMetaSchema.fields)
+
   override def readSchema(): StructType = pushedAgg match {
     case Some((aggSchema, _)) => aggSchema
-    case None => StructType(
-      readDataSchemaL.fields ++ readPartitionSchemaL.fields ++ readMetaSchema.fields)
+    case None => required
   }
 
   override def toBatch: Batch = this
@@ -946,9 +1046,11 @@ final class GraftScan(
   override def createReaderFactory(): PartitionReaderFactory =
     if (pushedAgg.isDefined) GraftAggReaderFactory()
     else if (!hasDv)
-      DsvBridge.parquetReaderFactory(spark, dataSchemaP, readDataSchemaP,
-        emittedPartSchema, GraftFilters.forParquet(pushedV1, physName,
-          dataSchemaP.fieldNames.map(lc).toSet))
+      GraftReorderReaderFactory.wrap(
+        DsvBridge.parquetReaderFactory(spark, dataSchemaP, readDataSchemaP,
+          emittedPartSchema, GraftFilters.forParquet(pushedV1, physName,
+            dataSchemaP.fieldNames.map(lc).toSet)),
+        emittedSchema, required)
     else {
       // restrict marks to live files and project keys to bare leaves
       // (the reader probes by leaf); sidecar dirs resolve to absolute
@@ -960,8 +1062,10 @@ final class GraftScan(
       val sidecars = snap.dvp.collect { case (f, dirs) if live(f) =>
         TxStore.leafOf(f) -> dirs.map(d => TxStore.sidecarPath(path, d).toString)
       }
-      DsvBridge.dvReaderFactory(spark, dataSchemaP, readDataSchemaP,
-        emittedPartSchema, inline, sidecars)
+      GraftReorderReaderFactory.wrap(
+        DsvBridge.dvReaderFactory(spark, dataSchemaP, readDataSchemaP,
+          emittedPartSchema, inline, sidecars),
+        emittedSchema, required)
     }
 
   /** Size/row estimates from the log's `#size`/`#rows` facts over the
@@ -992,6 +1096,65 @@ final class GraftScan(
   override def description(): String =
     s"graft $path v${snap.version} [${pushedV1.mkString(", ")}]" +
       pushedAgg.fold("")(_ => " [aggregates from log facts]")
+}
+
+/** Permutes a reader factory's emitted column order (data-first/
+  * partition-last, the parquet layout) back to the scan's DECLARED
+  * order, so v1 and v2 reads of a partitioned table agree positionally
+  * (VERDICT r16 #5). Row path: one codegen'd projection per reader.
+  * Columnar path: the batch's column-vector array is permuted — a
+  * per-batch object allocation, zero data copies, vectorization
+  * preserved. Identity orders skip the wrapper entirely ([[wrap]]). */
+private[sources] final case class GraftReorderReaderFactory(
+    inner: PartitionReaderFactory,
+    from: StructType,
+    to: StructType) extends PartitionReaderFactory {
+
+  private val perm: Array[Int] = {
+    val idx = from.fieldNames.zipWithIndex
+      .map { case (n, i) => n.toLowerCase(Locale.ROOT) -> i }.toMap
+    to.fieldNames.map(n => idx(n.toLowerCase(Locale.ROOT)))
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val in = inner.createReader(partition)
+    new PartitionReader[InternalRow] {
+      private val project = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(perm.map(i => org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, from.fields(i).dataType, nullable = true)))
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = project(in.get())
+      override def close(): Unit = in.close()
+    }
+  }
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val in = inner.createColumnarReader(partition)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = in.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = in.get()
+        val vecs = perm.map(b.column)
+        new org.apache.spark.sql.vectorized.ColumnarBatch(vecs, b.numRows())
+      }
+      // the inner reader owns the vectors; closing it releases them
+      override def close(): Unit = in.close()
+    }
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    inner.supportColumnarReads(partition)
+}
+
+private[sources] object GraftReorderReaderFactory {
+  def wrap(
+      inner: PartitionReaderFactory,
+      emitted: StructType,
+      declared: StructType): PartitionReaderFactory =
+    if (emitted.fieldNames.map(_.toLowerCase(Locale.ROOT)).toSeq ==
+        declared.fieldNames.map(_.toLowerCase(Locale.ROOT)).toSeq) inner
+    else GraftReorderReaderFactory(inner, emitted, declared)
 }
 
 /** Pre-computed aggregate rows (one per group; one total when

@@ -80,6 +80,22 @@ private[sources] object GraftWrites {
     val opts = info.options
     def opt(k: String): Option[String] = Option(opts.get(k))
     val path = table.path
+    // The builder held ACCEPT_ANY_SCHEMA because the table did not
+    // exist at RESOLUTION time; if a concurrent writer created it
+    // since, the analyzer's byName schema gate was silently bypassed —
+    // re-impose the name contract here before committing (ADVICE r16).
+    // TxStore.append's own evolution handles types; the hole is NAMES
+    // landing as silent evolution without a mergeSchema opt-in.
+    if (!table.exists && !table.mergeSchema && TxStore.isTable(data.sparkSession, path))
+      TxStore.logicalSchema(TxStore.snapshot(data.sparkSession, path)).foreach { cur =>
+        def lcs(ns: Seq[String]) = ns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        require(lcs(data.columns.toSeq) == lcs(cur.fieldNames.toSeq),
+          s"graft: the table at $path was created concurrently with columns " +
+            s"(${cur.fieldNames.mkString(", ")}) — this creating write's columns " +
+            s"(${data.columns.mkString(", ")}) no longer match by name; retry the " +
+            "write (the analyzer will resolve byName) or set " +
+            "option(\"mergeSchema\", \"true\") to evolve explicitly")
+      }
     // partitionBy arrives as the writer option (documented surface) or,
     // when a future Spark path serializes DataFrameWriter.partitionBy
     // through options, as the __partition_columns JSON array. ABSENT

@@ -352,15 +352,30 @@ object SqlDml {
         (v, Some(id.name), p)
       case u: UnresolvedRelation =>
         val name = u.multipartIdentifier.mkString(".")
-        val path = tx.collectFirst { case (n, p) if n.equalsIgnoreCase(name) => p }
-          .getOrElse(refuse(
-            s"$op targets '$name', which is not a --tx registered table " +
-              s"(registered: ${if (tx.isEmpty) "none" else tx.keys.mkString(", ")}) — " +
-              "DML runs against transactional tables only, and time-travel " +
-              "@vN views are read-only"))
-        (name, None, path)
+        tx.collectFirst { case (n, p) if n.equalsIgnoreCase(name) => p } match {
+          case Some(path) => (name, None, path)
+          case None => catalogTarget(u.multipartIdentifier) match {
+            // catalog names resolve to the SAME path the catalog plans
+            // against, so UPDATE/MERGE text (which classic Spark cannot
+            // execute on a v2 relation without RowLevelOperation plans)
+            // runs on exactly the table SELECT/DELETE resolve; bare
+            // column refs may still qualify with the table's own name
+            case Some(path) => (u.multipartIdentifier.last, None, path)
+            case None => refuse(
+              s"$op targets '$name', which is neither a --tx registered table " +
+                s"(registered: ${if (tx.isEmpty) "none" else tx.keys.mkString(", ")}) " +
+                "nor a graft-catalog table — DML runs against transactional tables " +
+                "only, and time-travel @vN views are read-only")
+          }
+        }
       case other => refuse(s"$op target must be a named tx table, got ${other.nodeName}")
     }
+
+  /** Resolve `catalog.ns….table` through a registered [[GraftCatalog]]
+    * to its table directory — only when the catalog exists, is a graft
+    * catalog, and the directory is a live table. */
+  private def catalogTarget(parts: Seq[String]): Option[String] =
+    GraftCatalog.resolvePath(SparkSession.active, parts)
 
   /** The alias a USING source is visible under (its SubqueryAlias, or
     * the relation's own name). */

@@ -311,9 +311,15 @@ private[sources] object SqlResolve {
     val v = name.trim
     tx.get(v).map((v, _))
       .orElse(tx.find(_._1.equalsIgnoreCase(v)).map(e => (e._1, e._2)))
+      // catalog-qualified names resolve to the SAME path the catalog
+      // plans against — OPTIMIZE/VACUUM/RESTORE/HISTORY/… address
+      // graft.db.t like any Delta user would address their catalog
+      .orElse(GraftCatalog.resolvePath(
+        org.apache.spark.sql.SparkSession.active,
+        v.split('.').toSeq.map(_.trim).filter(_.nonEmpty)).map((v, _)))
   }
   def unknown(tx: Map[String, String], name: String): String =
-    s"'${name.trim}' is not a --tx-registered table (time-travel views are " +
-      s"read-only); registered: " +
+    s"'${name.trim}' is neither a --tx-registered table nor a graft-catalog " +
+      s"table (time-travel views are read-only); registered: " +
       (if (tx.isEmpty) "none" else tx.keys.toSeq.sorted.mkString(", "))
 }

@@ -1335,9 +1335,9 @@ object TxStore {
     * properties — they are operational metadata, not data state). Keys
     * are case-preserving but case-insensitively unique. One commit per
     * statement — an ALTER with several pairs is atomic. */
-  def setTableProperties(
-      spark: SparkSession, path: String, kv: Seq[(String, String)]): Long = {
-    require(kv.nonEmpty, "SET TBLPROPERTIES: no pairs given")
+  /** The property grammar + behavior-key gate, shared by
+    * [[setTableProperties]] and [[create]]. */
+  private def validateProperties(kv: Seq[(String, String)]): Unit = {
     kv.foreach { case (k, v) =>
       require(k.nonEmpty, "property keys must be non-empty")
       require(!k.exists(c => c == '\t' || c == '\n') && !v.exists(c => c == '\t' || c == '\n'),
@@ -1352,6 +1352,12 @@ object TxStore {
     }
     require(kv.map(p => lc(p._1)).distinct.size == kv.size,
       s"duplicate property key in ${kv.map(_._1).mkString(", ")}")
+  }
+
+  def setTableProperties(
+      spark: SparkSession, path: String, kv: Seq[(String, String)]): Long = {
+    require(kv.nonEmpty, "SET TBLPROPERTIES: no pairs given")
+    validateProperties(kv)
     commitLoop(spark, path, "set-properties") { snap =>
       val newKeys = kv.map(p => lc(p._1)).toSet
       val merged = snap.properties.filterNot(p => newKeys(lc(p._1))) ++ kv
@@ -1709,6 +1715,37 @@ object TxStore {
           "use overwrite(partitionBy) to re-layout the table")
       req
     }
+  }
+
+  /** Establish an EMPTY transactional table in ONE creating commit:
+    * declared schema, hive partition layout, and initial properties all
+    * land as version 1 with zero data files — the TableCatalog's
+    * `CREATE TABLE` (Delta's CreateDeltaTableCommand shape; CTAS then
+    * appends into it). Fields store nullable like every evolved schema.
+    * Refuses an existing table (the caller decides IF NOT EXISTS
+    * semantics), a partition column missing from the schema, and the
+    * property grammar/behavior-key violations [[setTableProperties]]
+    * refuses. The commit is metadata-only: CDC ranges spanning it emit
+    * no change rows. */
+  def create(
+      spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String] = Nil, properties: Seq[(String, String)] = Nil): Long = {
+    require(schema.nonEmpty, s"create at $path: the schema needs at least one column")
+    val parts = partitionBy.map { p =>
+      schema.fields.find(_.name.equalsIgnoreCase(p)).getOrElse(throw new IllegalArgumentException(
+        s"create at $path: partition column '$p' is not in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})")).name
+    }
+    validateProperties(properties)
+    commitLoop(spark, path, "create") { snap =>
+      require(snap.version == 0L && snap.schema.isEmpty,
+        s"create at $path: already a transactional table (v${snap.version})")
+      val nullable = org.apache.spark.sql.types.StructType(
+        schema.fields.map(_.copy(nullable = true)))
+      Some(CommitSpec(Nil, Nil, Some(encodeSchema(nullable)),
+        partcols = if (parts.nonEmpty) Some(encodePartitioning(parts)) else None,
+        props = if (properties.nonEmpty) Some(encodeConstraints(properties)) else None))
+    }.get.version
   }
 
   /** Transactional append. Conflicts with nothing: data files are staged
@@ -2329,11 +2366,13 @@ object TxStore {
           if (c.add.isEmpty) Nil
           else Seq(tagged(readFiles(spark, path, c.add, readSchema, mapping = curMap), "insert", c.version))
         // metadata-only commits move no rows: file-preserving layout ops,
-        // ALTERs (constraints, column mapping) and stats annotations
-        // (buildBlooms' "bloom" op adds/removes nothing) emit no change
-        // rows — a CDC range spanning one stays readable
+        // ALTERs (constraints, column mapping, properties), an empty
+        // CREATE, and stats annotations (buildBlooms' "bloom" op
+        // adds/removes nothing) emit no change rows — a CDC range
+        // spanning one stays readable
         case "compact" | "optimize-zorder" | "constraint" | "rename-column"
-            | "drop-column" | "add-column" | "bloom" =>
+            | "drop-column" | "add-column" | "bloom"
+            | "set-properties" | "unset-properties" | "create" =>
           Nil
         case "delete-dv" =>
           val touched = dvTouchedFiles(f, path, c).filter(after.files.contains)
@@ -2640,6 +2679,44 @@ object TxStore {
           throw e
       }
     } finally { if (ownPersist) df.unpersist(): Unit }
+  }
+
+  /** Remove every live file in ONE metadata commit — the native v2
+    * `DELETE FROM t` with no (or an always-true) condition, and
+    * `TRUNCATE TABLE`. Schema, layout, constraints and properties
+    * survive; time travel still reads the data; CDC derives the wave as
+    * deletes (op "delete"). None = the table was already empty. */
+  def truncate(spark: SparkSession, path: String): Option[Long] =
+    commitLoop(spark, path, "delete") { snap =>
+      if (snap.files.isEmpty) None
+      else Some(CommitSpec(Nil, snap.files, snap.schema.map(encodeSchema)))
+    }.map(_.version)
+
+  /** Can [[deletePartitions]] execute `predicate` purely from partition
+    * metadata? The planning half of the native v2 DELETE contract
+    * (`SupportsDelete.canDeleteWhere`): true only when the predicate
+    * decides per partition DIRECTORY — deterministic, references
+    * partition columns exclusively, on a partitioned table. A true here
+    * is a promise the execution keeps with zero data IO. */
+  def canPartitionDelete(spark: SparkSession, path: String, predicate: Column): Boolean = {
+    val base = snapshot(spark, path)
+    base.files.isEmpty || partitionDirsMatching(spark, base, predicate).isDefined
+  }
+
+  /** Metadata-only DELETE, or a LOUD refusal — never copy-on-write:
+    * the native v2 DELETE's execution half. [[canPartitionDelete]] said
+    * yes at planning; silently falling back to a rewrite here would
+    * turn a promised O(metadata) drop into a data-plane job. Use
+    * [[delete]] for general predicates (its partition fast path is this
+    * same walk; past it, copy-on-write applies). */
+  def deletePartitions(spark: SparkSession, path: String, predicate: Column): Option[Long] = {
+    val base = snapshot(spark, path)
+    if (base.files.isEmpty) return None
+    partitionOnlyDelete(spark, path, base, predicate).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE at $path: the predicate does not decide per partition directory — " +
+          "a row-level delete must rewrite data; use TxStore.delete / SQL DML on the " +
+          "tx view for the copy-on-write path"))
   }
 
   def delete(spark: SparkSession, path: String, predicate: Column): Option[Long] = {

@@ -137,7 +137,7 @@ class CliSpec extends SparkSpec {
       Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
         "out-dir" -> tmp(), "sql" -> "DELETE FROM events WHERE event_id = 1"))
     }
-    assert(ex.getMessage.contains("not a --tx registered table"))
+    assert(ex.getMessage.contains("neither a --tx registered table"))
   }
 
   test("sql step: MERGE INTO a --tx view runs the keyed conditional merge") {
@@ -744,7 +744,7 @@ class CliSpec extends SparkSpec {
       Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
         "out-dir" -> tmp(), "sql" -> "OPTIMIZE events"))
     }
-    assert(ex.getMessage.contains("not a --tx-registered table"))
+    assert(ex.getMessage.contains("neither a --tx-registered table"))
     // DESCRIBE of a plain view still belongs to Catalyst (only
     // DESCRIBE HISTORY intercepts)
     Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
@@ -878,7 +878,7 @@ class CliSpec extends SparkSpec {
       Main.run(spark, Map("step" -> "sql", "data-dir" -> sf("sf0.001"),
         "out-dir" -> tmp(), "sql" -> "ALTER TABLE events DROP COLUMN value"))
     }
-    assert(exTx.getMessage.contains("not a --tx-registered table"))
+    assert(exTx.getMessage.contains("neither a --tx-registered table"))
     // an ALTER shape the table format cannot honor refuses with the
     // reason (SET TBLPROPERTIES graduated to a supported statement in
     // round 15 — SET LOCATION stands in as the unsupported shape)

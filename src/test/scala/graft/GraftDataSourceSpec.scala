@@ -377,4 +377,63 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(kept2.isEmpty)
     assert(v2(t).filter(col("key").startsWith("z")).count() === 0L)
   }
+
+  test("group-key pushdown keys on TYPED values: equal-cast raws merge, unparseable types refuse") {
+    // a convert-adopted foreign layout can carry raws that differ
+    // textually but cast to one typed value: part=01 and part=1 on an
+    // INT column must land ONE group row (complete pushdown — Spark
+    // never re-merges), matching what the ordinary scan would emit
+    val t = tmpDir() + "/estate"
+    Seq((1L, "01"), (2L, "1"), (3L, "2"))
+      .toDF("id", "part").write.partitionBy("part").parquet(t)
+    TxStore.convert(spark, t)
+    assert(v2(t).schema("part").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    GraftScanEvents.clear(t)
+    val g = v2(t).groupBy("part").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(g === Seq((1, 2L), (2, 1L)),
+      s"part=01 and part=1 must merge into one typed group (got $g)")
+    assert(GraftScanEvents.recent(t).exists(p => p.aggregatePushed && p.kept.isEmpty),
+      "the merged-key group-by must still answer from facts")
+
+    // a type outside the exactly-parseable set (DATE — calendar parsing
+    // is not worth an exactness bug) refuses the pushdown; the ordinary
+    // scan answers and stays correct
+    val d = tmpDir() + "/dated"
+    Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-02-03"))
+      .toDF("id", "part").write.partitionBy("part").parquet(d)
+    TxStore.convert(spark, d)
+    assert(v2(d).schema("part").dataType ===
+      org.apache.spark.sql.types.DateType)
+    GraftScanEvents.clear(d)
+    val byDay = v2(d).groupBy("part").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).sorted.toSeq
+    assert(byDay === Seq(("2024-01-01", 2L), ("2024-02-03", 1L)))
+    assert(!GraftScanEvents.recent(d).exists(_.aggregatePushed),
+      "a DATE group key must refuse the metadata pushdown")
+  }
+
+  test("v1 and v2 reads agree on COLUMN ORDER for partitioned tables") {
+    val t = tmpDir()
+    // partition column declared FIRST — the parquet factory emits it
+    // last; the reorder wrapper must restore the declared order
+    val df = Seq((0, 1L, "a"), (1, 2L, "b"), (0, 3L, "c")).toDF("part", "id", "payload")
+    TxStore.append(df, t, partitionBy = Seq("part"))
+    assert(v2(t).columns.toSeq === Seq("part", "id", "payload"))
+    assert(v2(t).columns.toSeq === TxStore.read(spark, t).columns.toSeq)
+    // positional consumers see identical rows in identical order of fields
+    assert(v2(t).collect().map(_.toSeq).toSet ===
+      TxStore.read(spark, t).collect().map(_.toSeq).toSet)
+    // a projection keeps ITS order, wherever the partition column sits
+    assert(v2(t).select("payload", "part", "id").columns.toSeq ===
+      Seq("payload", "part", "id"))
+    assert(v2(t).select("payload", "part", "id").head().toSeq.map(_.getClass.getSimpleName)
+      === Seq("String", "Integer", "Long"))
+    // deletion-vector path reorders too (row-based reader)
+    TxStore.deleteVectored(spark, t, col("id") === 2L)
+    assert(v2(t).columns.toSeq === Seq("part", "id", "payload"))
+    assert(v2(t).collect().map(_.toSeq).toSet ===
+      TxStore.read(spark, t).collect().map(_.toSeq).toSet)
+  }
 }

@@ -2640,4 +2640,22 @@ class TxStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TxStore.setTableProperties(spark, t, Seq("graft.stats.nullCounts" -> "off")))
   }
+
+  test("CDC ranges spanning property commits derive cleanly (metadata-only ops)") {
+    val t = tmpDir()
+    TxStore.append(rows(10).repartition(1), t) // v1
+    TxStore.setTableProperties(spark, t, Seq("team" -> "graft")) // v2
+    TxStore.unsetTableProperties(spark, t, Seq("team")) // v3
+    TxStore.append(rows(5, from = 10).repartition(1), t) // v4
+    val (until, changes) = TxStore.readChangesSince(spark, t, 0L)
+    assert(until === 4L)
+    assert(changes.filter(col("_change_type") === "insert").count() === 15)
+    assert(changes.count() === 15, "property commits must emit no change rows")
+    // a CREATE's empty commit is metadata-only too
+    val c = tmpDir()
+    TxStore.create(spark, c, rows(1).schema)
+    TxStore.append(rows(3).repartition(1), c) // v2
+    val (_, created) = TxStore.readChangesSince(spark, c, 0L)
+    assert(created.count() === 3)
+  }
 }
