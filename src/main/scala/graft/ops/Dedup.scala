@@ -690,8 +690,17 @@ object Dedup {
     * check), never the data. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30, doubleFrom: Int = 2): DataFrame = {
     val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // LAZY localCheckpoints throughout (r17): every round ends in a
+    // convergence count() — the blocking action that materializes the
+    // lazily-marked RDD and caches its blocks in the same job, so the
+    // eager variant's dedicated materialization job per frame is pure
+    // overhead (one extra scheduled job per round, k+2 per run). Nothing
+    // is unpersisted before the final labels frame is consumed, so the
+    // truncated-lineage-recompute hazard of lazy checkpoints never
+    // arises here (contrast GraphOps.trianglesCanonical, which must stay
+    // eager because it unpersists its inputs before returning).
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // init already needs one shuffle to enumerate nodes; fold round 0's
     // propagation into it for free (component = min(self, neighbors)) —
     // pure pair components (the dominant case) then converge with a
@@ -700,7 +709,7 @@ object Dedup {
       .groupBy(col("src").as("doc_id"))
       .agg(min("dst").as("__nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("__nbr")).as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -729,7 +738,8 @@ object Dedup {
             col("doc_id"),
             col("old"),
             least(col("component"), coalesce(col("parent"), col("component"))).as("component"))
-      val next = doubled.localCheckpoint(true)
+      val next = doubled.localCheckpoint(false)
+      // this count materializes (and caches) `next` — the round's one job
       changed = next.filter(col("component") =!= col("old")).count()
       labels = next.select("doc_id", "component")
       iter += 1

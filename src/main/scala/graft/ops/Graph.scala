@@ -207,6 +207,14 @@ object GraphOps {
     val n = nodes.count() // scalar, metadata-bounded
     val teleport = (1.0 - damping) / n
 
+    // r17 measurement note: a variant that replaced this per-iteration
+    // left join with `contribs UNION precomputed-no-inbound-nodes` was
+    // tried and REVERTED — the one-time distinct-dst anti-join it needs
+    // is a full extra pass over the edge frame, which at k = 3 costs
+    // more than the three node-scale left joins it removes (+0.5 s
+    // min-of-5 on an20 at sf0.1; AQE broadcasts the node-scale contribs
+    // side anyway, so the join it deleted was nearly free). At k ≫ 3
+    // the union shape wins; revisit if an iterations-heavy caller lands.
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val contribs = withDeg

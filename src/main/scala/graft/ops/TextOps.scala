@@ -682,10 +682,21 @@ object TextOps {
       when(ascii(c) >= 97, ascii(c) - 87).otherwise(ascii(c) - 48)
     val h = md5(col("tok"))
     val bucket = (hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))).cast("long")
+    // HASH-PARTITION the persisted feature table BY doc_id (r17): every
+    // iteration keys on doc_id twice — the margin groupBy(doc_id) and
+    // the residual⋈features join — and the groupBy(doc_id, b) layout the
+    // bare persist inherits satisfies neither, so each of the k
+    // iterations re-shuffled the full doc-scale frame twice. Persisted
+    // on doc_id, both consumers read the cached layout in place and only
+    // the 256-group gradient agg exchanges per step (the pageRank
+    // persist-once rule). Float caveat: this changes per-group SUM
+    // order, but the lane's determinism contract already only claims
+    // sum-order noise ~1e-13 under 6-dp rounding (see scaladoc above).
     val x = docs
       .select(col("doc_id"), explode(tok(col("text"))).as("tok"))
       .select(col("doc_id"), bucket.as("b"))
       .groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .repartition(col("doc_id"))
       .persist()
     val y = docs.select(col("doc_id"), label.cast("long").as("y"))
     val n = docs.count() // scalar normalizer, metadata-bounded

@@ -283,15 +283,30 @@ object AnalyticsQueries {
     QueryDef(
       "an20_pagerank",
       (s, d) => {
+        // Internal node ids are LONGS (cust → 2k, supp → 2k+1 — the
+        // an26 encoding), decoded to the 'c<k>'/'s<k>' output labels
+        // only AFTER the iteration (r17, guide §2.3 narrower types):
+        // every distinct / join / groupBy key in the edge build and in
+        // all k iterations was hashing and comparing 'c12345'-style
+        // strings where an 8-byte integer carries the same identity.
+        // The graph — and therefore every rank — is unchanged; only
+        // per-key CPU and shuffle bytes shrink. Output is bit-identical
+        // modulo sum-order ulp noise, which the lane's 8-dp rounding
+        // already absorbs (the oracle has always summed in its own
+        // order).
         val e0 = Tables.lineitem(s, d)
           .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
           .select(
-            concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+            (col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         graft.ops.GraphOps.pageRank(edges, iterations = 3, damping = 0.85)
-          .select(col("node"), graft.Num.rnd(col("rank"), 8).as("rank"))
+          .select(
+            when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2").cast("string")))
+              .otherwise(concat(lit("s"), expr("node div 2").cast("string")))
+              .as("node"),
+            graft.Num.rnd(col("rank"), 8).as("rank"))
       },
       Some(s"""WITH e0 AS (
               |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

@@ -1472,8 +1472,12 @@ object StorageQueries {
           "the resumed drain must land v2's changes in a new sink commit")
         val streamed = TxStore.read(s, sink)
         val batch = TxStore.readChangesSince(s, src, 0L)._2
+        // multiset equality in two actions, not three (r17): |S| = |B|
+        // and S∖B = ∅ (exceptAll is multiset subtract, so S ⊆ B) already
+        // force S = B — the reverse exceptAll re-proved the same fact
+        // for one more full comparison job per run
         require(streamed.count() == batch.count() &&
-          streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+          streamed.exceptAll(batch).isEmpty,
           "the follower's history table must equal the batch CDC read exactly")
         streamed.select(col("event_id"), expr("ts div 1000").as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"),
@@ -1527,8 +1531,9 @@ object StorageQueries {
           "an empty resume must be a committed no-op (exactly-once sink)")
         val streamed = TxStore.read(s, sink)
         val batch = TxStore.readChangesSince(s, src, 0L)._2
+        // |S| = |B| ∧ S∖B = ∅ ⇒ S = B (multisets) — see the s48 note
         require(streamed.count() == batch.count() &&
-          streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+          streamed.exceptAll(batch).isEmpty,
           "the native follower's history table must equal the batch CDC read exactly")
         streamed.select(col("event_id"), expr("ts div 1000").as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props"),

@@ -95,10 +95,22 @@ object Compaction {
     * Summing the increments for every crossed boundary yields
     * spread(bucket) directly — one 255-step pass per column per row,
     * independent of `bits`. A NULL comparison contributes 0 everywhere,
-    * clustering NULLs at the curve origin. The per-column equi-depth
-    * boundaries come from `approxQuantile` (≤ 2^bits−1 doubles on the
-    * driver — model-bounded, the same contract as the k-means
-    * centroids). */
+    * clustering NULLs at the curve origin.
+    *
+    * Two r17 measurement notes. (1) The per-column equi-depth
+    * boundaries come from ONE multi-column `approxQuantile` pass (≤
+    * 2^bits−1 doubles per column on the driver — model-bounded, the
+    * same contract as the k-means centroids); the per-column calls this
+    * replaced cost k full input scans for identical summaries. (2) The
+    * fold stays a higher-order function DELIBERATELY: unrolling it into
+    * 2·255 codegen'd `when` terms was tried and REVERTED — the
+    * expression tree serialized into 1.2 MB task binaries broadcast per
+    * stage and tripled the lane (2.3 s → 5.5 s min-of-5; plan
+    * serialization + Janino dominate at every SF since they are
+    * per-query, not per-row). The interpreted per-row cost is bounded
+    * by the callers instead: both compactZOrder paths persist the keyed
+    * frame, so the fold evaluates ONCE per row, not once per consumer
+    * pass. */
   def zOrderKey(df: DataFrame, zCols: Seq[String], bits: Int = 8): Column = {
     require(zCols.size >= 2, "z-order needs ≥2 columns")
     require(zCols.size * bits <= 62, s"${zCols.size} cols × $bits bits overflows a signed long")
@@ -109,8 +121,10 @@ object Compaction {
     val k = zCols.size
     def spread(v: Long, j: Int): Long =
       (0 until bits).map(p => ((v >> p) & 1L) << (p * k + j)).sum
+    // one shared pass for all k columns' quantile summaries
+    val allBounds = df.stat.approxQuantile(zCols.toArray, probs, 1.0 / (4.0 * buckets))
     val zParts = zCols.zipWithIndex.map { case (c, j) =>
-      val bs = df.stat.approxQuantile(c, probs, 1.0 / (4.0 * buckets))
+      val bs = allBounds(j)
       val deltas = bs.indices.map(i => spread(i + 1L, j) - spread(i.toLong, j)).toArray
       aggregate(
         zip_with(lit(bs), lit(deltas),
@@ -158,11 +172,19 @@ object Compaction {
     val n = nFiles(spark, inPath, targetBytes)
     val df = spark.read.parquet(inPath)
     require(!df.columns.contains("__z"), "input must not carry the reserved __z column")
-    df.withColumn("__z", zOrderKey(df, zCols, bits))
-      .repartitionByRange(n, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(outPath)
+    // persisted (r17): repartitionByRange SAMPLES its child to place the
+    // range bounds, then shuffles it — without the persist the z-fold
+    // (an interpreted HOF, see zOrderKey) and the input scan both run
+    // twice per rewrite. Same rule as TxStore.compactZOrder's keyed
+    // persist. Unpersisted once the write has consumed it.
+    val keyed = df.withColumn("__z", zOrderKey(df, zCols, bits)).persist()
+    try
+      keyed
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(outPath)
+    finally keyed.unpersist(): Unit
     spark.read.parquet(outPath)
   }
 

@@ -1057,10 +1057,23 @@ object TxStore {
     val dir = new Path(s"$path/$LogDir")
     if (!f.exists(dir)) return Nil
     f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".json"))
-      .sorted
-      .map(n => parse(readText(f, new Path(dir, n))))
+      .filter(_.getPath.getName.endsWith(".json"))
+      .sortBy(_.getPath.getName)
+      // Memoize the read+parse per commit FILE (r17): replay re-lists
+      // the log on every snapshot — that freshness is the multi-writer
+      // contract and stays — but a commit file, once published, is
+      // immutable (tryCommit is create-if-absent), so re-reading and
+      // re-parsing every retained commit on every snapshot made a
+      // K-commit workflow pay O(K²) log IO. The key carries the
+      // listing's own mtime+length so a path REUSED after a whole-table
+      // delete+recreate (the bench's freshStore idiom — the one way a
+      // commit path's content can ever change) misses cleanly instead
+      // of serving the previous table's line.
+      .map { st =>
+        memo(s"${f.makeQualified(st.getPath)}|${st.getModificationTime}|${st.getLen}", 'j') {
+          parse(readText(f, st.getPath))
+        }
+      }
   }
 
   private def replay(f: FileSystem, path: String, cs: Seq[Commit]): Snapshot = {
