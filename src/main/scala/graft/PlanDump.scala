@@ -15,6 +15,7 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: PlanDump <outDir> <query>... [--suffix s]")
     val sufIdx = args.indexOf("--suffix")
+    require(sufIdx < 0 || sufIdx + 1 < args.length, "--suffix needs a value")
     val suffix = if (sufIdx >= 0) args(sufIdx + 1) else ""
     val rest = if (sufIdx >= 0) args.patch(sufIdx, Nil, 2) else args
     val outDir = rest.head

@@ -66,7 +66,10 @@ object Profile {
       val t0 = System.nanoTime()
       run()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let the listener bus drain
+      // drain the listener bus COMPLETELY (a fixed sleep dropped late
+      // job-end events on a loaded bus and understated durations —
+      // ADVICE r17)
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext, 30000L)
       spark.sparkContext.removeSparkListener(listener)
       val rows = jobs.values.toSeq
       val jobSum = rows.collect { case r if r.ended > 0 => (r.ended - r.started) / 1e3 }.sum

@@ -42,4 +42,11 @@ object ColumnBridge {
     * against the embedded resolved subtree). */
   def plan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Block until the listener bus has delivered every queued event (or
+    * the timeout passes) — what graft.Profile needs so late job/stage-end
+    * events are counted instead of dropped by a fixed sleep (ADVICE r17).
+    * `listenerBus` is private[spark]; this package sits inside that scope. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMillis: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
 }

@@ -49,6 +49,14 @@ object GraftExtensions {
           require(children.size == 2,
             s"graft_pq_adc takes (codes, lut), got ${children.size}")
           PqAdc(children.head, children.last)
+        }),
+      (
+        FunctionIdentifier("graft_zspread"),
+        new ExpressionInfo(classOf[ZOrderSpread].getName, "graft_zspread"),
+        (children: Seq[Expression]) => {
+          require(children.size == 3,
+            s"graft_zspread takes (value, boundaries, spreads), got ${children.size}")
+          ZOrderSpread(children(0), children(1), children(2))
         }))
 
   /** Idempotent late registration on an already-built session. */
@@ -83,4 +91,9 @@ object GraftExtensions {
   /** DataFrame-API handle for the PQ asymmetric-distance score. */
   def pqAdc(codes: Column, lut: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_pq_adc", codes, lut)
+
+  /** DataFrame-API handle for the z-order bucket spread lookup. */
+  def zSpread(value: Column, boundaries: Column, spreads: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_zspread", value, boundaries, spreads)
 }

@@ -699,6 +699,15 @@ object Dedup {
     // truncated-lineage-recompute hazard of lazy checkpoints never
     // arises here (contrast GraphOps.trianglesCanonical, which must stay
     // eager because it unpersists its inputs before returning).
+    // r18 measurement note: `repartition(dst).persist()` instead of the
+    // checkpoint (the GraphOps.pageRank layout rule — would let every
+    // round's join reuse one exchange) was tried and REVERTED: persist
+    // does not TRUNCATE the logical plan, so each round re-planned the
+    // whole upstream pairs pipeline (banded-LSH lanes carry hundreds of
+    // hash expressions) and ext7_clean_clustered read 2.98 → 4.72 s
+    // (+58%) same-window with flat controls. The checkpoint's plan
+    // truncation is load-bearing for iterated consumers of deep
+    // pipelines; the per-round edge re-exchange is the price.
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(false)
     // init already needs one shuffle to enumerate nodes; fold round 0's
@@ -713,8 +722,12 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // SHUFFLE_HASH on the node-scale labels side (r18, guide §3.1):
+      // without it the planner falls back to SortMergeJoin against the
+      // unsized checkpointed labels and sorts the edge frame per round.
       val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("component").as("nbr")), "dst")
+        .join(labels.select(col("doc_id").as("dst"), col("component").as("nbr"))
+          .hint("SHUFFLE_HASH"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("nbr").as("nbr_min"))
       // `old` rides along so the convergence check is a filter on the

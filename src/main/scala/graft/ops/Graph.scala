@@ -177,10 +177,29 @@ object GraphOps {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
       .repartition(col("src")).persist()
+    // r18 measurement note: lazy per-iteration checkpoints (the r17
+    // connectedComponents trick — defer each round's result-stage job
+    // into the next round's lineage, eager only on the final frame) were
+    // tried here and in pageRank and REVERTED: same-window min-of-5 read
+    // an26 3.56 → 4.22 s (+18%) and an20 3.25 → 3.49 s (+7%) while two
+    // untouched controls moved ≤ +2%/+13%. Unlike connectedComponents,
+    // these loops have no per-round action for the deferred stage to
+    // fold into — the deferred result stage re-enters the NEXT round's
+    // join planning as an unsized leaf, and the join strategy
+    // degrades. Eager per-iteration checkpoints are load-bearing here.
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val cnts = e.join(labels, e("src") === labels("node"))
+      // SHUFFLE_HASH on the node-scale labels side (r18, guide §3.1):
+      // the checkpointed labels frame is an unsized leaf, so the
+      // planner fell back to SortMergeJoin — which re-SORTED the
+      // persisted data-scale edge frame every iteration. Hash-building
+      // the small side keeps e streamed in its persisted layout (no
+      // sort, no exchange) without broadcasting (node count grows with
+      // the graph — broadcast is not the 100 TB shape; the build side
+      // here is node-scale per partition, which is what shuffled-hash
+      // is for).
+      val cnts = e.join(labels.hint("SHUFFLE_HASH"), e("src") === labels("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
       labels = cnts
         .groupBy("dst")
@@ -215,15 +234,22 @@ object GraphOps {
     // min-of-5 on an20 at sf0.1; AQE broadcasts the node-scale contribs
     // side anyway, so the join it deleted was nearly free). At k ≫ 3
     // the union shape wins; revisit if an iterations-heavy caller lands.
+    // r18: lazy per-iteration checkpoints tried and REVERTED — see the
+    // measurement note in labelPropagation (an20 read +7% same-window;
+    // no per-round action exists for the deferred stage to fold into).
     var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     for (_ <- 1 to iterations) {
+      // SHUFFLE_HASH on the node-scale sides (r18) — same rationale as
+      // labelPropagation: the checkpointed ranks frame is an unsized
+      // leaf, and a SortMergeJoin against it re-sorts the persisted
+      // edge frame every iteration.
       val contribs = withDeg
-        .join(ranks, withDeg("src") === ranks("node"))
+        .join(ranks.hint("SHUFFLE_HASH"), withDeg("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("__deg")).as("__c"))
         .groupBy("dst")
         .agg(sum("__c").as("__m"))
       ranks = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .join(contribs.hint("SHUFFLE_HASH"), nodes("node") === contribs("dst"), "left")
         .select(col("node"),
           (lit(teleport) + lit(damping) * coalesce(col("__m"), lit(0.0))).as("rank"))
         .localCheckpoint(true)

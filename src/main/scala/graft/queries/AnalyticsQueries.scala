@@ -406,8 +406,10 @@ object AnalyticsQueries {
     QueryDef(
       "an22_copurchase",
       (s, d) => {
+        // shared ok-keyed exchange for dedup + self-join — see an24 (r18)
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .repartition(col("ok"))
           .distinct()
         li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -467,8 +469,15 @@ object AnalyticsQueries {
     QueryDef(
       "an24_triangles",
       (s, d) => {
+        // repartition(ok) BEFORE the distinct (r18, guide §2.4): the
+        // hash layout on ok satisfies BOTH the (ok, pk) dedup (same-pair
+        // rows colocate under the coarser key) and the self-join's
+        // distribution, so the exchange is shared — the non-broadcast
+        // scale path previously paid Exchange(ok, pk) + Exchange(ok);
+        // locally (AQE broadcasts one side) the shape is neutral.
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .repartition(col("ok"))
           .distinct()
         val edges = li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -510,8 +519,10 @@ object AnalyticsQueries {
     QueryDef(
       "an24_triangles_sampled",
       (s, d) => {
+        // shared ok-keyed exchange for dedup + self-join — see an24
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .repartition(col("ok"))
           .distinct()
         val edges = li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -548,8 +559,10 @@ object AnalyticsQueries {
     QueryDef(
       "an27_clustering_coeff",
       (s, d) => {
+        // shared ok-keyed exchange for dedup + self-join — see an24
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .repartition(col("ok"))
           .distinct()
         val e = li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))

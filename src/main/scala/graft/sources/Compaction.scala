@@ -97,20 +97,24 @@ object Compaction {
     * independent of `bits`. A NULL comparison contributes 0 everywhere,
     * clustering NULLs at the curve origin.
     *
-    * Two r17 measurement notes. (1) The per-column equi-depth
-    * boundaries come from ONE multi-column `approxQuantile` pass (≤
-    * 2^bits−1 doubles per column on the driver — model-bounded, the
-    * same contract as the k-means centroids); the per-column calls this
-    * replaced cost k full input scans for identical summaries. (2) The
-    * fold stays a higher-order function DELIBERATELY: unrolling it into
-    * 2·255 codegen'd `when` terms was tried and REVERTED — the
-    * expression tree serialized into 1.2 MB task binaries broadcast per
-    * stage and tripled the lane (2.3 s → 5.5 s min-of-5; plan
-    * serialization + Janino dominate at every SF since they are
-    * per-query, not per-row). The interpreted per-row cost is bounded
-    * by the callers instead: both compactZOrder paths persist the keyed
-    * frame, so the fold evaluates ONCE per row, not once per consumer
-    * pass. */
+    * Measurement notes. (1, r17) The per-column equi-depth boundaries
+    * come from ONE multi-column `approxQuantile` pass (≤ 2^bits−1
+    * doubles per column on the driver — model-bounded, the same
+    * contract as the k-means centroids); the per-column calls this
+    * replaced cost k full input scans for identical summaries.
+    * (2, r18) The per-row fold is the NATIVE [[graft.functions.ZOrderSpread]]
+    * expression — a codegen'd binary search of the boundary array plus
+    * one lookup in the precomputed spread table (~8 comparisons/row
+    * instead of the 255 interpreted closures of the r17
+    * `aggregate(zip_with(...))` HOF, which is CodegenFallback). The
+    * equivalence argument (telescoping delta sum = spread-table lookup;
+    * NULL/NaN → 0) lives on the expression. The r17 alternative — a
+    * 2·255-term codegen'd `when` unroll — had been tried and REVERTED
+    * (1.2 MB task binaries tripled the lane); the native expression
+    * ships two ≤256-element reference arrays instead of an expression
+    * tree, so the plan stays tiny. Callers still persist the keyed
+    * frame: the quantile pass aside, the input scan itself should not
+    * run once per consumer pass. */
   def zOrderKey(df: DataFrame, zCols: Seq[String], bits: Int = 8): Column = {
     require(zCols.size >= 2, "z-order needs ≥2 columns")
     require(zCols.size * bits <= 62, s"${zCols.size} cols × $bits bits overflows a signed long")
@@ -125,12 +129,11 @@ object Compaction {
     val allBounds = df.stat.approxQuantile(zCols.toArray, probs, 1.0 / (4.0 * buckets))
     val zParts = zCols.zipWithIndex.map { case (c, j) =>
       val bs = allBounds(j)
-      val deltas = bs.indices.map(i => spread(i + 1L, j) - spread(i.toLong, j)).toArray
-      aggregate(
-        zip_with(lit(bs), lit(deltas),
-          (b, dlt) => when(col(c).cast("double") >= b, dlt).otherwise(0L)),
-        lit(0L),
-        (acc, x) => acc + x)
+      // spreads(i) = the pre-interleaved curve value of bucket i; the
+      // expression returns spreads[#boundaries ≤ v] directly
+      val spreads = (0 to bs.length).map(i => spread(i.toLong, j)).toArray
+      graft.functions.GraftExtensions.zSpread(
+        col(c).cast("double"), lit(bs), lit(spreads))
     }
     // columns occupy disjoint bit positions, so plain addition assembles z
     zParts.reduce(_ + _)
@@ -174,10 +177,16 @@ object Compaction {
     require(!df.columns.contains("__z"), "input must not carry the reserved __z column")
     // persisted (r17): repartitionByRange SAMPLES its child to place the
     // range bounds, then shuffles it — without the persist the z-fold
-    // (an interpreted HOF, see zOrderKey) and the input scan both run
-    // twice per rewrite. Same rule as TxStore.compactZOrder's keyed
-    // persist. Unpersisted once the write has consumed it.
-    val keyed = df.withColumn("__z", zOrderKey(df, zCols, bits)).persist()
+    // and the input scan both run twice per rewrite. Same rule as
+    // TxStore.compactZOrder's keyed persist. DISK_ONLY (r18): the frame
+    // is the ENTIRE input table read exactly twice — at the 100 TB
+    // design point a default deserialized MEMORY_AND_DISK copy would
+    // compete with the range shuffle and the write for executor memory
+    // (guide §5); sequential disk re-read is the scale-safe trade and
+    // measured inside the lane's noise band locally. Unpersisted once
+    // the write has consumed it.
+    val keyed = df.withColumn("__z", zOrderKey(df, zCols, bits))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try
       keyed
         .repartitionByRange(n, col("__z"))

@@ -214,6 +214,32 @@ object TxStore {
     decodeCache.computeIfAbsent(kind + key, _ => compute).asInstanceOf[T]
   }
 
+  // ── commit-file generation (r18 memo-key hardening) ────────────────
+  // The commit-parse memo keys on (path, mtime, length), but local-FS
+  // mtime granularity is typically 1 s and commit payloads are
+  // fixed-width enough that lengths repeat — a table deleted and
+  // recreated within the same second could be served the PREVIOUS
+  // generation's parse (ADVICE r17 medium). tryCommit is
+  // create-if-absent, so a commit file THIS process writes did not
+  // exist an instant earlier: any memoized parse for that path is by
+  // definition from a dead generation. Winning a commit therefore bumps
+  // the file's generation, which rides in the memo key. Cross-process
+  // recreation (another JVM deletes and rewrites the table under us)
+  // remains guarded only by mtime+length — the same exposure every
+  // mtime-based cache has without content hashing, accepted and
+  // documented. The map is cleared together with the memo it guards so
+  // a generation can never outlive (or get reset under) its entries.
+  private val commitGen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def bumpGen(f: FileSystem, p: Path): Unit = {
+    if (commitGen.size > 65536) { commitGen.clear(); decodeCache.clear() }
+    commitGen.merge(f.makeQualified(p).toString, 1L, (a, b) => a + b): Unit
+  }
+  private def genOf(qualified: String): Long = {
+    val g = commitGen.get(qualified)
+    if (g == null) 0L else g.longValue()
+  }
+
   private def decodeSchema(b64: String): org.apache.spark.sql.types.StructType =
     memo(b64, 's') {
       org.apache.spark.sql.types.DataType
@@ -1068,9 +1094,12 @@ object TxStore {
       // listing's own mtime+length so a path REUSED after a whole-table
       // delete+recreate (the bench's freshStore idiom — the one way a
       // commit path's content can ever change) misses cleanly instead
-      // of serving the previous table's line.
+      // of serving the previous table's line, plus the in-process
+      // generation counter (see commitGen) that makes the same-second
+      // same-length recreate miss deterministically.
       .map { st =>
-        memo(s"${f.makeQualified(st.getPath)}|${st.getModificationTime}|${st.getLen}", 'j') {
+        val qp = f.makeQualified(st.getPath).toString
+        memo(s"$qp|${genOf(qp)}|${st.getModificationTime}|${st.getLen}", 'j') {
           parse(readText(f, st.getPath))
         }
       }
@@ -1604,6 +1633,7 @@ object TxStore {
       java.nio.file.Files.write(tmp, bytes)
       try {
         java.nio.file.Files.createLink(local, tmp)
+        bumpGen(f, p) // fresh file at this path — retire any memoized parse
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
@@ -1632,6 +1662,7 @@ object TxStore {
             s"commit rename $tmp -> $p failed but $p does not exist — " +
               "not a lost race; underlying filesystem error")
       }
+      if (won) bumpGen(f, p) // fresh file at this path — retire any memoized parse
       won
     }
   }
@@ -2096,9 +2127,13 @@ object TxStore {
     val df = readFiles(spark, path, inputs, base.schema, base.dv, dvp = base.dvp,
       mapping = base.mapping)
     require(!df.columns.contains("__z"), "table must not carry the reserved __z column")
-    // persisted: the z-bucket fold is an interpreted HOF evaluated in
-    // both the range-sampling and the write pass (see the s24 lane note)
-    val keyed = df.withColumn("__z", Compaction.zOrderKey(df, zCols, bits)).persist()
+    // persisted: the keyed frame feeds both the range-sampling and the
+    // write pass (see the s24 lane note). DISK_ONLY (r18): the frame is
+    // the full rewrite scope read exactly twice — a deserialized
+    // in-memory copy of a large table would fight the range shuffle and
+    // the write for executor memory at scale (guide §5).
+    val keyed = df.withColumn("__z", Compaction.zOrderKey(df, zCols, bits))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val (staged, zStats) =
       try
         stage(toPhysical(

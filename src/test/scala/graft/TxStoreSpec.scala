@@ -2658,4 +2658,42 @@ class TxStoreSpec extends SparkSpec {
     val (_, created) = TxStore.readChangesSince(spark, c, 0L)
     assert(created.count() === 3)
   }
+
+  test("delete+recreate with colliding mtime and length serves the NEW table (memo hardening)") {
+    // The commit-parse memo keys on (path, generation, mtime, length).
+    // Local-FS mtime granularity is coarse (often 1 s) and commit
+    // payloads are fixed-width enough that lengths repeat, so before the
+    // r18 generation counter a table deleted and recreated within one
+    // mtime tick could be served the PREVIOUS generation's parse —
+    // pointing reads at deleted data files. Reproduce that collision
+    // DETERMINISTICALLY: pin the new commit files to the old files'
+    // exact mtimes with FileSystem.setTimes and make the payload widths
+    // match by construction.
+    val t = tmpDir()
+    TxStore.append(rows(10, from = 10).repartition(1), t) // v1: ids 10..19, "v10".."v19"
+    assert(TxStore.read(spark, t).count() === 10)
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(s"$t/_txlog")
+    val oldMeta = fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
+      .map(st => st.getPath.getName -> (st.getModificationTime, st.getLen)).toMap
+    // whole-table delete + recreate (the bench's freshStore idiom)
+    fs.delete(p, true)
+    TxStore.append(rows(10, from = 20).repartition(1), t) // v1 again: ids 20..29
+    val newMeta = fs.listStatus(logDir).filter(_.getPath.getName.endsWith(".json"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    // the premise of the regression: same names, same byte lengths —
+    // if a TxStore format change ever breaks this, rebuild the fixture
+    // so the collision is still exercised
+    assert(newMeta.keySet === oldMeta.keySet)
+    newMeta.foreach { case (n, len) =>
+      assert(len === oldMeta(n)._2, s"fixture must reproduce the same-length collision for $n")
+      fs.setTimes(new org.apache.hadoop.fs.Path(logDir, n), oldMeta(n)._1, -1)
+    }
+    // with path+mtime+length all colliding, only the generation bump
+    // separates the two tables
+    val got = TxStore.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got === (20 until 30).map(i => (i.toLong, s"v$i")).toSet,
+      "stale commit parse served after delete+recreate")
+  }
 }
