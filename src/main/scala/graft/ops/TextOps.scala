@@ -709,6 +709,13 @@ object TextOps {
         .join(y, "doc_id")
         .select(col("doc_id"),
           (lit(1.0) / (lit(1.0) + exp(-col("__margin"))) - col("y")).as("__e"))
+        // r18: a SHUFFLE_HASH hint here (the GraphOps iterated-join
+        // rule) was tried and REVERTED — idle same-protocol legs read
+        // 1.97 vs 1.86 s raw (+6%) / 2.35 vs 2.46 control-normalized
+        // (−4%): a wash. Unlike the graph loops, the probe side here is
+        // one row per doc and AQE is free to broadcast it (the frame is
+        // scan-derived and SIZED), so the hint can only suppress a
+        // better strategy. Left to the planner.
         .join(x, "doc_id")
         .groupBy("b").agg(sum(col("__e") * col("cnt")).as("g"))
         .as[(Long, Double)].collect().toMap // 256 rows — model-bounded
